@@ -1,0 +1,66 @@
+"""Run configuration for the engine.
+
+A small dataclass mirror of the reference's pydantic config surface
+(/root/reference/patapsco/schema.py) covering the sections the Spark engine
+executes, plus the tokenizer/stemmer compatibility validation of
+``TokenizerStemmerFactory`` (/root/reference/patapsco/text.py:430-524).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    """Text-processing config (reference: TextProcessorConfig)."""
+
+    tokenize: str = "whitespace"          # whitespace | ngram | moses | jieba | stanza | spacy
+    stem: str | None = None               # None | porter | parsivar | stanza | spacy
+    stopwords: str | None = "lucene"      # source name, or None to disable
+    lowercase: bool = True                # normalize.lowercase (schema.py:34)
+    stopword_dir: str | None = None       # dir with {source}/{lang}.txt lists
+    max_text_len: int = 1_000_000         # DocumentProcessor.MAX_TEXT_LEN (docs.py:223)
+
+    def validate(self, lang: str = "eng") -> None:
+        # reference compat rules (text.py:446-466): ngram tokenization is
+        # incompatible with stemming; neural stemmers require their tokenizer.
+        if self.tokenize == "ngram" and self.stem:
+            raise ConfigError("ngram tokenization is not compatible with stemming")
+        if self.stem == "spacy" and self.tokenize != "spacy":
+            raise ConfigError("spacy lemmatization requires the spacy tokenizer")
+        if self.stem == "stanza" and self.tokenize != "stanza":
+            raise ConfigError("stanza lemmatization requires the stanza tokenizer")
+        if self.stem == "porter" and lang != "eng":
+            raise ConfigError("Porter stemmer only supports English")
+        if self.stem == "parsivar" and lang != "fas":
+            raise ConfigError("Parsivar stemmer only supports Farsi")
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Inverted-index build config."""
+
+    text: TextConfig = field(default_factory=TextConfig)
+    num_shards: int | None = None         # default: derived from input partitions
+    block_size: int = 128                 # postings per block-max block
+    target_docs_per_shard: int = 250_000  # used when num_shards is None
+
+
+@dataclass(frozen=True)
+class RetrieveConfig:
+    """Retrieval config (reference: RetrieveConfig, schema.py:155-180)."""
+
+    name: str = "bm25"                    # bm25 | qld
+    k: int = 1000                         # schema.py:159 "number"
+    k1: float = 0.9                       # schema.py:169
+    b: float = 0.4                        # schema.py:170
+    mu: int = 1000                        # schema.py:171-172 (QLD)
+    rm3: bool = False
+    fb_terms: int = 10                    # schema.py:176-180
+    fb_docs: int = 10
+    original_query_weight: float = 0.5

@@ -1,0 +1,144 @@
+"""The document/query analysis chain as one vectorized kernel.
+
+Pipeline order is load-bearing and mirrors the reference exactly
+(/root/reference/patapsco/docs.py:236-258):
+
+    pre_normalize → tokenize → identify stopword indices (on unstemmed
+    tokens) → stem → remove stopwords by index → lowercase
+
+The reference lowercases the space-joined string; we lowercase token-wise,
+which is equivalent under whitespace tokenization (lowercasing never
+introduces whitespace). The same chain processes queries
+(/root/reference/patapsco/topics.py:338-359) — a strict-check in the
+reference guarantees docs and queries share one config (job.py:952-962).
+
+Exposed as:
+- :func:`analyze_tokens_batch` — pandas-level kernel (testable w/o Spark)
+- :func:`analyze_documents`   — Spark ``mapInPandas`` wrapper producing
+  ``(id, lang, terms, dl, proc_text, original_text)``
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from ..config import TextConfig
+from .normalize import pre_normalize_series
+from .stem import make_stemmer
+from .stopwords import identify_stopword_indices, load_stopwords, remove_by_index
+from .tokenize import make_tokenizer
+
+
+def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng") -> pd.Series:
+    """Series[str] raw text → Series[list[str]] final index terms."""
+    tokenizer = make_tokenizer(cfg.tokenize, lang)
+    stemmer = make_stemmer(cfg.stem, lang) if (cfg.stem is None or lang == "eng" or cfg.stem != "porter") else None
+    stops = None
+    if cfg.stopwords:
+        try:
+            stops = load_stopwords(cfg.stopwords, lang, cfg.stopword_dir)
+        except (ValueError, OSError):
+            # no list shipped for this language and no resource dir given —
+            # treat as "no stopwords" rather than failing the whole batch
+            stops = None
+
+    normed = pre_normalize_series(text)
+    tokens = tokenizer(normed)
+
+    if stops is not None and stemmer is not None:
+        def proc(toks: list[str]) -> list[str]:
+            idx = identify_stopword_indices(toks, stops)
+            stemmed = [*toks]
+            stemmed = _stem_list(stemmer, stemmed)
+            return remove_by_index(stemmed, idx)
+        tokens = tokens.map(proc)
+    elif stops is not None:
+        tokens = tokens.map(
+            lambda toks: remove_by_index(toks, identify_stopword_indices(toks, stops))
+        )
+    elif stemmer is not None:
+        tokens = stemmer(tokens)
+
+    if cfg.lowercase:
+        tokens = tokens.map(lambda toks: [t.lower() for t in toks])
+    return tokens
+
+
+def _stem_list(stemmer, tokens: list[str]) -> list[str]:
+    # stemmer operates on a Series of token lists; reuse it on a single list
+    return stemmer(pd.Series([tokens])).iloc[0]
+
+
+def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
+                  text_col: str = "text", lang_col: str | None = "lang") -> pd.DataFrame:
+    """Full analysis of one Arrow batch → analyzed-docs rows.
+
+    Rejects over-long documents (reference MAX_TEXT_LEN, docs.py:245-247) by
+    dropping them; callers count rejects via ``df.observe``/filters upstream.
+    Language-gated processing: batches may mix languages; we group by lang so
+    each group runs its language's tokenizer/stopword list.
+    """
+    keep = pdf[text_col].fillna("").str.len() <= cfg.max_text_len
+    pdf = pdf[keep]
+    out_parts = []
+    if lang_col is not None and lang_col in pdf.columns:
+        groups = pdf.groupby(lang_col, sort=False, dropna=False)
+    else:
+        groups = [("eng", pdf)]
+    for lang, grp in groups:
+        if grp.empty:
+            continue
+        lang = lang if isinstance(lang, str) and lang else "eng"
+        normed = pre_normalize_series(grp[text_col])
+        terms = analyze_tokens_batch(grp[text_col], cfg, lang=_lang_key(lang))
+        out_parts.append(pd.DataFrame({
+            "id": grp[id_col].astype(str),
+            "lang": lang,
+            "terms": terms,
+            "dl": terms.map(len).astype("int64"),
+            "proc_text": terms.map(" ".join),
+            "original_text": normed,
+        }))
+    if not out_parts:
+        return pd.DataFrame({
+            "id": pd.Series(dtype=str), "lang": pd.Series(dtype=str),
+            "terms": pd.Series(dtype=object), "dl": pd.Series(dtype="int64"),
+            "proc_text": pd.Series(dtype=str), "original_text": pd.Series(dtype=str),
+        })
+    return pd.concat(out_parts, ignore_index=True)
+
+
+_LANG_ALIASES = {
+    "en": "eng", "ru": "rus", "zh": "zho", "fa": "fas", "ar": "ara",
+    "ko": "kor", "es": "spa", "he": "heb", "id": "ind", "de": "deu", "fr": "fra",
+}
+
+
+def _lang_key(lang: str) -> str:
+    """ISO 639-1 → 639-3 for the languages the reference registers
+    (LangStandardizer, /root/reference/patapsco/util/__init__.py:322-356)."""
+    return _LANG_ALIASES.get(lang, lang)
+
+
+ANALYZED_SCHEMA = (
+    "id string, lang string, terms array<string>, dl long, "
+    "proc_text string, original_text string"
+)
+
+
+def analyze_documents(df, cfg: TextConfig, id_col: str = "id",
+                      text_col: str = "text", lang_col: str | None = "lang"):
+    """Spark DataFrame of raw docs → analyzed docs via mapInPandas.
+
+    One Arrow-batched pass; no per-row Python UDFs. The kernel is pure, so
+    Spark is free to pipeline it inside the same stage as the scan.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield analyze_batch(pdf, cfg, id_col=id_col, text_col=text_col,
+                                lang_col=lang_col)
+
+    cols = [c for c in (id_col, text_col, lang_col) if c]
+    return df.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)

@@ -1,0 +1,56 @@
+"""Tokenizers as batch (pandas Series) kernels.
+
+Semantics source: /root/reference/patapsco/text.py:93-160.
+
+- ``whitespace``: Python ``str.split()`` — split on runs of *Unicode*
+  whitespace, drop empties. Note Spark's ``F.split(col, r'\\s+')`` is NOT
+  equivalent (JVM regex whitespace class differs on Unicode spaces and
+  leading separators produce an empty first token), so we stay in pandas.
+- ``ngram``: character n-grams, n=2 for CJK (zho/jpn/kor) else 5. The
+  reference additionally sentence-segments with spaCy before n-gramming;
+  spaCy is not available here, so we n-gram over newline-delimited segments
+  (a documented approximation, gated by config).
+- ``moses`` / ``jieba`` / ``stanza`` / ``spacy`` tokenizers require external
+  models/packages not present in this environment; they raise a clear
+  NotImplementedError at construction while keeping the config surface.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+CJK_LANGS = {"zho", "jpn", "kor"}
+
+
+def whitespace_tokenize_series(s: pd.Series) -> pd.Series:
+    """Series[str] → Series[list[str]] with Python str.split semantics."""
+    # pandas .str.split() with no pattern == Python str.split(): Unicode
+    # whitespace runs, no empty tokens.
+    return s.fillna("").str.split()
+
+
+def ngram_tokenize_series(s: pd.Series, lang: str) -> pd.Series:
+    n = 2 if lang in CJK_LANGS else 5
+
+    def grams(text: str) -> list[str]:
+        out = []
+        for seg in text.split("\n"):
+            out.extend(seg[i : i + n] for i in range(len(seg) - n + 1))
+        return out
+
+    return s.fillna("").map(grams)
+
+
+def make_tokenizer(name: str, lang: str):
+    """Return Series[str] → Series[list[str]] for the configured tokenizer."""
+    if name == "whitespace":
+        return whitespace_tokenize_series
+    if name == "ngram":
+        return lambda s: ngram_tokenize_series(s, lang)
+    if name in ("moses", "jieba", "stanza", "spacy"):
+        raise NotImplementedError(
+            f"tokenizer '{name}' needs external models/packages not present in "
+            "this environment; plug a Series[str]->Series[list[str]] callable "
+            "into the analyzer instead (same kernel contract)"
+        )
+    raise ValueError(f"unknown tokenizer: {name}")
