@@ -163,7 +163,7 @@ class TestAnalyzeChain:
     def test_full_chain(self):
         cfg = TextConfig(tokenize="whitespace", stem="porter", stopwords="lucene")
         out = analyze_tokens_batch(
-            pd.Series(["The Running of the bulls", "Information   Retrieval systems"]),
+            pd.Series(["The Running of the bulls", "information   retrieval systems"]),
             cfg, lang="eng",
         ).tolist()
         # note: stemming runs BEFORE lowercasing (reference order,
