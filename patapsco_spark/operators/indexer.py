@@ -1,0 +1,228 @@
+"""Distributed inverted-index build (SPIMI-style) — the rebuild of the
+reference's ``LuceneIndexer`` (/root/reference/patapsco/index.py:20-103),
+whose physical work happens inside opaque Lucene.
+
+Layout written under ``index_path``:
+
+    analyzed/   (id, lang, terms, dl, proc_text)      range-partitioned by id
+    norms/      shard=K/ (docid, id, dl, norm)        Lucene norm byte per doc
+    postings/   shard=K/ (term, df, cf, max_tf, postings, block_*)
+    term_stats/ (term, df, cf)                        global df/cf per term
+    manifest.json                                     stats + lineage + config
+
+Design notes (100 TB thinking):
+
+- **Document-partitioned shards** (docid ranges), like every production
+  search system: the build shuffle keys on ``(shard, term)`` so a Zipfian
+  head term's postings are bounded by shard size (built-in skew salting —
+  the shard IS the salt), and query-time scoring is embarrassingly parallel
+  per shard with a tiny global top-k merge.
+- **Deterministic global docids**: Lucene breaks score ties by internal
+  docid, and the reference's merge concatenates part docid spaces in
+  directory order (index.py:93-103). We assign docids by total order of the
+  external id: range-repartition by id, sort within partitions, write, then
+  compute per-file offsets from per-file counts (a columnar count, no data
+  movement) and docid = file_offset + row_number within file. This is the
+  one global sort the engine pays at build time.
+- **Map-side tf counting**: term frequencies are computed inside the Arrow
+  batch kernel (one (term,docid,tf,dlq) row per *distinct* term per doc),
+  so the shuffle moves per-doc term counts, not the raw token stream.
+- **Compression**: postings are delta-gapped varbyte blobs with per-block
+  (last_docid, max_tf, min_dlq) sidecars for block-max pruning.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import IndexConfig
+from ..functions.analyze import analyze_documents
+from ..functions.codec import block_meta, encode_postings
+from ..functions.smallfloat import quantize_length
+from ..plans import manifest as mf
+
+POSTINGS_SCHEMA = (
+    "shard int, term string, df long, cf long, max_tf long, "
+    "postings binary, block_last array<long>, block_max_tf array<long>, "
+    "block_min_dlq array<long>"
+)
+
+
+def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
+                cfg: IndexConfig | None = None, id_col: str = "id",
+                text_col: str = "text", lang_col: str | None = "lang",
+                resume: bool = True) -> dict:
+    """Build the full index from a raw pages/documents DataFrame.
+
+    Returns the manifest dict. With ``resume=True``, completed stages
+    (manifest present, same config) are skipped and read back — the engine's
+    analogue of patapsco's ``.complete``-gated plan pruning (job.py:672-685).
+    """
+    cfg = cfg or IndexConfig()
+    cfg_doc = {"text": vars(cfg.text), "block_size": cfg.block_size,
+               "num_shards": cfg.num_shards}
+
+    analyzed_path = f"{index_path}/analyzed"
+    if not (resume and mf.is_complete(analyzed_path, "analyzed", cfg_doc)):
+        analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
+                                     text_col=text_col, lang_col=lang_col)
+        n_parts = _pick_partitions(spark, pages, cfg)
+        (analyzed.repartitionByRange(n_parts, "id")
+                 .sortWithinPartitions("id")
+                 .write.mode("overwrite").parquet(analyzed_path))
+        lineage = _per_file_stats(spark, analyzed_path, "id")
+        mf.write_manifest(analyzed_path, "analyzed", cfg_doc,
+                          metrics={"files": len(lineage),
+                                   "rows": sum(r["rows"] for r in lineage)},
+                          lineage=lineage)
+
+    man = mf.read_manifest(analyzed_path)
+    lineage = sorted(man["lineage"], key=lambda r: (r["min_key"] is None, r["min_key"], r["file"]))
+    offsets, total = {}, 0
+    for rec in lineage:
+        offsets[rec["file"]] = total
+        total += rec["rows"]
+    num_docs = total
+    num_shards = cfg.num_shards or max(1, math.ceil(num_docs / cfg.target_docs_per_shard))
+    docs_per_shard = max(1, math.ceil(num_docs / num_shards))
+
+    postings_path = f"{index_path}/postings"
+    norms_path = f"{index_path}/norms"
+    stats_path = f"{index_path}/term_stats"
+    build_cfg = dict(cfg_doc, num_docs=num_docs, num_shards=num_shards,
+                     docs_per_shard=docs_per_shard)
+
+    if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
+        analyzed_df = spark.read.parquet(analyzed_path)
+        docided = _assign_docids(analyzed_df, offsets, docs_per_shard)
+
+        # norms: one row per doc; the scorer derives the Lucene norm byte by
+        # quantizing dl (storing dl loses nothing — quantization is
+        # deterministic — and keeps the table engine-agnostic)
+        norms = docided.select("shard", "docid", "id", "dl")
+        (norms.repartition(num_shards, "shard")
+              .sortWithinPartitions("docid")
+              .write.mode("overwrite").partitionBy("shard").parquet(norms_path))
+        norm_lineage = _per_file_stats(spark, norms_path, "docid")
+        mf.write_manifest(norms_path, "norms", build_cfg,
+                          metrics={"rows": sum(r["rows"] for r in norm_lineage)},
+                          lineage=norm_lineage)
+
+        # per-doc term frequencies (map-side combine in the Arrow kernel)
+        tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
+            _emit_tf, schema="shard int, term string, docid long, tf long, dlq long")
+
+        block_size = cfg.block_size
+
+        def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            shard, term = int(key[0]), key[1]
+            base = shard * docs_per_shard
+            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
+            docids = pdf["docid"].to_numpy()[order]
+            tfs = pdf["tf"].to_numpy()[order]
+            dlqs = pdf["dlq"].to_numpy()[order]
+            blob = encode_postings(docids, tfs, base=base)
+            last, mtf, mdlq = block_meta(docids, tfs, dlqs, block_size=block_size)
+            return pd.DataFrame({
+                "shard": [shard], "term": [term],
+                "df": [len(docids)], "cf": [int(tfs.sum())],
+                "max_tf": [int(tfs.max())], "postings": [blob],
+                "block_last": [last], "block_max_tf": [mtf],
+                "block_min_dlq": [mdlq],
+            })
+
+        postings = tf_rows.groupBy("shard", "term").applyInPandas(
+            build_group, schema=POSTINGS_SCHEMA)
+        (postings.repartition(num_shards, "shard")
+                 .sortWithinPartitions("term")
+                 .write.mode("overwrite").partitionBy("shard").parquet(postings_path))
+        post_lineage = _per_file_stats(spark, postings_path, "term")
+        mf.write_manifest(postings_path, "postings", build_cfg,
+                          metrics={"terms_x_shards": sum(r["rows"] for r in post_lineage)},
+                          lineage=post_lineage)
+
+    if not (resume and mf.is_complete(stats_path, "term_stats", build_cfg)):
+        post_df = spark.read.parquet(postings_path)
+        stats = (post_df.groupBy("term")
+                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+        (stats.repartition(max(1, num_shards // 4))
+              .sortWithinPartitions("term")
+              .write.mode("overwrite").parquet(stats_path))
+        mf.write_manifest(stats_path, "term_stats", build_cfg)
+
+    # global stats from norms (cheap columnar agg)
+    norms_df = spark.read.parquet(norms_path)
+    g = norms_df.agg(F.count("*").alias("n"), F.sum("dl").alias("total_tf")).first()
+    total_tf = int(g["total_tf"] or 0)
+    doc = dict(build_cfg)
+    doc.update({
+        "num_docs": int(g["n"]),
+        "total_tf": total_tf,
+        # Lucene computes avgFieldLength as a float32 (BM25Similarity)
+        "avgdl": float(np.float32(total_tf / g["n"])) if g["n"] else 0.0,
+    })
+    mf.write_manifest(index_path, "index", doc,
+                      metrics={"num_docs": doc["num_docs"], "total_tf": total_tf})
+    return mf.read_manifest(index_path)["config"] | {"index_path": index_path}
+
+
+def _pick_partitions(spark: SparkSession, pages: DataFrame, cfg: IndexConfig) -> int:
+    if cfg.num_shards:
+        return cfg.num_shards
+    return max(spark.sparkContext.defaultParallelism, 4)
+
+
+def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(shard, docid, dl, terms[]) batches → (shard, term, docid, tf, dlq).
+
+    Fully vectorized: flatten token arrays with np.repeat/concatenate, then a
+    single C-level groupby-size — the map-side combine of the SPIMI build.
+    """
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        term_lists = pdf["terms"].map(lambda t: t if t is not None else [])
+        lens = term_lists.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            continue
+        dlq = quantize_length(pdf["dl"].to_numpy())
+        flat = pd.DataFrame({
+            "shard": np.repeat(pdf["shard"].to_numpy(), lens),
+            "docid": np.repeat(pdf["docid"].to_numpy(), lens),
+            "dlq": np.repeat(dlq, lens),
+            "term": np.concatenate([np.asarray(t, dtype=object) for t in term_lists]),
+        })
+        agg = (flat.groupby(["shard", "docid", "dlq", "term"], sort=False)
+                   .size().rename("tf").reset_index())
+        yield agg[["shard", "term", "docid", "tf", "dlq"]]
+
+
+def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],
+                   docs_per_shard: int) -> DataFrame:
+    """Deterministic docid = per-file offset + ordinal within file (by id)."""
+    spark = analyzed_df.sparkSession
+    off_df = spark.createDataFrame(
+        [(f, o) for f, o in offsets.items()], "file string, offset long")
+    with_file = analyzed_df.withColumn(
+        "file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    w = Window.partitionBy("file").orderBy("id")
+    return (with_file.join(F.broadcast(off_df), "file")
+            .withColumn("docid", F.row_number().over(w) - 1 + F.col("offset"))
+            .withColumn("shard", (F.col("docid") / docs_per_shard).cast("int"))
+            .drop("file", "offset"))
+
+
+def _per_file_stats(spark: SparkSession, path: str, key: str) -> list[dict]:
+    df = spark.read.parquet(path)
+    rows = (df.groupBy(F.input_file_name().alias("file"))
+              .agg(F.count("*").alias("rows"),
+                   F.min(key).alias("min_key"),
+                   F.max(key).alias("max_key"))
+              .collect())
+    return mf.file_lineage([r.asDict() for r in rows])

@@ -1,0 +1,223 @@
+"""Distributed top-k retrieval over the sharded index — the rebuild of the
+reference's ``PyseriniRetriever`` (/root/reference/patapsco/retrieve.py), with
+scoring natively re-implemented to be score-identical to Lucene 8:
+
+- BM25 (defaults k1=0.9, b=0.4 — /root/reference/patapsco/schema.py:169-170):
+      idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+      score = Σ_t idf_t · tf/(tf + k1·(1 - b + b·dlq/avgdl))
+  with dlq the SmallFloat-quantized doc length and avgdl = float32(Σdl/N),
+  exactly as Lucene's BM25Similarity computes them (no (k1+1) numerator in
+  Lucene ≥ 8).
+- QLD / LMDirichlet (mu=1000 — schema.py:171-172):
+      score_t = ln(1 + tf/(mu·p(t|C))) + ln(mu/(dlq + mu)),  clamped ≥ 0
+      p(t|C) = (cf + 1)/(total_tf + 1)
+- PSQ clauses score expected statistics (etf = Σ p·tf, edf = Σ p·df) and
+  reproduce the reference's pinned goldens (tests/test_psq.py:48-66).
+- Boolean MUST/MUST_NOT filter; matching SHOULD/MUST clauses sum; ties break
+  by ascending docid like Lucene's internal-docid tie-break.
+
+Physical plan (100 TB thinking): postings are document-sharded, so each
+shard computes its exact local top-k independently — a cogrouped
+``applyInPandas`` over (postings-for-query-terms ⨝ norms) per shard — and the
+global result is a tiny k×shards window merge. The postings read is
+partition-pruned by shard layout and predicate-pushed on ``term`` (postings
+files are sorted by term within shards → Parquet row-group pruning).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import RetrieveConfig, TextConfig
+from ..functions.analyze import analyze_tokens_batch
+from ..functions.codec import decode_postings
+from ..functions.smallfloat import quantize_length
+from ..plans import manifest as mf
+from .queryparse import MUST, MUST_NOT, SHOULD, QueryPlan, parse_query
+
+RESULT_SCHEMA = "query_id string, docid long, doc_id string, score double"
+
+
+def load_index_meta(index_path: str) -> dict:
+    man = mf.read_manifest(index_path)
+    if man is None:
+        raise FileNotFoundError(f"no index manifest at {index_path}")
+    return man["config"]
+
+
+def process_queries(texts: Iterable[tuple[str, str]], text_cfg: TextConfig,
+                    lang: str = "eng", mode: str = "plain") -> list[QueryPlan]:
+    """Raw query texts → plans, via the same analysis chain as documents
+    (the reference enforces identical processing via strict_check,
+    /root/reference/patapsco/job.py:952-962)."""
+    qids = [q for q, _ in texts]
+    raw = [t for _, t in texts]
+    if mode == "plain":
+        terms = analyze_tokens_batch(pd.Series(raw), text_cfg, lang=lang)
+        return [parse_query(qid, "", "plain", terms=list(t))
+                for qid, t in zip(qids, terms)]
+    return [parse_query(qid, t, mode) for qid, t in zip(qids, raw)]
+
+
+def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
+           cfg: RetrieveConfig | None = None) -> DataFrame:
+    """Run all query plans over the index; returns
+    (query_id, doc_id, docid, rank, score) with rank starting at 0
+    (reference: enumerate(hits), retrieve.py:146)."""
+    cfg = cfg or RetrieveConfig()
+    meta = load_index_meta(index_path)
+    num_docs = int(meta["num_docs"])
+    total_tf = int(meta["total_tf"])
+    avgdl = float(meta["avgdl"])
+    docs_per_shard = int(meta["docs_per_shard"])
+
+    all_terms = sorted({t for p in plans for c in p.clauses for t, _ in c.terms})
+    if not all_terms or num_docs == 0:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id string, docid long, rank int, score double")
+
+    # global term stats for idf/cf — only the query's terms are read
+    stats_df = (spark.read.parquet(f"{index_path}/term_stats")
+                .where(F.col("term").isin(all_terms)))
+    df_map: dict[str, tuple[int, int]] = {
+        r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
+
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(all_terms)))
+    norms = spark.read.parquet(f"{index_path}/norms")
+
+    plans_payload = [
+        (p.qid, [(c.occur, float(c.boost), list(c.terms)) for c in p.clauses])
+        for p in plans
+    ]
+    scorer = _make_shard_scorer(
+        plans_payload, df_map, scorer=cfg.name, k=cfg.k, k1=cfg.k1, b=cfg.b,
+        mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
+        docs_per_shard=docs_per_shard)
+
+    local = (posts.groupBy("shard").cogroup(norms.groupBy("shard"))
+             .applyInPandas(scorer, schema=RESULT_SCHEMA))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
+    return (local.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("rn") - 1).alias("rank"), "score"))
+
+
+def search_texts(spark: SparkSession, index_path: str,
+                 queries: list[tuple[str, str]], cfg: RetrieveConfig | None = None,
+                 text_cfg: TextConfig | None = None, lang: str = "eng",
+                 mode: str = "plain") -> DataFrame:
+    plans = process_queries(queries, text_cfg or TextConfig(), lang=lang, mode=mode)
+    return search(spark, index_path, plans, cfg)
+
+
+def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
+                       num_docs, total_tf, avgdl, docs_per_shard):
+    """Build the per-shard cogrouped kernel. Pure numpy inside."""
+
+    def kernel(key, posts_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        if posts_pdf.empty or norms_pdf.empty:
+            return _empty_result()
+        shard = int(key[0])
+        base = shard * docs_per_shard
+
+        # dense per-shard arrays indexed by (docid - base)
+        docids_shard = norms_pdf["docid"].to_numpy()
+        size = int(docids_shard.max()) - base + 1
+        dlq = np.zeros(size, dtype=np.float64)
+        pos_all = docids_shard - base
+        dlq[pos_all] = quantize_length(norms_pdf["dl"].to_numpy()).astype(np.float64)
+        ids = np.empty(size, dtype=object)
+        ids[pos_all] = norms_pdf["id"].to_numpy()
+
+        if scorer == "bm25":
+            K = k1 * (1.0 - b + b * dlq / avgdl)
+        else:  # qld: per-doc length component ln(mu/(dlq+mu))
+            len_comp = np.log(mu / (dlq + mu))
+
+        # decode each matched term's postings once
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for row in posts_pdf.itertuples(index=False):
+            d, t = decode_postings(bytes(row.postings), int(row.df), base=base)
+            decoded[row.term] = (d - base, t.astype(np.float64))
+
+        out_q, out_d, out_i, out_s = [], [], [], []
+        for qid, clauses in plans_payload:
+            total = np.zeros(size, dtype=np.float64)
+            matched_any = np.zeros(size, dtype=bool)
+            must_ok = np.ones(size, dtype=bool)
+            forbidden = np.zeros(size, dtype=bool)
+            has_scoring_clause = False
+            for occur, boost, terms in clauses:
+                etf = np.zeros(size, dtype=np.float64)
+                edf = 0.0
+                ecf = 0.0
+                present = False
+                for term, p in terms:
+                    stat = df_map.get(term)
+                    if stat is None:
+                        continue  # term absent from index — matches nothing
+                    present = True
+                    edf += p * stat[0]
+                    ecf += p * stat[1]
+                    hit = decoded.get(term)
+                    if hit is not None:
+                        etf[hit[0]] += p * hit[1]
+                mask = etf > 0
+                if occur == MUST_NOT:
+                    forbidden |= mask
+                    continue
+                has_scoring_clause = True
+                if occur == MUST:
+                    must_ok &= mask
+                matched_any |= mask
+                if not present or not mask.any():
+                    continue
+                if scorer == "bm25":
+                    idf = math.log(1.0 + (num_docs - edf + 0.5) / (edf + 0.5))
+                    total[mask] += boost * idf * etf[mask] / (etf[mask] + K[mask])
+                else:  # qld / LMDirichlet with +1-smoothed collection prob
+                    p_c = (ecf + 1.0) / (total_tf + 1.0)
+                    s = np.log(1.0 + etf[mask] / (mu * p_c)) + len_comp[mask]
+                    total[mask] += boost * np.maximum(s, 0.0)
+
+            cand = matched_any & must_ok & ~forbidden
+            if not has_scoring_clause or not cand.any():
+                continue
+            cpos = np.flatnonzero(cand)
+            cscore = total[cpos]
+            if len(cpos) > k:
+                part = np.argpartition(-cscore, k - 1)[:k]
+                cpos, cscore = cpos[part], cscore[part]
+            out_q.append(np.full(len(cpos), qid, dtype=object))
+            out_d.append(cpos + base)
+            out_i.append(ids[cpos])
+            out_s.append(cscore)
+
+        if not out_q:
+            return _empty_result()
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "docid": np.concatenate(out_d).astype(np.int64),
+            "doc_id": np.concatenate(out_i),
+            "score": np.concatenate(out_s),
+        })
+
+    return kernel
+
+
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({
+        "query_id": pd.Series(dtype=object),
+        "docid": pd.Series(dtype=np.int64),
+        "doc_id": pd.Series(dtype=object),
+        "score": pd.Series(dtype=np.float64),
+    })
