@@ -133,15 +133,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-word shingles: unigram sets don't discriminate on a small-vocab
+    # corpus (every pair would match), and shingling is what web-scale
+    # near-dup pipelines hash anyway
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.token_jaccard_pairs(docs, threshold=0.5)
+    return dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no SQL oracle (banded LSH is not reasonably SQL-expressible);
     # verified in pytest against exact Jaccard instead
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.near_duplicates_minhash(docs, threshold=0.5)
+    return dedup.near_duplicates_minhash(docs, threshold=0.5, shingle=3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,9 +503,17 @@ FROM t CROSS JOIN seeds
 GROUP BY doc_id, seed
 """,
         "jaccard_pairs": """
-WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term FROM documents
-), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS shingles
+  FROM w
+), t AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM sh),
 sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -37,43 +37,94 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_dups") > 1))
 
 
-def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term) distinct pairs, whitespace tokens, JVM-side."""
+def _tokens_arr(text_col: str):
+    return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+
+
+def _shingles_arr(text_col: str, shingle: int):
+    """Array of word n-gram shingles (JVM-side transform over a sequence);
+    shingle=1 degenerates to plain tokens."""
+    toks = _tokens_arr(text_col)
+    if shingle <= 1:
+        return toks
+    return F.when(
+        F.size(toks) >= shingle,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - shingle + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str,
+               shingle: int = 1) -> DataFrame:
+    """(id, term) distinct pairs; term = token or word n-gram shingle."""
     return (docs
             .select(F.col(id_col).alias("_id"),
-                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
-            .where(F.col("term") != "")
+                    F.explode(_shingles_arr(text_col, shingle)).alias("term"))
             .distinct())
 
 
-def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact token-set Jaccard over all pairs sharing ≥1 term.
+def _token_sets(docs: DataFrame, id_col: str, text_col: str,
+                shingle: int = 1) -> DataFrame:
+    """(_id, toks sorted-distinct array, sz) per doc, JVM-side."""
+    return (docs
+            .select(F.col(id_col).alias("_id"),
+                    F.array_sort(F.array_distinct(
+                        _shingles_arr(text_col, shingle))).alias("toks"))
+            .withColumn("sz", F.size("toks")))
 
-    |A∩B| via a self-join on term (shuffle on term — a skewed head term makes
-    this quadratic, which is exactly why MinHash-LSH below is the scale path;
-    this operator is the small-scale oracle and the LSH verifier).
+
+def _verify_jaccard(cand: DataFrame, tok_sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect.
+
+    The two joins touch only candidate pairs (tiny vs all-pairs), and the
+    intersection runs JVM-side on the sorted token arrays."""
+    ta = tok_sets.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"),
+                         F.col("sz").alias("sz_a"))
+    tb = tok_sets.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"),
+                         F.col("sz").alias("sz_b"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))))
+
+
+def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle: int = 1) -> DataFrame:
+    """Exact token-set Jaccard pairs ≥ threshold, via **prefix filtering**
+    (PPJoin-style): order every doc's tokens by ascending global document
+    frequency (rarest first, tie-break by term), keep only the first
+    ``sz - ceil(t·sz) + 1`` tokens as join keys — any pair with Jaccard ≥ t
+    MUST share a prefix token, so the self-join shuffles rare terms only and
+    the head-term (stopword) blowup never happens. A length-ratio filter
+    (``min_sz ≥ t·max_sz``) prunes further before verification; exact Jaccard
+    is then computed only for surviving candidates with a JVM-side
+    array_intersect. Identical results to the naive all-pairs plan.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    terms = _doc_terms(docs, id_col, text_col)
-    sizes = terms.groupBy("_id").agg(F.count("*").alias("sz"))
-    a = terms.alias("a")
-    b = terms.alias("b")
-    inter = (a.join(b, (F.col("a.term") == F.col("b.term")) &
-                       (F.col("a._id") < F.col("b._id")))
-             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-             .agg(F.count("*").alias("inter")))
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-            .withColumn("jaccard",
-                        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-            .where(F.col("jaccard") >= threshold)
+    terms = _doc_terms(docs, id_col, text_col, shingle)
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("dfreq"))
+    ranked = terms.join(dfreq, "term")
+    w = Window.partitionBy("_id").orderBy("dfreq", "term")
+    sized = (ranked.withColumn("pos", F.row_number().over(w))
+             .withColumn("sz", F.count("*").over(Window.partitionBy("_id"))))
+    prefix = sized.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.term") == F.col("b.term")) &
+                      (F.col("a._id") < F.col("b._id")) &
+                      (F.least("a.sz", "b.sz") >=
+                       F.ceil(F.lit(threshold) * F.greatest("a.sz", "b.sz"))))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct())
+    verified = _verify_jaccard(cand, _token_sets(docs, id_col, text_col, shingle))
+    return (verified.where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                       id_col: str = "doc_id", text_col: str = "text",
+                       shingle: int = 1) -> DataFrame:
     """(id, seed, minhash) — minhash h_s(D) = min over terms of md5(s||term).
 
     md5-hex min is engine-portable (lexicographic on hex strings); the
@@ -81,7 +132,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
     """
     spark = docs.sparkSession
     seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    terms = _doc_terms(docs, id_col, text_col)
+    terms = _doc_terms(docs, id_col, text_col, shingle)
     return (terms.crossJoin(F.broadcast(seeds))
             .groupBy(F.col("_id").alias(id_col), "seed")
             .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
@@ -89,7 +140,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
 
 
 def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                           id_col: str = "doc_id", text_col: str = "text",
+                           shingle: int = 1) -> DataFrame:
     """Banded-LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
 
     bands × rows = num_hashes; band key = md5 of the band's concatenated
@@ -98,7 +150,7 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
     keys on the bucket hash).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, id_col, text_col)
+    sigs = minhash_signatures(docs, num_hashes, id_col, text_col, shingle)
     # band signature = md5 over the band's minhashes in seed order
     # (array_sort on "seed:minhash" strings gives a deterministic order —
     # seeds are single digits for num_hashes ≤ 10; zero-pad for more)
@@ -118,14 +170,14 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
 
 def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.8,
                             num_hashes: int = 16, bands: int = 4,
-                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            shingle: int = 1) -> DataFrame:
     """LSH candidates verified with exact Jaccard — candidates only, so the
     expensive exact check touches a vanishing fraction of all pairs."""
-    cand = minhash_lsh_candidates(docs, num_hashes, bands, id_col, text_col)
-    exact = token_jaccard_pairs(docs, threshold=0.0, id_col=id_col, text_col=text_col)
-    return (cand.join(exact, ["id_a", "id_b"])
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, id_col, text_col, shingle)
+    verified = _verify_jaccard(cand, _token_sets(docs, id_col, text_col, shingle))
+    return (verified.where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
