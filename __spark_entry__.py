@@ -168,6 +168,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
+def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant for the HTML→text extractor: render each
+    document's text into a full html page, extract it back, emit
+    (doc_id, n_chars, md5). The oracle computes the same directly from
+    ``text`` — any extraction byte-drift breaks the md5 match."""
+    from patapsco_spark.sources.webpages import extract_text_series, render_html_series
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def roundtrip(batches):
+        import pandas as pd
+        for pdf in batches:
+            html = render_html_series(pdf["text"])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "extracted": extract_text_series(html)})
+
+    out = docs.mapInPandas(roundtrip, schema="doc_id long, extracted string")
+    return out.select("doc_id", F.length("extracted").alias("n_chars"),
+                      F.md5("extracted").alias("text_md5"))
+
+
+def q_webpages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end north-star pipeline on the synthetic Common-Crawl-style
+    table: synthesize → html→text → analyze → index → BM25 top-k.
+    No SQL oracle (covers synthesis+index+retrieval); pinned by pytest and
+    the partitioning-invariance test instead."""
+    from patapsco_spark.sources.webpages import index_webpages, synthesize_pages
+
+    pages = synthesize_pages(spark, 300, partitions=8)
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"pspark_webidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    index_webpages(spark, pages, idx,
+                   IndexConfig(text=RAW_TEXT, num_shards=4), resume=True)
+    res = search_texts(spark, idx, [("q1", "crawl web index"), ("q2", "stream window")],
+                       RetrieveConfig(k=10), text_cfg=RAW_TEXT)
+    return res.select("query_id", F.col("doc_id").alias("url"),
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("score", 5).alias("score"))
+
+
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -230,6 +270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "html_extract_roundtrip": q_html_extract_roundtrip,
+        "webpages_pipeline": q_webpages_pipeline,
         "topk_window": q_topk_window,
         "lineitem_agg": q_lineitem_agg,
         "join_orders_by_nation": q_join_orders_by_nation,
@@ -486,6 +528,9 @@ short_docs AS (
   SELECT doc_id, md5(text) AS fingerprint FROM base WHERE len(toks) < 5
 )
 SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs
+""",
+        "html_extract_roundtrip": """
+SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5 FROM documents
 """,
         "exact_dedup": """
 SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_dups,

@@ -66,7 +66,8 @@ def test_all_queries_have_entries():
     assert set(oracles) <= set(qs)
     # entries without oracles must be deliberate (documented weaker check)
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle <= {"minhash_lsh_pairs", "simhash", "ann_lsh_topk"}
+    assert no_oracle <= {"minhash_lsh_pairs", "simhash", "ann_lsh_topk",
+                         "webpages_pipeline"}
 
 
 def test_entry_smoke(spark):
