@@ -208,6 +208,44 @@ def q_webpages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 5).alias("score"))
 
 
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW = 5, 8, 0.5
+
+
+def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patapsco_spark.operators.rm3 import search_rm3
+
+    idx = _ensure_index(spark, sf_dir)
+    res = search_rm3(spark, idx, [("q1", BM25_QUERY)],
+                     RetrieveConfig(k=K, fb_docs=RM3_FB_DOCS,
+                                    fb_terms=RM3_FB_TERMS,
+                                    original_query_weight=RM3_OQW),
+                     text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval-semantics scoring (map/ndcg/ndcg'/recall@100/P@10) over a
+    deterministic pseudo-run: per lang ("query"), top-30 docs by a unique
+    score; qrels = docs with n_chars % 3 == 0, graded 1 + doc_id % 2."""
+    from pyspark.sql import Window
+    from patapsco_spark.operators.evaluate import evaluate_run
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("n_chars") + F.col("doc_id") / 100000.0).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"))
+    run = scored.withColumn("rn", F.row_number().over(w)).where("rn <= 30").drop("rn")
+    qrels = docs.where("n_chars % 3 = 0").select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("relevance"))
+    out = evaluate_run(run, qrels)
+    return out.select("query_id", *[F.round(m, 6).alias(m) for m in
+                                    ("map", "ndcg", "ndcg_prime", "recall_100", "P_10")])
+
+
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -270,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "rm3_topk": q_rm3_topk,
+        "eval_metrics": q_eval_metrics,
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "webpages_pipeline": q_webpages_pipeline,
         "topk_window": q_topk_window,
@@ -334,6 +374,76 @@ SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
        ROUND(score, 5) AS score
 FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _rm3_sql(query_terms: list[str], k1: float, b: float, k: int,
+             fb_docs: int, fb_terms: int, oqw: float) -> str:
+    """Full two-pass RM3 in SQL: BM25 pass-1 → top fb_docs → RM1 estimate
+    (tf/dl · pass-1 score, top fb_terms, unit L1) → interpolate with the
+    original query model → weighted BM25 pass-2."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    n_q = len(query_terms)
+    quant = _quant_sql("dl.dl")
+    bm25_part = (f"ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+                 f" * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+pass1 AS (
+  SELECT tf.doc_id, SUM({bm25_part}) AS score
+  FROM tf JOIN qterms USING (term) JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+fb AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM pass1 QUALIFY rn <= {fb_docs}
+),
+rm1 AS (
+  SELECT tf.term, SUM(tf.tf / dl.dl * fb.score) AS w
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id JOIN dl ON dl.doc_id = fb.doc_id
+  GROUP BY tf.term
+),
+rm1top AS (
+  SELECT term, w, row_number() OVER (ORDER BY w DESC, term ASC) AS rn
+  FROM rm1 QUALIFY rn <= {fb_terms}
+),
+rm1n AS (
+  SELECT term, w / (SELECT SUM(w) FROM rm1top) AS p_rm1 FROM rm1top
+),
+orig AS (
+  SELECT term, count(*)::DOUBLE / {n_q} AS p_q FROM qterms GROUP BY term
+),
+weights AS (
+  SELECT COALESCE(r.term, o.term) AS term,
+         {oqw} * COALESCE(o.p_q, 0) + (1 - {oqw}) * COALESCE(r.p_rm1, 0) AS weight
+  FROM rm1n r FULL OUTER JOIN orig o ON r.term = o.term
+),
+dfs2 AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN weights USING (term)
+  GROUP BY tf.term
+),
+pass2 AS (
+  SELECT tf.doc_id,
+         SUM( weights.weight
+              * ln(1 + (stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+  FROM tf JOIN weights USING (term) JOIN dfs2 ON dfs2.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM pass2
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -455,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
+        "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,
+                             RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
         "token_stats": """
@@ -528,6 +640,77 @@ short_docs AS (
   SELECT doc_id, md5(text) AS fingerprint FROM base WHERE len(toks) < 5
 )
 SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs
+""",
+        "eval_metrics": """
+WITH run0 AS (
+  SELECT lang AS query_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         n_chars + doc_id / 100000.0 AS score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars + doc_id/100000.0 DESC) AS rn
+  FROM documents
+), run AS (SELECT query_id, doc_id, score FROM run0 WHERE rn <= 30),
+qrels AS (
+  SELECT lang AS query_id, CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(1 + doc_id % 2 AS INT) AS rel
+  FROM documents WHERE n_chars % 3 = 0
+),
+ideal AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS num_rel,
+         SUM(rel / log2(irank + 1.0)) AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id DESC) AS irank
+        FROM qrels)
+  GROUP BY query_id
+),
+ranked AS (
+  SELECT r.query_id, r.doc_id, COALESCE(q.rel, 0) AS rel,
+         q.rel IS NOT NULL AS judged,
+         row_number() OVER (PARTITION BY r.query_id
+                            ORDER BY r.score DESC, r.doc_id DESC) AS trec_rank
+  FROM run r LEFT JOIN qrels q USING (query_id, doc_id)
+),
+perdoc AS (
+  SELECT *,
+         SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY trec_rank) AS cum_rel
+  FROM ranked
+),
+jranked AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY trec_rank) AS jrank
+  FROM ranked WHERE judged
+),
+agg AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel > 0 THEN CAST(cum_rel AS DOUBLE)/trec_rank ELSE 0 END) AS ap_num,
+         SUM(rel / log2(trec_rank + 1.0)) AS dcg,
+         SUM(CASE WHEN rel > 0 AND trec_rank <= 100 THEN 1 ELSE 0 END) AS rel100,
+         SUM(CASE WHEN rel > 0 AND trec_rank <= 10 THEN 1 ELSE 0 END) AS rel10
+  FROM perdoc GROUP BY query_id
+),
+aggp AS (
+  SELECT query_id, SUM(rel / log2(jrank + 1.0)) AS dcg_prime
+  FROM jranked GROUP BY query_id
+),
+perq AS (
+  SELECT i.query_id,
+         CASE WHEN i.num_rel > 0 THEN COALESCE(a.ap_num, 0)/i.num_rel ELSE 0 END AS map,
+         CASE WHEN i.idcg > 0 THEN COALESCE(a.dcg, 0)/i.idcg ELSE 0 END AS ndcg,
+         CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg_prime, a.dcg, 0)/i.idcg ELSE 0 END AS ndcg_prime,
+         CASE WHEN i.num_rel > 0 THEN COALESCE(a.rel100, 0)/CAST(i.num_rel AS DOUBLE)
+              ELSE 0 END AS recall_100,
+         COALESCE(a.rel10, 0)/10.0 AS P_10
+  FROM ideal i LEFT JOIN agg a USING (query_id) LEFT JOIN aggp p USING (query_id)
+)
+SELECT query_id, ROUND(map,6) AS map, ROUND(ndcg,6) AS ndcg,
+       ROUND(ndcg_prime,6) AS ndcg_prime, ROUND(recall_100,6) AS recall_100,
+       ROUND(P_10,6) AS P_10
+FROM perq
+UNION ALL
+SELECT 'all', ROUND(AVG(map),6), ROUND(AVG(ndcg),6), ROUND(AVG(ndcg_prime),6),
+       ROUND(AVG(recall_100),6), ROUND(AVG(P_10),6) FROM perq
 """,
         "html_extract_roundtrip": """
 SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5 FROM documents
