@@ -31,8 +31,13 @@ from .stopwords import identify_stopword_indices, load_stopwords, remove_by_inde
 from .tokenize import make_tokenizer
 
 
-def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng") -> pd.Series:
-    """Series[str] raw text → Series[list[str]] final index terms."""
+def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng",
+                         pre_normalized: bool = False) -> pd.Series:
+    """Series[str] raw text → Series[list[str]] final index terms.
+
+    ``pre_normalized=True`` skips the pre-normalization pass (caller already
+    ran it — avoids normalizing twice when the normalized text is also kept
+    as a column)."""
     tokenizer = make_tokenizer(cfg.tokenize, lang)
     stemmer = make_stemmer(cfg.stem, lang) if (cfg.stem is None or lang == "eng" or cfg.stem != "porter") else None
     stops = None
@@ -44,7 +49,17 @@ def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng") ->
             # treat as "no stopwords" rather than failing the whole batch
             stops = None
 
-    normed = pre_normalize_series(text)
+    normed = text if pre_normalized else pre_normalize_series(text)
+
+    # fast path: whitespace tokenize + lowercase only. Lowering the whole
+    # string before splitting is equivalent to lowering each token (Python
+    # str.lower never introduces or removes whitespace for any codepoint
+    # that str.split treats as a separator), and runs as two vectorized
+    # pandas string ops instead of a per-token Python loop.
+    if (cfg.tokenize == "whitespace" and stops is None and stemmer is None
+            and cfg.lowercase):
+        return normed.str.lower().str.split()
+
     tokens = tokenizer(normed)
 
     if stops is not None and stemmer is not None:
@@ -92,7 +107,8 @@ def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
             continue
         lang = lang if isinstance(lang, str) and lang else "eng"
         normed = pre_normalize_series(grp[text_col])
-        terms = analyze_tokens_batch(grp[text_col], cfg, lang=_lang_key(lang))
+        terms = analyze_tokens_batch(normed, cfg, lang=_lang_key(lang),
+                                     pre_normalized=True)
         out_parts.append(pd.DataFrame({
             "id": grp[id_col].astype(str),
             "lang": lang,
@@ -129,16 +145,24 @@ ANALYZED_SCHEMA = (
 
 
 def analyze_documents(df, cfg: TextConfig, id_col: str = "id",
-                      text_col: str = "text", lang_col: str | None = "lang"):
+                      text_col: str = "text", lang_col: str | None = "lang",
+                      batch_transform=None, extra_cols: tuple[str, ...] = ()):
     """Spark DataFrame of raw docs → analyzed docs via mapInPandas.
 
-    One Arrow-batched pass; no per-row Python UDFs. The kernel is pure, so
-    Spark is free to pipeline it inside the same stage as the scan.
+    One Arrow-batched pass; no per-row Python UDFs. ``batch_transform`` (a
+    pandas DataFrame → DataFrame function, e.g. html→text extraction) is
+    FUSED into the same kernel: chaining two mapInPandas stages instead
+    would keep two Python workers alive per task with four JVM↔Python Arrow
+    crossings — measurably pathological under high task concurrency.
+    ``extra_cols`` are additional input columns the transform needs.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if batch_transform is not None:
+                pdf = batch_transform(pdf)
             yield analyze_batch(pdf, cfg, id_col=id_col, text_col=text_col,
                                 lang_col=lang_col)
 
-    cols = [c for c in (id_col, text_col, lang_col) if c]
+    cols = [c for c in (id_col, text_col, lang_col, *extra_cols)
+            if c and c in df.columns]
     return df.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)

@@ -57,7 +57,8 @@ POSTINGS_SCHEMA = (
 def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                 cfg: IndexConfig | None = None, id_col: str = "id",
                 text_col: str = "text", lang_col: str | None = "lang",
-                resume: bool = True) -> dict:
+                resume: bool = True, batch_transform=None,
+                transform_cols: tuple[str, ...] = ()) -> dict:
     """Build the full index from a raw pages/documents DataFrame.
 
     Returns the manifest dict. With ``resume=True``, completed stages
@@ -70,12 +71,27 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
 
     analyzed_path = f"{index_path}/analyzed"
     if not (resume and mf.is_complete(analyzed_path, "analyzed", cfg_doc)):
-        analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
-                                     text_col=text_col, lang_col=lang_col)
         n_parts = _pick_partitions(spark, pages, cfg)
-        (analyzed.repartitionByRange(n_parts, "id")
-                 .sortWithinPartitions("id")
-                 .write.mode("overwrite").parquet(analyzed_path))
+        # the analysis kernel parallelizes per input partition — a scan that
+        # packed many small files into few partitions (maxPartitionBytes)
+        # would serialize the CPU-heavy stage, so widen it explicitly
+        if pages.rdd.getNumPartitions() < n_parts:
+            pages = pages.repartition(n_parts)
+        analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
+                                     text_col=text_col, lang_col=lang_col,
+                                     batch_transform=batch_transform,
+                                     extra_cols=transform_cols)
+        # materialize BEFORE range partitioning: repartitionByRange runs a
+        # sampling job over its child, which would re-execute the whole
+        # Python analysis chain a second time. Staged through parquet, the
+        # sample pass is a column-pruned scan of `id` only.
+        stage_path = f"{index_path}/_analyzed_stage"
+        analyzed.write.mode("overwrite").parquet(stage_path)
+        (spark.read.parquet(stage_path)
+              .repartitionByRange(n_parts, "id")
+              .sortWithinPartitions("id")
+              .write.mode("overwrite").parquet(analyzed_path))
+        _delete_path(spark, stage_path)
         lineage = _per_file_stats(spark, analyzed_path, "id")
         mf.write_manifest(analyzed_path, "analyzed", cfg_doc,
                           metrics={"files": len(lineage),
@@ -116,32 +132,23 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
 
         # per-doc term frequencies (map-side combine in the Arrow kernel)
         tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
-            _emit_tf, schema="shard int, term string, docid long, tf long, dlq long")
+            _emit_tf, schema="shard int, term string, docid long, tf int, dlq int")
 
-        block_size = cfg.block_size
-
-        def build_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            shard, term = int(key[0]), key[1]
-            base = shard * docs_per_shard
-            order = np.argsort(pdf["docid"].to_numpy(), kind="stable")
-            docids = pdf["docid"].to_numpy()[order]
-            tfs = pdf["tf"].to_numpy()[order]
-            dlqs = pdf["dlq"].to_numpy()[order]
-            blob = encode_postings(docids, tfs, base=base)
-            last, mtf, mdlq = block_meta(docids, tfs, dlqs, block_size=block_size)
-            return pd.DataFrame({
-                "shard": [shard], "term": [term],
-                "df": [len(docids)], "cf": [int(tfs.sum())],
-                "max_tf": [int(tfs.max())], "postings": [blob],
-                "block_last": [last], "block_max_tf": [mtf],
-                "block_min_dlq": [mdlq],
-            })
-
-        postings = tf_rows.groupBy("shard", "term").applyInPandas(
-            build_group, schema=POSTINGS_SCHEMA)
-        (postings.repartition(num_shards, "shard")
-                 .sortWithinPartitions("term")
-                 .write.mode("overwrite").partitionBy("shard").parquet(postings_path))
+        # SPIMI merge: one shuffle keyed on shard; a reducer receives (at
+        # most) one whole shard sorted by (term, docid) and ONE kernel builds
+        # all its terms' postings via sorted-run boundaries — no per-term
+        # pandas groups (a unique-terms corpus would pay per-group overhead
+        # millions of times). Skew is bounded by construction: a head term's
+        # postings within a reducer never exceed docs_per_shard (the shard IS
+        # the salt), and reducer memory = one shard's tf rows — the SPIMI
+        # memory budget, tuned via target_docs_per_shard. Each reducer writes
+        # exactly one shard directory (no small-file explosion).
+        postings = (tf_rows
+                    .repartition(num_shards, "shard")
+                    .sortWithinPartitions("shard", "term", "docid")
+                    .mapInPandas(_make_postings_kernel(cfg.block_size, docs_per_shard),
+                                 schema=POSTINGS_SCHEMA))
+        (postings.write.mode("overwrite").partitionBy("shard").parquet(postings_path))
         post_lineage = _per_file_stats(spark, postings_path, "term")
         mf.write_manifest(postings_path, "postings", build_cfg,
                           metrics={"terms_x_shards": sum(r["rows"] for r in post_lineage)},
@@ -172,6 +179,14 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     return mf.read_manifest(index_path)["config"] | {"index_path": index_path}
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Remove a staging dir via Hadoop FS (works for any supported scheme)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(jsc.hadoopConfiguration()).delete(p, True)
+
+
 def _pick_partitions(spark: SparkSession, pages: DataFrame, cfg: IndexConfig) -> int:
     if cfg.num_shards:
         return cfg.num_shards
@@ -200,7 +215,58 @@ def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
         agg = (flat.groupby(["shard", "docid", "dlq", "term"], sort=False)
                    .size().rename("tf").reset_index())
+        agg["tf"] = agg["tf"].astype(np.int32)
+        agg["dlq"] = agg["dlq"].astype(np.int32)
         yield agg[["shard", "term", "docid", "tf", "dlq"]]
+
+
+def _make_postings_kernel(block_size: int, docs_per_shard: int):
+    """Partition-level SPIMI kernel: the partition arrives sorted by
+    (shard, term, docid); one pass over run boundaries (np.unique) emits one
+    row per (shard, term) with the compressed postings blob. Memory bound =
+    one shuffle partition — the SPIMI memory budget, sized by the reducer
+    count upstream."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batches of one partition may split a term's run — concatenate; a
+        # shuffle partition is the unit we sized to fit in memory anyway
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        shards = pdf["shard"].to_numpy()
+        terms = pdf["term"].to_numpy()
+        docids = pdf["docid"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        dlqs = pdf["dlq"].to_numpy()
+        # run boundaries over (shard, term)
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        np.not_equal(terms[1:], terms[:-1], out=change[1:])
+        change[1:] |= shards[1:] != shards[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        out = {k: [] for k in ("shard", "term", "df", "cf", "max_tf",
+                               "postings", "block_last", "block_max_tf",
+                               "block_min_dlq")}
+        for s, e in zip(starts, ends):
+            shard = int(shards[s])
+            base = shard * docs_per_shard
+            d, t, q = docids[s:e], tfs[s:e], dlqs[s:e]
+            blob = encode_postings(d, t, base=base)
+            last, mtf, mdlq = block_meta(d, t, q, block_size=block_size)
+            out["shard"].append(shard)
+            out["term"].append(terms[s])
+            out["df"].append(e - s)
+            out["cf"].append(int(t.sum()))
+            out["max_tf"].append(int(t.max()))
+            out["postings"].append(blob)
+            out["block_last"].append(last)
+            out["block_max_tf"].append(mtf)
+            out["block_min_dlq"].append(mdlq)
+        yield pd.DataFrame(out)
+
+    return kernel
 
 
 def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],

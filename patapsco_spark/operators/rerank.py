@@ -1,0 +1,94 @@
+"""Doc store + rerank stage — rebuilds the reference's sqlite doc database
+(/root/reference/patapsco/database.py:26-115) and rerankers
+(/root/reference/patapsco/rerank.py):
+
+- The doc store is the ``analyzed/`` table the index build already persists
+  (id, lang, original_text = pre-tokenization normalized text — exactly what
+  ``DatabaseWriter`` stores for rerankers, database.py:99-101). Lookup is a
+  predicate-pushed scan (``id IN (...)``) or a broadcast semi-join instead
+  of per-key sqlite gets.
+- ``mock_rerank`` (E1, rerank.py:52-67): identity rerank that exercises the
+  doc lookup join — results come back with the doc text attached.
+- ``shell_rerank`` (E2, rerank.py:70-172): external-script contract — write
+  the candidates as jsonl, invoke
+  ``script doc_lang query_lang db input output [--key value ...]``, read a
+  TREC run back. Runs driver-side over the collected top-k (rerank inputs
+  are ≤ k·|queries| rows by construction — the reference batches through a
+  temp dir the same way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def doc_store(spark: SparkSession, index_path: str) -> DataFrame:
+    """(id, lang, original_text) — the reranker-facing document view."""
+    return (spark.read.parquet(f"{index_path}/analyzed")
+            .select("id", "lang", "original_text"))
+
+
+def lookup_docs(spark: SparkSession, index_path: str, ids: list[str]) -> DataFrame:
+    """Random-access analogue of the sqlite KV get: predicate-pushed scan."""
+    return doc_store(spark, index_path).where(F.col("id").isin(list(ids)))
+
+
+def attach_doc_text(results: DataFrame, store: DataFrame) -> DataFrame:
+    """results ⟕ doc_store on doc_id — the rerank input join. The results
+    side is tiny (top-k per query) so it broadcasts; the store scan prunes
+    to the joined ids."""
+    docs = store.select(F.col("id").alias("doc_id"), "original_text")
+    return results.join(docs, "doc_id", "left")
+
+
+def mock_rerank(spark: SparkSession, index_path: str, results: DataFrame) -> DataFrame:
+    """Identity rerank with doc lookup (E1): scores/ranks unchanged, text
+    attached and dropped — validates the store wiring like the reference's
+    MockReranker deep-copy."""
+    joined = attach_doc_text(results, doc_store(spark, index_path))
+    return joined.drop("original_text")
+
+
+def shell_rerank(spark: SparkSession, index_path: str, results: DataFrame,
+                 script: str, doc_lang: str = "eng", query_lang: str = "eng",
+                 extra_args: dict[str, str] | None = None) -> DataFrame:
+    """External-reranker contract (E2). The script receives
+    (doc_lang, query_lang, db_path, input_jsonl, output_trec) plus
+    ``--key value`` pairs and must write a TREC run file; its row count must
+    match its input (the reference errors otherwise, rerank.py:150-156)."""
+    rows = (attach_doc_text(results, doc_store(spark, index_path))
+            .select("query_id", "doc_id", "rank", "score", "original_text")
+            .collect())
+    with tempfile.TemporaryDirectory() as d:
+        inp = os.path.join(d, "input.jsonl")
+        out = os.path.join(d, "output.txt")
+        with open(inp, "w") as f:
+            for r in rows:
+                f.write(json.dumps({
+                    "query_id": r["query_id"], "doc_id": r["doc_id"],
+                    "rank": int(r["rank"]), "score": float(r["score"]),
+                    "text": r["original_text"] or ""}) + "\n")
+        cmd = [script, doc_lang, query_lang, f"{index_path}/analyzed", inp, out]
+        for k, v in (extra_args or {}).items():
+            cmd += [f"--{k}", str(v)]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f"rerank script failed: {proc.stderr[-500:]}")
+        reranked = []
+        with open(out) as f:
+            for line in f:
+                qid, _, doc_id, rank, score, _system = line.split()
+                reranked.append((qid, doc_id, int(rank), float(score)))
+        if len(reranked) != len(rows):
+            raise RuntimeError(
+                f"rerank output rows ({len(reranked)}) != input rows ({len(rows)})")
+    out_df = spark.createDataFrame(
+        reranked, "query_id string, doc_id string, rank int, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (out_df.withColumn("rank", F.row_number().over(w) - 1))

@@ -1,0 +1,201 @@
+"""Run-config front-end: YAML/JSON/dict with the reference's config-language
+semantics (/root/reference/patapsco/config.py):
+
+- **string interpolation** ``{a.b.c}`` — values referencing other keys by
+  dotted path, resolved depth-first top-to-bottom (config.py:366-406);
+  unresolvable references are collected as errors, not silently kept
+- **section inheritance** ``inherit: other.section`` — deep-copy parent,
+  merge child over it (dicts merge recursively, lists replace), multi-level
+  allowed if parents are defined first (config.py:444-490)
+- **overrides** ``set key.path=value`` applied after load (config.py:409-441)
+- **imports** are intentionally out of scope (multi-file configs; add when a
+  user needs them)
+
+The validated result feeds :class:`RunConfig`, the Spark engine's mirror of
+the reference's pydantic ``RunnerConfig`` (/root/reference/patapsco/schema.py:253-264).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..config import ConfigError, IndexConfig, RetrieveConfig, TextConfig
+
+_INTERP = re.compile(r"{([A-Za-z0-9_.]+)}")
+
+
+def _get_path(conf: dict, dotted: str) -> Any:
+    cur: Any = conf
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            raise KeyError(dotted)
+        cur = cur[part]
+    return cur
+
+
+def _merge_dicts(base: dict, over: dict) -> dict:
+    """Child keys override parent; nested dicts merge; lists replace."""
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _merge_dicts(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def interpolate(conf: dict) -> tuple[dict, list[str]]:
+    """Resolve ``{dotted.path}`` references depth-first, top-to-bottom.
+    Returns (config, unresolved-reference errors)."""
+    errors: list[str] = []
+
+    def resolve_value(value, top):
+        if isinstance(value, str) and _INTERP.search(value):
+            def sub(m):
+                try:
+                    return str(_get_path(top, m.group(1)))
+                except KeyError:
+                    errors.append(m.group(0))
+                    return m.group(0)
+            return _INTERP.sub(sub, value)
+        if isinstance(value, list):
+            return [resolve_value(v, top) for v in value]
+        if isinstance(value, dict):
+            for k in list(value):
+                value[k] = resolve_value(value[k], top)
+            return value
+        return value
+
+    resolve_value(conf, conf)
+    return conf, errors
+
+
+def apply_inheritance(conf: dict) -> dict:
+    """Process ``inherit: parent.path`` sections (parents first, like the
+    reference: config.py:444-490)."""
+    def process(node: dict, top: dict) -> None:
+        for key, value in list(node.items()):
+            if isinstance(value, dict):
+                process(value, top)
+                if "inherit" in value:
+                    try:
+                        parent = _get_path(top, value["inherit"])
+                    except KeyError:
+                        raise ConfigError(
+                            f"Cannot inherit from {value['inherit']} as it does not exist")
+                    merged = copy.deepcopy(parent)
+                    _merge_dicts(merged, value)
+                    del merged["inherit"]
+                    node[key] = merged
+            elif isinstance(value, list):
+                for entry in value:
+                    if isinstance(entry, dict):
+                        process(entry, top)
+    process(conf, conf)
+    return conf
+
+
+def apply_overrides(conf: dict, overrides: dict[str, Any] | None) -> dict:
+    """``{"a.b.c": v}`` — set dotted paths, creating intermediate dicts."""
+    for dotted, v in (overrides or {}).items():
+        cur = conf
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return conf
+
+
+def load_config(source: str | dict, overrides: dict[str, Any] | None = None) -> dict:
+    """Load + inherit + override + interpolate. ``source`` is a dict, a JSON
+    string, a YAML string, or a path ending in .yml/.yaml/.json."""
+    if isinstance(source, dict):
+        conf = copy.deepcopy(source)
+    else:
+        text = source
+        if source.endswith((".yml", ".yaml", ".json")):
+            with open(source) as f:
+                text = f.read()
+        try:
+            conf = json.loads(text)
+        except json.JSONDecodeError:
+            try:
+                import yaml
+                conf = yaml.safe_load(text)
+            except ImportError as e:  # pragma: no cover
+                raise ConfigError(f"not JSON and pyyaml unavailable: {e}")
+    if not isinstance(conf, dict):
+        raise ConfigError("config must be a mapping")
+    conf = apply_inheritance(conf)
+    conf = apply_overrides(conf, overrides)
+    conf, errors = interpolate(conf)
+    if errors:
+        raise ConfigError(f"unresolved config references: {sorted(set(errors))}")
+    return conf
+
+
+# ---------------------------------------------------------------------------
+# Typed run config
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DocumentsConfig:
+    input_path: str = ""
+    input_format: str = "parquet"      # parquet | webpages | hc4 | tsv
+    lang: str = "eng"
+    id_col: str = "id"
+    text_col: str = "text"
+    lang_col: str | None = "lang"
+
+
+@dataclass(frozen=True)
+class TopicsConfig:
+    input_path: str = ""
+    input_format: str = "hc4"          # hc4 | tsv
+    lang: str = "eng"
+    source: str = "original"
+    fields: tuple[str, ...] = ("title",)
+    qrels_lang: str | None = None
+
+
+@dataclass(frozen=True)
+class ScoreConfig:
+    qrels_path: str = ""
+    metrics: tuple[str, ...] = ("map", "ndcg", "ndcg_prime", "recall_100", "P_10")
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    name: str
+    path: str                           # run output directory
+    documents: DocumentsConfig = field(default_factory=DocumentsConfig)
+    index: IndexConfig = field(default_factory=IndexConfig)
+    topics: TopicsConfig = field(default_factory=TopicsConfig)
+    retrieve: RetrieveConfig = field(default_factory=RetrieveConfig)
+    score: ScoreConfig | None = None
+
+    @classmethod
+    def from_dict(cls, conf: dict) -> "RunConfig":
+        run = conf.get("run", {})
+        if "name" not in run or "path" not in run:
+            raise ConfigError("run.name and run.path are required")
+        text = TextConfig(**conf.get("text", {}))
+        idx = conf.get("index", {})
+        retrieve = conf.get("retrieve", {})
+        topics = dict(conf.get("topics", {}))
+        if "fields" in topics:
+            topics["fields"] = tuple(topics["fields"])
+        score = conf.get("score")
+        if score and "metrics" in score:
+            score = dict(score, metrics=tuple(score["metrics"]))
+        return cls(
+            name=run["name"], path=run["path"],
+            documents=DocumentsConfig(**conf.get("documents", {})),
+            index=IndexConfig(text=text, **idx),
+            topics=TopicsConfig(**topics),
+            retrieve=RetrieveConfig(**retrieve),
+            score=ScoreConfig(**score) if score else None,
+        )

@@ -115,7 +115,8 @@ def _synth_batch(idx: np.ndarray) -> pd.DataFrame:
     # 16 hash bytes per doc drive all choices (stable across everything)
     digests = [hashlib.md5(f"page-{i}".encode()).digest() for i in idx]
     h = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, 16)
-    n_words = 20 + (h[:, 0].astype(np.int64) * 256 + h[:, 1]) % 180
+    # 100-500 words — the extracted-text length of a typical web page
+    n_words = 100 + (h[:, 0].astype(np.int64) * 256 + h[:, 1]) % 400
     langs = [_LANGS[b % len(_LANGS)] for b in h[:, 2]]
     texts = []
     for i, (seed_row, nw) in enumerate(zip(h, n_words)):
@@ -187,8 +188,27 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 def index_webpages(spark: SparkSession, pages: DataFrame, index_path: str,
                    cfg: IndexConfig | None = None, resume: bool = True) -> dict:
     """Full ingestion: html → text → analysis chain → sharded inverted index
-    (docids assigned by url order; see indexer docid determinism notes)."""
+    (docids assigned by url order; see indexer docid determinism notes).
+
+    The raw pages are widened BEFORE the kernel (a downstream repartition
+    would leave the CPU-heavy work on however few partitions the file scan
+    produced), and extraction is FUSED into the analysis kernel — one Python
+    worker per task, one Arrow round trip (see analyze_documents)."""
     from ..operators.indexer import build_index
-    extracted = extract_pages(pages)
-    return build_index(spark, extracted, index_path, cfg, id_col="url",
-                       text_col="text", lang_col="lang", resume=resume)
+    cfg = cfg or IndexConfig()
+    # select first: the stored `text` column is the byte-identity oracle,
+    # not an input — extraction recreates it from html (column pruning)
+    pages = pages.select("url", "html", "lang")
+    n_parts = cfg.num_shards or spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < n_parts:
+        pages = pages.repartition(n_parts)
+
+    def extract_transform(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.drop(columns=["html"])
+        out["text"] = extract_text_series(pdf["html"])
+        return out
+
+    return build_index(spark, pages, index_path, cfg, id_col="url",
+                       text_col="text", lang_col="lang", resume=resume,
+                       batch_transform=extract_transform,
+                       transform_cols=("html",))
