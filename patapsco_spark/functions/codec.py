@@ -131,3 +131,65 @@ def block_meta(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         mtf.append(int(tfs[s:e].max()))
         mdl.append(int(dls[s:e].min()))
     return last, mtf, mdl
+
+
+def encode_postings_blocked(docids: np.ndarray, tfs: np.ndarray, base: int = 0,
+                            block_size: int = BLOCK_SIZE
+                            ) -> tuple[bytes, list[int], list[int]]:
+    """Block-independent encoding: each block's delta chain restarts from the
+    previous block's last docid, and per-block byte offsets are returned, so
+    ANY block decodes without touching the others — the physical requirement
+    for block-max skipping.
+
+    Layout: ``concat_i( gap_section_i || tf_section_i )``.
+    Returns (blob, block_off, block_gap_len): section start offsets and the
+    gap-section length per block (tf section = rest until next offset).
+    """
+    docids = np.asarray(docids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = len(docids)
+    parts: list[bytes] = []
+    offs: list[int] = []
+    gap_lens: list[int] = []
+    pos = 0
+    prev_last = base
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        gaps = np.empty(e - s, dtype=np.int64)
+        gaps[0] = docids[s] - prev_last
+        gaps[1:] = np.diff(docids[s:e])
+        prev_last = int(docids[e - 1])
+        gb = varbyte_encode(gaps)
+        tb = varbyte_encode(tfs[s:e])
+        offs.append(pos)
+        gap_lens.append(len(gb))
+        parts.append(gb)
+        parts.append(tb)
+        pos += len(gb) + len(tb)
+    return b"".join(parts), offs, gap_lens
+
+
+def decode_blocks(blob: bytes, which: np.ndarray, block_off: np.ndarray,
+                  block_gap_len: np.ndarray, block_last: np.ndarray,
+                  base: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only the selected block indices (sorted) → (docids, tfs).
+
+    The delta base of block i is ``block_last[i-1]`` (or ``base`` for block
+    0), so selected blocks decode independently of skipped ones.
+    """
+    total = len(blob)
+    d_parts, t_parts = [], []
+    nblocks = len(block_off)
+    for i in np.asarray(which, dtype=np.int64):
+        start = int(block_off[i])
+        end = int(block_off[i + 1]) if i + 1 < nblocks else total
+        glen = int(block_gap_len[i])
+        gaps = varbyte_decode(blob[start:start + glen])
+        tfs = varbyte_decode(blob[start + glen:end])
+        prev = int(block_last[i - 1]) if i > 0 else base
+        d_parts.append(np.cumsum(gaps) + prev)
+        t_parts.append(tfs)
+    if not d_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return (np.concatenate(d_parts).astype(np.int64),
+            np.concatenate(t_parts).astype(np.int64))

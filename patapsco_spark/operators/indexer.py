@@ -43,14 +43,14 @@ from pyspark.sql import functions as F
 
 from ..config import IndexConfig
 from ..functions.analyze import analyze_documents
-from ..functions.codec import block_meta, encode_postings
+from ..functions.codec import block_meta, encode_postings_blocked
 from ..functions.smallfloat import quantize_length
 from ..plans import manifest as mf
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, cf long, max_tf long, "
     "postings binary, block_last array<long>, block_max_tf array<long>, "
-    "block_min_dlq array<long>"
+    "block_min_dlq array<long>, block_off array<long>, block_gap_len array<long>"
 )
 
 
@@ -111,8 +111,10 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     postings_path = f"{index_path}/postings"
     norms_path = f"{index_path}/norms"
     stats_path = f"{index_path}/term_stats"
+    # postings_format bumps force a rebuild of stale on-disk layouts through
+    # the manifest resume gate (e.g. pre-blocked postings lack block_off)
     build_cfg = dict(cfg_doc, num_docs=num_docs, num_shards=num_shards,
-                     docs_per_shard=docs_per_shard)
+                     docs_per_shard=docs_per_shard, postings_format=2)
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
         analyzed_df = spark.read.parquet(analyzed_path)
@@ -248,12 +250,13 @@ def _make_postings_kernel(block_size: int, docs_per_shard: int):
         ends = np.append(starts[1:], len(pdf))
         out = {k: [] for k in ("shard", "term", "df", "cf", "max_tf",
                                "postings", "block_last", "block_max_tf",
-                               "block_min_dlq")}
+                               "block_min_dlq", "block_off", "block_gap_len")}
         for s, e in zip(starts, ends):
             shard = int(shards[s])
             base = shard * docs_per_shard
             d, t, q = docids[s:e], tfs[s:e], dlqs[s:e]
-            blob = encode_postings(d, t, base=base)
+            blob, offs, gap_lens = encode_postings_blocked(
+                d, t, base=base, block_size=block_size)
             last, mtf, mdlq = block_meta(d, t, q, block_size=block_size)
             out["shard"].append(shard)
             out["term"].append(terms[s])
@@ -264,6 +267,8 @@ def _make_postings_kernel(block_size: int, docs_per_shard: int):
             out["block_last"].append(last)
             out["block_max_tf"].append(mtf)
             out["block_min_dlq"].append(mdlq)
+            out["block_off"].append(offs)
+            out["block_gap_len"].append(gap_lens)
         yield pd.DataFrame(out)
 
     return kernel

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..config import RetrieveConfig, TextConfig
 from ..functions.analyze import analyze_tokens_batch
-from ..functions.codec import decode_postings
+from ..functions.codec import decode_blocks
 from ..functions.smallfloat import quantize_length
 from ..plans import manifest as mf
 from .queryparse import MUST, MUST_NOT, SHOULD, QueryPlan, parse_query
@@ -143,14 +143,48 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
         else:  # qld: per-doc length component ln(mu/(dlq+mu))
             len_comp = np.log(mu / (dlq + mu))
 
-        # decode each matched term's postings once
-        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # per-term postings handles: decode lazily, by block
+        handles: dict[str, _TermHandle] = {}
         for row in posts_pdf.itertuples(index=False):
-            d, t = decode_postings(bytes(row.postings), int(row.df), base=base)
-            decoded[row.term] = (d - base, t.astype(np.float64))
+            handles[row.term] = _TermHandle(
+                bytes(row.postings),
+                np.asarray(row.block_last, dtype=np.int64),
+                np.asarray(row.block_max_tf, dtype=np.int64),
+                np.asarray(row.block_min_dlq, dtype=np.int64),
+                np.asarray(row.block_off, dtype=np.int64),
+                np.asarray(row.block_gap_len, dtype=np.int64),
+                base)
+
+        bmw = _BlockMaxPruner(size, base, k1, b, avgdl, num_docs, k) \
+            if scorer == "bm25" else None
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def full(term):
+            """whole-list decode, cached."""
+            got = decoded.get(term)
+            if got is None:
+                h = handles[term]
+                d, t = h.decode(np.arange(len(h.block_last)))
+                got = decoded[term] = (d - base, t.astype(np.float64))
+            return got
 
         out_q, out_d, out_i, out_s = [], [], [], []
         for qid, clauses in plans_payload:
+            # fast path: pure disjunctive single-term BM25 (plain/RM3/
+            # weighted-OR queries) goes through the block-max pruner
+            if bmw is not None and all(
+                    occ == SHOULD and len(ts) == 1 for occ, _, ts in clauses):
+                terms_w = [(ts[0][0], boost * ts[0][1])
+                           for _, boost, ts in clauses]
+                got = bmw.topk(terms_w, handles, df_map, K)
+                if got is not None:
+                    cpos, cscore = got
+                    if len(cpos):
+                        out_q.append(np.full(len(cpos), qid, dtype=object))
+                        out_d.append(cpos + base)
+                        out_i.append(ids[cpos])
+                        out_s.append(cscore)
+                    continue
             total = np.zeros(size, dtype=np.float64)
             matched_any = np.zeros(size, dtype=bool)
             must_ok = np.ones(size, dtype=bool)
@@ -168,9 +202,9 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     present = True
                     edf += p * stat[0]
                     ecf += p * stat[1]
-                    hit = decoded.get(term)
-                    if hit is not None:
-                        etf[hit[0]] += p * hit[1]
+                    if term in handles:
+                        pos, tfv = full(term)
+                        etf[pos] += p * tfv
                 mask = etf > 0
                 if occur == MUST_NOT:
                     forbidden |= mask
@@ -212,6 +246,135 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
         })
 
     return kernel
+
+
+class _TermHandle:
+    """Lazy, block-granular access to one term's postings in a shard."""
+
+    __slots__ = ("blob", "block_last", "block_max_tf", "block_min_dlq",
+                 "block_off", "block_gap_len", "base")
+
+    def __init__(self, blob, block_last, block_max_tf, block_min_dlq,
+                 block_off, block_gap_len, base):
+        self.blob = blob
+        self.block_last = block_last
+        self.block_max_tf = block_max_tf
+        self.block_min_dlq = block_min_dlq
+        self.block_off = block_off
+        self.block_gap_len = block_gap_len
+        self.base = base
+
+    def decode(self, which: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return decode_blocks(self.blob, which, self.block_off,
+                             self.block_gap_len, self.block_last, self.base)
+
+    def spans(self) -> tuple[np.ndarray, np.ndarray]:
+        """Conservative per-block local docid spans [lo, hi] (inclusive):
+        lo = previous block's last + 1 (earliest possible first docid)."""
+        hi = self.block_last - self.base
+        lo = np.empty_like(hi)
+        lo[0] = 0
+        lo[1:] = hi[:-1] + 1
+        return lo, hi
+
+
+class _BlockMaxPruner:
+    """Exact top-k for disjunctive weighted BM25 with block-max skipping,
+    vectorized (numpy) rather than doc-at-a-time:
+
+    1. optimistic bound O(d) for every doc slot via difference arrays over
+       block spans — O(#blocks), no decoding;
+    2. exact-score the k docs with highest O (decoding only blocks that
+       contain them) → threshold θ = kth best exact score (a valid lower
+       bound on the true kth score);
+    3. candidates = {d : O(d) ≥ θ}; decode only blocks whose span contains a
+       candidate; exact-score candidates; top-k.
+
+    Correctness: s(d) ≤ O(d) ∀d, so every true top-k doc is a candidate, and
+    every candidate's decoded contributions are complete (a posting's block
+    span always contains its doc). Scores are exactly the dense scorer's.
+    This is the block-max WAND idea (Ding & Suel, SIGIR'11) restructured for
+    columnar execution: bounds and skipping at block granularity, but
+    batch-vectorized instead of a per-doc pivot walk.
+    """
+
+    def __init__(self, size, base, k1, b, avgdl, num_docs, k):
+        self.size = size
+        self.base = base
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.num_docs = num_docs
+        self.k = k
+
+    def _block_ub(self, h: _TermHandle, w: float, idf: float) -> np.ndarray:
+        mtf = h.block_max_tf.astype(np.float64)
+        mdlq = h.block_min_dlq.astype(np.float64)
+        kpart = self.k1 * (1.0 - self.b + self.b * mdlq / self.avgdl)
+        return w * idf * mtf / (mtf + kpart)
+
+    def topk(self, terms_w, handles, df_map, K):
+        """terms_w: [(term, weight)]. Returns (local_positions, scores) or
+        None to signal 'use the fallback path'."""
+        alive = []
+        for term, w in terms_w:
+            stat = df_map.get(term)
+            h = handles.get(term)
+            if stat is None or h is None or stat[0] <= 0:
+                continue
+            idf = math.log(1.0 + (self.num_docs - stat[0] + 0.5) / (stat[0] + 0.5))
+            alive.append((h, w, idf))
+        if not alive:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+        # phase 1: optimistic bounds via diff arrays
+        diff = np.zeros(self.size + 1, dtype=np.float64)
+        for h, w, idf in alive:
+            ub = self._block_ub(h, w, idf)
+            lo, hi = h.spans()
+            np.add.at(diff, lo, ub)
+            np.subtract.at(diff, hi + 1, ub)
+        O = np.cumsum(diff[:-1])
+
+        nz = np.flatnonzero(O > 0)
+        if nz.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        kk = min(self.k, nz.size)
+
+        def exact(cand_sorted: np.ndarray) -> np.ndarray:
+            """Exact scores for sorted candidate positions; decodes only
+            blocks whose span contains a candidate."""
+            total = np.zeros(self.size, dtype=np.float64)
+            for h, w, idf in alive:
+                lo, hi = h.spans()
+                # block contains a candidate ⟺ a candidate falls in [lo, hi]
+                left = np.searchsorted(cand_sorted, lo, side="left")
+                right = np.searchsorted(cand_sorted, hi, side="right")
+                which = np.flatnonzero(right > left)
+                if which.size == 0:
+                    continue
+                d, tf = h.decode(which)
+                pos = d - self.base
+                tf = tf.astype(np.float64)
+                total[pos] += w * idf * tf / (tf + K[pos])
+            return total
+
+        # phase 2: threshold from the top-kk optimistic docs
+        seeds = nz[np.argpartition(-O[nz], kk - 1)[:kk]]
+        seeds.sort()
+        seed_scores = exact(seeds)[seeds]
+        theta = np.partition(seed_scores, len(seed_scores) - kk)[len(seed_scores) - kk] \
+            if len(seed_scores) >= kk else 0.0
+        theta = max(theta, 0.0)
+
+        # phase 3: candidates + exact scoring
+        cand = np.flatnonzero(O >= theta - 1e-12)
+        total = exact(cand)
+        cscore = total[cand]
+        matched = cscore > 0
+        cand, cscore = cand[matched], cscore[matched]
+        if len(cand) > self.k:
+            part = np.argpartition(-cscore, self.k - 1)[:self.k]
+            cand, cscore = cand[part], cscore[part]
+        return cand, cscore
 
 
 def _empty_result() -> pd.DataFrame:

@@ -70,3 +70,31 @@ def test_block_meta():
     assert last == [127, 255, 299]
     assert mtf == [128, 256, 300]
     assert mdl == [50, 7, 50]
+
+
+def test_blocked_encode_partial_decode():
+    """Blocks decode independently: full and partial reads match the input
+    (the physical contract behind block-max skipping)."""
+    import numpy as np
+    from patapsco_spark.functions.codec import (
+        block_meta, decode_blocks, encode_postings_blocked)
+
+    rng = np.random.RandomState(7)
+    docids = np.unique(rng.randint(1000, 200000, 5000))
+    tfs = rng.randint(1, 90, len(docids)).astype(np.int64)
+    base, bs = 1000, 128
+    blob, offs, glens = encode_postings_blocked(docids, tfs, base=base, block_size=bs)
+    last, _, _ = block_meta(docids, tfs, tfs, block_size=bs)
+    offs, glens, last = map(np.asarray, (offs, glens, last))
+
+    d, t = decode_blocks(blob, np.arange(len(offs)), offs, glens, last, base=base)
+    assert np.array_equal(d, docids) and np.array_equal(t, tfs)
+
+    which = np.array([0, 3, 7, len(offs) - 1])
+    d2, t2 = decode_blocks(blob, which, offs, glens, last, base=base)
+    exp_d = np.concatenate([docids[i * bs:(i + 1) * bs] for i in which])
+    exp_t = np.concatenate([tfs[i * bs:(i + 1) * bs] for i in which])
+    assert np.array_equal(d2, exp_d) and np.array_equal(t2, exp_t)
+
+    d3, t3 = decode_blocks(blob, np.array([], dtype=np.int64), offs, glens, last, base=base)
+    assert len(d3) == 0 and len(t3) == 0
