@@ -188,3 +188,44 @@ def normalize_series(s: pd.Series, lang: pd.Series | None = None,
     """pre_normalize then post_normalize, optionally language-gated."""
     out = pre_normalize_series(s)
     return post_normalize_series(out, lowercase=lowercase)
+
+
+def compare_strings(s1: str, s2: str) -> dict[str, int]:
+    """Single-character edit counts between original and normalized text —
+    the reference's normalization-diff report
+    (/root/reference/patapsco/util/normalize.py:160-180)."""
+    import collections
+    import difflib
+
+    changes: collections.Counter = collections.Counter()
+    for tag, i1, i2, j1, j2 in difflib.SequenceMatcher(None, s1, s2).get_opcodes():
+        if tag == "delete" and i2 - i1 == 1:
+            changes[f"del {s1[i1:i2]}"] += 1
+        elif tag == "replace" and i2 - i1 <= 2 and j2 - j1 == 1:
+            changes[f"{s1[i1:i2]} → {s2[j1:j2]}"] += 1
+        elif tag == "insert" and j2 - j1 == 1:
+            changes[f"ins {s2[j1:j2]}"] += 1
+    return dict(changes)
+
+
+def normalization_report(df, text_col: str = "text"):
+    """Corpus-wide normalization-change counts as a DataFrame:
+    (change, count) — the distributed version of the reference's per-doc
+    Counter merging (docs.py:250-251, 265-269)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        for pdf in batches:
+            normed = pre_normalize_series(pdf[text_col])
+            rows: dict[str, int] = {}
+            for a, b in zip(pdf[text_col].fillna(""), normed):
+                if a != b:
+                    for k, v in compare_strings(a, b).items():
+                        rows[k] = rows.get(k, 0) + v
+            yield pd.DataFrame({"change": list(rows), "count": list(rows.values())}) \
+                if rows else pd.DataFrame({"change": pd.Series(dtype=str),
+                                           "count": pd.Series(dtype="int64")})
+
+    return (df.select(text_col).mapInPandas(run, schema="change string, count long")
+            .groupBy("change").agg(F.sum("count").alias("count")))

@@ -384,3 +384,68 @@ def _empty_result() -> pd.DataFrame:
         "doc_id": pd.Series(dtype=object),
         "score": pd.Series(dtype=np.float64),
     })
+
+
+def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
+            doc_ids: list[str], cfg: RetrieveConfig | None = None) -> DataFrame:
+    """Per-term score components for specific docs — the rebuild of the
+    reference's debug explain logging (searcher.explain() for top-n hits,
+    /root/reference/patapsco/retrieve.py:157-165).
+
+    Returns (query_id, doc_id, clause, term, tf, dl, dlq, df, idf,
+    contribution); summing `contribution` per doc reproduces the search
+    score exactly (BM25 path).
+    """
+    cfg = cfg or RetrieveConfig()
+    meta = load_index_meta(index_path)
+    num_docs = int(meta["num_docs"])
+    avgdl = float(meta["avgdl"])
+
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(F.col("id").isin(list(doc_ids)))
+             .select("docid", "id", "dl"))
+    want = {int(r["docid"]): (r["id"], int(r["dl"]))
+            for r in norms.collect()}
+
+    terms = sorted({t for c in plan.clauses for t, _ in c.terms})
+    stats = {r["term"]: int(r["df"]) for r in
+             spark.read.parquet(f"{index_path}/term_stats")
+             .where(F.col("term").isin(terms)).collect()}
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(terms)).collect())
+
+    docs_per_shard = int(meta["docs_per_shard"])
+    tf_by = {}
+    for row in posts:
+        h = _TermHandle(bytes(row["postings"]),
+                        np.asarray(row["block_last"], dtype=np.int64),
+                        np.asarray(row["block_max_tf"], dtype=np.int64),
+                        np.asarray(row["block_min_dlq"], dtype=np.int64),
+                        np.asarray(row["block_off"], dtype=np.int64),
+                        np.asarray(row["block_gap_len"], dtype=np.int64),
+                        int(row["shard"]) * docs_per_shard)
+        d, t = h.decode(np.arange(len(h.block_last)))
+        for docid, tf in zip(d, t):
+            if int(docid) in want:
+                tf_by[(row["term"], int(docid))] = int(tf)
+
+    rows = []
+    for ci, clause in enumerate(plan.clauses):
+        for term, p in clause.terms:
+            df_t = stats.get(term, 0)
+            if df_t == 0:
+                continue
+            idf = math.log(1.0 + (num_docs - df_t + 0.5) / (df_t + 0.5))
+            for docid, (ext_id, dl) in want.items():
+                tf = tf_by.get((term, docid), 0)
+                if tf == 0:
+                    continue
+                dlq = float(quantize_length(np.array([dl]))[0])
+                kpart = cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl)
+                contrib = clause.boost * p * idf * tf / (tf + kpart)
+                rows.append((plan.qid, ext_id, ci, term, tf, dl, dlq,
+                             df_t, idf, contrib))
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id string, clause int, term string, "
+              "tf long, dl long, dlq double, df long, idf double, "
+              "contribution double")
