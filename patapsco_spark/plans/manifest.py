@@ -22,6 +22,7 @@ is written last.
 from __future__ import annotations
 
 import json
+import time
 import pathlib
 from typing import Any
 
@@ -41,6 +42,7 @@ def write_manifest(path: str | pathlib.Path, stage: str,
         "config": config or {},
         "metrics": metrics or {},
         "lineage": lineage or [],
+        "written_at": time.time(),  # provenance; is_complete ignores it
     }
     tmp = p / (MANIFEST + ".tmp")
     tmp.write_text(json.dumps(doc, indent=1, default=str))
