@@ -246,6 +246,45 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ("map", "ndcg", "ndcg_prime", "recall_100", "P_10")])
 
 
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads (synthetic codec) derived from
+    the documents table; per-item kind, size, body digest."""
+    from patapsco_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.attach_media(docs)
+    return mm.media_stats(media)
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (UDTF-style explode in an Arrow kernel)."""
+    from patapsco_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mm.sample_frames(mm.attach_media(docs), every_n=10)
+
+
+def q_image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from patapsco_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mm.resize_images(mm.attach_media(docs), target_width=64)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_pairs(emb, threshold=0.4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (IVF cell pruning) — recall vs brute force pinned in pytest
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents, assigned = ann.ivf_build(emb.where(F.col("vec_id") != 0), n_cells=8)
+    out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=3)
+    return out.select(F.col("vec_id").cast("long"), "cosine")
+
+
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -312,6 +351,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "webpages_pipeline": q_webpages_pipeline,
+        "media_stats": q_media_stats,
+        "frame_samples": q_frame_samples,
+        "image_resize_meta": q_image_resize_meta,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "topk_window": q_topk_window,
         "lineitem_agg": q_lineitem_agg,
         "join_orders_by_nation": q_join_orders_by_nation,
@@ -711,6 +755,40 @@ FROM perq
 UNION ALL
 SELECT 'all', ROUND(AVG(map),6), ROUND(AVG(ndcg),6), ROUND(AVG(ndcg_prime),6),
        ROUND(AVG(recall_100),6), ROUND(AVG(P_10),6) FROM perq
+""",
+        "media_stats": """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  16 + strlen(text) AS n_bytes, md5(text) AS body_md5
+FROM documents
+""",
+        "frame_samples": """
+WITH v AS (SELECT doc_id, 10 + strlen(text) % 240 AS n_frames
+           FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx,
+       CAST(unnest(range(0, n_frames, 10)) * 40 AS BIGINT) AS ts_ms
+FROM v
+""",
+        "image_resize_meta": """
+WITH im AS (SELECT doc_id, strlen(text) AS L, text
+            FROM documents WHERE doc_id % 3 = 0),
+dims AS (
+  SELECT doc_id, text,
+         CAST(32 + L % 480 AS INT) AS width,
+         CAST(32 + (L*7) % 360 AS INT) AS height
+  FROM im
+)
+SELECT doc_id, width, height, 64 AS out_width,
+  GREATEST(1, CAST(floor(height * 64.0 / width + 0.5) AS INT)) AS out_height,
+  md5(text || '|64x' ||
+      GREATEST(1, CAST(floor(height * 64.0 / width + 0.5) AS INT))) AS resized_md5
+FROM dims
+""",
+        "embedding_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
         "html_extract_roundtrip": """
 SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5 FROM documents

@@ -93,3 +93,110 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     nearby = [qsig] + [qsig ^ (1 << i) for i in range(n_bits)]
     cand = bucketed.where(F.col("bucket").isin(nearby)).drop("bucket")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ threshold), id_a < id_b.
+
+    All-pairs — the small-scale oracle and the LSH verifier; quadratic by
+    definition (use :func:`lsh_near_dup_pairs` at scale)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"),
+                          F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"))
+    va = F.transform(F.col("va"), lambda v: v.cast("double"))
+    vb = F.transform(F.col("vb"), lambda v: v.cast("double"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (_dot(va, vb) / (_norm(va) * _norm(vb))).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                       n_tables: int = 6, n_bits: int = 10, seed: int = 42,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs at scale: candidates meet inside any of
+    ``n_tables`` independent random-hyperplane bucketings (the shuffle keys
+    on (table, bucket) — only same-bucket pairs join), then the exact cosine
+    verifies. Recall grows with n_tables; precision is exact (verified)."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    blocked = None
+    for t in range(n_tables):
+        planes = rng.standard_normal((n_bits, dim))
+        b = (lsh_bucket(embeddings, planes, id_col, vec_col)
+             .select(F.col(id_col), F.lit(t).alias("tbl"), "bucket"))
+        blocked = b if blocked is None else blocked.unionByName(b)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl")) &
+                      (F.col("a.bucket") == F.col("b.bucket")) &
+                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = F.transform(F.col("va"), lambda v: v.cast("double"))
+    vb = F.transform(F.col("vb"), lambda v: v.cast("double"))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b",
+                    (_dot(va, vb) / (_norm(va) * _norm(vb))).alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
+              seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """IVF index: k-means centroids (deterministic seeded init from hashed
+    sample, Lloyd iterations as broadcast-join + groupBy-avg), and the
+    cell-assigned vectors table. At 100 TB the assignment is one broadcast
+    join (centroids are tiny) and cells become the partition key."""
+    import pandas as pd
+    sample = embeddings.select(vec_col).limit(max(n_cells * 20, 200)).collect()
+    X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    spark = embeddings.sparkSession
+
+    def assign(df, cents_arr):
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents_arr)],
+            "cell int, cvec array<double>")
+        vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+        d2 = F.aggregate(F.zip_with(vec, F.col("cvec"),
+                                    lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        pairs = df.crossJoin(F.broadcast(cdf)).select(
+            F.col(id_col), F.col(vec_col), F.col("cell"), d2.alias("d2"))
+        w = Window.partitionBy(id_col).orderBy("d2", "cell")
+        return (pairs.withColumn("rn", F.row_number().over(w))
+                .where("rn = 1").drop("rn", "d2"))
+
+    for _ in range(iters):
+        assigned = assign(embeddings, cents)
+        means = (assigned
+                 .select("cell", F.posexplode(vec_col).alias("i", "x"))
+                 .groupBy("cell", "i").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
+                 .select("cell", F.transform("ms", lambda s: s["m"]).alias("c"))
+                 .collect())
+        for r in means:
+            cents[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
+    return cents, assign(embeddings, cents)
+
+
+def ivf_topk(assigned: DataFrame, cents: np.ndarray, query_vec: list[float],
+             k: int = 10, nprobe: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k scanning only the nprobe nearest cells — the IVF
+    query path (cell pruning = partition pruning at scale)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,87 @@
+"""IVF / LSH embedding search quality vs brute force, and multimodal
+(binary payload) kernel shapes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from patapsco_spark.operators import ann, multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+class TestAnnScalePaths:
+    def test_ivf_recall_vs_brute_force(self, spark, emb):
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        base = emb.where("vec_id <> 0")
+        exact = {r.vec_id for r in
+                 ann.cosine_topk(base, qvec, k=10).collect()}
+        cents, assigned = ann.ivf_build(base, n_cells=8)
+        approx = {r.vec_id for r in
+                  ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=4).collect()}
+        assert len(exact & approx) >= 6  # decent recall with half the cells
+
+    def test_ivf_assignment_total(self, spark, emb):
+        cents, assigned = ann.ivf_build(emb, n_cells=8)
+        assert assigned.count() == emb.count()
+        assert assigned.select("cell").distinct().count() <= 8
+
+    def test_lsh_near_dup_subset_of_exact(self, spark, emb):
+        exact = {(r.id_a, r.id_b) for r in
+                 ann.cosine_pairs(emb, threshold=0.4).collect()}
+        # cos ≥ 0.4 is a WIDE angle (66°): hyperplane collision prob is only
+        # ~0.63/bit, so recall needs few bits per table and several tables
+        # (1 - (1 - 0.63³)^10 ≈ 0.94 in theory)
+        lsh = {(r.id_a, r.id_b) for r in
+               ann.lsh_near_dup_pairs(emb, threshold=0.4,
+                                      n_tables=10, n_bits=3).collect()}
+        assert lsh <= exact                 # exact verification → no FPs
+        assert len(lsh) >= 0.6 * len(exact)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "image doc body"), (1, "audio doc body text"),
+             (2, "video document body here"), (3, "img two")],
+            "doc_id long, text string")
+        return mm.attach_media(docs)
+
+    def test_payload_roundtrip(self, media):
+        rows = {r.doc_id: r for r in media.collect()}
+        kind, a, b, body = mm.decode_header(bytes(rows[0].payload))
+        assert kind == "image" and body == b"image doc body"
+        assert rows[1].kind == "audio" and rows[2].kind == "video"
+        assert rows[0].meta["a"] > 0 and rows[0].meta["b"] > 0
+
+    def test_media_stats_digest_is_body_md5(self, media):
+        import hashlib
+        got = {r.doc_id: r for r in mm.media_stats(media).collect()}
+        assert got[0].body_md5 == hashlib.md5(b"image doc body").hexdigest()
+        assert got[0].n_bytes == 16 + len(b"image doc body")
+
+    def test_resize_only_images_and_dims(self, media):
+        rows = mm.resize_images(media, target_width=64).collect()
+        assert {r.doc_id for r in rows} == {0, 3}
+        for r in rows:
+            assert r.out_width == 64
+            assert r.out_height == max(1, int(r.height * 64 / r.width + 0.5))
+
+    def test_frame_sampling_shape(self, media):
+        rows = mm.sample_frames(media, every_n=10).collect()
+        assert {r.doc_id for r in rows} == {2}
+        idxs = sorted(r.frame_idx for r in rows)
+        assert idxs[0] == 0 and all(i % 10 == 0 for i in idxs)
+        assert all(r.ts_ms == r.frame_idx * 40 for r in rows)  # fps=25
+
+    def test_audio_windows_cover_duration(self, media):
+        rows = mm.audio_windows(media, window_ms=1000).collect()
+        assert {r.doc_id for r in rows} == {1}
+        spans = sorted((r.start_ms, r.end_ms) for r in rows)
+        assert spans[0][0] == 0
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 == s2  # contiguous, no gaps

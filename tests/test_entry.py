@@ -67,7 +67,7 @@ def test_all_queries_have_entries():
     # entries without oracles must be deliberate (documented weaker check)
     no_oracle = set(qs) - set(oracles)
     assert no_oracle <= {"minhash_lsh_pairs", "simhash", "ann_lsh_topk",
-                         "webpages_pipeline"}
+                         "webpages_pipeline", "ann_ivf_topk"}
 
 
 def test_entry_smoke(spark):
