@@ -96,22 +96,68 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_chunks: int | None = None) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ threshold), id_a < id_b.
 
-    All-pairs — the small-scale oracle and the LSH verifier; quadratic by
-    definition (use :func:`lsh_near_dup_pairs` at scale)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"),
-                          F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("vb"))
-    va = F.transform(F.col("va"), lambda v: v.cast("double"))
-    vb = F.transform(F.col("vb"), lambda v: v.cast("double"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    (_dot(va, vb) / (_norm(va) * _norm(vb))).alias("cosine"))
-            .where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    All-pairs is quadratic by definition (use :func:`lsh_near_dup_pairs` at
+    scale) — but the CONSTANT matters: a row-pair crossJoin with per-element
+    array lambdas is ~100x slower than linear algebra. This plan blocks the
+    square: vectors are hashed into chunks, each chunk collapses to ONE row
+    holding a dense matrix, the join is chunk x chunk (upper triangle), and
+    each task runs a single numpy GEMM emitting only pairs >= threshold.
+    Chunk size bounds task memory (the GEMM tile), the standard distributed
+    exact-similarity layout."""
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    B = n_chunks or max(2, min(32, int(np.ceil(n / 2000))))
+    chunked = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        (F.abs(F.hash(F.col(id_col))) % B).alias("chunk"))
+    packed = (chunked.groupBy("chunk")
+              .agg(F.collect_list(F.struct("_id", "_v")).alias("items")))
+    a, b = packed.alias("a"), packed.alias("b")
+    cart = (a.join(b, F.col("a.chunk") <= F.col("b.chunk"))
+            .select(F.col("a.chunk").alias("ca"), F.col("a.items").alias("ia"),
+                    F.col("b.chunk").alias("cb"), F.col("b.items").alias("ib")))
+
+    thr = float(threshold)
+
+    def gemm(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ca, ia, cb, ib in zip(pdf["ca"], pdf["ia"], pdf["cb"], pdf["ib"]):
+                ids_a = np.array([r["_id"] for r in ia])
+                X = np.array([r["_v"] for r in ia], dtype=np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                if ca == cb:
+                    ids_b, Y = ids_a, X
+                else:
+                    ids_b = np.array([r["_id"] for r in ib])
+                    Y = np.array([r["_v"] for r in ib], dtype=np.float64)
+                    Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+                S = X @ Y.T
+                ii, jj = np.nonzero(S >= thr)
+                if ca == cb:
+                    # same chunk: upper triangle only (no self/dup pairs)
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                # each unordered chunk pair is processed exactly once, so
+                # cross-chunk pairs all survive; orient ids as (lo, hi)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(S[ii, jj])
+            if out_a:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.round(np.concatenate(out_c), 6)})
+
+    return cart.mapInPandas(gemm, schema="id_a long, id_b long, cosine double")
 
 
 def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
