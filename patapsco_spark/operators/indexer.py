@@ -114,7 +114,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     # postings_format bumps force a rebuild of stale on-disk layouts through
     # the manifest resume gate (e.g. pre-blocked postings lack block_off)
     build_cfg = dict(cfg_doc, num_docs=num_docs, num_shards=num_shards,
-                     docs_per_shard=docs_per_shard, postings_format=2)
+                     docs_per_shard=docs_per_shard, postings_format=3)
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
         analyzed_df = spark.read.parquet(analyzed_path)
@@ -131,6 +131,20 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         mf.write_manifest(norms_path, "norms", build_cfg,
                           metrics={"rows": sum(r["rows"] for r in norm_lineage)},
                           lineage=norm_lineage)
+
+        # norms_packed: ONE row per shard holding every doc's Lucene norm
+        # byte as a dense blob (docid-indexed from the shard base). The
+        # query path reads these tiny blobs instead of scanning the full
+        # norms table — at 10^9 docs that's ~250 KB per matched shard vs a
+        # multi-GB columnar scan per query. External ids stay in norms/ and
+        # are joined for the final top-k only.
+        packed = (spark.read.parquet(norms_path)
+                  .groupBy("shard")
+                  .applyInPandas(_pack_norms(docs_per_shard),
+                                 schema="shard int, base long, n long, codes binary"))
+        packed.coalesce(max(1, num_shards // 64)) \
+              .write.mode("overwrite").parquet(f"{index_path}/norms_packed")
+        mf.write_manifest(f"{index_path}/norms_packed", "norms_packed", build_cfg)
 
         # per-doc term frequencies (map-side combine in the Arrow kernel)
         tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
@@ -220,6 +234,23 @@ def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         agg["tf"] = agg["tf"].astype(np.int32)
         agg["dlq"] = agg["dlq"].astype(np.int32)
         yield agg[["shard", "term", "docid", "tf", "dlq"]]
+
+
+def _pack_norms(docs_per_shard: int):
+    """(shard, docid, dl) group → one row with the shard's norm-byte blob."""
+    from ..functions.smallfloat import int_to_byte4
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        docids = pdf["docid"].to_numpy()
+        size = int(docids.max()) - base + 1
+        codes = np.zeros(size, dtype=np.uint8)
+        codes[docids - base] = int_to_byte4(pdf["dl"].to_numpy())
+        return pd.DataFrame({"shard": [shard], "base": [base],
+                             "n": [len(pdf)], "codes": [codes.tobytes()]})
+
+    return pack
 
 
 def _make_postings_kernel(block_size: int, docs_per_shard: int):

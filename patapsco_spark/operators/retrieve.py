@@ -41,7 +41,7 @@ from ..functions.smallfloat import quantize_length
 from ..plans import manifest as mf
 from .queryparse import MUST, MUST_NOT, SHOULD, QueryPlan, parse_query
 
-RESULT_SCHEMA = "query_id string, docid long, doc_id string, score double"
+RESULT_SCHEMA = "query_id string, docid long, score double"
 
 
 def load_index_meta(index_path: str) -> dict:
@@ -90,7 +90,9 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
 
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(all_terms)))
-    norms = spark.read.parquet(f"{index_path}/norms")
+    # packed norms: ONE blob row per shard (the full norms table is only
+    # touched at the end, partition-pruned, to resolve top-k external ids)
+    norms_packed = spark.read.parquet(f"{index_path}/norms_packed")
 
     plans_payload = [
         (p.qid, [(c.occur, float(c.boost), list(c.terms)) for c in p.clauses])
@@ -101,14 +103,26 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard)
 
-    local = (posts.groupBy("shard").cogroup(norms.groupBy("shard"))
+    local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
-    return (local.withColumn("rn", F.row_number().over(w))
+    topk = (local.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= cfg.k)
-            .select("query_id", "doc_id", "docid",
-                    (F.col("rn") - 1).alias("rank"), "score"))
+            .select("query_id", "docid", (F.col("rn") - 1).alias("rank"),
+                    "score"))
+
+    # resolve external ids for the winners only: join the (broadcast) top-k
+    # against norms on (shard, docid) — shard is norms' partition column, so
+    # dynamic partition pruning restricts the scan to shards that actually
+    # hold winners; no extra driver job, no second scoring pass.
+    topk = topk.withColumn(
+        "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .select("shard", "docid", F.col("id").alias("doc_id")))
+    return (norms.join(F.broadcast(topk), ["shard", "docid"])
+            .select("query_id", "doc_id", "docid", "rank", "score")
+            .orderBy("query_id", "rank"))  # k×|queries| rows — trivial sort
 
 
 def search_texts(spark: SparkSession, index_path: str,
@@ -123,20 +137,17 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard):
     """Build the per-shard cogrouped kernel. Pure numpy inside."""
 
-    def kernel(key, posts_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
-        if posts_pdf.empty or norms_pdf.empty:
+    def kernel(key, posts_pdf: pd.DataFrame, packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        if posts_pdf.empty or packed_pdf.empty:
             return _empty_result()
         shard = int(key[0])
         base = shard * docs_per_shard
 
-        # dense per-shard arrays indexed by (docid - base)
-        docids_shard = norms_pdf["docid"].to_numpy()
-        size = int(docids_shard.max()) - base + 1
-        dlq = np.zeros(size, dtype=np.float64)
-        pos_all = docids_shard - base
-        dlq[pos_all] = quantize_length(norms_pdf["dl"].to_numpy()).astype(np.float64)
-        ids = np.empty(size, dtype=object)
-        ids[pos_all] = norms_pdf["id"].to_numpy()
+        # dense per-shard dlq array from the packed norm-byte blob
+        from ..functions.smallfloat import byte4_to_int
+        codes = np.frombuffer(bytes(packed_pdf["codes"].iloc[0]), dtype=np.uint8)
+        size = len(codes)
+        dlq = byte4_to_int(codes).astype(np.float64)
 
         if scorer == "bm25":
             K = k1 * (1.0 - b + b * dlq / avgdl)
@@ -168,7 +179,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 got = decoded[term] = (d - base, t.astype(np.float64))
             return got
 
-        out_q, out_d, out_i, out_s = [], [], [], []
+        out_q, out_d, out_s = [], [], []
         for qid, clauses in plans_payload:
             # fast path: pure disjunctive single-term BM25 (plain/RM3/
             # weighted-OR queries) goes through the block-max pruner
@@ -182,7 +193,6 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     if len(cpos):
                         out_q.append(np.full(len(cpos), qid, dtype=object))
                         out_d.append(cpos + base)
-                        out_i.append(ids[cpos])
                         out_s.append(cscore)
                     continue
             total = np.zeros(size, dtype=np.float64)
@@ -233,7 +243,6 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 cpos, cscore = cpos[part], cscore[part]
             out_q.append(np.full(len(cpos), qid, dtype=object))
             out_d.append(cpos + base)
-            out_i.append(ids[cpos])
             out_s.append(cscore)
 
         if not out_q:
@@ -241,7 +250,6 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
         return pd.DataFrame({
             "query_id": np.concatenate(out_q),
             "docid": np.concatenate(out_d).astype(np.int64),
-            "doc_id": np.concatenate(out_i),
             "score": np.concatenate(out_s),
         })
 
@@ -381,7 +389,6 @@ def _empty_result() -> pd.DataFrame:
     return pd.DataFrame({
         "query_id": pd.Series(dtype=object),
         "docid": pd.Series(dtype=np.int64),
-        "doc_id": pd.Series(dtype=object),
         "score": pd.Series(dtype=np.float64),
     })
 

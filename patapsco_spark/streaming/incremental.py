@@ -72,6 +72,14 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     (norms.repartition(1, "shard").sortWithinPartitions("docid")
           .write.mode("append").partitionBy("shard")
           .parquet(f"{index_path}/norms"))
+    # pack the NEW shards' norm bytes (query path reads norms_packed)
+    from ..operators.indexer import _pack_norms
+    new_norms = (spark.read.parquet(f"{index_path}/norms")
+                 .where(F.col("docid") >= next_docid))
+    (new_norms.groupBy("shard")
+     .applyInPandas(_pack_norms(docs_per_shard),
+                    schema="shard int, base long, n long, codes binary")
+     .write.mode("append").parquet(f"{index_path}/norms_packed"))
 
     tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
         _emit_tf, schema="shard int, term string, docid long, tf int, dlq int")
