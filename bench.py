@@ -73,6 +73,10 @@ def build_cold(spark, sf_dir: str, workdir: str) -> tuple[float, int]:
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry
 
+    # the shared retrieval index is a one-time build (measured separately as
+    # the headline metric) — warm it so per-query timings measure queries
+    entry._ensure_index(spark, sf_dir)
+
     times: dict[str, float] = {}
     for name, fn in entry.queries().items():
         t0 = time.perf_counter()

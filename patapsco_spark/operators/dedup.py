@@ -37,6 +37,16 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_dups") > 1))
 
 
+def _widen(docs: DataFrame) -> DataFrame:
+    """Small-file inputs scan as one partition; the shingle explode then
+    runs single-threaded. Widen to the session parallelism first (the raw
+    docs shuffle is trivial next to the expansion it parallelizes)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 def _tokens_arr(text_col: str):
     return F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
 
@@ -57,6 +67,7 @@ def _shingles_arr(text_col: str, shingle: int):
 def _doc_terms(docs: DataFrame, id_col: str, text_col: str,
                shingle: int = 1) -> DataFrame:
     """(id, term) distinct pairs; term = token or word n-gram shingle."""
+    docs = _widen(docs)
     return (docs
             .select(F.col(id_col).alias("_id"),
                     F.explode(_shingles_arr(text_col, shingle)).alias("term"))
@@ -66,6 +77,7 @@ def _doc_terms(docs: DataFrame, id_col: str, text_col: str,
 def _token_sets(docs: DataFrame, id_col: str, text_col: str,
                 shingle: int = 1) -> DataFrame:
     """(_id, toks sorted-distinct array, sz) per doc, JVM-side."""
+    docs = _widen(docs)
     return (docs
             .select(F.col(id_col).alias("_id"),
                     F.array_sort(F.array_distinct(
@@ -187,6 +199,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     bit_i(sig) = 1 iff Σ_t tf(t)·(2·bit_i(md5(t)) - 1) > 0. Computed with
     JVM expressions: md5 hex → first 16 hex chars → 64 bits via conv().
     """
+    docs = _widen(docs)
     tf = (docs.select(F.col(id_col).alias("_id"),
                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
           .where(F.col("term") != "")
