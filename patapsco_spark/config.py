@@ -57,6 +57,12 @@ class RetrieveConfig:
 
     name: str = "bm25"                    # bm25 | qld
     k: int = 1000                         # schema.py:159 "number"
+    # block-max pruning for disjunctive BM25: "auto" prunes only when the
+    # matched postings volume is large enough that skipping decodes beats
+    # the pruner's own bound-pass overhead (vectorized dense scoring is
+    # memory-bandwidth fast; see retrieve._BlockMaxPruner notes)
+    pruning: str = "auto"                 # auto | always | never
+    pruning_min_postings: int = 20_000_000
     k1: float = 0.9                       # schema.py:169
     b: float = 0.4                        # schema.py:170
     mu: int = 1000                        # schema.py:171-172 (QLD)

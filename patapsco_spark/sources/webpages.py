@@ -109,8 +109,14 @@ _VOCAB = (
 _LANGS = ["eng", "eng", "eng", "rus", "zho", "fas", "spa", "deu"]  # eng-heavy
 
 
-def _synth_batch(idx: np.ndarray) -> pd.DataFrame:
-    """Vectorized page synthesis for an array of doc indices."""
+def _synth_batch(idx: np.ndarray, vocab: str = "base") -> pd.DataFrame:
+    """Vectorized page synthesis for an array of doc indices.
+
+    ``vocab="base"``: ~35-word vocabulary (every term is a head term —
+    stresses posting-list length, not pruning). ``vocab="zipf"``: 50k-word
+    Zipf-distributed vocabulary via inverse-CDF over hash bytes (realistic
+    web-text shape: stopword-like heads, long rare tail — the regime where
+    block-max pruning and prefix filtering pay off)."""
     n = len(idx)
     # 16 hash bytes per doc drive all choices (stable across everything)
     digests = [hashlib.md5(f"page-{i}".encode()).digest() for i in idx]
@@ -123,9 +129,16 @@ def _synth_batch(idx: np.ndarray) -> pd.DataFrame:
         # word stream: md5(docno, k) → vocab index, 4 words per hash call
         words = []
         base = f"page-{idx[i]}-w"
-        for k in range(0, int(nw), 4):
-            d = hashlib.md5(f"{base}{k}".encode()).digest()
-            words.extend(_VOCAB[d[j] % len(_VOCAB)] for j in range(4))
+        if vocab == "zipf":
+            for k in range(0, int(nw), 8):
+                d = hashlib.md5(f"{base}{k}".encode()).digest()
+                for j in range(0, 16, 2):
+                    u = (d[j] * 256 + d[j + 1] + 1) / 65536.0
+                    words.append(f"w{min(50000, int(1.0 / u))}")  # pmf ~ r^-2
+        else:
+            for k in range(0, int(nw), 4):
+                d = hashlib.md5(f"{base}{k}".encode()).digest()
+                words.extend(_VOCAB[d[j] % len(_VOCAB)] for j in range(4))
         words = words[: int(nw)]
         # sentence breaks every 8-14 words (from hash bytes) → newlines
         step = 8 + seed_row[3] % 7
@@ -148,14 +161,15 @@ def _synth_batch(idx: np.ndarray) -> pd.DataFrame:
     })
 
 
-def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+def synthesize_pages(spark: SparkSession, n: int, partitions: int | None = None,
+                     vocab: str = "base") -> DataFrame:
     """Deterministic n-page Common-Crawl-style table. Identical content for
     any ``partitions`` value — every row is a pure function of its index."""
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _synth_batch(pdf["id"].to_numpy())
+            yield _synth_batch(pdf["id"].to_numpy(), vocab=vocab)
 
     return spark.range(n, numPartitions=parts).mapInPandas(gen, schema=PAGES_SCHEMA)
 
