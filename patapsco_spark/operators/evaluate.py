@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_METRICS = ("map", "ndcg", "ndcg_prime", "recall_100", "P_10")
+DEFAULT_METRICS = ("map", "ndcg", "ndcg_prime", "recall_100", "recall_1000",
+                   "P_10")
 
 
 def _ranked(run: DataFrame) -> DataFrame:
@@ -75,6 +76,8 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
         _dcg("rel", "trec_rank").alias("dcg"),
         F.sum(F.when((F.col("rel") > 0) & (F.col("trec_rank") <= 100), 1)
               .otherwise(0)).alias("rel_at_100"),
+        F.sum(F.when((F.col("rel") > 0) & (F.col("trec_rank") <= 1000), 1)
+              .otherwise(0)).alias("rel_at_1000"),
         F.sum(F.when((F.col("rel") > 0) & (F.col("trec_rank") <= 10), 1)
               .otherwise(0)).alias("rel_at_10"),
     )
@@ -98,6 +101,9 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
                  F.when(F.col("num_rel") > 0,
                         F.coalesce("rel_at_100", F.lit(0)) / F.col("num_rel"))
                  .otherwise(0.0).alias("recall_100"),
+                 F.when(F.col("num_rel") > 0,
+                        F.coalesce("rel_at_1000", F.lit(0)) / F.col("num_rel"))
+                 .otherwise(0.0).alias("recall_1000"),
                  (F.coalesce("rel_at_10", F.lit(0)) / F.lit(10.0)).alias("P_10"),
              ))
 
