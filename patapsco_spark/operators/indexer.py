@@ -74,8 +74,14 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         n_parts = _pick_partitions(spark, pages, cfg)
         # the analysis kernel parallelizes per input partition — a scan that
         # packed many small files into few partitions (maxPartitionBytes)
-        # would serialize the CPU-heavy stage, so widen it explicitly
-        if pages.rdd.getNumPartitions() < n_parts:
+        # would serialize the CPU-heavy stage, so widen it explicitly.
+        # Partition-count estimate comes from file-listing metadata, not
+        # df.rdd (which forces a ~2s physical-plan translation).
+        try:
+            nfiles = len(pages.inputFiles())
+        except Exception:
+            nfiles = 0
+        if nfiles < n_parts:
             pages = pages.repartition(n_parts)
         analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
                                      text_col=text_col, lang_col=lang_col,

@@ -214,7 +214,11 @@ def index_webpages(spark: SparkSession, pages: DataFrame, index_path: str,
     # not an input — extraction recreates it from html (column pruning)
     pages = pages.select("url", "html", "lang")
     n_parts = cfg.num_shards or spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < n_parts:
+    try:
+        nfiles = len(pages.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles < n_parts:
         pages = pages.repartition(n_parts)
 
     def extract_transform(pdf: pd.DataFrame) -> pd.DataFrame:
