@@ -118,9 +118,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     norms_path = f"{index_path}/norms"
     stats_path = f"{index_path}/term_stats"
     # postings_format bumps force a rebuild of stale on-disk layouts through
-    # the manifest resume gate (e.g. pre-blocked postings lack block_off)
+    # the manifest resume gate (e.g. pre-blocked postings lack block_off).
+    # 4 = norms_packed partitioned by shard + term_stats as additive seg=
+    # segments (both needed for idempotent streaming-append overwrites).
     build_cfg = dict(cfg_doc, num_docs=num_docs, num_shards=num_shards,
-                     docs_per_shard=docs_per_shard, postings_format=3)
+                     docs_per_shard=docs_per_shard, postings_format=4)
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
         analyzed_df = spark.read.parquet(analyzed_path)
@@ -144,12 +146,15 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # norms table — at 10^9 docs that's ~250 KB per matched shard vs a
         # multi-GB columnar scan per query. External ids stay in norms/ and
         # are joined for the final top-k only.
+        # partitioned by shard (one tiny blob row per shard directory) so a
+        # streaming append can dynamic-partition-overwrite exactly its own
+        # new shards — the idempotent-replay unit (see streaming/incremental)
         packed = (spark.read.parquet(norms_path)
                   .groupBy("shard")
                   .applyInPandas(_pack_norms(docs_per_shard),
                                  schema="shard int, base long, n long, codes binary"))
-        packed.coalesce(max(1, num_shards // 64)) \
-              .write.mode("overwrite").parquet(f"{index_path}/norms_packed")
+        (packed.write.mode("overwrite").partitionBy("shard")
+               .parquet(f"{index_path}/norms_packed"))
         mf.write_manifest(f"{index_path}/norms_packed", "norms_packed", build_cfg)
 
         # per-doc term frequencies (map-side combine in the Arrow kernel)
@@ -177,12 +182,17 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                           lineage=post_lineage)
 
     if not (resume and mf.is_complete(stats_path, "term_stats", build_cfg)):
+        # term_stats is ADDITIVE-partitioned: seg=-1 holds the base build;
+        # each streaming append adds a seg=<first new shard> delta computed
+        # from its new shards only (no full-postings rescan per micro-batch).
+        # Readers aggregate df/cf across segments (read_term_stats).
         post_df = spark.read.parquet(postings_path)
         stats = (post_df.groupBy("term")
-                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
+                 .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                 .withColumn("seg", F.lit(-1)))
         (stats.repartition(max(1, num_shards // 4))
               .sortWithinPartitions("term")
-              .write.mode("overwrite").parquet(stats_path))
+              .write.mode("overwrite").partitionBy("seg").parquet(stats_path))
         mf.write_manifest(stats_path, "term_stats", build_cfg)
 
     # global stats from norms (cheap columnar agg)
@@ -324,6 +334,16 @@ def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],
             .withColumn("docid", F.row_number().over(w) - 1 + F.col("offset"))
             .withColumn("shard", (F.col("docid") / docs_per_shard).cast("int"))
             .drop("file", "offset"))
+
+
+def read_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """(term, df, cf) aggregated across additive segments: seg=-1 is the
+    base build, seg=K a streaming append's delta. A query-term filter
+    applied on top still pushes to the parquet scan before this groupBy,
+    so a lookup reads only the query's terms from each segment."""
+    return (spark.read.parquet(f"{index_path}/term_stats")
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
 
 
 def _per_file_stats(spark: SparkSession, path: str, key: str) -> list[dict]:

@@ -82,17 +82,25 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
 
-    # global term stats for idf/cf — only the query's terms are read
-    stats_df = (spark.read.parquet(f"{index_path}/term_stats")
+    # global term stats for idf/cf — only the query's terms are read;
+    # aggregated across additive segments (base build + streaming deltas)
+    from .indexer import read_term_stats
+    stats_df = (read_term_stats(spark, index_path)
                 .where(F.col("term").isin(all_terms)))
     df_map: dict[str, tuple[int, int]] = {
         r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
 
+    # shard < manifest num_shards gives manifest-snapshot isolation: a
+    # concurrent streaming append's half-written NEW shard dirs are never
+    # read — they only become visible once its manifest commit lands
+    num_shards = int(meta["num_shards"])
     posts = (spark.read.parquet(f"{index_path}/postings")
-             .where(F.col("term").isin(all_terms)))
+             .where(F.col("term").isin(all_terms) &
+                    (F.col("shard") < num_shards)))
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
-    norms_packed = spark.read.parquet(f"{index_path}/norms_packed")
+    norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
+                    .where(F.col("shard") < num_shards))
 
     plans_payload = [
         (p.qid, [(c.occur, float(c.boost), list(c.terms)) for c in p.clauses])
@@ -426,8 +434,9 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
             for r in norms.collect()}
 
     terms = sorted({t for c in plan.clauses for t, _ in c.terms})
+    from .indexer import read_term_stats
     stats = {r["term"]: int(r["df"]) for r in
-             spark.read.parquet(f"{index_path}/term_stats")
+             read_term_stats(spark, index_path)
              .where(F.col("term").isin(terms)).collect()}
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(terms)).collect())

@@ -95,14 +95,16 @@ def run(spark: SparkSession, cfg: RunConfig, resume: bool = True) -> dict:
         if cfg.score and cfg.score.qrels_path:
             t0 = time.perf_counter()
             qrels = trec.read_qrels(spark, cfg.score.qrels_path)
+            from ..operators.evaluate import normalize_metrics
+            ms = normalize_metrics(cfg.score.metrics)
             scores = evaluate_run(results.select("query_id", "doc_id", "score"),
-                                  qrels, metrics=cfg.score.metrics)
+                                  qrels, metrics=ms)
             scores_path = os.path.join(cfg.path, "scores.txt")
             rows = scores.collect()
             with open(scores_path, "w") as f:
                 for r in sorted(rows, key=lambda r: (r["query_id"] == "all",
                                                      r["query_id"])):
-                    for m in cfg.score.metrics:
+                    for m in ms:
                         f.write(f"{m:25s}\t{r['query_id']}\t{r[m]:.4f}\n")
             timing["score"] = round(time.perf_counter() - t0, 3)
             out["scores_path"] = scores_path

@@ -8,22 +8,41 @@ analogue of Lucene's addIndexes segment appending
 - :func:`append_batch` — index a batch of NEW documents as fresh shards
   appended to an existing index: docids start at the next shard boundary
   (global shard = docid // docs_per_shard stays a pure function), postings/
-  norms land in new ``shard=K`` directories, term_stats and the root
-  manifest are refreshed. Existing shards are never rewritten — appending
-  is O(batch), like a Lucene segment flush.
+  norms land in new ``shard=K`` directories, term_stats gains an additive
+  ``seg=K`` delta, and the root manifest is refreshed. Existing shards are
+  never rewritten — appending is O(batch), like a Lucene segment flush.
 - :func:`stream_index` — wires append_batch into ``writeStream.foreachBatch``
-  with exactly-once epoch bookkeeping in the manifest (an epoch already
-  recorded is skipped on replay, making the sink idempotent).
+  with exactly-once epoch bookkeeping in the manifest.
+
+Exactly-once under partial failure: every output of an append lands in
+partitions deterministically owned by this epoch — the fresh ``shard=K..``
+directories (norms, norms_packed, postings) and the ``seg=first_shard``
+term-stats delta — written with dynamic partition overwrite, and the epoch's
+staging dir is overwrite-mode. A foreachBatch replay of a crashed epoch
+recomputes the SAME shard numbers from the (uncommitted) manifest and
+overwrites the partial output instead of appending next to it; the manifest
+commit is the last step, and a replay of a committed epoch is skipped
+outright. Readers never see an uncommitted append: retrieval filters to
+``shard < manifest.num_shards`` (manifest-snapshot isolation).
 
 Corpus-level statistics (N, avgdl, total cf) move as documents arrive, so
 scores of earlier queries are not frozen — the same behavior as reopening a
-live Lucene index between searches.
+live Lucene index between searches. They are maintained INCREMENTALLY from
+the manifest + the batch itself (no full norms/postings rescan per
+micro-batch — at 10^12 docs a per-batch full scan would dwarf the append).
+
+Docid assignment reuses the batch indexer's distributed technique
+(operators/indexer.py _assign_docids): the analyzed batch is staged to
+parquet, range-partitioned by external id, per-file offsets are derived
+from file-lineage counts, and docids are row_numbers WITHIN each file —
+no global single-partition sort, the wide batch sorts in parallel.
 """
 
 from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,8 +50,12 @@ from ..config import IndexConfig
 from ..functions.analyze import analyze_documents
 from ..operators.indexer import (
     POSTINGS_SCHEMA,
+    _assign_docids,
+    _delete_path,
     _emit_tf,
     _make_postings_kernel,
+    _pack_norms,
+    _per_file_stats,
 )
 from ..plans import manifest as mf
 
@@ -42,7 +65,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
                  text_col: str = "text", lang_col: str | None = "lang",
                  epoch_id: int | None = None) -> dict:
     """Append new docs to an existing index as fresh shards. Returns the
-    updated root manifest config. Idempotent per epoch_id."""
+    updated root manifest config. Idempotent per epoch (see module doc)."""
     cfg = cfg or IndexConfig()
     root = mf.read_manifest(index_path)
     if root is None:
@@ -59,63 +82,95 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
         math.ceil(int(meta["num_docs"]) / docs_per_shard) * docs_per_shard
     first_shard = next_docid // docs_per_shard
 
+    # ---- stage the analyzed batch, range-sorted by id (epoch-keyed path:
+    # overwrite mode makes a replay recompute it cleanly) -----------------
+    stage = f"{index_path}/_epoch_stage/{first_shard}"
     analyzed = analyze_documents(docs, cfg.text, id_col=id_col,
                                  text_col=text_col, lang_col=lang_col)
-    # batch-local deterministic docids: order by id within the batch
-    from pyspark.sql import Window
-    w = Window.orderBy("id")
-    docided = (analyzed
-               .withColumn("docid", F.row_number().over(w) - 1 + F.lit(next_docid))
-               .withColumn("shard", (F.col("docid") / docs_per_shard).cast("int")))
+    analyzed.write.mode("overwrite").parquet(f"{stage}/analyzed")
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    (spark.read.parquet(f"{stage}/analyzed")
+          .repartitionByRange(n_parts, "id")
+          .sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(f"{stage}/sorted"))
+    lineage = _per_file_stats(spark, f"{stage}/sorted", "id")
+    lineage = sorted(lineage, key=lambda r: (r["min_key"] is None,
+                                             r["min_key"], r["file"]))
+    offsets, batch_rows = {}, 0
+    for rec in lineage:
+        offsets[rec["file"]] = next_docid + batch_rows
+        batch_rows += rec["rows"]
+    if batch_rows == 0:
+        _delete_path(spark, stage)
+        return meta
+    new_shard_count = math.ceil(batch_rows / docs_per_shard)
 
+    docided = _assign_docids(spark.read.parquet(f"{stage}/sorted"),
+                             offsets, docs_per_shard)
+
+    # ---- epoch-owned partition writes (dynamic overwrite = replay-safe) --
+    dyn = {"partitionOverwriteMode": "dynamic"}
     norms = docided.select("shard", "docid", "id", "dl")
-    (norms.repartition(1, "shard").sortWithinPartitions("docid")
-          .write.mode("append").partitionBy("shard")
+    (norms.repartition(new_shard_count, "shard").sortWithinPartitions("docid")
+          .write.mode("overwrite").options(**dyn).partitionBy("shard")
           .parquet(f"{index_path}/norms"))
-    # pack the NEW shards' norm bytes (query path reads norms_packed)
-    from ..operators.indexer import _pack_norms
+
+    # pack the NEW shards' norm bytes (query path reads norms_packed);
+    # shard >= first_shard prunes the scan to this epoch's partitions
     new_norms = (spark.read.parquet(f"{index_path}/norms")
-                 .where(F.col("docid") >= next_docid))
+                 .where(F.col("shard") >= first_shard))
     (new_norms.groupBy("shard")
      .applyInPandas(_pack_norms(docs_per_shard),
                     schema="shard int, base long, n long, codes binary")
-     .write.mode("append").parquet(f"{index_path}/norms_packed"))
+     .write.mode("overwrite").options(**dyn).partitionBy("shard")
+     .parquet(f"{index_path}/norms_packed"))
 
     tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
         _emit_tf, schema="shard int, term string, docid long, tf int, dlq int")
     postings = (tf_rows
-                .repartition(max(1, spark.sparkContext.defaultParallelism // 2),
-                             "shard")
+                .repartition(new_shard_count, "shard")
                 .sortWithinPartitions("shard", "term", "docid")
                 .mapInPandas(_make_postings_kernel(cfg.block_size, docs_per_shard),
                              schema=POSTINGS_SCHEMA))
-    (postings.write.mode("append").partitionBy("shard")
+    (postings.write.mode("overwrite").options(**dyn).partitionBy("shard")
              .parquet(f"{index_path}/postings"))
 
-    # refresh term stats + global stats from the (cheap, columnar) tables
-    post_df = spark.read.parquet(f"{index_path}/postings")
-    stats = post_df.groupBy("term").agg(F.sum("df").alias("df"),
-                                        F.sum("cf").alias("cf"))
-    (stats.repartition(max(1, int(meta["num_shards"]) // 4))
+    # term-stats DELTA from the new shards only — an additive seg partition,
+    # aggregated with the base at read time (indexer.read_term_stats); no
+    # full-postings rescan per micro-batch
+    delta = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("shard") >= first_shard)
+             .groupBy("term").agg(F.sum("df").alias("df"),
+                                  F.sum("cf").alias("cf"))
+             .withColumn("seg", F.lit(first_shard)))
+    (delta.repartition(max(1, new_shard_count // 4))
           .sortWithinPartitions("term")
-          .write.mode("overwrite").parquet(f"{index_path}/term_stats"))
+          .write.mode("overwrite").options(**dyn).partitionBy("seg")
+          .parquet(f"{index_path}/term_stats"))
 
-    norms_df = spark.read.parquet(f"{index_path}/norms")
-    g = norms_df.agg(F.count("*").alias("n"), F.sum("dl").alias("t"),
-                     F.max("docid").alias("maxd")).first()
-    import numpy as np
+    # ---- incremental global stats (manifest + this batch, no table scans)
+    batch_tf = int(spark.read.parquet(f"{stage}/sorted")
+                   .agg(F.sum("dl")).first()[0] or 0)
+    num_docs = int(meta["num_docs"]) + batch_rows
+    total_tf = int(meta["total_tf"]) + batch_tf
+    last_docid = next_docid + batch_rows - 1
     new_meta = dict(meta)
     new_meta.update({
-        "num_docs": int(g["n"]),
-        "total_tf": int(g["t"] or 0),
-        "avgdl": float(np.float32((g["t"] or 0) / g["n"])) if g["n"] else 0.0,
-        "num_docs_ceil": (int(g["maxd"]) // docs_per_shard + 1) * docs_per_shard,
-        "num_shards": int(g["maxd"]) // docs_per_shard + 1,
+        "num_docs": num_docs,
+        "total_tf": total_tf,
+        # Lucene computes avgFieldLength as a float32 (BM25Similarity)
+        "avgdl": float(np.float32(total_tf / num_docs)) if num_docs else 0.0,
+        "num_docs_ceil": (last_docid // docs_per_shard + 1) * docs_per_shard,
+        "num_shards": last_docid // docs_per_shard + 1,
         "epochs": sorted(seen | ({epoch_id} if epoch_id is not None else set())),
     })
+    # the manifest commit is the LAST write: until it lands, readers ignore
+    # the new shards (shard < num_shards filter) and a replay overwrites them
     mf.write_manifest(index_path, "index", new_meta,
-                      metrics={"num_docs": new_meta["num_docs"],
-                               "appended_from_shard": first_shard})
+                      metrics={"num_docs": num_docs,
+                               "appended_from_shard": first_shard,
+                               "appended_docs": batch_rows})
+    _delete_path(spark, stage)
     return new_meta
 
 

@@ -117,3 +117,67 @@ def test_qrels_reader_sniffs_separators(spark, tmp_path):
     got = sorted((r.query_id, r.doc_id, r.relevance)
                  for r in read_qrels(spark, str(tmp_path / "qrels_*.txt")).collect())
     assert got == [("q1", "d1", 2), ("q1", "d2", 0), ("q2", "d3", 1)]
+
+
+class TestReferenceSemantics:
+    """Depth truncation, num_rel==0 topic exclusion, parameterized and
+    validated metric names — all pinned to trec_eval conventions."""
+
+    def test_run_depth_truncation(self, spark):
+        # 1500-deep run for one query; the only relevant doc sits at rank
+        # 1200 — with the reference's depth-1000 truncation it contributes
+        # NOTHING (trec_eval scores the truncated run)
+        rows = [("q1", f"d{i:05d}", float(2000 - i)) for i in range(1500)]
+        run = spark.createDataFrame(rows, "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame([("q1", "d01199", 1)],
+                                      "query_id string, doc_id string, relevance int")
+        got = {r["query_id"]: r.asDict()
+               for r in evaluate_run(run, qrels, metrics=("map", "recall_1000")).collect()}
+        assert got["q1"]["map"] == 0.0
+        assert got["q1"]["recall_1000"] == 0.0
+        # depth=None disables truncation: the doc at rank 1200 now counts
+        got = {r["query_id"]: r.asDict()
+               for r in evaluate_run(run, qrels, metrics=("map",), depth=None).collect()}
+        assert got["q1"]["map"] == pytest.approx(1 / 1200)
+
+    def test_num_rel_zero_topic_excluded(self, spark):
+        run = spark.createDataFrame(
+            [("q1", "d1", 2.0), ("q2", "d1", 2.0)],
+            "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame(
+            [("q1", "d1", 1), ("q2", "d1", 0), ("q2", "d2", 0)],
+            "query_id string, doc_id string, relevance int")
+        got = {r["query_id"]: r.asDict()
+               for r in evaluate_run(run, qrels, metrics=("map",)).collect()}
+        assert "q2" not in got          # only rel=0 judgments -> not evaluated
+        assert got["q1"]["map"] == 1.0
+        assert got["all"]["map"] == 1.0  # mean over evaluated topics only
+
+    def test_parameterized_cutoffs(self, spark):
+        # 5 docs ranked d5..d1 (score desc); rels: d5=1, d3=2, d1=1 -> R=3
+        run = spark.createDataFrame(
+            [("q1", f"d{i}", float(i)) for i in range(1, 6)],
+            "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame(
+            [("q1", "d5", 1), ("q1", "d3", 2), ("q1", "d1", 1)],
+            "query_id string, doc_id string, relevance int")
+        got = {r["query_id"]: r.asDict() for r in evaluate_run(
+            run, qrels,
+            metrics=("P_2", "recall@2", "recall_3", "ndcg_cut_3")).collect()}
+        q = got["q1"]
+        assert q["P_2"] == pytest.approx(1 / 2)        # hits in top-2: d5
+        assert q["recall_2"] == pytest.approx(1 / 3)   # '@' normalized to '_'
+        assert q["recall_3"] == pytest.approx(2 / 3)   # d5, d3
+        import math
+        dcg3 = 1 / math.log2(2) + 0 + 2 / math.log2(4)
+        idcg3 = 2 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+        assert q["ndcg_cut_3"] == pytest.approx(dcg3 / idcg3)
+
+    def test_unsupported_metric_raises(self, spark):
+        from patapsco_spark.config import ConfigError
+        run = spark.createDataFrame([("q1", "d1", 1.0)],
+                                    "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame([("q1", "d1", 1)],
+                                      "query_id string, doc_id string, relevance int")
+        with pytest.raises(ConfigError, match="unsupported metric"):
+            evaluate_run(run, qrels, metrics=("bpref",)).collect()

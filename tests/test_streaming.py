@@ -58,6 +58,75 @@ class TestAppendBatch:
         assert len(docids) == len(set(docids)) == 3
 
 
+    def test_partial_failure_replay_no_duplicates(self, spark, tmp_path):
+        """Exactly-once under partial failure: simulate a crash AFTER the
+        table appends but BEFORE the manifest commit by reverting the
+        manifest to its pre-append state, then replaying the same epoch.
+        The replay must overwrite the orphaned shard/seg partitions, not
+        append next to them."""
+        import shutil
+        idx = str(tmp_path / "idx4")
+        build_index(spark, _docs(spark, [
+            ("a1", "alpha beta", "eng"), ("a2", "beta gamma", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=1), resume=False)
+        pre = tmp_path / "manifest_pre.json"
+        shutil.copy(f"{idx}/_manifest.json", pre)
+
+        batch = _docs(spark, [("b1", "alpha delta", "eng"),
+                              ("b2", "delta beta", "eng")])
+        append_batch(spark, batch, idx, IndexConfig(text=CFG), epoch_id=3)
+        # crash simulation: all four table writes landed, manifest didn't
+        shutil.copy(pre, f"{idx}/_manifest.json")
+        meta = append_batch(spark, batch, idx, IndexConfig(text=CFG), epoch_id=3)
+        assert meta["num_docs"] == 4
+
+        norms = spark.read.parquet(f"{idx}/norms")
+        assert norms.count() == 4  # no duplicate norm rows
+        packed = spark.read.parquet(f"{idx}/norms_packed")
+        shards = [r.shard for r in packed.select("shard").collect()]
+        assert len(shards) == len(set(shards))  # one blob per shard
+        posts = spark.read.parquet(f"{idx}/postings")
+        keys = [(r.shard, r.term) for r in posts.select("shard", "term").collect()]
+        assert len(keys) == len(set(keys))  # no duplicate (shard, term) rows
+
+        from patapsco_spark.operators.indexer import read_term_stats
+        stats = {r.term: r.df for r in read_term_stats(spark, idx).collect()}
+        assert stats["beta"] == 3 and stats["delta"] == 2
+
+        res = search_texts(spark, idx, [("q", "delta")],
+                           RetrieveConfig(k=10), text_cfg=CFG)
+        assert {r.doc_id for r in res.collect()} == {"b1", "b2"}
+
+    def test_append_plan_has_no_global_window(self, spark, tmp_path):
+        """Docid assignment in appends must be distributed (per-file offsets
+        + row_number within file), never a single-partition global window:
+        a multi-partition batch append's norms must stay id-ordered by
+        docid AND the batch must have been written from >1 task."""
+        idx = str(tmp_path / "idx5")
+        build_index(spark, _docs(spark, [("a0", "seed doc", "eng")]), idx,
+                    IndexConfig(text=CFG, num_shards=1), resume=False)
+        rows = [(f"b{i:03d}", f"word{i} common", "eng") for i in range(64)]
+        batch = _docs(spark, rows).repartition(8)
+        append_batch(spark, batch, idx, IndexConfig(text=CFG), epoch_id=1)
+
+        norms = (spark.read.parquet(f"{idx}/norms")
+                 .where("docid >= 1").orderBy("docid").collect())
+        ids = [r.id for r in norms]
+        assert ids == sorted(ids)  # docids assigned in external-id order
+        docids = [r.docid for r in norms]
+        assert docids == list(range(docids[0], docids[0] + 64))  # dense
+
+        # physical-plan check: the docid window must be PARTITIONED (by
+        # staged file), never a global (empty partition spec) sort
+        from patapsco_spark.operators.indexer import _assign_docids
+        analyzed_like = batch.selectExpr("id", "text")
+        plan_df = _assign_docids(analyzed_like, {"f": 0}, 10)
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "row_number" in line:
+                assert "[file" in line, f"unpartitioned window: {line}"
+
+
 class TestStreamIndex:
     def test_file_stream_ingestion(self, spark, tmp_path):
         src = tmp_path / "feed"
