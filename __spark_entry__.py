@@ -148,7 +148,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (bit-twiddling); pinned by pytest
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash64(docs)
 
@@ -189,19 +188,23 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("extracted").alias("text_md5"))
 
 
+WEBPAGES_N = 300
+WEBPAGES_QUERIES = [("q1", "crawl web index"), ("q2", "stream window")]
+
+
 def q_webpages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end north-star pipeline on the synthetic Common-Crawl-style
     table: synthesize → html→text → analyze → index → BM25 top-k.
-    No SQL oracle (covers synthesis+index+retrieval); pinned by pytest and
-    the partitioning-invariance test instead."""
+    Oracle: the same corpus staged to parquet driver-side (synthesis and
+    extraction are pure pandas functions) + the BM25 SQL over it."""
     from patapsco_spark.sources.webpages import index_webpages, synthesize_pages
 
-    pages = synthesize_pages(spark, 300, partitions=8)
+    pages = synthesize_pages(spark, WEBPAGES_N, partitions=8)
     idx = os.path.join(tempfile.gettempdir(),
                        f"pspark_webidx_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     index_webpages(spark, pages, idx,
                    IndexConfig(text=RAW_TEXT, num_shards=4), resume=True)
-    res = search_texts(spark, idx, [("q1", "crawl web index"), ("q2", "stream window")],
+    res = search_texts(spark, idx, WEBPAGES_QUERIES,
                        RetrieveConfig(k=10), text_cfg=RAW_TEXT)
     return res.select("query_id", F.col("doc_id").alias("url"),
                       F.col("rank").cast("long").alias("rnk"),
@@ -602,6 +605,107 @@ LIMIT {k}
 """
 
 
+def _stage_webpages_oracle() -> str:
+    """Materialize the webpages_pipeline corpus as (doc_id, text) parquet for
+    DuckDB, driver-side. Synthesis (_synth_batch), html→text extraction and
+    the RAW analysis chain (pre_normalize → lower → whitespace split) are all
+    pure pandas functions, so the oracle input is built without Spark and is
+    bit-identical to what the engine indexes. Idempotent: keyed by content
+    parameters, written atomically (tmp + rename)."""
+    import numpy as np
+    import pandas as pd
+
+    path = os.path.join(tempfile.gettempdir(), f"pspark_weboracle_{WEBPAGES_N}.parquet")
+    if not os.path.exists(path):
+        from patapsco_spark.functions.normalize import pre_normalize_series
+        from patapsco_spark.sources.webpages import _synth_batch, extract_text_series
+
+        pdf = _synth_batch(np.arange(WEBPAGES_N))
+        normed = pre_normalize_series(extract_text_series(pdf["html"]))
+        toks = normed.str.lower().str.split()
+        out = pd.DataFrame({"doc_id": pdf["url"],
+                            "text": toks.map(" ".join)})
+        tmp = f"{path}.tmp-{os.getpid()}"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def _webpages_bm25_sql(queries: list[tuple[str, str]], k1: float, b: float,
+                       k: int) -> str:
+    """Multi-query BM25 over the staged webpages corpus (same formulas and
+    quantization as _bm25_sql, parameterized by (query_id, term) pairs)."""
+    path = _stage_webpages_oracle()
+    vals = ", ".join(f"('{qid}', '{t}')" for qid, q in queries for t in q.split())
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH wp AS (SELECT doc_id, text FROM read_parquet('{path}')),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM wp),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok WHERE term <> ''
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM wp)::DOUBLE AS n,
+         CAST(CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM wp) AS REAL)::DOUBLE AS avgdl
+  FROM dl
+),
+qterms(query_id, term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df
+  FROM tf WHERE tf.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id AS url,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+QUALIFY rnk < {k}
+ORDER BY query_id, rnk
+"""
+
+
+_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok WHERE term <> ''
+  GROUP BY doc_id, term
+),
+th AS (
+  -- first 15 md5 hex chars = the same 60-bit term hash as Spark's
+  -- conv(substring(md5(term),1,15), 16, 10)
+  SELECT doc_id, tf, ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS i) b
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from patapsco_spark.functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
@@ -613,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
+        "simhash": _SIMHASH_SQL,
+        "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

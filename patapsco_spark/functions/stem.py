@@ -286,10 +286,14 @@ def make_stemmer(name: str | None, lang: str):
         if lang != "eng":
             raise ValueError("Porter stemmer only supports English")
         return stem_series
+    if name.startswith("plugin:"):
+        from .tokenize import load_plugin_kernel
+        return load_plugin_kernel(name, lang)
     if name in ("parsivar", "stanza", "spacy"):
         raise NotImplementedError(
             f"stemmer '{name}' needs external packages not present in this "
-            "environment; plug a Series[list[str]]->Series[list[str]] callable "
-            "into the analyzer instead"
+            "environment; wire your own Series[list[str]]->Series[list[str]] "
+            "kernel with stem='plugin:your_module.your_stemmer' "
+            "(same contract; module must be importable on executors)"
         )
     raise ValueError(f"unknown stemmer: {name}")

@@ -41,16 +41,41 @@ def ngram_tokenize_series(s: pd.Series, lang: str) -> pd.Series:
     return s.fillna("").map(grams)
 
 
+def load_plugin_kernel(spec: str, lang: str):
+    """Resolve a ``plugin:module.attr`` config value to a batch kernel.
+
+    The attr must be either the kernel itself (``Series → Series``) or, if
+    it is marked with ``takes_lang = True``, a factory ``lang → kernel``.
+    Resolution happens lazily INSIDE the Arrow kernel on each executor, so
+    the plugin module only needs to be importable there (ship it exactly
+    like the engine package: ``spark-submit --py-files``) — the config
+    string stays JSON-serializable for manifests/resume. This is the
+    engine's analogue of the reference's optional tokenizer/stemmer
+    packages (/root/reference/patapsco/text.py:98-133,344-386), which it
+    loads only when installed."""
+    import importlib
+
+    path = spec.split(":", 1)[1]
+    mod, _, attr = path.rpartition(".")
+    if not mod:
+        raise ValueError(f"plugin spec '{spec}' must be 'plugin:module.attr'")
+    fn = getattr(importlib.import_module(mod), attr)
+    return fn(lang) if getattr(fn, "takes_lang", False) else fn
+
+
 def make_tokenizer(name: str, lang: str):
     """Return Series[str] → Series[list[str]] for the configured tokenizer."""
     if name == "whitespace":
         return whitespace_tokenize_series
     if name == "ngram":
         return lambda s: ngram_tokenize_series(s, lang)
+    if name.startswith("plugin:"):
+        return load_plugin_kernel(name, lang)
     if name in ("moses", "jieba", "stanza", "spacy"):
         raise NotImplementedError(
             f"tokenizer '{name}' needs external models/packages not present in "
-            "this environment; plug a Series[str]->Series[list[str]] callable "
-            "into the analyzer instead (same kernel contract)"
+            "this environment; wire your own Series[str]->Series[list[str]] "
+            "kernel with tokenize='plugin:your_module.your_tokenizer' "
+            "(same contract; module must be importable on executors)"
         )
     raise ValueError(f"unknown tokenizer: {name}")

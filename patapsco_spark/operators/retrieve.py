@@ -354,8 +354,10 @@ class _BlockMaxPruner:
 
         # phase 1: optimistic bounds via diff arrays
         diff = np.zeros(self.size + 1, dtype=np.float64)
+        sum_ub = 0.0  # Σ per-term max block bound — upper bound on any O(d)
         for h, w, idf in alive:
             ub = self._block_ub(h, w, idf)
+            sum_ub += float(ub.max()) if ub.size else 0.0
             lo, hi = h.spans()
             np.add.at(diff, lo, ub)
             np.subtract.at(diff, hi + 1, ub)
@@ -392,8 +394,14 @@ class _BlockMaxPruner:
             if len(seed_scores) >= kk else 0.0
         theta = max(theta, 0.0)
 
-        # phase 3: candidates + exact scoring
-        cand = np.flatnonzero(O >= theta - 1e-12)
+        # phase 3: candidates + exact scoring. The cut slack is RELATIVE to
+        # the bound magnitudes: O comes from an np.cumsum over a shard-sized
+        # diff array, whose accumulated float error scales with the summed
+        # magnitudes (≈ √n·ε_machine·Σub ≪ 1e-9·Σub even at 10^8 slots), so
+        # an absolute 1e-12 could drop an exact-tie doc at production scale.
+        # Extra slack only admits more candidates — never wrong results.
+        slack = 1e-9 * max(sum_ub, 1.0)
+        cand = np.flatnonzero(O >= theta - slack)
         total = exact(cand)
         cscore = total[cand]
         matched = cscore > 0
