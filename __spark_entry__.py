@@ -49,6 +49,18 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _ensure_pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Positions-enabled index (separate cache: different layout config)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_idxp_{tag}")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
+    build_index(spark, docs, path,
+                IndexConfig(text=RAW_TEXT, num_shards=4, positions=True),
+                resume=True)
+    return path
+
+
 def _as_result(df: DataFrame) -> DataFrame:
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -86,6 +98,22 @@ def q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     plan = parse_query("q1", "window AND stream NOT batch", mode="boolean")
     res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
+PHRASE_WORDS = ["data", "stream"]
+PHRASE_EXTRA = "window"
+
+
+def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase + a loose term: '"data stream" window'.
+    Scored like Lucene PhraseQuery under BM25 (tf = phrase frequency,
+    idf = Σ member idfs) over the positions sidecar — beyond the reference,
+    whose index stores no positions (index.py:52)."""
+    idx = _ensure_pos_index(spark, sf_dir)
+    q = f'"{" ".join(PHRASE_WORDS)}" {PHRASE_EXTRA}'
+    res = search_texts(spark, idx, [("q1", q)], RetrieveConfig(k=K),
+                       text_cfg=RAW_TEXT, mode="boolean")
     return _as_result(res)
 
 
@@ -336,6 +364,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "phrase_bm25": q_phrase_bm25,
         "qld_topk": q_qld_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
@@ -564,6 +593,59 @@ LIMIT {k}
 """
 
 
+def _phrase_bm25_sql(phrase: list[str], extra: str, k1: float, b: float,
+                     k: int) -> str:
+    """Positional phrase + loose term under Lucene-BM25 semantics: phrase
+    tf from consecutive token positions, phrase idf = Σ member idfs."""
+    quant = _quant_sql("dl.dl")
+    phrase_in = ", ".join(f"'{w}'" for w in phrase)
+    consec = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(phrase))
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ph AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id FROM (
+      SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM w)
+    WHERE i <= len(toks) - {len(phrase) - 1} AND {consec})
+  GROUP BY doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({phrase_in}, '{extra}') GROUP BY term
+),
+phidf AS (
+  SELECT SUM(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS idf
+  FROM dfs CROSS JOIN stats WHERE term IN ({phrase_in})
+),
+phscore AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.tf / (ph.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN stats CROSS JOIN phidf
+),
+wscore AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) AS s
+  FROM tf JOIN dfs ON dfs.term = tf.term AND tf.term = '{extra}'
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scores AS (
+  SELECT doc_id, SUM(s) AS score
+  FROM (SELECT * FROM phscore UNION ALL SELECT * FROM wscore) GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _boolean_and_not_sql(must: list[str], must_not: list[str], k: int) -> str:
     # score = sum of BM25 over the MUST terms; docs must contain all MUST
     # terms and none of the MUST_NOT terms
@@ -717,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
+        "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
         "simhash": _SIMHASH_SQL,
         "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),
         "token_stats": """

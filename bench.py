@@ -1,18 +1,31 @@
 #!/usr/bin/env python
 """Benchmark harness for the PySpark engine.
 
-Headline metric: cold inverted-index build throughput (docs/sec) over the
-``documents`` table at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-plus wall-clock for every headline query family (BM25/QLD/PSQ/boolean top-k,
-dedup, ANN, text-stats). Prints ONE JSON line:
+Headline metric: cold inverted-index build throughput (docs/sec) over a
+deterministic synthesized web-pages corpus LARGE ENOUGH to amortize fixed
+Spark job overhead (the round-1 number indexed 5000 sf0.1 docs in ~11s, of
+which ~10s was stage/scheduling floor — useless for round-over-round
+comparison). Default 100k pages ≈ BASELINE.md's 500k-page protocol scaled
+for per-round latency; the corpus is cached across rounds in /tmp.
+
+Also reported:
+- ``sf_index_docs_per_sec`` — the old small-corpus number (overhead-bound,
+  kept for continuity with BENCH_r01)
+- ``zipf_index_docs_per_sec`` — same pipeline over a 50k-word Zipf
+  vocabulary (realistic head/tail term skew; proves the shard-salted build
+  shuffle holds when a handful of stopword-like terms dominate)
+- ``queries`` (cold), ``queries_warm`` (p50 of repeat runs) and
+  ``queries_p95`` per query family
+
+Prints ONE JSON line:
 
     {"metric": "index_docs_per_sec", "value": N, "unit": "docs/sec",
      "queries": {"q1": sec, ...}, "sf": ...}
 
 Set SPARK_GRAFT_SCALING=1 to also run the index build at local[N] and
-local[4N] cores (N = max(2, cpus//4)) in subprocesses and report throughput
-at both plus scaling efficiency — the sandbox stand-in for the N vs 4N
-executor criterion in BASELINE.json.
+local[4N] cores in subprocesses and report throughput at both plus scaling
+efficiency — the sandbox stand-in for the N vs 4N executor criterion in
+BASELINE.json.
 """
 
 from __future__ import annotations
@@ -70,31 +83,80 @@ def build_cold(spark, sf_dir: str, workdir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, warm_reps: int = 2):
+    """Per-query wall times: cold (first run — includes plan compilation and
+    any query-owned index build) plus p50/p95 over ``warm_reps`` repeat runs
+    (steady-state latency; p95 over all runs incl. cold, so it surfaces the
+    cold outlier when one exists)."""
     import __spark_entry__ as entry
 
-    # the shared retrieval index is a one-time build (measured separately as
-    # the headline metric) — warm it so per-query timings measure queries
+    # the shared retrieval indexes are one-time builds (throughput measured
+    # separately) — warm them so per-query timings measure queries
     entry._ensure_index(spark, sf_dir)
+    entry._ensure_pos_index(spark, sf_dir)
 
-    times: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    p95: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times
+        runs = []
+        for _ in range(1 + warm_reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        ws = sorted(runs[1:])
+        warm[name] = round(ws[len(ws) // 2], 3)
+        p95[name] = round(sorted(runs)[-1 if len(runs) < 20 else
+                                       int(len(runs) * 0.95)], 3)
+    return cold, warm, p95
+
+
+HEADLINE_PAGES = int(os.environ.get("SPARK_GRAFT_HEADLINE_PAGES", "100000"))
+ZIPF_PAGES = int(os.environ.get("SPARK_GRAFT_ZIPF_PAGES", "50000"))
+
+
+def _corpus_path(n_pages: int, vocab: str = "base") -> str:
+    tag = f"{n_pages}" if vocab == "base" else f"{vocab}_{n_pages}"
+    return os.path.join(tempfile.gettempdir(), f"pspark_scaling_{tag}")
+
+
+def _ensure_corpus(path: str, n_pages: int, vocab: str = "base") -> None:
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        prepare_scaling_corpus(path, n_pages, vocab=vocab)
+
+
+def headline_throughput(cores: int, n_pages: int, vocab: str = "base") -> dict:
+    """Cold webpages index build (html→text→analysis→postings) over a corpus
+    big enough that fixed job overhead is noise, in a fresh subprocess at
+    local[cores] (cores = CPUS//2: a Python-UDF-heavy task keeps ~2 cores
+    busy, see run_scaling). Returns docs/sec + build seconds."""
+    path = _corpus_path(n_pages, vocab)
+    _ensure_corpus(path, n_pages, vocab)
+    code = (
+        "import sys; sys.path.insert(0, %r); import bench; "
+        "print('RATE', bench.scaling_child(%d, %r))" % (REPO, cores, path)
+    )
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3000)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RATE "):
+            rate = float(line.split()[1])
+            return {"docs_per_sec": round(rate, 2), "num_docs": n_pages,
+                    "build_sec": round(n_pages / rate, 3), "cores": cores}
+    return {"error": proc.stderr[-500:]}
 
 
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "500000"))
 
 
-def prepare_scaling_corpus(path: str, n_pages: int) -> None:
+def prepare_scaling_corpus(path: str, n_pages: int, vocab: str = "base") -> None:
     """Materialize the deterministic web-pages table once (shared input for
     both parallelism levels, so only the indexing job is measured)."""
     from patapsco_spark.sources.webpages import synthesize_pages
     spark = make_spark(CPUS)
-    synthesize_pages(spark, n_pages, partitions=max(CPUS * 2, 16)) \
+    synthesize_pages(spark, n_pages, partitions=max(CPUS * 2, 16), vocab=vocab) \
         .write.mode("overwrite").parquet(path)
     spark.stop()
 
@@ -179,13 +241,31 @@ def main() -> None:
     spark = make_spark(CPUS)
     with tempfile.TemporaryDirectory() as d:
         secs, n = build_cold(spark, SF_DIR, d)
-    result["metric"] = "index_docs_per_sec"
-    result["value"] = round(n / secs, 2)
-    result["unit"] = "docs/sec"
-    result["index_build_sec"] = round(secs, 3)
-    result["num_docs"] = n
-    result["queries"] = run_queries(spark, SF_DIR)
+    # old small-corpus number (overhead-bound; kept for r01 continuity)
+    result["sf_index_docs_per_sec"] = round(n / secs, 2)
+    result["sf_index_build_sec"] = round(secs, 3)
+    result["sf_num_docs"] = n
+    cold, warm, p95 = run_queries(spark, SF_DIR)
+    result["queries"] = cold
+    result["queries_warm"] = warm
+    result["queries_p95"] = p95
     spark.stop()
+
+    # headline: throughput at a corpus size where fixed overhead amortizes
+    # (~10s of stage floor over ≥60s of work), comparable to BASELINE.md's
+    # 500k-page protocol; plus the Zipf-vocabulary skew probe
+    cores = max(8, CPUS // 2)
+    head = headline_throughput(cores, HEADLINE_PAGES)
+    result["headline"] = head
+    result["metric"] = "index_docs_per_sec"
+    result["value"] = head.get("docs_per_sec", 0.0)
+    result["unit"] = "docs/sec"
+    result["index_build_sec"] = head.get("build_sec")
+    result["num_docs"] = head.get("num_docs")
+    zipf = headline_throughput(cores, ZIPF_PAGES, vocab="zipf")
+    result["zipf_index_docs_per_sec"] = zipf.get("docs_per_sec", 0.0)
+    result["zipf"] = zipf
+
     if os.environ.get("SPARK_GRAFT_SCALING"):
         result["scaling"] = run_scaling(SF_DIR)
     print(json.dumps(result))

@@ -49,6 +49,10 @@ class IndexConfig:
     num_shards: int | None = None         # default: derived from input partitions
     block_size: int = 128                 # postings per block-max block
     target_docs_per_shard: int = 250_000  # used when num_shards is None
+    # write a positions/ sidecar (shard, term, docid, positions) enabling
+    # exact phrase scoring — EXCEEDS the reference, whose Lucene index stores
+    # DOCS_AND_FREQS only (index.py:52) and silently degrades phrases
+    positions: bool = False
 
 
 @dataclass(frozen=True)

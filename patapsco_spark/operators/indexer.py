@@ -122,7 +122,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     # 4 = norms_packed partitioned by shard + term_stats as additive seg=
     # segments (both needed for idempotent streaming-append overwrites).
     build_cfg = dict(cfg_doc, num_docs=num_docs, num_shards=num_shards,
-                     docs_per_shard=docs_per_shard, postings_format=4)
+                     docs_per_shard=docs_per_shard, postings_format=4,
+                     positions=bool(cfg.positions))
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
         analyzed_df = spark.read.parquet(analyzed_path)
@@ -180,6 +181,22 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         mf.write_manifest(postings_path, "postings", build_cfg,
                           metrics={"terms_x_shards": sum(r["rows"] for r in post_lineage)},
                           lineage=post_lineage)
+
+        if cfg.positions:
+            # positions sidecar for exact phrase scoring: one row per
+            # (term, docid) with the term's 0-based token offsets. Same
+            # (shard, term) layout discipline as postings/ — shard partition
+            # pruning + term predicate pushdown at phrase-query time; shard
+            # bounds a head term's row count (the shard is the salt).
+            positions = (docided.select("shard", "docid", "terms")
+                         .mapInPandas(_emit_positions,
+                                      schema="shard int, term string, "
+                                             "docid long, positions array<int>"))
+            (positions.repartition(num_shards, "shard")
+                      .sortWithinPartitions("shard", "term", "docid")
+                      .write.mode("overwrite").partitionBy("shard")
+                      .parquet(f"{index_path}/positions"))
+            mf.write_manifest(f"{index_path}/positions", "positions", build_cfg)
 
     if not (resume and mf.is_complete(stats_path, "term_stats", build_cfg)):
         # term_stats is ADDITIVE-partitioned: seg=-1 holds the base build;
@@ -250,6 +267,29 @@ def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         agg["tf"] = agg["tf"].astype(np.int32)
         agg["dlq"] = agg["dlq"].astype(np.int32)
         yield agg[["shard", "term", "docid", "tf", "dlq"]]
+
+
+def _emit_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(shard, docid, terms[]) batches → (shard, term, docid, positions[]).
+
+    Vectorized flatten (np.repeat/concatenate) then one C-level groupby
+    collecting each (doc, term)'s 0-based token offsets."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        term_lists = pdf["terms"].map(lambda t: t if t is not None else [])
+        lens = term_lists.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            continue
+        flat = pd.DataFrame({
+            "shard": np.repeat(pdf["shard"].to_numpy(), lens),
+            "docid": np.repeat(pdf["docid"].to_numpy(), lens),
+            "term": np.concatenate([np.asarray(t, dtype=object) for t in term_lists]),
+            "pos": np.concatenate([np.arange(n, dtype=np.int32) for n in lens]),
+        })
+        grp = (flat.groupby(["shard", "docid", "term"], sort=False)["pos"]
+                   .agg(list).rename("positions").reset_index())
+        yield grp[["shard", "term", "docid", "positions"]]
 
 
 def _pack_norms(docs_per_shard: int):

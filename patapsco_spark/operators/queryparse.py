@@ -6,6 +6,8 @@ Lucene, /root/reference/patapsco/topics.py:338-497):
 - plain:   "inform retriev"                        (QueryGenerator)
 - boolean: "Flooding AND Mexico", "a^0.8 b^0.4"    (LuceneQueryGenerator)
 - PSQ:     "psq AND (gato^0.8 felino^0.2) AND (…)" (PSQGenerator)
+- quoted phrases parse to ``Clause(phrase=True)`` — positional scoring when
+  the index has a positions sidecar, bag-of-words degrade otherwise
 
 We parse all three into one structured plan — a list of clauses
 
@@ -18,9 +20,6 @@ clause is a PSQ clause scored on *expected* statistics
 queries), which reproduces the reference's pinned PSQ goldens
 (/root/reference/tests/test_psq.py:48-66).
 
-Phrases degrade to bag-of-words by design: the reference's index stores
-DOCS_AND_FREQS without positions (/root/reference/patapsco/index.py:52), so
-phrase scoring silently degrades there too.
 """
 
 from __future__ import annotations
@@ -36,6 +35,12 @@ class Clause:
     occur: str = SHOULD
     boost: float = 1.0
     terms: list[tuple[str, float]] = field(default_factory=list)
+    # True for a quoted phrase: scored as an exact positional phrase when the
+    # index carries the positions sidecar (IndexConfig.positions=True),
+    # degrading to bag-of-words otherwise — the reference ALWAYS degrades
+    # (its index stores DOCS_AND_FREQS, no positions, index.py:52), so the
+    # positional path strictly exceeds reference parity.
+    phrase: bool = False
 
 
 @dataclass
@@ -116,7 +121,8 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
         if tok.startswith('"') and tok.endswith('"'):
             words = tok.strip('"').split()
             if words:
-                clauses.append(Clause(occur, boost, [(w, 1.0) for w in words]))
+                clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
+                                      phrase=len(words) > 1))
         elif tok:
             clauses.append(Clause(occur, boost, [(tok, 1.0)]))
         i += 1

@@ -57,11 +57,24 @@ def mock_rerank(spark: SparkSession, index_path: str, results: DataFrame) -> Dat
 
 def shell_rerank(spark: SparkSession, index_path: str, results: DataFrame,
                  script: str, doc_lang: str = "eng", query_lang: str = "eng",
-                 extra_args: dict[str, str] | None = None) -> DataFrame:
+                 extra_args: dict[str, str] | None = None,
+                 distributed: bool = False) -> DataFrame:
     """External-reranker contract (E2). The script receives
     (doc_lang, query_lang, db_path, input_jsonl, output_trec) plus
     ``--key value`` pairs and must write a TREC run file; its row count must
-    match its input (the reference errors otherwise, rerank.py:150-156)."""
+    match its input (the reference errors otherwise, rerank.py:150-156).
+
+    ``distributed=False`` mirrors the reference's single-process
+    ShellReranker: collect the run (≤ k·|queries| rows) and invoke the
+    script once on the driver. ``distributed=True`` invokes the script once
+    PER QUERY GROUP inside ``applyInPandas`` — at millions of queries the
+    driver path is a bottleneck, and per-query invocation is what neural
+    rerankers batch on anyway. The script (and the doc-store path) must be
+    reachable from executors — same deployment contract as ``--py-files``.
+    Identical output either way (same script, same per-row contract)."""
+    if distributed:
+        return _shell_rerank_distributed(spark, index_path, results, script,
+                                         doc_lang, query_lang, extra_args)
     rows = (attach_doc_text(results, doc_store(spark, index_path))
             .select("query_id", "doc_id", "rank", "score", "original_text")
             .collect())
@@ -92,3 +105,61 @@ def shell_rerank(spark: SparkSession, index_path: str, results: DataFrame,
         reranked, "query_id string, doc_id string, rank int, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (out_df.withColumn("rank", F.row_number().over(w) - 1))
+
+
+def _shell_rerank_distributed(spark: SparkSession, index_path: str,
+                              results: DataFrame, script: str,
+                              doc_lang: str, query_lang: str,
+                              extra_args: dict[str, str] | None) -> DataFrame:
+    """Per-query-group shell invocation on executors (applyInPandas).
+
+    Each group gets its own temp input/output files and one script run with
+    the exact driver-path argument contract; a count mismatch fails the task
+    (→ the job) just like the driver path raises. The shuffle keys on
+    query_id — the natural rerank unit, bounded at k rows per group."""
+    db_path = f"{index_path}/analyzed"
+    args = dict(extra_args or {})
+
+    def rerank_group(pdf):
+        import json as _json
+        import os as _os
+        import subprocess as _sp
+        import tempfile as _tf
+
+        import pandas as _pd
+
+        with _tf.TemporaryDirectory() as d:
+            inp = _os.path.join(d, "input.jsonl")
+            out = _os.path.join(d, "output.txt")
+            with open(inp, "w") as f:
+                for r in pdf.itertuples(index=False):
+                    f.write(_json.dumps({
+                        "query_id": r.query_id, "doc_id": r.doc_id,
+                        "rank": int(r.rank), "score": float(r.score),
+                        "text": r.original_text or ""}) + "\n")
+            cmd = [script, doc_lang, query_lang, db_path, inp, out]
+            for k, v in args.items():
+                cmd += [f"--{k}", str(v)]
+            proc = _sp.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                raise RuntimeError(f"rerank script failed: {proc.stderr[-500:]}")
+            qids, dids, ranks, scores = [], [], [], []
+            with open(out) as f:
+                for line in f:
+                    qid, _, doc_id, rank, score, _system = line.split()
+                    qids.append(qid); dids.append(doc_id)
+                    ranks.append(int(rank)); scores.append(float(score))
+        if len(qids) != len(pdf):
+            raise RuntimeError(
+                f"rerank output rows ({len(qids)}) != input rows ({len(pdf)})")
+        return _pd.DataFrame({"query_id": qids, "doc_id": dids,
+                              "rank": ranks, "score": scores})
+
+    run = (attach_doc_text(results, doc_store(spark, index_path))
+           .select("query_id", "doc_id", "rank", "score", "original_text"))
+    out_df = (run.groupBy("query_id")
+              .applyInPandas(rerank_group,
+                             schema="query_id string, doc_id string, "
+                                    "rank int, score double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return out_df.withColumn("rank", F.row_number().over(w) - 1)

@@ -97,6 +97,20 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(all_terms) &
                     (F.col("shard") < num_shards)))
+
+    # exact phrase scoring (positions sidecar): rewrite each phrase clause to
+    # a single pseudo-term whose postings are built from positional joins;
+    # without the sidecar (or under qld) phrases stay bag-of-words, matching
+    # the reference's Lucene index which stores no positions (index.py:52)
+    idf_over: dict[str, float] = {}
+    if cfg.name == "bm25" and meta.get("positions") and any(
+            c.phrase and len(c.terms) > 1 for p in plans for c in p.clauses):
+        plans, phrase_posts = _rewrite_phrase_plans(
+            spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)))
+        if phrase_posts is not None:
+            posts = posts.unionByName(phrase_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
@@ -119,7 +133,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     scorer = _make_shard_scorer(
         plans_payload, df_map, scorer=cfg.name, k=cfg.k, k1=cfg.k1, b=cfg.b,
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
-        docs_per_shard=docs_per_shard, use_pruner=use_pruner)
+        docs_per_shard=docs_per_shard, use_pruner=use_pruner,
+        idf_over=idf_over)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
@@ -151,10 +166,115 @@ def search_texts(spark: SparkSession, index_path: str,
     return search(spark, index_path, plans, cfg)
 
 
+def _phrase_pseudo_term(words: list[str]) -> str:
+    # \x01 prefix keeps pseudo-terms out of the real term namespace
+    # (no analyzed token can contain a control char)
+    return "\x01phrase:" + " ".join(words)
+
+
+def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
+                          num_docs, num_shards, docs_per_shard, block_size):
+    """Rewrite phrase clauses to pseudo-terms backed by positional postings.
+
+    For each distinct phrase w0..wm: join the member terms' positions rows on
+    (shard, docid) with each list shifted by its offset — the phrase
+    frequency is the size of the JVM-side array_intersect (no Python in the
+    join). The (docid, tf) rows are then encoded through the SAME blocked
+    varbyte kernel as regular postings and unioned into the postings frame,
+    so the scorer kernel needs no phrase-specific path. Scoring matches
+    Lucene's PhraseQuery under BM25: tf = phrase frequency, idf = Σ member
+    idfs (BM25Similarity.idfExplain over the phrase terms) — carried via
+    ``idf_over``. df_map gains (df, cf) for each pseudo-term; a phrase with
+    zero matches (or an unindexed member) stays out of df_map, so MUST
+    clauses correctly exclude everything.
+
+    Scale shape: positions reads are term-predicate-pushed and shard-pruned;
+    the positional join keys on (shard, docid); a head term's rows per shard
+    are bounded by docs_per_shard (the shard is the salt)."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+
+    phrases: dict[tuple[str, ...], str] = {}
+    for p in plans:
+        for c in p.clauses:
+            if c.phrase and len(c.terms) > 1:
+                words = tuple(t for t, _ in c.terms)
+                phrases.setdefault(words, _phrase_pseudo_term(list(words)))
+
+    pos_path = f"{index_path}/positions"
+    all_words = sorted({w for ws in phrases for w in ws})
+    pos = (spark.read.parquet(pos_path)
+           .where(F.col("term").isin(all_words) & (F.col("shard") < num_shards)))
+    norms = spark.read.parquet(f"{index_path}/norms").select("shard", "docid", "dl")
+
+    base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+    def encode(batches):
+        def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.assign(dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+            return out[["shard", "term", "docid", "tf", "dlq"]]
+        yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+    def _shift(off: int):
+        # NB: the returned lambda must be single-arg — F.transform gives a
+        # two-arg lambda the element INDEX as its second argument, so a
+        # default-arg closure (lambda x, off=i: ...) silently shifts by the
+        # array position instead of the phrase offset.
+        return lambda x: x - F.lit(off)
+
+    union = None
+    for words, pseudo in phrases.items():
+        joined = None
+        for i, w in enumerate(words):
+            arr = (F.col("positions") if i == 0 else
+                   F.transform(F.col("positions"), _shift(i)))
+            pi = (pos.where(F.col("term") == w)
+                  .select("shard", "docid", arr.alias(f"p{i}")))
+            joined = pi if joined is None else joined.join(pi, ["shard", "docid"])
+        inter = F.col("p0")
+        for i in range(1, len(words)):
+            inter = F.array_intersect(inter, F.col(f"p{i}"))
+        tf_df = (joined.select("shard", "docid", F.size(inter).alias("tf"))
+                 .where(F.col("tf") > 0))
+        rows = tf_df.join(norms, ["shard", "docid"])
+        st = rows.agg(F.count("*").alias("df"), F.sum("tf").alias("cf")).first()
+        df_c = int(st["df"] or 0)
+        if df_c == 0:
+            continue  # phrase matches nothing: pseudo stays out of df_map
+        df_map[pseudo] = (df_c, int(st["cf"] or 0))
+        idf_over[pseudo] = sum(
+            math.log(1.0 + (num_docs - df_map[w][0] + 0.5) / (df_map[w][0] + 0.5))
+            for w in words if w in df_map and df_map[w][0] > 0)
+        enc = (rows.select("shard", F.lit(pseudo).alias("term"), "docid",
+                           F.col("tf").cast("int"), "dl")
+               .repartition(num_shards, "shard")
+               .sortWithinPartitions("shard", "term", "docid")
+               .mapInPandas(encode, schema=_PSCHEMA))
+        union = enc if union is None else union.unionByName(enc)
+
+    # swap phrase clauses for their pseudo-term (new plan objects — the
+    # caller's plans are not mutated)
+    new_plans = []
+    for p in plans:
+        cl = []
+        for c in p.clauses:
+            if c.phrase and len(c.terms) > 1:
+                pseudo = phrases[tuple(t for t, _ in c.terms)]
+                cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
+            else:
+                cl.append(c)
+        new_plans.append(QueryPlan(p.qid, cl, p.mode))
+    return new_plans, union
+
+
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard,
-                       use_pruner=True):
-    """Build the per-shard cogrouped kernel. Pure numpy inside."""
+                       use_pruner=True, idf_over=None):
+    """Build the per-shard cogrouped kernel. Pure numpy inside.
+
+    ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
+    the df-derived one — Lucene phrase scoring uses Σ member idfs."""
+    idf_over = idf_over or {}
 
     def kernel(key, posts_pdf: pd.DataFrame, packed_pdf: pd.DataFrame) -> pd.DataFrame:
         if posts_pdf.empty or packed_pdf.empty:
@@ -206,7 +326,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     occ == SHOULD and len(ts) == 1 for occ, _, ts in clauses):
                 terms_w = [(ts[0][0], boost * ts[0][1])
                            for _, boost, ts in clauses]
-                got = bmw.topk(terms_w, handles, df_map, K)
+                got = bmw.topk(terms_w, handles, df_map, K, idf_over)
                 if got is not None:
                     cpos, cscore = got
                     if len(cpos):
@@ -245,7 +365,10 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 if not present or not mask.any():
                     continue
                 if scorer == "bm25":
-                    idf = math.log(1.0 + (num_docs - edf + 0.5) / (edf + 0.5))
+                    if len(terms) == 1 and terms[0][0] in idf_over:
+                        idf = idf_over[terms[0][0]]  # phrase: Σ member idfs
+                    else:
+                        idf = math.log(1.0 + (num_docs - edf + 0.5) / (edf + 0.5))
                     total[mask] += boost * idf * etf[mask] / (etf[mask] + K[mask])
                 else:  # qld / LMDirichlet with +1-smoothed collection prob
                     p_c = (ecf + 1.0) / (total_tf + 1.0)
@@ -338,16 +461,19 @@ class _BlockMaxPruner:
         kpart = self.k1 * (1.0 - self.b + self.b * mdlq / self.avgdl)
         return w * idf * mtf / (mtf + kpart)
 
-    def topk(self, terms_w, handles, df_map, K):
+    def topk(self, terms_w, handles, df_map, K, idf_over=None):
         """terms_w: [(term, weight)]. Returns (local_positions, scores) or
         None to signal 'use the fallback path'."""
+        idf_over = idf_over or {}
         alive = []
         for term, w in terms_w:
             stat = df_map.get(term)
             h = handles.get(term)
             if stat is None or h is None or stat[0] <= 0:
                 continue
-            idf = math.log(1.0 + (self.num_docs - stat[0] + 0.5) / (stat[0] + 0.5))
+            idf = idf_over.get(term)
+            if idf is None:
+                idf = math.log(1.0 + (self.num_docs - stat[0] + 0.5) / (stat[0] + 0.5))
             alive.append((h, w, idf))
         if not alive:
             return np.zeros(0, dtype=np.int64), np.zeros(0)

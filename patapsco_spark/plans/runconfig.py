@@ -8,8 +8,12 @@ semantics (/root/reference/patapsco/config.py):
   merge child over it (dicts merge recursively, lists replace), multi-level
   allowed if parents are defined first (config.py:444-490)
 - **overrides** ``set key.path=value`` applied after load (config.py:409-441)
-- **imports** are intentionally out of scope (multi-file configs; add when a
-  user needs them)
+- **imports** ``imports: [other.yml, ...]`` — multi-file composition: each
+  listed file is loaded relative to the importing file's directory, resolved
+  recursively (imports may have imports), and merged into the conf with the
+  IMPORTED values winning on conflicts — the reference's merge direction
+  (config.py:224-235,493-500). Imports run before inheritance/overrides/
+  interpolation, like the reference's read path (config.py:115-120).
 
 The validated result feeds :class:`RunConfig`, the Spark engine's mirror of
 the reference's pydantic ``RunnerConfig`` (/root/reference/patapsco/schema.py:253-264).
@@ -109,26 +113,60 @@ def apply_overrides(conf: dict, overrides: dict[str, Any] | None) -> dict:
     return conf
 
 
+def _parse_text(text: str) -> Any:
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml
+            return yaml.safe_load(text)
+        except ImportError as e:  # pragma: no cover
+            raise ConfigError(f"not JSON and pyyaml unavailable: {e}")
+
+
+def apply_imports(conf: dict, base_dir: str | None) -> dict:
+    """Process ``imports: [file, ...]``: load each file relative to the
+    importing file's directory, recurse into its own imports, then merge it
+    into ``conf`` with the imported values winning (the reference merges the
+    partial over the main conf — config.py:231,493-500)."""
+    if "imports" not in conf:
+        return conf
+    imports = conf.pop("imports")
+    if base_dir is None:
+        raise ConfigError("imports require a file-based config (relative "
+                          "paths resolve against the importing file)")
+    import os
+    for rel in imports:
+        path = os.path.join(base_dir, str(rel))
+        try:
+            with open(path) as f:
+                partial = _parse_text(f.read())
+        except OSError as e:
+            raise ConfigError(f"cannot import config {path}: {e}")
+        if not isinstance(partial, dict):
+            raise ConfigError(f"imported config {path} must be a mapping")
+        apply_imports(partial, os.path.dirname(path))
+        _merge_dicts(conf, partial)
+    return conf
+
+
 def load_config(source: str | dict, overrides: dict[str, Any] | None = None) -> dict:
-    """Load + inherit + override + interpolate. ``source`` is a dict, a JSON
-    string, a YAML string, or a path ending in .yml/.yaml/.json."""
+    """Load + import + inherit + override + interpolate. ``source`` is a
+    dict, a JSON string, a YAML string, or a path ending in .yml/.yaml/.json."""
+    base_dir = None
     if isinstance(source, dict):
         conf = copy.deepcopy(source)
     else:
         text = source
         if source.endswith((".yml", ".yaml", ".json")):
+            import os
+            base_dir = os.path.dirname(os.path.abspath(source))
             with open(source) as f:
                 text = f.read()
-        try:
-            conf = json.loads(text)
-        except json.JSONDecodeError:
-            try:
-                import yaml
-                conf = yaml.safe_load(text)
-            except ImportError as e:  # pragma: no cover
-                raise ConfigError(f"not JSON and pyyaml unavailable: {e}")
+        conf = _parse_text(text)
     if not isinstance(conf, dict):
         raise ConfigError("config must be a mapping")
+    conf = apply_imports(conf, base_dir)
     conf = apply_inheritance(conf)
     conf = apply_overrides(conf, overrides)
     conf, errors = interpolate(conf)

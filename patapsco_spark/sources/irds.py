@@ -1,0 +1,127 @@
+"""ir_datasets readers (S4/S10/S15) — the rebuild of the reference's
+IRDSDocumentReader (/root/reference/patapsco/docs.py:128-158),
+IRDSTopicReader (topics.py:242-272) and IRDSQrelsReader (score.py:45-58).
+
+ir_datasets downloads corpora to ~/.ir_datasets and exposes single-process
+iterators; the reference streams them one row at a time into its pipeline.
+A Spark job instead wants a table: :func:`stage_irds_docs` iterates the
+dataset ONCE on the driver (exactly the reference's access pattern — the
+download is inherently single-node) and writes bounded-size parquet chunks;
+everything downstream is a normal distributed scan. Topics and qrels are
+small and load directly into DataFrames.
+
+The package is not installed in this environment (same as a bare reference
+install — it's an extra there too), so every entry point is import-gated
+with a clear error; the contract is pinned by tests with a stand-in module.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.analyze import _lang_key
+
+
+def _load(name: str) -> Any:
+    try:
+        import ir_datasets
+    except ImportError as e:
+        raise NotImplementedError(
+            "ir_datasets is not installed; `pip install ir_datasets` to read "
+            f"dataset '{name}' (reference gates this the same way — it is an "
+            "optional extra there too)") from e
+    return ir_datasets.load(name)
+
+
+def _dataset_lang(ds: Any, kind: str) -> str | None:
+    """Dataset language, across ir_datasets API generations: the modern
+    ``docs_lang()``/``queries_lang()`` methods or the ``.docs.lang`` property
+    the reference reads (docs.py:144)."""
+    meth = getattr(ds, f"{kind}_lang", None)
+    if callable(meth):
+        try:
+            got = meth()
+            if got:
+                return got
+        except Exception:
+            pass
+    obj = getattr(ds, kind, None)
+    return getattr(obj, "lang", None)
+
+
+def _check_lang(ds: Any, kind: str, lang: str | None, name: str) -> None:
+    """Reference parity: assert the dataset's language matches the config
+    (docs.py:144-145, topics.py:260-261). Skipped when either is unknown."""
+    if lang is None:
+        return
+    got = _dataset_lang(ds, kind)
+    if got is None:
+        return
+    got3 = _lang_key(got)
+    if got3 != _lang_key(lang):
+        raise ValueError(
+            f"{kind} language code from {name} is not {lang} but {got3}")
+
+
+def stage_irds_docs(spark: SparkSession, name: str, out_path: str,
+                    lang: str | None = None, chunk_rows: int = 50_000) -> DataFrame:
+    """Download/iterate an ir_datasets corpus and stage it as parquet.
+
+    Driver memory stays bounded at ``chunk_rows`` docs (each chunk is one
+    parquet part file); the return value is the distributed scan over the
+    staged table with the engine's canonical (id, text, lang) document
+    columns. Re-running with an existing ``_SUCCESS`` marker reuses the
+    staged table (the download itself is also cached by ir_datasets)."""
+    marker = os.path.join(out_path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ds = _load(name)
+        _check_lang(ds, "docs", lang, name)
+        out_lang = _lang_key(lang) if lang else (
+            _lang_key(_dataset_lang(ds, "docs") or "eng"))
+        os.makedirs(out_path, exist_ok=True)
+        ids, texts, part = [], [], 0
+        for doc in ds.docs_iter():
+            ids.append(str(doc.doc_id))
+            texts.append(getattr(doc, "text", "") or "")
+            if len(ids) >= chunk_rows:
+                _write_chunk(out_path, part, ids, texts, out_lang)
+                ids, texts, part = [], [], part + 1
+        if ids:
+            _write_chunk(out_path, part, ids, texts, out_lang)
+        with open(marker, "w"):
+            pass
+    return spark.read.parquet(out_path)
+
+
+def _write_chunk(out_path: str, part: int, ids: list, texts: list, lang: str) -> None:
+    import pandas as pd
+
+    pd.DataFrame({"id": ids, "text": texts, "lang": lang}).to_parquet(
+        os.path.join(out_path, f"part-{part:05d}.parquet"), index=False)
+
+
+def irds_topics(spark: SparkSession, name: str, lang: str | None = None) -> DataFrame:
+    """(query_id, lang, title, desc) — the reference's Topic fields
+    (topics.py:266-268: query_id, lang, text, description)."""
+    ds = _load(name)
+    _check_lang(ds, "queries", lang, name)
+    out_lang = _lang_key(lang) if lang else (
+        _lang_key(_dataset_lang(ds, "queries") or "eng"))
+    rows = [(str(q.query_id), out_lang, getattr(q, "text", "") or "",
+             getattr(q, "description", None))
+            for q in ds.queries_iter()]
+    return spark.createDataFrame(
+        rows, "query_id string, lang string, title string, desc string")
+
+
+def irds_qrels(spark: SparkSession, name: str) -> DataFrame:
+    """(query_id, doc_id, relevance) — flat form of the reference's
+    qrels.asdict() (score.py:52-58)."""
+    ds = _load(name)
+    rows = [(str(r.query_id), str(r.doc_id), int(r.relevance))
+            for r in ds.qrels_iter()]
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id string, relevance int")

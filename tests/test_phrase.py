@@ -1,0 +1,109 @@
+"""Exact phrase scoring over the positions sidecar (IndexConfig.positions).
+
+EXCEEDS the reference: patapsco's Lucene index stores DOCS_AND_FREQS without
+positions (/root/reference/patapsco/index.py:52), so its phrase queries
+silently degrade to bag-of-words. With the sidecar, a quoted phrase scores
+like Lucene's PhraseQuery under BM25: tf = exact phrase frequency,
+idf = Σ member-term idfs, same length norm — verified here against an
+independent closed-form computation and against the bag-of-words degrade.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
+from patapsco_spark.functions.smallfloat import quantize_length
+from patapsco_spark.operators.indexer import build_index
+from patapsco_spark.operators.retrieve import search_texts
+
+RAW = TextConfig(stem=None, stopwords=None, lowercase=True)
+
+DOCS = [
+    ("d1", "red fox jumps high today", "eng"),        # phrase once
+    ("d2", "fox red jumps high today", "eng"),        # words, no phrase
+    ("d3", "red fox red fox jumps", "eng"),           # phrase twice
+    ("d4", "tail red wind fox jumps", "eng"),         # words far apart
+    ("d5", "nothing relevant here at all", "eng"),
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idxpos"))
+    df = spark.createDataFrame(DOCS, "id string, text string, lang string")
+    build_index(spark, df, path,
+                IndexConfig(text=RAW, num_shards=2, positions=True))
+    return path
+
+
+@pytest.fixture(scope="module")
+def flat_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idxflat"))
+    df = spark.createDataFrame(DOCS, "id string, text string, lang string")
+    build_index(spark, df, path, IndexConfig(text=RAW, num_shards=2))
+    return path
+
+
+def _run(spark, idx, q, **cfg):
+    res = search_texts(spark, idx, [("q", q)],
+                       RetrieveConfig(k=10, **cfg), text_cfg=RAW, mode="boolean")
+    return [(r["doc_id"], r["rank"], r["score"]) for r in res.collect()]
+
+
+def test_phrase_matches_consecutive_only(spark, pos_index):
+    hits = _run(spark, pos_index, '"red fox"')
+    assert {h[0] for h in hits} == {"d1", "d3"}
+
+
+def test_phrase_tf_counts_repeats(spark, pos_index):
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red fox"'))
+    assert hits["d3"] > hits["d1"]  # tf=2 vs tf=1 at equal dl
+
+
+def test_phrase_score_matches_lucene_closed_form(spark, pos_index):
+    """Independent oracle: score = (idf_red + idf_fox) · tf/(tf + k1·(1-b+b·dlq/avgdl))."""
+    n, k1, b = 5, 0.9, 0.4
+    dls = [5, 5, 5, 5, 5]
+    avgdl = float(np.float32(sum(dls) / n))
+    idf = lambda df: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf_phrase = idf(4) + idf(4)     # red in d1..d4, fox in d1..d4
+    dlq = float(quantize_length(np.array([5]))[0])
+    kpart = k1 * (1 - b + b * dlq / avgdl)
+    expect = {"d1": idf_phrase * 1 / (1 + kpart),
+              "d3": idf_phrase * 2 / (2 + kpart)}
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red fox"'))
+    for d, s in expect.items():
+        assert hits[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_phrase_degrades_without_positions(spark, flat_index):
+    """No sidecar → reference behavior: bag-of-words over the phrase words."""
+    hits = {h[0] for h in _run(spark, flat_index, '"red fox"')}
+    assert {"d1", "d2", "d3", "d4"} <= hits
+
+
+def test_phrase_must_not_excludes(spark, pos_index):
+    hits = {h[0] for h in _run(spark, pos_index, 'jumps NOT "red fox"')}
+    assert hits == {"d2", "d4"}
+
+
+def test_phrase_and_term_mix(spark, pos_index):
+    hits = {h[0] for h in _run(spark, pos_index, '"red fox" AND jumps')}
+    assert hits == {"d1", "d3"}
+
+
+def test_phrase_with_unindexed_word_matches_nothing(spark, pos_index):
+    assert _run(spark, pos_index, '"red zzzunknown"') == []
+
+
+def test_trigram_phrase(spark, pos_index):
+    hits = {h[0] for h in _run(spark, pos_index, '"red fox jumps"')}
+    assert hits == {"d1", "d3"}  # d3: "red fox jumps" at positions 2..4
+
+
+def test_phrase_pruner_identity(spark, pos_index):
+    a = _run(spark, pos_index, '"red fox" today', pruning="always")
+    b = _run(spark, pos_index, '"red fox" today', pruning="never")
+    assert a == b and len(a) > 0

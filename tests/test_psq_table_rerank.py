@@ -135,6 +135,39 @@ class TestDocStoreRerank:
         orig = sorted(res.collect(), key=lambda r: r["rank"])
         assert rows[0].doc_id == orig[-1].doc_id
 
+    def test_shell_rerank_distributed_identical(self, spark, idx, tmp_path):
+        """The per-query-group applyInPandas path must produce exactly the
+        driver path's output (same script, multi-query run)."""
+        script = tmp_path / "rerank2.sh"
+        script.write_text(
+            "#!/bin/sh\n"
+            'python -c "\n'
+            "import json, sys\n"
+            "inp, out = sys.argv[1], sys.argv[2]\n"
+            "rows = [json.loads(l) for l in open(inp)]\n"
+            "with open(out, 'w') as f:\n"
+            "    for r in rows:\n"
+            "        f.write(f\\\"{r['query_id']} Q0 {r['doc_id']} {r['rank']} {1000 + r['rank']} rr\\n\\\")\n"
+            '" "$4" "$5"\n')
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+        res = search_texts(spark, idx, [("q1", "window"), ("q2", "cache scan")],
+                           RetrieveConfig(k=5), text_cfg=CFG)
+        driver = sorted(((r["query_id"], r["doc_id"], r["rank"], r["score"])
+                         for r in shell_rerank(spark, idx, res, str(script)).collect()))
+        dist = sorted(((r["query_id"], r["doc_id"], r["rank"], r["score"])
+                       for r in shell_rerank(spark, idx, res, str(script),
+                                             distributed=True).collect()))
+        assert driver == dist and len(driver) > 0
+
+    def test_shell_rerank_distributed_count_mismatch_fails_job(self, spark, idx, tmp_path):
+        script = tmp_path / "bad2.sh"
+        script.write_text("#!/bin/sh\n: > \"$5\"\n")
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+        res = search_texts(spark, idx, [("q", "window")],
+                           RetrieveConfig(k=5), text_cfg=CFG)
+        with pytest.raises(Exception, match="!= input rows"):
+            shell_rerank(spark, idx, res, str(script), distributed=True).collect()
+
     def test_shell_rerank_count_mismatch_raises(self, spark, idx, tmp_path):
         script = tmp_path / "bad.sh"
         script.write_text("#!/bin/sh\n: > \"$5\"\n")  # writes empty output

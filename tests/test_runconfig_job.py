@@ -68,6 +68,48 @@ class TestConfigLanguage:
         with pytest.raises(ConfigError, match="unresolved"):
             load_config({"a": "{nope}"})
 
+    def test_imports_merge_reference_case(self, tmp_path):
+        """Port of the reference's test_imports (tests/test_config.py:388-394
+        over tests/config_files/{main,docs,index}.yml): imported sections
+        land in the conf, resolved relative to the importing file."""
+        (tmp_path / "main.yml").write_text(
+            "run:\n  name: English test run\n\nimports:\n  - docs.yml\n  - index.yml\n")
+        (tmp_path / "docs.yml").write_text(
+            "documents:\n  input:\n    format: json\n    lang: eng\n"
+            "    encoding: utf8\n    path: sample/en_mini_dataset.jsonl\n"
+            "  process:\n    tokenize: whitespace\n    stem: off\n")
+        (tmp_path / "index.yml").write_text("index:\n  name: lucene\n")
+        conf = load_config(str(tmp_path / "main.yml"))
+        assert conf["run"]["name"] == "English test run"
+        assert conf["documents"]["input"]["format"] == "json"
+        assert conf["index"]["name"] == "lucene"
+        assert "imports" not in conf
+
+    def test_imports_nested_and_conflict_direction(self, tmp_path):
+        """Imports may themselves import (resolved relative to THEIR file);
+        on conflicts the imported value wins (reference merge_dicts merges
+        the partial over the main conf, config.py:231,493-500)."""
+        sub = tmp_path / "sub"
+        sub.mkdir()
+        (tmp_path / "main.yml").write_text(
+            "run:\n  name: main\nretrieve:\n  k: 5\nimports:\n  - sub/mid.yml\n")
+        (sub / "mid.yml").write_text(
+            "retrieve:\n  k: 50\nimports:\n  - deep.yml\n")
+        (sub / "deep.yml").write_text("score:\n  metrics: [map]\n")
+        conf = load_config(str(tmp_path / "main.yml"))
+        assert conf["run"]["name"] == "main"
+        assert conf["retrieve"]["k"] == 50          # imported value wins
+        assert conf["score"]["metrics"] == ["map"]  # nested import, sub/-relative
+
+    def test_imports_missing_file_raises(self, tmp_path):
+        (tmp_path / "main.yml").write_text("imports:\n  - nope.yml\n")
+        with pytest.raises(ConfigError, match="cannot import"):
+            load_config(str(tmp_path / "main.yml"))
+
+    def test_imports_without_base_dir_raises(self):
+        with pytest.raises(ConfigError, match="file-based"):
+            load_config({"imports": ["x.yml"]})
+
     def test_runconfig_requires_name_and_path(self):
         with pytest.raises(ConfigError, match="run.name"):
             RunConfig.from_dict({"run": {"name": "x"}})
