@@ -90,27 +90,33 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     df_map: dict[str, tuple[int, int]] = {
         r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
 
-    # shard < manifest num_shards gives manifest-snapshot isolation: a
-    # concurrent streaming append's half-written NEW shard dirs are never
-    # read — they only become visible once its manifest commit lands
     num_shards = int(meta["num_shards"])
-    posts = (spark.read.parquet(f"{index_path}/postings")
-             .where(F.col("term").isin(all_terms) &
-                    (F.col("shard") < num_shards)))
 
     # exact phrase scoring (positions sidecar): rewrite each phrase clause to
     # a single pseudo-term whose postings are built from positional joins;
     # without the sidecar (or under qld) phrases stay bag-of-words, matching
     # the reference's Lucene index which stores no positions (index.py:52)
     idf_over: dict[str, float] = {}
+    phrase_posts = None
     if cfg.name == "bm25" and meta.get("positions") and any(
             c.phrase and len(c.terms) > 1 for p in plans for c in p.clauses):
         plans, phrase_posts = _rewrite_phrase_plans(
             spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
             num_shards=num_shards, docs_per_shard=docs_per_shard,
             block_size=int(meta.get("block_size", 128)))
-        if phrase_posts is not None:
-            posts = posts.unionByName(phrase_posts)
+
+    # postings read is filtered on the POST-rewrite plans' real terms — a
+    # word appearing only inside phrases is read from positions/, not here.
+    # shard < manifest num_shards gives manifest-snapshot isolation: a
+    # concurrent streaming append's half-written NEW shard dirs are never
+    # read — they only become visible once its manifest commit lands
+    live_terms = sorted({t for p in plans for c in p.clauses for t, _ in c.terms
+                         if not t.startswith("\x01")})
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(live_terms) &
+                    (F.col("shard") < num_shards)))
+    if phrase_posts is not None:
+        posts = posts.unionByName(phrase_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
@@ -590,8 +596,43 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
             if int(docid) in want:
                 tf_by[(row["term"], int(docid))] = int(tf)
 
+    # positional phrase clauses (when the index has a positions sidecar):
+    # tf = exact phrase frequency in the doc, idf = Σ member idfs, reported
+    # as one component row per clause with term = the quoted phrase
+    phrase_tf: dict[tuple[int, int], int] = {}
+    phrase_clauses = [(ci, c) for ci, c in enumerate(plan.clauses)
+                      if c.phrase and len(c.terms) > 1]
+    if phrase_clauses and meta.get("positions"):
+        words_all = sorted({t for _, c in phrase_clauses for t, _ in c.terms})
+        prows = (spark.read.parquet(f"{index_path}/positions")
+                 .where(F.col("term").isin(words_all) &
+                        F.col("docid").isin(list(want))).collect())
+        pos_by = {(r["term"], int(r["docid"])): list(r["positions"])
+                  for r in prows}
+        for ci, c in phrase_clauses:
+            words = [t for t, _ in c.terms]
+            for docid in want:
+                sets = [set(x - i for x in pos_by.get((w, docid), ()))
+                        for i, w in enumerate(words)]
+                phrase_tf[(ci, docid)] = len(set.intersection(*sets)) if all(sets) else 0
+
     rows = []
     for ci, clause in enumerate(plan.clauses):
+        if any(k[0] == ci for k in phrase_tf):
+            words = [t for t, _ in clause.terms]
+            df_sum_idf = sum(
+                math.log(1.0 + (num_docs - stats[w] + 0.5) / (stats[w] + 0.5))
+                for w in words if stats.get(w, 0) > 0)
+            for docid, (ext_id, dl) in want.items():
+                tf = phrase_tf.get((ci, docid), 0)
+                if tf == 0:
+                    continue
+                dlq = float(quantize_length(np.array([dl]))[0])
+                kpart = cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl)
+                contrib = clause.boost * df_sum_idf * tf / (tf + kpart)
+                rows.append((plan.qid, ext_id, ci, '"' + " ".join(words) + '"',
+                             tf, dl, dlq, 0, df_sum_idf, contrib))
+            continue
         for term, p in clause.terms:
             df_t = stats.get(term, 0)
             if df_t == 0:

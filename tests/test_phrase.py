@@ -103,6 +103,28 @@ def test_trigram_phrase(spark, pos_index):
     assert hits == {"d1", "d3"}  # d3: "red fox jumps" at positions 2..4
 
 
+def test_phrase_explain_sums_to_score(spark, pos_index):
+    """explain() must decompose phrase-query scores exactly: the phrase
+    component row (tf = phrase freq, idf = Σ member idfs) plus the loose
+    term's row sum to the search score per doc."""
+    from collections import defaultdict
+
+    from patapsco_spark.operators.queryparse import parse_query
+    from patapsco_spark.operators.retrieve import explain
+
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red fox" jumps'))
+    plan = parse_query("q", '"red fox" jumps', mode="boolean")
+    exp = explain(spark, pos_index, plan, list(hits)).collect()
+    by_doc = defaultdict(float)
+    terms_seen = set()
+    for r in exp:
+        by_doc[r["doc_id"]] += r["contribution"]
+        terms_seen.add(r["term"])
+    assert '"red fox"' in terms_seen and "jumps" in terms_seen
+    for d, s in hits.items():
+        assert by_doc[d] == pytest.approx(s, rel=1e-9)
+
+
 def test_phrase_pruner_identity(spark, pos_index):
     a = _run(spark, pos_index, '"red fox" today', pruning="always")
     b = _run(spark, pos_index, '"red fox" today', pruning="never")
