@@ -692,16 +692,24 @@ def _stage_webpages_oracle() -> str:
     DuckDB, driver-side. Synthesis (_synth_batch), html→text extraction and
     the RAW analysis chain (pre_normalize → lower → whitespace split) are all
     pure pandas functions, so the oracle input is built without Spark and is
-    bit-identical to what the engine indexes. Idempotent: keyed by content
-    parameters, written atomically (tmp + rename)."""
+    bit-identical to what the engine indexes. Idempotent: keyed by row count
+    AND an md5 of the generating functions' source (a later-round change to
+    synthesis/extraction/normalization invalidates the cache instead of
+    silently comparing against stale data); written atomically (tmp+rename)."""
+    import inspect
+
     import numpy as np
     import pandas as pd
 
-    path = os.path.join(tempfile.gettempdir(), f"pspark_weboracle_{WEBPAGES_N}.parquet")
-    if not os.path.exists(path):
-        from patapsco_spark.functions.normalize import pre_normalize_series
-        from patapsco_spark.sources.webpages import _synth_batch, extract_text_series
+    from patapsco_spark.functions.normalize import pre_normalize_series
+    from patapsco_spark.sources.webpages import _synth_batch, extract_text_series
 
+    src = "".join(inspect.getsource(f) for f in
+                  (_synth_batch, extract_text_series, pre_normalize_series))
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pspark_weboracle_{WEBPAGES_N}_{key}.parquet")
+    if not os.path.exists(path):
         pdf = _synth_batch(np.arange(WEBPAGES_N))
         normed = pre_normalize_series(extract_text_series(pdf["html"]))
         toks = normed.str.lower().str.split()

@@ -38,23 +38,15 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _widen(docs: DataFrame) -> DataFrame:
-    """Small-file inputs scan as one partition; the shingle explode then
-    runs single-threaded. Widen to the session parallelism first (the raw
-    docs shuffle is trivial next to the expansion it parallelizes).
-
-    Uses file-listing metadata to decide, NOT ``df.rdd.getNumPartitions()``
-    — the RDD conversion forces a full physical-plan translation (~2s cold
-    per call, measured). A many-file input (≥ parallelism files, i.e. an
-    already-wide 100 TB table) is left untouched; small/in-memory inputs
-    get one trivial repartition."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(docs.inputFiles())
-    except Exception:
-        nfiles = 0
-    if nfiles >= target:
-        return docs
-    return docs.repartition(target)
+    """Small/packed inputs scan as few partitions; the shingle explode then
+    runs nearly single-threaded. Widen to the session parallelism first (the
+    raw docs shuffle is trivial next to the expansion it parallelizes).
+    Width comes from Spark's own file-packing arithmetic over driver-side
+    file metadata (see partitioning.scan_width) — neither the ~2s
+    ``df.rdd`` plan translation nor the tiny-files-miscounted-as-wide trap
+    of a raw inputFiles() count."""
+    from ..partitioning import widen_for_kernel
+    return widen_for_kernel(docs)
 
 
 def _tokens_arr(text_col: str):
@@ -129,6 +121,18 @@ def _token_sets_hashed(docs: DataFrame, id_col: str, text_col: str,
             .withColumn("sz", F.size("toks")))
 
 
+def _release_after(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Materialize the (small, above-threshold) result with an eager
+    localCheckpoint, then unpersist the big cached intermediate. Without
+    this, every call leaks one cached copy of the full shingle expansion
+    for the session's lifetime (a long-lived query service or a bench loop
+    steadily fills executor storage memory). The checkpoint blocks hold
+    only the thresholded pairs and are GC-cleaned with the plan."""
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def _verify_jaccard(cand: DataFrame, tok_sets: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect.
 
@@ -196,8 +200,9 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct())
     verified = _verify_jaccard(cand, tok_sets)
-    return (verified.where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out = (verified.where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return _release_after(out, tok_sets)
 
 
 def _minhash_from_terms(terms: DataFrame, num_hashes: int,
@@ -273,8 +278,9 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.8,
     sigs = _minhash_from_terms(terms, num_hashes, id_col)
     cand = _lsh_from_sigs(sigs, num_hashes, bands, id_col)
     verified = _verify_jaccard(cand, tok_sets)
-    return (verified.where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    out = (verified.where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return _release_after(out, tok_sets)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

@@ -75,14 +75,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # the analysis kernel parallelizes per input partition — a scan that
         # packed many small files into few partitions (maxPartitionBytes)
         # would serialize the CPU-heavy stage, so widen it explicitly.
-        # Partition-count estimate comes from file-listing metadata, not
-        # df.rdd (which forces a ~2s physical-plan translation).
-        try:
-            nfiles = len(pages.inputFiles())
-        except Exception:
-            nfiles = 0
-        if nfiles < n_parts:
-            pages = pages.repartition(n_parts)
+        # Width estimate reproduces Spark's file-packing arithmetic from
+        # driver-side metadata (partitioning.scan_width) — no df.rdd
+        # plan-translation cost, no tiny-file miscounts.
+        from ..partitioning import widen_for_kernel
+        pages = widen_for_kernel(pages, max(n_parts,
+                                            spark.sparkContext.defaultParallelism))
         analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
                                      text_col=text_col, lang_col=lang_col,
                                      batch_transform=batch_transform,
@@ -376,13 +374,26 @@ def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],
             .drop("file", "offset"))
 
 
-def read_term_stats(spark: SparkSession, index_path: str) -> DataFrame:
+def read_term_stats(spark: SparkSession, index_path: str,
+                    num_shards: int | None = None) -> DataFrame:
     """(term, df, cf) aggregated across additive segments: seg=-1 is the
-    base build, seg=K a streaming append's delta. A query-term filter
-    applied on top still pushes to the parquet scan before this groupBy,
-    so a lookup reads only the query's terms from each segment."""
-    return (spark.read.parquet(f"{index_path}/term_stats")
-            .groupBy("term")
+    base build, seg=K a streaming append's delta starting at shard K. A
+    query-term filter applied on top still pushes to the parquet scan before
+    this groupBy, so a lookup reads only the query's terms from each segment.
+
+    ``num_shards`` (the manifest's committed shard count) gates out deltas
+    from an UNCOMMITTED append (a crash between the seg write and the
+    manifest commit): a committed append always has num_shards > its seg, so
+    ``seg < num_shards`` admits exactly the committed segments — the same
+    snapshot isolation the postings/norms reads get from their shard filter."""
+    df = spark.read.parquet(f"{index_path}/term_stats")
+    if num_shards is None:
+        man = mf.read_manifest(index_path)
+        if man is not None:
+            num_shards = int(man["config"].get("num_shards", 0)) or None
+    if num_shards is not None:
+        df = df.where(F.col("seg") < num_shards)
+    return (df.groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
 
 

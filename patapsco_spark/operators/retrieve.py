@@ -82,15 +82,16 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
 
+    num_shards = int(meta["num_shards"])
+
     # global term stats for idf/cf — only the query's terms are read;
-    # aggregated across additive segments (base build + streaming deltas)
+    # aggregated across additive COMMITTED segments (seg < num_shards gates
+    # out a crashed append's uncommitted delta, like the shard filters below)
     from .indexer import read_term_stats
-    stats_df = (read_term_stats(spark, index_path)
+    stats_df = (read_term_stats(spark, index_path, num_shards=num_shards)
                 .where(F.col("term").isin(all_terms)))
     df_map: dict[str, tuple[int, int]] = {
         r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
-
-    num_shards = int(meta["num_shards"])
 
     # exact phrase scoring (positions sidecar): rewrite each phrase clause to
     # a single pseudo-term whose postings are built from positional joins;
@@ -576,7 +577,8 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     terms = sorted({t for c in plan.clauses for t, _ in c.terms})
     from .indexer import read_term_stats
     stats = {r["term"]: int(r["df"]) for r in
-             read_term_stats(spark, index_path)
+             read_term_stats(spark, index_path,
+                             num_shards=int(meta["num_shards"]))
              .where(F.col("term").isin(terms)).collect()}
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(terms)).collect())

@@ -58,7 +58,13 @@ def make_app(spark: SparkSession, index_path: str,
                             "text": r["original_text"]})
         if path.startswith("/query/"):
             qtext = path[len("/query/"):]
-            k = int(params.get("k", [base_cfg.k])[0])
+            try:
+                k = int(params.get("k", [base_cfg.k])[0])
+            except ValueError:
+                k = -1
+            if k < 1:
+                return respond(start_response, "400 Bad Request",
+                               {"error": "k must be a positive integer"})
             mode = params.get("mode", ["plain"])[0]
             if mode not in ("plain", "boolean"):
                 return respond(start_response, "400 Bad Request",

@@ -204,22 +204,14 @@ def index_webpages(spark: SparkSession, pages: DataFrame, index_path: str,
     """Full ingestion: html → text → analysis chain → sharded inverted index
     (docids assigned by url order; see indexer docid determinism notes).
 
-    The raw pages are widened BEFORE the kernel (a downstream repartition
-    would leave the CPU-heavy work on however few partitions the file scan
-    produced), and extraction is FUSED into the analysis kernel — one Python
-    worker per task, one Arrow round trip (see analyze_documents)."""
+    Extraction is FUSED into the analysis kernel — one Python worker per
+    task, one Arrow round trip (see analyze_documents); build_index widens
+    the scan ahead of that kernel when the file packing runs narrow."""
     from ..operators.indexer import build_index
     cfg = cfg or IndexConfig()
     # select first: the stored `text` column is the byte-identity oracle,
     # not an input — extraction recreates it from html (column pruning)
     pages = pages.select("url", "html", "lang")
-    n_parts = cfg.num_shards or spark.sparkContext.defaultParallelism
-    try:
-        nfiles = len(pages.inputFiles())
-    except Exception:
-        nfiles = 0
-    if nfiles < n_parts:
-        pages = pages.repartition(n_parts)
 
     def extract_transform(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.drop(columns=["html"])

@@ -71,6 +71,14 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     if root is None:
         raise FileNotFoundError(f"no index at {index_path} — build it first")
     meta = root["config"]
+    if int(meta.get("postings_format", 0)) < 4:
+        # pre-format-4 layouts store term_stats/norms_packed as FLAT parquet;
+        # appending seg=/shard= partition dirs beside them corrupts partition
+        # discovery for every later read — refuse instead of bricking it
+        raise ValueError(
+            f"index at {index_path} has postings_format="
+            f"{meta.get('postings_format')} (< 4); rebuild it (resume=False "
+            "or delete the index) before streaming appends")
     docs_per_shard = int(meta["docs_per_shard"])
     seen = set(meta.get("epochs", []))
     if epoch_id is not None and epoch_id in seen:
@@ -134,6 +142,19 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
                              schema=POSTINGS_SCHEMA))
     (postings.write.mode("overwrite").options(**dyn).partitionBy("shard")
              .parquet(f"{index_path}/postings"))
+
+    if meta.get("positions"):
+        # positions-enabled index: appended shards must carry the sidecar
+        # too, or phrase queries would silently miss streamed docs forever
+        from ..operators.indexer import _emit_positions
+        positions = (docided.select("shard", "docid", "terms")
+                     .mapInPandas(_emit_positions,
+                                  schema="shard int, term string, "
+                                         "docid long, positions array<int>"))
+        (positions.repartition(new_shard_count, "shard")
+                  .sortWithinPartitions("shard", "term", "docid")
+                  .write.mode("overwrite").options(**dyn).partitionBy("shard")
+                  .parquet(f"{index_path}/positions"))
 
     # term-stats DELTA from the new shards only — an additive seg partition,
     # aggregated with the base at read time (indexer.read_term_stats); no

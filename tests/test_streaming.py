@@ -47,6 +47,59 @@ class TestAppendBatch:
         assert m1["num_docs"] == 2
         assert m2["num_docs"] == 2  # replay was a no-op
 
+    def test_append_writes_positions_sidecar(self, spark, tmp_path):
+        """Appends to a positions-enabled index must extend the sidecar, or
+        phrase queries would silently miss every streamed doc forever."""
+        idx = str(tmp_path / "idxp")
+        build_index(spark, _docs(spark, [
+            ("a1", "red fox jumps", "eng"),
+            ("a2", "fox red swims", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=1, positions=True), resume=False)
+        append_batch(spark, _docs(spark, [
+            ("b1", "the red fox returns", "eng"),
+            ("b2", "red then fox apart", "eng")]), idx,
+            IndexConfig(text=CFG, positions=True), epoch_id=0)
+        res = search_texts(spark, idx, [("q", '"red fox"')],
+                           RetrieveConfig(k=10), text_cfg=CFG, mode="boolean")
+        assert {r.doc_id for r in res.collect()} == {"a1", "b1"}
+
+    def test_old_layout_append_refused(self, spark, tmp_path):
+        """Appending to a pre-format-4 index would write partition dirs
+        beside flat parquet and corrupt later reads — must refuse."""
+        from patapsco_spark.plans import manifest as mf
+        idx = str(tmp_path / "idxold")
+        build_index(spark, _docs(spark, [("a1", "x y", "eng")]), idx,
+                    IndexConfig(text=CFG, num_shards=1), resume=False)
+        man = mf.read_manifest(idx)
+        doc = dict(man["config"], postings_format=3)
+        mf.write_manifest(idx, "index", doc)
+        with pytest.raises(ValueError, match="postings_format"):
+            append_batch(spark, _docs(spark, [("b1", "z", "eng")]), idx,
+                         IndexConfig(text=CFG), epoch_id=0)
+
+    def test_uncommitted_term_stats_delta_ignored(self, spark, tmp_path):
+        """A crashed append leaves a seg=K term-stats delta with NO manifest
+        commit; readers must not let it inflate df/cf (snapshot isolation —
+        the same guarantee the shard filters give postings/norms)."""
+        import pandas as pd
+        idx = str(tmp_path / "idxcrash")
+        build_index(spark, _docs(spark, [
+            ("a1", "stream window", "eng"), ("a2", "stream scan", "eng")]),
+            idx, IndexConfig(text=CFG, num_shards=1), resume=False)
+        before = search_texts(spark, idx, [("q", "stream")],
+                              RetrieveConfig(k=10), text_cfg=CFG).collect()
+        # simulate the crash window: an uncommitted seg=1 delta on disk
+        # (manifest still says num_shards=1)
+        seg_dir = f"{idx}/term_stats/seg=1"
+        import os
+        os.makedirs(seg_dir, exist_ok=True)
+        pd.DataFrame({"term": ["stream"], "df": [1000], "cf": [5000]}
+                     ).to_parquet(f"{seg_dir}/part-0.parquet", index=False)
+        after = search_texts(spark, idx, [("q", "stream")],
+                             RetrieveConfig(k=10), text_cfg=CFG).collect()
+        assert [(r.doc_id, r.score) for r in before] == \
+               [(r.doc_id, r.score) for r in after]
+
     def test_docids_do_not_collide(self, spark, tmp_path):
         idx = str(tmp_path / "idx3")
         build_index(spark, _docs(spark, [("a1", "x", "eng"), ("a2", "y", "eng")]),
