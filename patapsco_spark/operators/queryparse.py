@@ -86,7 +86,9 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
     term^boost, "quoted phrases" (bag-of-words). Default operator is OR
     (SHOULD), matching Lucene's QueryParser default.
     """
-    toks = re.findall(r'"[^"]*"|\S+', query)
+    # a quoted phrase keeps any ^boost suffix attached ("a b"^3 is ONE token
+    # — a bare alternation would split off '^3' and silently drop the boost)
+    toks = re.findall(r'"[^"]*"(?:\^[\d.eE-]+)?|\S+', query)
     clauses: list[Clause] = []
     pending_occur: str | None = None
     i = 0

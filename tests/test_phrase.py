@@ -129,3 +129,13 @@ def test_phrase_pruner_identity(spark, pos_index):
     a = _run(spark, pos_index, '"red fox" today', pruning="always")
     b = _run(spark, pos_index, '"red fox" today', pruning="never")
     assert a == b and len(a) > 0
+
+
+def test_boosted_phrase(spark, pos_index):
+    """'"red fox"^3' parses to a boosted phrase clause; the score is exactly
+    3× the unboosted phrase score."""
+    base = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red fox"'))
+    boosted = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red fox"^3'))
+    assert set(base) == set(boosted)
+    for d in base:
+        assert boosted[d] == pytest.approx(3 * base[d], rel=1e-9)
