@@ -169,8 +169,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (banded LSH is not reasonably SQL-expressible);
-    # verified in pytest against exact Jaccard instead
+    """Banded-LSH near-dup pairs, exact-Jaccard-verified. Fully oracled:
+    every hash in the chain is md5 (engine-portable), so DuckDB reproduces
+    the minhashes, band buckets, candidate join, and verification exactly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.near_duplicates_minhash(docs, threshold=0.5, shingle=3)
 
@@ -1022,6 +1023,50 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
   FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "minhash_lsh_pairs": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS shingles
+  FROM w
+), t AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+seeds(seed) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)),
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || term)) AS minhash
+  FROM t CROSS JOIN seeds GROUP BY doc_id, seed
+),
+banded AS (
+  -- band key = md5 over 'seed:minhash' strings in LEXICOGRAPHIC seed order,
+  -- exactly Spark's array_sort(collect_list(concat_ws(':', seed, minhash)))
+  SELECT doc_id, seed // 4 AS band,
+         md5(array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash)), '|')) AS bucket
+  FROM mh GROUP BY doc_id, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.id_a
+  JOIN t tb ON tb.doc_id = c.id_b AND tb.term = ta.term
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b,
        ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
