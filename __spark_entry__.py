@@ -189,7 +189,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN — no oracle (recall checked in pytest vs brute force)
+    # approximate w.r.t. brute force (recall pinned in pytest), but fully
+    # deterministic w.r.t. the algorithm — the oracle replays the seeded
+    # hyperplanes, bucket signatures and Hamming<=1 probe in SQL
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = ann.lsh_cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
@@ -797,6 +799,56 @@ FROM bits GROUP BY doc_id
 """
 
 
+def _ann_lsh_sql(k: int = 10, n_bits: int = 8, seed: int = 42,
+                 dim: int = 64) -> str:
+    """Exact SQL replay of the LSH-pruned cosine top-k: the hyperplanes are
+    seeded-numpy (deterministic), so their values are embedded as literals;
+    bucket signatures, the Hamming≤1 probe set, and the exact re-rank are
+    all recomputed in SQL. This makes the 'approximate' path fully oracled —
+    approximate w.r.t. brute force, deterministic w.r.t. the algorithm."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    vals = ", ".join(f"({i}, {j + 1}, {planes[i, j]!r})"
+                     for i in range(n_bits) for j in range(dim))
+    return f"""
+WITH planes(i, j, p) AS (VALUES {vals}),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS j
+  FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END)::BIGINT AS sig
+  FROM (SELECT ex.vec_id, planes.i, SUM(ex.v * planes.p) AS d
+        FROM ex JOIN planes ON planes.j = ex.j
+        GROUP BY ex.vec_id, planes.i)
+  GROUP BY vec_id
+),
+qsig AS (SELECT sig FROM sigs WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id FROM sigs s, qsig
+  WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, qsig.sig)) <= 1
+),
+qx AS (
+  SELECT CAST(unnest(e) AS DOUBLE) AS qv, generate_subscripts(e, 1) AS j
+  FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+),
+dots AS (
+  SELECT ex.vec_id, SUM(ex.v * qx.qv) AS dot, SUM(ex.v * ex.v) AS n2
+  FROM ex JOIN qx USING (j)
+  WHERE ex.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY ex.vec_id
+),
+qn AS (SELECT SQRT(SUM(qv * qv)) AS qn FROM qx)
+SELECT vec_id, ROUND(dot / (SQRT(n2) * qn.qn), 6) AS cosine
+FROM dots, qn
+ORDER BY dot / (SQRT(n2) * qn.qn) DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from patapsco_spark.functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
@@ -1031,6 +1083,7 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "minhash_lsh_pairs": """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
