@@ -113,15 +113,38 @@ def apply_overrides(conf: dict, overrides: dict[str, Any] | None) -> dict:
     return conf
 
 
+def _convert_boolean_strings(d: Any) -> Any:
+    """Reference parity (config.py:_convert_boolean_strings): the string
+    values 'true'/'on'/'yes' and 'false'/'off'/'no' become booleans,
+    recursively — applied at file-read time like the reference, so JSON
+    configs and quoted YAML scalars behave like bare YAML booleans."""
+    if isinstance(d, dict):
+        for k, v in d.items():
+            d[k] = _convert_boolean_strings(v)
+        return d
+    if isinstance(d, list):
+        # the reference recurses into dict entries of lists but leaves bare
+        # strings in lists untouched (config.py list branch) — match that
+        return [_convert_boolean_strings(v) if isinstance(v, (dict, list))
+                else v for v in d]
+    if isinstance(d, str):
+        if d in ("true", "on", "yes"):
+            return True
+        if d in ("false", "off", "no"):
+            return False
+    return d
+
+
 def _parse_text(text: str) -> Any:
     try:
-        return json.loads(text)
+        parsed = json.loads(text)
     except json.JSONDecodeError:
         try:
             import yaml
-            return yaml.safe_load(text)
+            parsed = yaml.safe_load(text)
         except ImportError as e:  # pragma: no cover
             raise ConfigError(f"not JSON and pyyaml unavailable: {e}")
+    return _convert_boolean_strings(parsed)
 
 
 def apply_imports(conf: dict, base_dir: str | None) -> dict:
