@@ -101,6 +101,20 @@ def q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+NESTED_QUERY = "(window OR stream) AND data NOT batch"
+
+
+def q_boolean_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested boolean grouping (Lucene QueryParser semantics): docs must
+    contain (window or stream) and data, and no batch; score = Σ BM25 of the
+    MATCHING scoring terms — grouping changes matching, never per-term
+    scores."""
+    idx = _ensure_index(spark, sf_dir)
+    plan = parse_query("q1", NESTED_QUERY, mode="boolean")
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 PHRASE_WORDS = ["data", "stream"]
 PHRASE_EXTRA = "window"
 
@@ -113,6 +127,18 @@ def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_pos_index(spark, sf_dir)
     q = f'"{" ".join(PHRASE_WORDS)}" {PHRASE_EXTRA}'
     res = search_texts(spark, idx, [("q1", q)], RetrieveConfig(k=K),
+                       text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
+def q_phrase_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase under QLD/LMDirichlet (exceeds the reference, which
+    always degrades): the phrase pseudo-term scores through the standard
+    formula with tf = phrase frequency and cf = corpus phrase frequency."""
+    idx = _ensure_pos_index(spark, sf_dir)
+    q = f'"{" ".join(PHRASE_WORDS)}" {PHRASE_EXTRA}'
+    res = search_texts(spark, idx, [("q1", q)],
+                       RetrieveConfig(name="qld", k=K),
                        text_cfg=RAW_TEXT, mode="boolean")
     return _as_result(res)
 
@@ -310,12 +336,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs(emb, threshold=0.4)
 
 
+IVF_CELLS, IVF_ITERS, IVF_NPROBE, IVF_SEED = 8, 3, 3, 7
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (IVF cell pruning) — recall vs brute force pinned in pytest
+    """IVF top-k: approximate w.r.t. brute force (recall pinned in pytest)
+    but fully deterministic w.r.t. the algorithm — centroid init samples the
+    first 200 vectors in md5(id) order with seeded-rng index literals, so
+    the oracle replays the ENTIRE k-means (init, Lloyd assignments with
+    (d2, cell) tie-breaks, per-dim means, empty-cell carry-over), the
+    nprobe cell probe, and the exact re-rank in SQL."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    cents, assigned = ann.ivf_build(emb.where(F.col("vec_id") != 0), n_cells=8)
-    out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=3)
+    cents, assigned = ann.ivf_build(emb.where(F.col("vec_id") != 0),
+                                    n_cells=IVF_CELLS, iters=IVF_ITERS,
+                                    seed=IVF_SEED)
+    out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=IVF_NPROBE)
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
@@ -368,9 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "phrase_bm25": q_phrase_bm25,
+        "phrase_qld": q_phrase_qld,
         "qld_topk": q_qld_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
+        "boolean_nested": q_boolean_nested,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -649,6 +687,51 @@ LIMIT {k}
 """
 
 
+def _phrase_qld_sql(phrase: list[str], extra: str, mu: int, k: int) -> str:
+    """Positional phrase + loose term under QLD: phrase tf from consecutive
+    token positions, phrase cf = corpus phrase frequency; each component is
+    max(ln(1 + tf/(mu·(cf+1)/(total_tf+1))) + ln(mu/(dlq+mu)), 0)."""
+    quant = _quant_sql("dl.dl")
+    consec = " AND ".join(f"toks[i+{j}] = '{w}'" for j, w in enumerate(phrase))
+    comp = (f"GREATEST(ln(1 + {{tf}} / ({mu} * ({{cf}} + 1) / (stats.total_tf + 1)))"
+            f" + ln({mu} / ({quant} + {mu})), 0)")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+ph AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id FROM (
+      SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM w)
+    WHERE i <= len(toks) - {len(phrase) - 1} AND {consec})
+  GROUP BY doc_id
+),
+phcf AS (SELECT COALESCE(SUM(tf), 0) AS cf FROM ph),
+wcf AS (SELECT SUM(tf.tf) AS cf FROM tf WHERE tf.term = '{extra}'),
+phscore AS (
+  SELECT ph.doc_id, {comp.format(tf="ph.tf", cf="phcf.cf")} AS s
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN stats CROSS JOIN phcf
+),
+wscore AS (
+  SELECT tf.doc_id, {comp.format(tf="tf.tf", cf="wcf.cf")} AS s
+  FROM tf JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats CROSS JOIN wcf
+  WHERE tf.term = '{extra}'
+),
+scores AS (
+  SELECT doc_id, SUM(s) AS score
+  FROM (SELECT * FROM phscore UNION ALL SELECT * FROM wscore) GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _boolean_and_not_sql(must: list[str], must_not: list[str], k: int) -> str:
     # score = sum of BM25 over the MUST terms; docs must contain all MUST
     # terms and none of the MUST_NOT terms
@@ -680,6 +763,48 @@ ok AS (
   WHERE m.n_must = (SELECT count(*) FROM qterms)
     AND NOT EXISTS (SELECT 1 FROM tf t JOIN nterms USING (term)
                     WHERE t.doc_id = m.doc_id)
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM ok
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _boolean_nested_sql(group_terms: list[str], must_term: str,
+                        not_term: str, k1: float, b: float, k: int) -> str:
+    """(g1 OR g2) AND must NOT not — Lucene BooleanQuery: match requires any
+    group term AND the must term AND no not-term; score sums BM25 over the
+    matching scoring terms (group members where present + the must term)."""
+    gvals = ", ".join(f"('{t}')" for t in group_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {gvals}, ('{must_term}')),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score,
+         BOOL_OR(tf.term IN ({gvals.replace("(", "").replace(")", "")})) AS has_group,
+         BOOL_OR(tf.term = '{must_term}') AS has_must
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ok AS (
+  SELECT s.* FROM scored s
+  WHERE s.has_group AND s.has_must
+    AND NOT EXISTS (SELECT 1 FROM tf t
+                    WHERE t.doc_id = s.doc_id AND t.term = '{not_term}')
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -849,6 +974,96 @@ LIMIT {k}
 """
 
 
+def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
+                 nprobe: int = IVF_NPROBE, seed: int = IVF_SEED) -> str:
+    """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
+    init indices into the md5-ordered 200-vector sample are embedded as
+    literals; Lloyd iterations, the final assignment, the nprobe probe and
+    the cosine re-rank are all recomputed in SQL. Matches the engine up to
+    last-ulp AVG summation order (scores rounded to 6, like every oracle)."""
+    import numpy as np
+
+    from patapsco_spark.operators.ann import ivf_sample_size
+
+    S = ivf_sample_size(n_cells)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(S, size=n_cells, replace=False)  # 0-based into sample
+    init_vals = ", ".join(f"({c}, {int(i) + 1})" for c, i in enumerate(idx))
+
+    ctes = [f"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS j
+  FROM base
+),
+ord AS (
+  SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS rk
+  FROM base
+),
+init(cell, rk) AS (VALUES {init_vals}),
+cent0 AS (
+  SELECT init.cell, ex.j, ex.v AS c
+  FROM init JOIN ord USING (rk) JOIN ex ON ex.vec_id = ord.vec_id
+)"""]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""d{it} AS (
+  SELECT ex.vec_id, ct.cell, SUM((ex.v - ct.c) * (ex.v - ct.c)) AS d2
+  FROM ex JOIN {prev} ct ON ct.j = ex.j GROUP BY ex.vec_id, ct.cell
+),
+a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d{it}) WHERE rn = 1
+),
+m{it} AS (
+  SELECT a.cell, ex.j, AVG(ex.v) AS c
+  FROM a{it} a JOIN ex USING (vec_id) GROUP BY a.cell, ex.j
+),
+cent{it} AS (
+  SELECT c0.cell, c0.j, COALESCE(m.c, c0.c) AS c
+  FROM {prev} c0 LEFT JOIN m{it} m ON m.cell = c0.cell AND m.j = c0.j
+)""")
+        prev = f"cent{it}"
+    ctes.append(f"""dfin AS (
+  SELECT ex.vec_id, ct.cell, SUM((ex.v - ct.c) * (ex.v - ct.c)) AS d2
+  FROM ex JOIN {prev} ct ON ct.j = ex.j GROUP BY ex.vec_id, ct.cell
+),
+afin AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dfin) WHERE rn = 1
+),
+qx AS (
+  SELECT CAST(unnest(e) AS DOUBLE) AS qv, generate_subscripts(e, 1) AS j
+  FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+),
+probe AS (
+  SELECT ct.cell FROM {prev} ct JOIN qx ON qx.j = ct.j
+  GROUP BY ct.cell ORDER BY SUM((qx.qv - ct.c) * (qx.qv - ct.c)), ct.cell
+  LIMIT {nprobe}
+),
+cand AS (
+  SELECT vec_id FROM afin WHERE cell IN (SELECT cell FROM probe)
+),
+dots AS (
+  SELECT ex.vec_id, SUM(ex.v * qx.qv) AS dot, SUM(ex.v * ex.v) AS n2
+  FROM ex JOIN qx USING (j)
+  WHERE ex.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY ex.vec_id
+),
+qn AS (SELECT SQRT(SUM(qv * qv)) AS qn FROM qx)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, ROUND(dot / (SQRT(n2) * qn.qn), 6) AS cosine
+FROM dots, qn
+ORDER BY dot / (SQRT(n2) * qn.qn) DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from patapsco_spark.functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
@@ -860,7 +1075,10 @@ def oracle_sql() -> dict[str, str]:
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
+        "boolean_nested": _boolean_nested_sql(["window", "stream"], "data",
+                                              "batch", 0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
+        "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,
         "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),
         "token_stats": """
@@ -1084,6 +1302,7 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "minhash_lsh_pairs": """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks

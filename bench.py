@@ -17,15 +17,25 @@ Also reported:
 - ``queries`` (cold), ``queries_warm`` (p50 of repeat runs) and
   ``queries_p95`` per query family
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line last (round 2's single giant line was
+truncated by the driver's tail capture → ``parsed: null``; the full
+cold/warm/p95 breakdown now goes to ``bench_details.json`` instead):
 
     {"metric": "index_docs_per_sec", "value": N, "unit": "docs/sec",
-     "queries": {"q1": sec, ...}, "sf": ...}
+     "queries": {<warm p50 per query>}, "sf": ..., "health": {...},
+     "scaling_efficiency": ...}
+
+``health`` is a built-in host-environment probe (Arrow mapInPandas
+round-trip at local[2] vs local[8]; healthy host ≈3-4×, a
+memory-bandwidth-saturated co-tenant pins it ≈1×) so every round's numbers
+carry their own environment evidence — the round-2 lesson, where the VM
+degraded ~7× between measurement windows.
 
 Set SPARK_GRAFT_SCALING=1 to also run the index build at local[N] and
-local[4N] cores in subprocesses and report throughput at both plus scaling
-efficiency — the sandbox stand-in for the N vs 4N executor criterion in
-BASELINE.json.
+local[4N] cores in subprocesses at TWO corpus scales (50k + 500k pages —
+distinguishing fixed-overhead effects from bandwidth effects) and report
+throughput at both plus scaling efficiency — the sandbox stand-in for the
+N vs 4N executor criterion in BASELINE.json.
 """
 
 from __future__ import annotations
@@ -204,18 +214,60 @@ def _warm_python_workers(spark, cores: int) -> None:
      .write.format("noop").mode("overwrite").save())
 
 
-def run_scaling(_sf_dir: str) -> dict:
+def health_child(cores: int) -> float:
+    """Arrow mapInPandas round-trip throughput (M rows/s) at local[cores] —
+    the engine's hot-path shape. Run in a subprocess for a clean JVM."""
+    spark = make_spark(cores)
+    _warm_python_workers(spark, cores)
+
+    def noop(batches):
+        for b in batches:
+            yield b
+
+    n = 4_000_000
+    t0 = time.perf_counter()
+    (spark.range(n, numPartitions=cores * 4)
+     .mapInPandas(noop, schema="id long")
+     .write.format("noop").mode("overwrite").save())
+    secs = time.perf_counter() - t0
+    spark.stop()
+    return n / secs / 1e6
+
+
+def health_probe() -> dict:
+    """2-vs-8-core Arrow round-trip: the self-adjudication probe. A healthy
+    box shows ≈3-4× from 4× cores; a saturated shared-memory host shows ≈1×
+    (then scaling_efficiency numbers are environment artifacts, not engine
+    properties — see BASELINE.md round 2)."""
+    out = {}
+    for cores in (2, 8):
+        code = ("import sys; sys.path.insert(0, %r); import bench; "
+                "print('MRPS', bench.health_child(%d))" % (REPO, cores))
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=600)
+        for line in proc.stdout.splitlines():
+            if line.startswith("MRPS "):
+                out[f"arrow_mrps_{cores}"] = round(float(line.split()[1]), 2)
+    lo, hi = out.get("arrow_mrps_2"), out.get("arrow_mrps_8")
+    if lo and hi:
+        out["ratio_2_to_8"] = round(hi / lo, 2)
+        out["healthy"] = out["ratio_2_to_8"] >= 2.5
+    return out
+
+
+def run_scaling(_sf_dir: str, n_pages: int | None = None) -> dict:
     """N vs 4N task slots on the same input (the sandbox stand-in for N vs
     4N executors). A Python-UDF-heavy task occupies ~2 cores while running
     (the JVM Arrow thread and the Python worker are concurrently busy), so
     on a 32-core box the clean pairing is local[CPUS//8] vs local[CPUS//2]:
     the high level then actually has 4x the low level's cores available
     instead of oversubscribing the machine."""
+    n_pages = n_pages or SCALING_PAGES
     low, high = max(2, CPUS // 8), max(8, CPUS // 2)
-    out: dict = {"pages": SCALING_PAGES}
-    corpus = os.path.join(tempfile.gettempdir(), f"pspark_scaling_{SCALING_PAGES}")
+    out: dict = {"pages": n_pages}
+    corpus = os.path.join(tempfile.gettempdir(), f"pspark_scaling_{n_pages}")
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        prepare_scaling_corpus(corpus, SCALING_PAGES)
+        prepare_scaling_corpus(corpus, n_pages)
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     for cores in (low, high):
         code = (
@@ -241,19 +293,24 @@ def run_scaling(_sf_dir: str) -> dict:
     return out
 
 
+SCALING_SMALL_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "50000"))
+
+
 def main() -> None:
-    result: dict = {"sf": SF_DIR}
+    details: dict = {"sf": SF_DIR}
+    health = health_probe()
+    details["health"] = health
     spark = make_spark(CPUS)
     with tempfile.TemporaryDirectory() as d:
         secs, n = build_cold(spark, SF_DIR, d)
     # old small-corpus number (overhead-bound; kept for r01 continuity)
-    result["sf_index_docs_per_sec"] = round(n / secs, 2)
-    result["sf_index_build_sec"] = round(secs, 3)
-    result["sf_num_docs"] = n
+    details["sf_index_docs_per_sec"] = round(n / secs, 2)
+    details["sf_index_build_sec"] = round(secs, 3)
+    details["sf_num_docs"] = n
     cold, warm, p95 = run_queries(spark, SF_DIR)
-    result["queries"] = cold
-    result["queries_warm"] = warm
-    result["queries_p95"] = p95
+    details["queries"] = cold
+    details["queries_warm"] = warm
+    details["queries_p95"] = p95
     spark.stop()
 
     # headline: throughput at a corpus size where fixed overhead amortizes
@@ -261,19 +318,43 @@ def main() -> None:
     # 500k-page protocol; plus the Zipf-vocabulary skew probe
     cores = max(8, CPUS // 2)
     head = headline_throughput(cores, HEADLINE_PAGES)
-    result["headline"] = head
-    result["metric"] = "index_docs_per_sec"
-    result["value"] = head.get("docs_per_sec", 0.0)
-    result["unit"] = "docs/sec"
-    result["index_build_sec"] = head.get("build_sec")
-    result["num_docs"] = head.get("num_docs")
+    details["headline"] = head
+    details["index_build_sec"] = head.get("build_sec")
+    details["num_docs"] = head.get("num_docs")
     zipf = headline_throughput(cores, ZIPF_PAGES, vocab="zipf")
-    result["zipf_index_docs_per_sec"] = zipf.get("docs_per_sec", 0.0)
-    result["zipf"] = zipf
+    details["zipf_index_docs_per_sec"] = zipf.get("docs_per_sec", 0.0)
+    details["zipf"] = zipf
 
+    scaling_eff = None
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        result["scaling"] = run_scaling(SF_DIR)
-    print(json.dumps(result))
+        # two corpus scales: the small pair separates fixed-overhead effects
+        # from bandwidth effects (round-1 ask #8)
+        details["scaling_small"] = run_scaling(SF_DIR, SCALING_SMALL_PAGES)
+        details["scaling"] = run_scaling(SF_DIR)
+        scaling_eff = details["scaling"].get("scaling_efficiency")
+
+    details_path = os.path.join(REPO, "bench_details.json")
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1)
+
+    # the driver-facing line: COMPACT (a giant line gets tail-truncated),
+    # last on stdout, self-adjudicating via the health probe
+    compact = {
+        "metric": "index_docs_per_sec",
+        "value": head.get("docs_per_sec", 0.0),
+        "unit": "docs/sec",
+        "sf": SF_DIR,
+        "queries": warm,
+        "sf_index_docs_per_sec": details["sf_index_docs_per_sec"],
+        "zipf_index_docs_per_sec": details["zipf_index_docs_per_sec"],
+        "health": health,
+        "details_path": details_path,
+    }
+    if scaling_eff is not None:
+        compact["scaling_efficiency"] = scaling_eff
+        compact["scaling_efficiency_small"] = details["scaling_small"].get(
+            "scaling_efficiency")
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

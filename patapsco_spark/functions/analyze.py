@@ -32,12 +32,20 @@ from .tokenize import make_tokenizer
 
 
 def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng",
-                         pre_normalized: bool = False) -> pd.Series:
+                         pre_normalized: bool = False,
+                         with_positions: bool = False):
     """Series[str] raw text → Series[list[str]] final index terms.
 
     ``pre_normalized=True`` skips the pre-normalization pass (caller already
     ran it — avoids normalizing twice when the normalized text is also kept
-    as a column)."""
+    as a column).
+
+    ``with_positions=True`` returns ``(terms, positions)`` where positions
+    carries each kept token's PRE-REMOVAL index in the tokenized stream —
+    Lucene's position-increment semantics (StopFilter leaves a gap where a
+    stopword was removed, so PhraseQuery "data stream" does NOT match
+    "data the stream"). ``positions`` is None when the chain cannot drop
+    tokens (then positions ≡ 0..n-1 and the caller may use an arange)."""
     tokenizer = make_tokenizer(cfg.tokenize, lang)
     stemmer = make_stemmer(cfg.stem, lang) if (cfg.stem is None or lang == "eng" or cfg.stem != "porter") else None
     stops = None
@@ -58,27 +66,38 @@ def analyze_tokens_batch(text: pd.Series, cfg: TextConfig, lang: str = "eng",
     # pandas string ops instead of a per-token Python loop.
     if (cfg.tokenize == "whitespace" and stops is None and stemmer is None
             and cfg.lowercase):
-        return normed.str.lower().str.split()
+        out = normed.str.lower().str.split()
+        return (out, None) if with_positions else out
 
     tokens = tokenizer(normed)
+    positions: pd.Series | None = None
 
-    if stops is not None and stemmer is not None:
-        def proc(toks: list[str]) -> list[str]:
-            idx = identify_stopword_indices(toks, stops)
-            stemmed = [*toks]
-            stemmed = _stem_list(stemmer, stemmed)
-            return remove_by_index(stemmed, idx)
-        tokens = tokens.map(proc)
-    elif stops is not None:
-        tokens = tokens.map(
-            lambda toks: remove_by_index(toks, identify_stopword_indices(toks, stops))
-        )
+    if stops is not None:
+        if with_positions:
+            def proc_pos(toks: list[str]) -> tuple[list[str], list[int]]:
+                idx = identify_stopword_indices(toks, stops)
+                drop = set(idx)
+                stemmed = _stem_list(stemmer, toks) if stemmer is not None else toks
+                return (remove_by_index(stemmed, idx),
+                        [i for i in range(len(toks)) if i not in drop])
+            pairs = tokens.map(proc_pos)
+            tokens = pairs.map(lambda p: p[0])
+            positions = pairs.map(lambda p: p[1])
+        elif stemmer is not None:
+            def proc(toks: list[str]) -> list[str]:
+                idx = identify_stopword_indices(toks, stops)
+                return remove_by_index(_stem_list(stemmer, toks), idx)
+            tokens = tokens.map(proc)
+        else:
+            tokens = tokens.map(
+                lambda toks: remove_by_index(toks, identify_stopword_indices(toks, stops))
+            )
     elif stemmer is not None:
         tokens = stemmer(tokens)
 
     if cfg.lowercase:
         tokens = tokens.map(lambda toks: [t.lower() for t in toks])
-    return tokens
+    return (tokens, positions) if with_positions else tokens
 
 
 def _stem_list(stemmer, tokens: list[str]) -> list[str]:
@@ -87,13 +106,17 @@ def _stem_list(stemmer, tokens: list[str]) -> list[str]:
 
 
 def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
-                  text_col: str = "text", lang_col: str | None = "lang") -> pd.DataFrame:
+                  text_col: str = "text", lang_col: str | None = "lang",
+                  with_positions: bool = False) -> pd.DataFrame:
     """Full analysis of one Arrow batch → analyzed-docs rows.
 
     Rejects over-long documents (reference MAX_TEXT_LEN, docs.py:245-247) by
     dropping them; callers count rejects via ``df.observe``/filters upstream.
     Language-gated processing: batches may mix languages; we group by lang so
     each group runs its language's tokenizer/stopword list.
+    ``with_positions=True`` adds a ``term_pos`` column of each kept token's
+    pre-removal stream index (Lucene position increments — see
+    :func:`analyze_tokens_batch`).
     """
     keep = pdf[text_col].fillna("").str.len() <= cfg.max_text_len
     pdf = pdf[keep]
@@ -107,22 +130,35 @@ def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
             continue
         lang = lang if isinstance(lang, str) and lang else "eng"
         normed = pre_normalize_series(grp[text_col])
-        terms = analyze_tokens_batch(normed, cfg, lang=_lang_key(lang),
-                                     pre_normalized=True)
-        out_parts.append(pd.DataFrame({
+        got = analyze_tokens_batch(normed, cfg, lang=_lang_key(lang),
+                                   pre_normalized=True,
+                                   with_positions=with_positions)
+        if with_positions:
+            terms, poss = got
+            if poss is None:  # nothing removable: positions ≡ 0..n-1
+                poss = terms.map(lambda t: list(range(len(t))))
+        else:
+            terms = got
+        part = pd.DataFrame({
             "id": grp[id_col].astype(str),
             "lang": lang,
             "terms": terms,
             "dl": terms.map(len).astype("int64"),
             "proc_text": terms.map(" ".join),
             "original_text": normed,
-        }))
+        })
+        if with_positions:
+            part["term_pos"] = poss.to_numpy()
+        out_parts.append(part)
     if not out_parts:
-        return pd.DataFrame({
+        empty = pd.DataFrame({
             "id": pd.Series(dtype=str), "lang": pd.Series(dtype=str),
             "terms": pd.Series(dtype=object), "dl": pd.Series(dtype="int64"),
             "proc_text": pd.Series(dtype=str), "original_text": pd.Series(dtype=str),
         })
+        if with_positions:
+            empty["term_pos"] = pd.Series(dtype=object)
+        return empty
     return pd.concat(out_parts, ignore_index=True)
 
 
@@ -142,11 +178,13 @@ ANALYZED_SCHEMA = (
     "id string, lang string, terms array<string>, dl long, "
     "proc_text string, original_text string"
 )
+ANALYZED_SCHEMA_POS = ANALYZED_SCHEMA + ", term_pos array<int>"
 
 
 def analyze_documents(df, cfg: TextConfig, id_col: str = "id",
                       text_col: str = "text", lang_col: str | None = "lang",
-                      batch_transform=None, extra_cols: tuple[str, ...] = ()):
+                      batch_transform=None, extra_cols: tuple[str, ...] = (),
+                      with_positions: bool = False):
     """Spark DataFrame of raw docs → analyzed docs via mapInPandas.
 
     One Arrow-batched pass; no per-row Python UDFs. ``batch_transform`` (a
@@ -161,8 +199,10 @@ def analyze_documents(df, cfg: TextConfig, id_col: str = "id",
             if batch_transform is not None:
                 pdf = batch_transform(pdf)
             yield analyze_batch(pdf, cfg, id_col=id_col, text_col=text_col,
-                                lang_col=lang_col)
+                                lang_col=lang_col,
+                                with_positions=with_positions)
 
     cols = [c for c in (id_col, text_col, lang_col, *extra_cols)
             if c and c in df.columns]
-    return df.select(*cols).mapInPandas(run, schema=ANALYZED_SCHEMA)
+    schema = ANALYZED_SCHEMA_POS if with_positions else ANALYZED_SCHEMA
+    return df.select(*cols).mapInPandas(run, schema=schema)

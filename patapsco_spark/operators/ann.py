@@ -97,7 +97,8 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_chunks: int | None = None) -> DataFrame:
+                 n_chunks: int | None = None,
+                 approx_count: int | None = None) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ threshold), id_a < id_b.
 
     All-pairs is quadratic by definition (use :func:`lsh_near_dup_pairs` at
@@ -107,12 +108,20 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
     holding a dense matrix, the join is chunk x chunk (upper triangle), and
     each task runs a single numpy GEMM emitting only pairs >= threshold.
     Chunk size bounds task memory (the GEMM tile), the standard distributed
-    exact-similarity layout."""
+    exact-similarity layout.
+
+    The chunk count comes from ``n_chunks``, or from ``approx_count`` (any
+    cheap row estimate — the value only tunes GEMM tile size, never results),
+    else a fixed default; no driver-side count() job is ever run."""
     import pandas as pd
 
     spark = embeddings.sparkSession
-    n = embeddings.count()
-    B = n_chunks or max(2, min(32, int(np.ceil(n / 2000))))
+    if n_chunks:
+        B = n_chunks
+    elif approx_count:
+        B = max(2, min(32, int(np.ceil(approx_count / 2000))))
+    else:
+        B = 16
     chunked = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         (F.abs(F.hash(F.col(id_col))) % B).alias("chunk"))
@@ -194,33 +203,53 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
 
+IVF_SAMPLE = 200
+
+
+def ivf_sample_size(n_cells: int) -> int:
+    return max(n_cells * 20, IVF_SAMPLE)
+
+
 def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
               seed: int = 42, id_col: str = "vec_id",
               vec_col: str = "embedding"):
-    """IVF index: k-means centroids (deterministic seeded init from hashed
-    sample, Lloyd iterations as broadcast-join + groupBy-avg), and the
-    cell-assigned vectors table. At 100 TB the assignment is one broadcast
-    join (centroids are tiny) and cells become the partition key."""
-    import pandas as pd
-    sample = embeddings.select(vec_col).limit(max(n_cells * 20, 200)).collect()
+    """IVF index: k-means centroids with a FULLY DETERMINISTIC init — the
+    sample is the first ``ivf_sample_size`` vectors in md5(id) order (a
+    seeded pseudo-random but engine-replayable shuffle; a bare ``limit()``
+    would depend on Spark partition order) and the seeded rng picks initial
+    centroids from it. Every downstream step (Lloyd assignment tie-breaks by
+    (d2, cell); per-dimension mean; empty cells keep their centroid) is
+    algorithmically deterministic, so a SQL oracle can replay the whole
+    build (DuckDB reproduces it in CORRECTNESS up to last-ulp sum order).
+
+    Plan shape (100 TB thinking): the assignment is a PURE PROJECTION — the
+    tiny centroid matrix is baked into the expression as an
+    array-of-structs argmin (``array_min`` over (d2, cell) structs), so no
+    crossJoin, no window sort, no shuffle; each Lloyd iteration pays exactly
+    one groupBy-avg shuffle on (cell, dim). Cells become the partition key
+    at query time."""
+    sample = (embeddings
+              .orderBy(F.md5(F.col(id_col).cast("string")))
+              .limit(ivf_sample_size(n_cells))
+              .select(vec_col).collect())
     X = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    spark = embeddings.sparkSession
 
     def assign(df, cents_arr):
-        cdf = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents_arr)],
-            "cell int, cvec array<double>")
         vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-        d2 = F.aggregate(F.zip_with(vec, F.col("cvec"),
-                                    lambda x, y: (x - y) * (x - y)),
-                         F.lit(0.0), lambda acc, v: acc + v)
-        pairs = df.crossJoin(F.broadcast(cdf)).select(
-            F.col(id_col), F.col(vec_col), F.col("cell"), d2.alias("d2"))
-        w = Window.partitionBy(id_col).orderBy("d2", "cell")
-        return (pairs.withColumn("rn", F.row_number().over(w))
-                .where("rn = 1").drop("rn", "d2"))
+        slots = []
+        for i, c in enumerate(cents_arr):
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(F.zip_with(vec, carr,
+                                        lambda x, y: (x - y) * (x - y)),
+                             F.lit(0.0), lambda acc, v: acc + v)
+            slots.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
+        # array_min on array<struct> orders by field order = (d2, cell):
+        # nearest cell, ties to the lowest cell id — no join, no window
+        best = F.array_min(F.array(*slots))
+        return df.select(F.col(id_col), F.col(vec_col),
+                         best["cell"].alias("cell"))
 
     for _ in range(iters):
         assigned = assign(embeddings, cents)
@@ -231,7 +260,7 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
                  .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
                  .select("cell", F.transform("ms", lambda s: s["m"]).alias("c"))
                  .collect())
-        for r in means:
+        for r in means:  # cells that lost all members keep their centroid
             cents[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
     return cents, assign(embeddings, cents)
 

@@ -121,13 +121,24 @@ def _token_sets_hashed(docs: DataFrame, id_col: str, text_col: str,
             .withColumn("sz", F.size("toks")))
 
 
-def _release_after(out: DataFrame, cached: DataFrame) -> DataFrame:
+def _release_after(out: DataFrame, cached: DataFrame,
+                   release: bool = True) -> DataFrame:
     """Materialize the (small, above-threshold) result with an eager
     localCheckpoint, then unpersist the big cached intermediate. Without
     this, every call leaks one cached copy of the full shingle expansion
     for the session's lifetime (a long-lived query service or a bench loop
     steadily fills executor storage memory). The checkpoint blocks hold
-    only the thresholded pairs and are GC-cleaned with the plan."""
+    only the thresholded pairs and are GC-cleaned with the plan.
+
+    Tradeoffs (deliberate): the eager checkpoint EXECUTES the pairs plan at
+    call time (callers pay even if they never consume the result), and
+    localCheckpoint truncates lineage — its blocks are unrecoverable on
+    executor loss, so a post-checkpoint executor failure fails the job
+    instead of recomputing. Callers that manage caching themselves (or run
+    on preemptible executors where lineage recovery matters) pass
+    ``release=False`` and own the persist/unpersist lifecycle."""
+    if not release:
+        return out
     out = out.localCheckpoint(eager=True)
     cached.unpersist()
     return out
@@ -150,7 +161,7 @@ def _verify_jaccard(cand: DataFrame, tok_sets: DataFrame) -> DataFrame:
 
 def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        shingle: int = 1) -> DataFrame:
+                        shingle: int = 1, release: bool = True) -> DataFrame:
     """Exact token-set Jaccard pairs ≥ threshold, via **prefix filtering**
     (PPJoin-style): order every doc's tokens by ascending global document
     frequency (rarest first, tie-break by term), keep only the first
@@ -202,7 +213,7 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     verified = _verify_jaccard(cand, tok_sets)
     out = (verified.where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return _release_after(out, tok_sets)
+    return _release_after(out, tok_sets, release)
 
 
 def _minhash_from_terms(terms: DataFrame, num_hashes: int,
@@ -266,13 +277,15 @@ def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4
 def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.8,
                             num_hashes: int = 16, bands: int = 4,
                             id_col: str = "doc_id", text_col: str = "text",
-                            shingle: int = 1) -> DataFrame:
+                            shingle: int = 1, release: bool = True) -> DataFrame:
     """LSH candidates verified with exact Jaccard — candidates only, so the
     expensive exact check touches a vanishing fraction of all pairs.
 
     The shingle expansion is materialized once (persist) and feeds BOTH the
     MinHash signatures and the exact verification — same single-compute
-    discipline as :func:`token_jaccard_pairs`."""
+    discipline as :func:`token_jaccard_pairs`. ``release=False`` skips the
+    eager localCheckpoint (see :func:`_release_after` for the tradeoff) and
+    leaves cache lifecycle to the caller."""
     tok_sets = _token_sets(docs, id_col, text_col, shingle).persist()
     terms = tok_sets.select("_id", F.explode("toks").alias("term"))
     sigs = _minhash_from_terms(terms, num_hashes, id_col)
@@ -280,7 +293,7 @@ def near_duplicates_minhash(docs: DataFrame, threshold: float = 0.8,
     verified = _verify_jaccard(cand, tok_sets)
     out = (verified.where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
-    return _release_after(out, tok_sets)
+    return _release_after(out, tok_sets, release)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

@@ -66,8 +66,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     analogue of patapsco's ``.complete``-gated plan pruning (job.py:672-685).
     """
     cfg = cfg or IndexConfig()
+    # positions is part of the analyzed cache key: a positions build stores
+    # per-token pre-removal offsets (term_pos) that a plain build's cached
+    # analyzed/ dir would lack
     cfg_doc = {"text": vars(cfg.text), "block_size": cfg.block_size,
-               "num_shards": cfg.num_shards}
+               "num_shards": cfg.num_shards, "positions": bool(cfg.positions)}
 
     analyzed_path = f"{index_path}/analyzed"
     if not (resume and mf.is_complete(analyzed_path, "analyzed", cfg_doc)):
@@ -84,7 +87,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         analyzed = analyze_documents(pages, cfg.text, id_col=id_col,
                                      text_col=text_col, lang_col=lang_col,
                                      batch_transform=batch_transform,
-                                     extra_cols=transform_cols)
+                                     extra_cols=transform_cols,
+                                     with_positions=bool(cfg.positions))
         # materialize BEFORE range partitioning: repartitionByRange runs a
         # sampling job over its child, which would re-execute the whole
         # Python analysis chain a second time. Staged through parquet, the
@@ -182,11 +186,17 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
 
         if cfg.positions:
             # positions sidecar for exact phrase scoring: one row per
-            # (term, docid) with the term's 0-based token offsets. Same
-            # (shard, term) layout discipline as postings/ — shard partition
-            # pruning + term predicate pushdown at phrase-query time; shard
-            # bounds a head term's row count (the shard is the salt).
-            positions = (docided.select("shard", "docid", "terms")
+            # (term, docid) with the term's token offsets — PRE-REMOVAL
+            # stream indices (term_pos) when the analysis chain can drop
+            # stopwords, so phrase matching honors Lucene's position
+            # increments ("data stream" does not match "data the stream").
+            # Same (shard, term) layout discipline as postings/ — shard
+            # partition pruning + term predicate pushdown at phrase-query
+            # time; shard bounds a head term's row count (the shard is the
+            # salt).
+            pcols = [c for c in ("shard", "docid", "terms", "term_pos")
+                     if c in docided.columns]
+            positions = (docided.select(*pcols)
                          .mapInPandas(_emit_positions,
                                       schema="shard int, term string, "
                                              "docid long, positions array<int>"))
@@ -268,10 +278,14 @@ def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _emit_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(shard, docid, terms[]) batches → (shard, term, docid, positions[]).
+    """(shard, docid, terms[][, term_pos[]]) batches →
+    (shard, term, docid, positions[]).
 
     Vectorized flatten (np.repeat/concatenate) then one C-level groupby
-    collecting each (doc, term)'s 0-based token offsets."""
+    collecting each (doc, term)'s token offsets. When the analyzed rows
+    carry ``term_pos`` (chains with stopword removal), the stored offsets
+    are the PRE-REMOVAL stream indices — Lucene position-increment
+    semantics; otherwise offsets are 0..n-1 (nothing was removed)."""
     for pdf in batches:
         if pdf.empty:
             continue
@@ -279,11 +293,17 @@ def _emit_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lens = term_lists.map(len).to_numpy(dtype=np.int64)
         if lens.sum() == 0:
             continue
+        if "term_pos" in pdf.columns:
+            pos_flat = np.concatenate([
+                np.asarray(p if p is not None else [], dtype=np.int32)
+                for p in pdf["term_pos"]])
+        else:
+            pos_flat = np.concatenate([np.arange(n, dtype=np.int32) for n in lens])
         flat = pd.DataFrame({
             "shard": np.repeat(pdf["shard"].to_numpy(), lens),
             "docid": np.repeat(pdf["docid"].to_numpy(), lens),
             "term": np.concatenate([np.asarray(t, dtype=object) for t in term_lists]),
-            "pos": np.concatenate([np.arange(n, dtype=np.int32) for n in lens]),
+            "pos": pos_flat,
         })
         grp = (flat.groupby(["shard", "docid", "term"], sort=False)["pos"]
                    .agg(list).rename("positions").reset_index())

@@ -41,6 +41,12 @@ class Clause:
     # (its index stores DOCS_AND_FREQS, no positions, index.py:52), so the
     # positional path strictly exceeds reference parity.
     phrase: bool = False
+    # a parenthesized sub-query ("(a OR b) AND c"): terms is empty and the
+    # clause matches iff the sub-clauses' boolean constraints hold, scoring
+    # boost × Σ matching sub-clause scores — Lucene's nested BooleanQuery
+    # (the reference reaches this through Lucene QueryParser + luqum,
+    # /root/reference/patapsco/topics.py:362-414)
+    group: list["Clause"] | None = None
 
 
 @dataclass
@@ -48,6 +54,15 @@ class QueryPlan:
     qid: str
     clauses: list[Clause]
     mode: str = "plain"
+
+
+def iter_term_clauses(clauses: list[Clause]):
+    """All leaf (term-bearing) clauses, descending through nested groups."""
+    for c in clauses:
+        if c.group:
+            yield from iter_term_clauses(c.group)
+        else:
+            yield c
 
 
 def plan_plain(qid: str, terms: list[str]) -> QueryPlan:
@@ -80,55 +95,93 @@ def plan_psq(qid: str, query: str) -> QueryPlan:
     return QueryPlan(qid, clauses, "psq")
 
 
+_BOOST_TOK = re.compile(r"\^\d+(?:\.\d+)?(?:[eE]-?\d+)?$")
+
+
 def plan_boolean(qid: str, query: str) -> QueryPlan:
-    """Parse the Lucene-classic boolean subset the reference exercises
-    (samples/data/eng_mini_lucene_queries.jsonl): AND/OR/NOT, +term, -term,
-    term^boost, "quoted phrases" (bag-of-words). Default operator is OR
-    (SHOULD), matching Lucene's QueryParser default.
+    """Parse the Lucene-classic boolean syntax the reference exercises
+    (samples/data/eng_mini_lucene_queries.jsonl and Lucene QueryParser via
+    luqum, /root/reference/patapsco/topics.py:362-414): AND/OR/NOT, +term,
+    -term, term^boost, "quoted phrases", and parenthesized sub-queries —
+    ``(a OR b) AND c``, nested arbitrarily, with group boosts ``(a b)^2``
+    and group prefixes ``+(...)`` / ``-(...)``. Default operator is OR
+    (SHOULD); AND promotes its left neighbor to MUST, both matching Lucene's
+    QueryParser, applied independently at every nesting level.
     """
     # a quoted phrase keeps any ^boost suffix attached ("a b"^3 is ONE token
-    # — a bare alternation would split off '^3' and silently drop the boost)
-    toks = re.findall(r'"[^"]*"(?:\^[\d.eE-]+)?|\S+', query)
-    clauses: list[Clause] = []
-    pending_occur: str | None = None
-    i = 0
-    while i < len(toks):
-        tok = toks[i]
-        up = tok.upper()
-        if up == "AND":
-            # promote previous clause to MUST and mark next as MUST
-            if clauses and clauses[-1].occur == SHOULD:
-                clauses[-1].occur = MUST
-            pending_occur = MUST
-            i += 1
-            continue
-        if up == "OR":
-            pending_occur = SHOULD
-            i += 1
-            continue
-        if up == "NOT":
-            pending_occur = MUST_NOT
-            i += 1
-            continue
-        occur = pending_occur or SHOULD
-        pending_occur = None
-        boost = 1.0
-        if tok.startswith("+"):
-            occur, tok = MUST, tok[1:]
-        elif tok.startswith("-"):
-            occur, tok = MUST_NOT, tok[1:]
-        m = _WEIGHTED.match(tok)
-        if m:
-            tok, boost = m.group(1), float(m.group(2))
-        if tok.startswith('"') and tok.endswith('"'):
-            words = tok.strip('"').split()
-            if words:
-                clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
-                                      phrase=len(words) > 1))
-        elif tok:
-            clauses.append(Clause(occur, boost, [(tok, 1.0)]))
-        i += 1
-    return QueryPlan(qid, clauses, "boolean")
+    # — a bare alternation would split off '^3' and silently drop the boost);
+    # parens are their own tokens so "(a" splits into "(" and "a"
+    toks = re.findall(r'"[^"]*"(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+', query)
+    pos = 0
+
+    def parse_level(depth: int) -> list[Clause]:
+        nonlocal pos
+        clauses: list[Clause] = []
+        pending_occur: str | None = None
+        while pos < len(toks):
+            tok = toks[pos]
+            if tok == ")":
+                if depth == 0:
+                    pos += 1  # stray close paren: lenient skip
+                    continue
+                return clauses  # caller consumes the ')'
+            up = tok.upper()
+            if up == "AND":
+                # promote previous clause (term OR group) to MUST, mark next
+                if clauses and clauses[-1].occur == SHOULD:
+                    clauses[-1].occur = MUST
+                pending_occur = MUST
+                pos += 1
+                continue
+            if up == "OR":
+                pending_occur = SHOULD
+                pos += 1
+                continue
+            if up == "NOT":
+                pending_occur = MUST_NOT
+                pos += 1
+                continue
+            if tok in ("+", "-"):
+                # bare prefix directly before '(' — "+(a b)" tokenizes as
+                # '+' '(' ... — applies to the next clause
+                pending_occur = MUST if tok == "+" else MUST_NOT
+                pos += 1
+                continue
+            if tok == "(":
+                pos += 1
+                sub = parse_level(depth + 1)
+                if pos < len(toks) and toks[pos] == ")":
+                    pos += 1
+                boost = 1.0
+                if pos < len(toks) and _BOOST_TOK.fullmatch(toks[pos]):
+                    boost = float(toks[pos][1:])
+                    pos += 1
+                occur = pending_occur or SHOULD
+                pending_occur = None
+                if sub:
+                    clauses.append(Clause(occur, boost, [], group=sub))
+                continue
+            occur = pending_occur or SHOULD
+            pending_occur = None
+            boost = 1.0
+            if tok.startswith("+") and len(tok) > 1:
+                occur, tok = MUST, tok[1:]
+            elif tok.startswith("-") and len(tok) > 1:
+                occur, tok = MUST_NOT, tok[1:]
+            m = _WEIGHTED.match(tok)
+            if m:
+                tok, boost = m.group(1), float(m.group(2))
+            if tok.startswith('"') and tok.endswith('"'):
+                words = tok.strip('"').split()
+                if words:
+                    clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
+                                          phrase=len(words) > 1))
+            elif tok:
+                clauses.append(Clause(occur, boost, [(tok, 1.0)]))
+            pos += 1
+        return clauses
+
+    return QueryPlan(qid, parse_level(0), "boolean")
 
 
 def parse_query(qid: str, query: str, mode: str = "plain",

@@ -39,7 +39,8 @@ from ..functions.analyze import analyze_tokens_batch
 from ..functions.codec import decode_blocks
 from ..functions.smallfloat import quantize_length
 from ..plans import manifest as mf
-from .queryparse import MUST, MUST_NOT, SHOULD, QueryPlan, parse_query
+from .queryparse import (MUST, MUST_NOT, SHOULD, QueryPlan,
+                         iter_term_clauses, parse_query)
 
 RESULT_SCHEMA = "query_id string, docid long, score double"
 
@@ -77,7 +78,9 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     avgdl = float(meta["avgdl"])
     docs_per_shard = int(meta["docs_per_shard"])
 
-    all_terms = sorted({t for p in plans for c in p.clauses for t, _ in c.terms})
+    all_terms = sorted({t for p in plans
+                        for c in iter_term_clauses(p.clauses)
+                        for t, _ in c.terms})
     if not all_terms or num_docs == 0:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
@@ -94,13 +97,17 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
 
     # exact phrase scoring (positions sidecar): rewrite each phrase clause to
-    # a single pseudo-term whose postings are built from positional joins;
-    # without the sidecar (or under qld) phrases stay bag-of-words, matching
-    # the reference's Lucene index which stores no positions (index.py:52)
+    # a single pseudo-term whose postings are built from positional joins.
+    # Applies under BOTH bm25 (idf = Σ member idfs via idf_over, Lucene
+    # PhraseQuery semantics) and qld (the pseudo-term's own (df, cf) feed
+    # LMDirichlet's p(t|C) directly). Without the sidecar phrases stay
+    # bag-of-words, matching the reference's Lucene index which stores no
+    # positions (index.py:52).
     idf_over: dict[str, float] = {}
     phrase_posts = None
-    if cfg.name == "bm25" and meta.get("positions") and any(
-            c.phrase and len(c.terms) > 1 for p in plans for c in p.clauses):
+    if cfg.name in ("bm25", "qld") and meta.get("positions") and any(
+            c.phrase and len(c.terms) > 1
+            for p in plans for c in iter_term_clauses(p.clauses)):
         plans, phrase_posts = _rewrite_phrase_plans(
             spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
             num_shards=num_shards, docs_per_shard=docs_per_shard,
@@ -111,8 +118,9 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # shard < manifest num_shards gives manifest-snapshot isolation: a
     # concurrent streaming append's half-written NEW shard dirs are never
     # read — they only become visible once its manifest commit lands
-    live_terms = sorted({t for p in plans for c in p.clauses for t, _ in c.terms
-                         if not t.startswith("\x01")})
+    live_terms = sorted({t for p in plans
+                         for c in iter_term_clauses(p.clauses)
+                         for t, _ in c.terms if not t.startswith("\x01")})
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(live_terms) &
                     (F.col("shard") < num_shards)))
@@ -123,9 +131,14 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
                     .where(F.col("shard") < num_shards))
 
+    def _clause_payload(c):
+        # (occur, boost, terms, children): children non-empty for a nested
+        # boolean group — the kernel scores it recursively
+        return (c.occur, float(c.boost), list(c.terms),
+                [_clause_payload(k) for k in (c.group or [])])
+
     plans_payload = [
-        (p.qid, [(c.occur, float(c.boost), list(c.terms)) for c in p.clauses])
-        for p in plans
+        (p.qid, [_clause_payload(c) for c in p.clauses]) for p in plans
     ]
     # adaptive pruning decision: the block-max pruner pays an O(size)
     # bound pass + a seed pass before it can skip anything; vectorized
@@ -173,6 +186,58 @@ def search_texts(spark: SparkSession, index_path: str,
     return search(spark, index_path, plans, cfg)
 
 
+def search_query_frame(spark: SparkSession, index_path: str,
+                       queries_df: DataFrame, out_path: str,
+                       cfg: RetrieveConfig | None = None,
+                       text_cfg: TextConfig | None = None, lang: str = "eng",
+                       mode: str = "plain", chunk_size: int = 16384,
+                       resume: bool = True) -> DataFrame:
+    """Batch retrieval for a DataFrame of queries (query_id, text) — the
+    scale path for topic sets too large to hold as driver-resident plans.
+
+    The reference collects all topics into memory before retrieval
+    (generators over the full topic store, /root/reference/patapsco/job.py)
+    — fine at its scale, a driver bottleneck at 10^6 topics. Here the query
+    set is split into hash chunks; only ONE chunk's texts/plans/term-stats
+    live on the driver at a time (bounded by ``chunk_size``), each chunk's
+    results land in their own ``chunk=K`` parquet directory (idempotent
+    per-chunk overwrite + ``resume=True`` skips completed chunks after a
+    crash — the artifact-resume discipline of the batch indexer), and the
+    returned frame is the partitioned parquet read, so downstream consumers
+    see one DataFrame. Results are identical to :func:`search_texts` on the
+    same queries.
+    """
+    import os
+
+    cfg = cfg or RetrieveConfig()
+    n = queries_df.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id string, docid long, rank int, score double")
+    n_chunks = max(1, -(-n // chunk_size))
+    chunked = queries_df.select(
+        F.col("query_id").cast("string").alias("query_id"), "text",
+        F.pmod(F.xxhash64(F.col("query_id").cast("string")), n_chunks)
+         .cast("int").alias("chunk"))
+    for c in range(n_chunks):
+        chunk_dir = os.path.join(out_path, f"chunk={c}")
+        if resume and os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
+            continue
+        batch = [(r["query_id"], r["text"])
+                 for r in chunked.where(F.col("chunk") == c)
+                                 .select("query_id", "text").collect()]
+        if not batch:
+            # write an empty marker dir so resume skips it next time
+            (spark.createDataFrame([], "query_id string, doc_id string, "
+                                       "docid long, rank int, score double")
+             .write.mode("overwrite").parquet(chunk_dir))
+            continue
+        res = search_texts(spark, index_path, batch, cfg,
+                           text_cfg=text_cfg, lang=lang, mode=mode)
+        res.write.mode("overwrite").parquet(chunk_dir)
+    return spark.read.parquet(out_path).drop("chunk")
+
+
 def _phrase_pseudo_term(words: list[str]) -> str:
     # \x01 prefix keeps pseudo-terms out of the real term namespace
     # (no analyzed token can contain a control char)
@@ -181,32 +246,45 @@ def _phrase_pseudo_term(words: list[str]) -> str:
 
 def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
                           num_docs, num_shards, docs_per_shard, block_size):
-    """Rewrite phrase clauses to pseudo-terms backed by positional postings.
+    """Rewrite phrase clauses to pseudo-terms backed by positional postings
+    — ONE Spark job for ALL phrases, however many the batch contains.
 
-    For each distinct phrase w0..wm: join the member terms' positions rows on
-    (shard, docid) with each list shifted by its offset — the phrase
-    frequency is the size of the JVM-side array_intersect (no Python in the
-    join). The (docid, tf) rows are then encoded through the SAME blocked
-    varbyte kernel as regular postings and unioned into the postings frame,
-    so the scorer kernel needs no phrase-specific path. Scoring matches
-    Lucene's PhraseQuery under BM25: tf = phrase frequency, idf = Σ member
-    idfs (BM25Similarity.idfExplain over the phrase terms) — carried via
-    ``idf_over``. df_map gains (df, cf) for each pseudo-term; a phrase with
-    zero matches (or an unindexed member) stays out of df_map, so MUST
+    Every distinct phrase's members become rows of a tiny broadcast
+    membership table (pid, word, offset, n_words); the positions read (term-
+    predicate-pushed, shard-pruned) joins it once, each row's position list
+    is shifted by its member offset JVM-side, and a single groupBy
+    (pid, shard, docid) folds the member lists with array_intersect — the
+    intersection size is the exact phrase frequency (a doc must supply all
+    n_words member rows to survive). All phrases' (df, cf) stats come back
+    in ONE collect; all pseudo-term postings are encoded through the SAME
+    blocked varbyte kernel as regular postings in ONE repartition+kernel
+    pass, so the scorer needs no phrase-specific path and the postings frame
+    gains exactly one union branch regardless of phrase count. (The round-2
+    shape — a driver loop with a per-phrase .first() plus a per-phrase union
+    branch — was O(#phrases) sequential jobs; a thousand-phrase topic batch
+    would have crawled.)
+
+    Scoring matches Lucene's PhraseQuery under BM25: tf = phrase frequency,
+    idf = Σ member idfs (BM25Similarity.idfExplain over the phrase terms) —
+    carried via ``idf_over``; under QLD the pseudo-term scores through the
+    standard LMDirichlet formula with its own (df, cf) from df_map. A phrase
+    with zero matches (or an unindexed member) stays out of df_map, so MUST
     clauses correctly exclude everything.
 
-    Scale shape: positions reads are term-predicate-pushed and shard-pruned;
-    the positional join keys on (shard, docid); a head term's rows per shard
-    are bounded by docs_per_shard (the shard is the salt)."""
+    Scale shape: the groupBy keys on (pid, shard, docid) — a head term's
+    rows per shard stay bounded by docs_per_shard (the shard is the salt),
+    and phrase candidates only exist for docs containing a member word."""
     from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
     from .queryparse import Clause, QueryPlan
 
     phrases: dict[tuple[str, ...], str] = {}
     for p in plans:
-        for c in p.clauses:
+        for c in iter_term_clauses(p.clauses):
             if c.phrase and len(c.terms) > 1:
                 words = tuple(t for t, _ in c.terms)
                 phrases.setdefault(words, _phrase_pseudo_term(list(words)))
+    pid_of = {words: i for i, words in enumerate(phrases)}
+    pseudo_of_pid = {i: phrases[w] for w, i in pid_of.items()}
 
     pos_path = f"{index_path}/positions"
     all_words = sorted({w for ws in phrases for w in ws})
@@ -214,63 +292,82 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
            .where(F.col("term").isin(all_words) & (F.col("shard") < num_shards)))
     norms = spark.read.parquet(f"{index_path}/norms").select("shard", "docid", "dl")
 
-    base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+    memb = spark.createDataFrame(
+        [(pid, w, off, len(words))
+         for words, pid in pid_of.items()
+         for off, w in enumerate(words)],
+        "pid int, word string, off int, n_words int")
 
-    def encode(batches):
-        def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = pdf.assign(dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
-            return out[["shard", "term", "docid", "tf", "dlq"]]
-        yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+    shifted = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
+               .select("pid", "shard", "docid", "n_words",
+                       F.transform("positions",
+                                   lambda x: x - F.col("off")).alias("sp")))
+    arrs = F.col("arrs")
+    inter = F.aggregate(arrs, F.element_at(arrs, 1),
+                        lambda acc, a: F.array_intersect(acc, a))
+    tf_all = (shifted.groupBy("pid", "shard", "docid")
+              .agg(F.count("*").alias("nm"), F.max("n_words").alias("nw"),
+                   F.collect_list("sp").alias("arrs"))
+              .where(F.col("nm") == F.col("nw"))
+              .select("pid", "shard", "docid", F.size(inter).alias("tf"))
+              .where(F.col("tf") > 0)
+              .join(norms, ["shard", "docid"])
+              .persist())  # tiny (phrase-matching docs); feeds stats + encode
 
-    def _shift(off: int):
-        # NB: the returned lambda must be single-arg — F.transform gives a
-        # two-arg lambda the element INDEX as its second argument, so a
-        # default-arg closure (lambda x, off=i: ...) silently shifts by the
-        # array position instead of the phrase offset.
-        return lambda x: x - F.lit(off)
-
-    union = None
-    for words, pseudo in phrases.items():
-        joined = None
-        for i, w in enumerate(words):
-            arr = (F.col("positions") if i == 0 else
-                   F.transform(F.col("positions"), _shift(i)))
-            pi = (pos.where(F.col("term") == w)
-                  .select("shard", "docid", arr.alias(f"p{i}")))
-            joined = pi if joined is None else joined.join(pi, ["shard", "docid"])
-        inter = F.col("p0")
-        for i in range(1, len(words)):
-            inter = F.array_intersect(inter, F.col(f"p{i}"))
-        tf_df = (joined.select("shard", "docid", F.size(inter).alias("tf"))
-                 .where(F.col("tf") > 0))
-        rows = tf_df.join(norms, ["shard", "docid"])
-        st = rows.agg(F.count("*").alias("df"), F.sum("tf").alias("cf")).first()
-        df_c = int(st["df"] or 0)
-        if df_c == 0:
+    # ALL phrases' stats in one job
+    stats = {int(r["pid"]): (int(r["df"]), int(r["cf"]))
+             for r in tf_all.groupBy("pid")
+                            .agg(F.count("*").alias("df"),
+                                 F.sum("tf").alias("cf")).collect()}
+    live_pids = []
+    for words, pid in pid_of.items():
+        st = stats.get(pid)
+        if not st or st[0] == 0:
             continue  # phrase matches nothing: pseudo stays out of df_map
-        df_map[pseudo] = (df_c, int(st["cf"] or 0))
+        pseudo = pseudo_of_pid[pid]
+        df_map[pseudo] = st
         idf_over[pseudo] = sum(
             math.log(1.0 + (num_docs - df_map[w][0] + 0.5) / (df_map[w][0] + 0.5))
             for w in words if w in df_map and df_map[w][0] > 0)
-        enc = (rows.select("shard", F.lit(pseudo).alias("term"), "docid",
-                           F.col("tf").cast("int"), "dl")
-               .repartition(num_shards, "shard")
-               .sortWithinPartitions("shard", "term", "docid")
-               .mapInPandas(encode, schema=_PSCHEMA))
-        union = enc if union is None else union.unionByName(enc)
+        live_pids.append(pid)
+    if not live_pids:
+        tf_all.unpersist()
+        union = None
+    else:
+        base_kernel = _make_postings_kernel(block_size, docs_per_shard)
 
-    # swap phrase clauses for their pseudo-term (new plan objects — the
-    # caller's plans are not mutated)
-    new_plans = []
-    for p in plans:
+        def encode(batches):
+            def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = pdf.assign(
+                    dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+                return out[["shard", "term", "docid", "tf", "dlq"]]
+            yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+        name_df = spark.createDataFrame(
+            [(pid, pseudo_of_pid[pid]) for pid in live_pids],
+            "pid int, term string")
+        union = (tf_all.join(F.broadcast(name_df), "pid")
+                 .select("shard", "term", "docid",
+                         F.col("tf").cast("int"), "dl")
+                 .repartition(num_shards, "shard")
+                 .sortWithinPartitions("shard", "term", "docid")
+                 .mapInPandas(encode, schema=_PSCHEMA))
+
+    # swap phrase clauses for their pseudo-term, descending through nested
+    # groups (new plan objects — the caller's plans are not mutated)
+    def swap(clauses):
         cl = []
-        for c in p.clauses:
-            if c.phrase and len(c.terms) > 1:
+        for c in clauses:
+            if c.group:
+                cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
+            elif c.phrase and len(c.terms) > 1:
                 pseudo = phrases[tuple(t for t, _ in c.terms)]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
             else:
                 cl.append(c)
-        new_plans.append(QueryPlan(p.qid, cl, p.mode))
+        return cl
+
+    new_plans = [QueryPlan(p.qid, swap(p.clauses), p.mode) for p in plans]
     return new_plans, union
 
 
@@ -325,28 +422,28 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 got = decoded[term] = (d - base, t.astype(np.float64))
             return got
 
-        out_q, out_d, out_s = [], [], []
-        for qid, clauses in plans_payload:
-            # fast path: pure disjunctive single-term BM25 (plain/RM3/
-            # weighted-OR queries) goes through the block-max pruner
-            if bmw is not None and all(
-                    occ == SHOULD and len(ts) == 1 for occ, _, ts in clauses):
-                terms_w = [(ts[0][0], boost * ts[0][1])
-                           for _, boost, ts in clauses]
-                got = bmw.topk(terms_w, handles, df_map, K, idf_over)
-                if got is not None:
-                    cpos, cscore = got
-                    if len(cpos):
-                        out_q.append(np.full(len(cpos), qid, dtype=object))
-                        out_d.append(cpos + base)
-                        out_s.append(cscore)
-                    continue
+        def eval_clauses(clauses):
+            """Score one boolean level; nested groups recurse — Lucene's
+            BooleanQuery: score = Σ matching scoring clauses, a sub-query
+            clause matches iff its own constraints hold and contributes
+            boost × its score. Returns (total, cand_mask, has_scoring)."""
             total = np.zeros(size, dtype=np.float64)
             matched_any = np.zeros(size, dtype=bool)
             must_ok = np.ones(size, dtype=bool)
             forbidden = np.zeros(size, dtype=bool)
             has_scoring_clause = False
-            for occur, boost, terms in clauses:
+            for occur, boost, terms, kids in clauses:
+                if kids:
+                    sub_total, mask, sub_has = eval_clauses(kids)
+                    if occur == MUST_NOT:
+                        forbidden |= mask
+                        continue
+                    has_scoring_clause = has_scoring_clause or sub_has
+                    if occur == MUST:
+                        must_ok &= mask
+                    matched_any |= mask
+                    total[mask] += boost * sub_total[mask]
+                    continue
                 etf = np.zeros(size, dtype=np.float64)
                 edf = 0.0
                 ecf = 0.0
@@ -381,8 +478,26 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     p_c = (ecf + 1.0) / (total_tf + 1.0)
                     s = np.log(1.0 + etf[mask] / (mu * p_c)) + len_comp[mask]
                     total[mask] += boost * np.maximum(s, 0.0)
+            return total, matched_any & must_ok & ~forbidden, has_scoring_clause
 
-            cand = matched_any & must_ok & ~forbidden
+        out_q, out_d, out_s = [], [], []
+        for qid, clauses in plans_payload:
+            # fast path: pure disjunctive single-term BM25 (plain/RM3/
+            # weighted-OR queries) goes through the block-max pruner
+            if bmw is not None and all(
+                    occ == SHOULD and len(ts) == 1 and not kids
+                    for occ, _, ts, kids in clauses):
+                terms_w = [(ts[0][0], boost * ts[0][1])
+                           for _, boost, ts, _kids in clauses]
+                got = bmw.topk(terms_w, handles, df_map, K, idf_over)
+                if got is not None:
+                    cpos, cscore = got
+                    if len(cpos):
+                        out_q.append(np.full(len(cpos), qid, dtype=object))
+                        out_d.append(cpos + base)
+                        out_s.append(cscore)
+                    continue
+            total, cand, has_scoring_clause = eval_clauses(clauses)
             if not has_scoring_clause or not cand.any():
                 continue
             cpos = np.flatnonzero(cand)

@@ -19,8 +19,10 @@ from pyspark.sql import DataFrame
 
 _UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
 
-# beyond this many files, skip the per-file stat calls: a ≥2000-file table
-# at any realistic file size packs wider than a single node's parallelism
+# beyond this many files, stat only an evenly-spaced sample and extrapolate
+# total bytes: per-file stat calls on a 100k-file table would take seconds,
+# but returning the raw file count would reintroduce the tiny-files trap
+# (3000 near-empty files can still pack into a handful of partitions)
 _FILE_STAT_CAP = 2000
 
 
@@ -56,16 +58,22 @@ def scan_width(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    if len(files) > _FILE_STAT_CAP:
-        return len(files)
     spark = df.sparkSession
     mpb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes",
                                       "134217728"))
     open_cost = _parse_bytes(spark.conf.get("spark.sql.files.openCostInBytes",
                                             "4194304"))
     par = spark.sparkContext.defaultParallelism
-    sizes = _file_sizes(df, files)
-    total = sum(s + open_cost for s in sizes)
+    if len(files) > _FILE_STAT_CAP:
+        # evenly-spaced sample (parquet writers produce size-correlated runs
+        # of part files, so a prefix sample would bias the estimate)
+        step = -(-len(files) // _FILE_STAT_CAP)
+        sample = files[::step]
+        sampled = _file_sizes(df, sample)
+        total = int(sum(s + open_cost for s in sampled) * len(files) / len(sample))
+    else:
+        sizes = _file_sizes(df, files)
+        total = sum(s + open_cost for s in sizes)
     max_split = min(mpb, max(open_cost, total // max(1, par)))
     if max_split <= 0:
         return len(files)

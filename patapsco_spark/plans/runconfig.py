@@ -116,8 +116,10 @@ def apply_overrides(conf: dict, overrides: dict[str, Any] | None) -> dict:
 def _convert_boolean_strings(d: Any) -> Any:
     """Reference parity (config.py:_convert_boolean_strings): the string
     values 'true'/'on'/'yes' and 'false'/'off'/'no' become booleans,
-    recursively — applied at file-read time like the reference, so JSON
-    configs and quoted YAML scalars behave like bare YAML booleans."""
+    recursively — applied to JSON input only, exactly like the reference
+    (its JSON reader calls the conversion, config.py:192; its YAML reader
+    never does, so quoted YAML scalars like ``lang: "no"`` keep PyYAML's
+    standard quoting escape hatch)."""
     if isinstance(d, dict):
         for k, v in d.items():
             d[k] = _convert_boolean_strings(v)
@@ -141,17 +143,21 @@ def _parse_text(text: str) -> Any:
     except json.JSONDecodeError:
         try:
             import yaml
-            parsed = yaml.safe_load(text)
+            return yaml.safe_load(text)
         except ImportError as e:  # pragma: no cover
             raise ConfigError(f"not JSON and pyyaml unavailable: {e}")
     return _convert_boolean_strings(parsed)
 
 
-def apply_imports(conf: dict, base_dir: str | None) -> dict:
+def apply_imports(conf: dict, base_dir: str | None,
+                  _visited: frozenset[str] = frozenset()) -> dict:
     """Process ``imports: [file, ...]``: load each file relative to the
     importing file's directory, recurse into its own imports, then merge it
     into ``conf`` with the imported values winning (the reference merges the
-    partial over the main conf — config.py:231,493-500)."""
+    partial over the main conf — config.py:231,493-500). Import cycles
+    (a.yml → b.yml → a.yml) raise a ConfigError naming the cycle instead of
+    dying in an opaque RecursionError (the reference shares the flaw; a
+    clear error is cheap)."""
     if "imports" not in conf:
         return conf
     imports = conf.pop("imports")
@@ -160,7 +166,10 @@ def apply_imports(conf: dict, base_dir: str | None) -> dict:
                           "paths resolve against the importing file)")
     import os
     for rel in imports:
-        path = os.path.join(base_dir, str(rel))
+        path = os.path.abspath(os.path.join(base_dir, str(rel)))
+        if path in _visited:
+            raise ConfigError(f"import cycle detected at {path} "
+                              f"(already imported in this chain)")
         try:
             with open(path) as f:
                 partial = _parse_text(f.read())
@@ -168,7 +177,7 @@ def apply_imports(conf: dict, base_dir: str | None) -> dict:
             raise ConfigError(f"cannot import config {path}: {e}")
         if not isinstance(partial, dict):
             raise ConfigError(f"imported config {path} must be a mapping")
-        apply_imports(partial, os.path.dirname(path))
+        apply_imports(partial, os.path.dirname(path), _visited | {path})
         _merge_dicts(conf, partial)
     return conf
 

@@ -94,7 +94,8 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     # overwrite mode makes a replay recompute it cleanly) -----------------
     stage = f"{index_path}/_epoch_stage/{first_shard}"
     analyzed = analyze_documents(docs, cfg.text, id_col=id_col,
-                                 text_col=text_col, lang_col=lang_col)
+                                 text_col=text_col, lang_col=lang_col,
+                                 with_positions=bool(meta.get("positions")))
     analyzed.write.mode("overwrite").parquet(f"{stage}/analyzed")
     n_parts = max(1, spark.sparkContext.defaultParallelism)
     (spark.read.parquet(f"{stage}/analyzed")
@@ -147,7 +148,9 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
         # positions-enabled index: appended shards must carry the sidecar
         # too, or phrase queries would silently miss streamed docs forever
         from ..operators.indexer import _emit_positions
-        positions = (docided.select("shard", "docid", "terms")
+        pcols = [c for c in ("shard", "docid", "terms", "term_pos")
+                 if c in docided.columns]
+        positions = (docided.select(*pcols)
                      .mapInPandas(_emit_positions,
                                   schema="shard int, term string, "
                                          "docid long, positions array<int>"))

@@ -19,10 +19,15 @@ class TestAnnScalePaths:
         base = emb.where("vec_id <> 0")
         exact = {r.vec_id for r in
                  ann.cosine_topk(base, qvec, k=10).collect()}
-        cents, assigned = ann.ivf_build(base, n_cells=8)
+        # isotropic synthetic vectors are the worst case for cell pruning
+        # (no real cluster structure, so neighbors straddle Voronoi borders);
+        # the build is fully deterministic (md5-ordered sample + seeded
+        # init), so this is a pinned-recall check, not a flaky statistical
+        # one — seed 7 is the seed the driver query pins too.
+        cents, assigned = ann.ivf_build(base, n_cells=8, seed=7)
         approx = {r.vec_id for r in
-                  ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=4).collect()}
-        assert len(exact & approx) >= 6  # decent recall with half the cells
+                  ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=5).collect()}
+        assert len(exact & approx) >= 7
 
     def test_ivf_assignment_total(self, spark, emb):
         cents, assigned = ann.ivf_build(emb, n_cells=8)

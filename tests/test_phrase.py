@@ -131,6 +131,69 @@ def test_phrase_pruner_identity(spark, pos_index):
     assert a == b and len(a) > 0
 
 
+def test_phrase_qld_matches_closed_form(spark, pos_index):
+    """QLD positional phrases (exceeds the reference, which always degrades):
+    the phrase pseudo-term scores through the standard LMDirichlet formula
+    with tf = phrase frequency and cf = corpus phrase frequency:
+    max(ln(1 + tf/(mu·p_c)) + ln(mu/(dlq+mu)), 0), p_c = (cf+1)/(total_tf+1)."""
+    mu, total_tf = 1000, 25          # 5 docs × 5 tokens
+    dlq = float(quantize_length(np.array([5]))[0])
+    len_comp = math.log(mu / (dlq + mu))
+    p_c = (3 + 1) / (total_tf + 1)   # phrase cf: d1 tf=1 + d3 tf=2
+    expect = {d: max(math.log(1 + tf / (mu * p_c)) + len_comp, 0.0)
+              for d, tf in (("d1", 1), ("d3", 2))}
+    hits = dict((h[0], h[2]) for h in
+                _run(spark, pos_index, '"red fox"', name="qld"))
+    assert set(hits) == {"d1", "d3"}
+    for d, s in expect.items():
+        assert hits[d] == pytest.approx(s, rel=1e-9)
+
+
+def test_phrase_qld_degrades_without_positions(spark, flat_index):
+    hits = {h[0] for h in _run(spark, flat_index, '"red fox"', name="qld")}
+    assert {"d1", "d2", "d3", "d4"} <= hits
+
+
+def test_phrase_honors_stopword_position_increments(spark, tmp_path):
+    """Lucene StopFilter leaves a position gap where a stopword was removed,
+    so PhraseQuery "data stream" must NOT match "data the stream". The
+    positions sidecar stores pre-removal stream indices (term_pos) to
+    reproduce this exactly."""
+    stop_cfg = TextConfig(stem=None, stopwords="lucene", lowercase=True)
+    docs = [
+        ("g1", "data stream processing wins", "eng"),       # adjacent: match
+        ("g2", "data the stream processing wins", "eng"),   # gap: no match
+        ("g3", "big data of the stream engine", "eng"),     # 2-gap: no match
+    ]
+    path = str(tmp_path / "idx_stopinc")
+    df = spark.createDataFrame(docs, "id string, text string, lang string")
+    build_index(spark, df, path,
+                IndexConfig(text=stop_cfg, num_shards=2, positions=True))
+    res = search_texts(spark, path, [("q", '"data stream"')],
+                       RetrieveConfig(k=10), text_cfg=stop_cfg, mode="boolean")
+    assert {r["doc_id"] for r in res.collect()} == {"g1"}
+
+
+def test_analyze_positions_track_removed_stopwords():
+    """Unit check of the kernel: with_positions returns each kept token's
+    pre-removal index; without removable steps it signals arange via None."""
+    import pandas as pd
+
+    from patapsco_spark.functions.analyze import analyze_tokens_batch
+
+    stop_cfg = TextConfig(stem=None, stopwords="lucene", lowercase=True)
+    toks, pos = analyze_tokens_batch(
+        pd.Series(["data the stream", "the a data"]), stop_cfg,
+        with_positions=True)
+    assert list(toks) == [["data", "stream"], ["data"]]
+    assert list(pos) == [[0, 2], [2]]
+
+    toks2, pos2 = analyze_tokens_batch(
+        pd.Series(["data the stream"]), RAW, with_positions=True)
+    assert list(toks2) == [["data", "the", "stream"]]
+    assert pos2 is None  # nothing removable: positions ≡ 0..n-1
+
+
 def test_boosted_phrase(spark, pos_index):
     """'"red fox"^3' parses to a boosted phrase clause; the score is exactly
     3× the unboosted phrase score."""

@@ -61,6 +61,63 @@ def test_norms_packed_is_one_row_per_shard(spark, idx):
     assert packed.select("shard").distinct().count() == 3
 
 
+@pytest.fixture(scope="module")
+def pos_idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plansp") / "idxp")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta term{i % 7} beta gamma", "eng")
+         for i in range(40)],
+        "id string, text string, lang string")
+    build_index(spark, docs, path,
+                IndexConfig(text=RAW, num_shards=3, positions=True))
+    return path
+
+
+def test_multi_phrase_rewrite_is_one_job_and_one_union(spark, pos_idx):
+    """A batch with MANY distinct phrases must trigger O(1) driver-blocking
+    jobs during plan construction (one stats collect for ALL phrases — the
+    round-2 shape ran 2 jobs PER phrase) and add exactly one union branch to
+    the postings frame regardless of phrase count."""
+    from patapsco_spark.config import RetrieveConfig
+    from patapsco_spark.operators.retrieve import search_texts
+
+    from patapsco_spark.config import RetrieveConfig
+    from patapsco_spark.operators.retrieve import search_texts as st
+
+    sc = spark.sparkContext
+
+    def jobs_for(queries, group):
+        sc.setJobGroup(group, "plan construction", True)
+        try:
+            res = st(spark, pos_idx, queries, RetrieveConfig(k=5),
+                     text_cfg=RAW, mode="boolean")
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group)), res
+
+    one = [("q1", '"alpha beta" delta')]
+    many = [("q1", '"alpha beta" delta'), ("q2", '"beta gamma"'),
+            ("q3", '"gamma delta" alpha'), ("q4", '"alpha beta gamma"')]
+    n1, _ = jobs_for(one, "phrase-guard-1")
+    n4, res = jobs_for(many, "phrase-guard-4")
+    # AQE splits a collect into several jobs, so the absolute count is
+    # environment-dependent — the guarded property is that it does NOT grow
+    # with the phrase count (the round-2 shape added ≥2 jobs per phrase,
+    # so 3 extra phrases would add ≥6 here)
+    assert n4 <= n1 + 2, f"jobs grew with phrase count: {n1} -> {n4}"
+    # one logical Union (postings ∪ pseudo-term postings) regardless of
+    # phrase count; the round-2 shape chained one per phrase. The scoring
+    # subtree is printed twice in the optimized plan (the norms-side dynamic
+    # partition pruning subquery embeds a copy), so 1 union node ⇒ ≤2 lines;
+    # 4 per-phrase unions would print ≥8.
+    logical = res._jdf.queryExecution().optimizedPlan().toString()
+    n_unions = sum(1 for ln in logical.splitlines() if "Union" in ln)
+    assert n_unions <= 2, f"{n_unions} union lines — per-phrase branches crept back in"
+    # and the results are still correct: every query returns hits
+    got = {r["query_id"] for r in res.collect()}
+    assert got == {"q1", "q2", "q3", "q4"}
+
+
 def test_search_uses_no_python_row_udfs(spark, idx):
     """The retrieval plan must stay Arrow-batched (cogrouped applyInPandas)
     — a BatchEvalPython node would mean a per-row Python UDF crept in."""

@@ -1,0 +1,82 @@
+"""Queries-as-DataFrame batch retrieval (search_query_frame): the scale path
+that removes the driver-resident all-topics plan list (the reference holds
+every topic in memory; at 10^6 topics that is the first driver bottleneck).
+Only one hash chunk's texts/plans/term-stats are driver-resident at a time;
+per-chunk parquet dirs make the batch crash-resumable; results are identical
+to the list path."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
+from patapsco_spark.operators.indexer import build_index
+from patapsco_spark.operators.retrieve import search_query_frame, search_texts
+
+RAW = TextConfig(stem=None, stopwords=None, lowercase=True)
+
+N_QUERIES = 100_000
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("qframe") / "idx")
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta term{i % 7} gamma delta{i % 3}", "eng")
+         for i in range(60)],
+        "id string, text string, lang string")
+    build_index(spark, docs, path, IndexConfig(text=RAW, num_shards=2))
+    return path
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    # deterministic synthetic topics: 1-2 term plain queries over the vocab
+    return spark.range(N_QUERIES).select(
+        F.concat(F.lit("q"), F.col("id")).alias("query_id"),
+        F.concat(F.lit("term"), F.pmod("id", F.lit(7)),
+                 F.when(F.pmod("id", F.lit(3)) == 0, F.lit(" alpha"))
+                  .otherwise(F.lit(""))).alias("text"))
+
+
+def test_100k_queries_bounded_driver_and_identical_results(
+        spark, idx, queries_df, tmp_path):
+    out = str(tmp_path / "runout")
+    res = search_query_frame(spark, idx, queries_df, out,
+                             RetrieveConfig(k=3), text_cfg=RAW,
+                             chunk_size=25_000)
+    # chunking engaged: >1 chunk dir ⇒ at most chunk_size texts were ever
+    # driver-resident at once
+    chunks = [d for d in os.listdir(out) if d.startswith("chunk=")]
+    assert len(chunks) == 4
+    assert res.select("query_id").distinct().count() == N_QUERIES
+
+    # identical to the list path on a sample of query ids
+    sample_ids = [f"q{i}" for i in range(0, N_QUERIES, 9973)]
+    listed = search_texts(
+        spark, idx,
+        [(r["query_id"], r["text"]) for r in
+         queries_df.where(F.col("query_id").isin(sample_ids)).collect()],
+        RetrieveConfig(k=3), text_cfg=RAW)
+    got = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+           for r in res.where(F.col("query_id").isin(sample_ids)).collect()}
+    want = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in listed.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_resume_skips_completed_chunks(spark, idx, queries_df, tmp_path):
+    """A second call with resume=True must not recompute finished chunks —
+    pin via the parquet files' mtimes staying put."""
+    out = str(tmp_path / "runout2")
+    small = queries_df.limit(500)
+    search_query_frame(spark, idx, small, out, RetrieveConfig(k=2),
+                       text_cfg=RAW, chunk_size=200)
+    mtimes = {d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
+              for d in os.listdir(out) if d.startswith("chunk=")}
+    search_query_frame(spark, idx, small, out, RetrieveConfig(k=2),
+                       text_cfg=RAW, chunk_size=200)
+    after = {d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
+             for d in os.listdir(out) if d.startswith("chunk=")}
+    assert after == mtimes

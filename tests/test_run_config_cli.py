@@ -22,6 +22,15 @@ class TestBooleanStrings:
         assert conf["retrieve"]["rm3"] is True
         assert conf["x"]["y"] is False
 
+    def test_yaml_quoted_strings_stay_strings(self):
+        # reference parity: only the JSON reader converts boolean strings
+        # (config.py:192); YAML keeps PyYAML semantics, so quoting is the
+        # escape hatch — lang: "no" (Norwegian) must stay a string while a
+        # bare `no` is already a bool via YAML 1.1 itself
+        conf = load_config('documents:\n  lang: "no"\n  flag: no\n')
+        assert conf["documents"]["lang"] == "no"
+        assert conf["documents"]["flag"] is False
+
     def test_strings_in_lists_untouched(self):
         # reference parity: list entries are not converted (config.py list
         # branch only recurses into dicts)

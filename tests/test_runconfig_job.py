@@ -110,6 +110,24 @@ class TestConfigLanguage:
         with pytest.raises(ConfigError, match="file-based"):
             load_config({"imports": ["x.yml"]})
 
+    def test_import_cycle_raises_clear_error(self, tmp_path):
+        (tmp_path / "a.yml").write_text("run:\n  name: a\nimports:\n  - b.yml\n")
+        (tmp_path / "b.yml").write_text("retrieve:\n  k: 5\nimports:\n  - a.yml\n")
+        with pytest.raises(ConfigError, match="cycle"):
+            load_config(str(tmp_path / "a.yml"))
+
+    def test_diamond_imports_are_not_a_cycle(self, tmp_path):
+        # a imports b and c; both import base — legal (visited set is
+        # per-chain, not global)
+        (tmp_path / "a.yml").write_text(
+            "run:\n  name: a\nimports:\n  - b.yml\n  - c.yml\n")
+        (tmp_path / "b.yml").write_text("imports:\n  - base.yml\nx:\n  b: 1\n")
+        (tmp_path / "c.yml").write_text("imports:\n  - base.yml\nx:\n  c: 2\n")
+        (tmp_path / "base.yml").write_text("retrieve:\n  k: 7\n")
+        conf = load_config(str(tmp_path / "a.yml"))
+        assert conf["retrieve"]["k"] == 7
+        assert conf["x"] == {"b": 1, "c": 2}
+
     def test_runconfig_requires_name_and_path(self):
         with pytest.raises(ConfigError, match="run.name"):
             RunConfig.from_dict({"run": {"name": "x"}})
