@@ -689,7 +689,8 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     want = {int(r["docid"]): (r["id"], int(r["dl"]))
             for r in norms.collect()}
 
-    terms = sorted({t for c in plan.clauses for t, _ in c.terms})
+    terms = sorted({t for c in iter_term_clauses(plan.clauses)
+                    for t, _ in c.terms})
     from .indexer import read_term_stats
     stats = {r["term"]: int(r["df"]) for r in
              read_term_stats(spark, index_path,
@@ -715,56 +716,125 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
 
     # positional phrase clauses (when the index has a positions sidecar):
     # tf = exact phrase frequency in the doc, idf = Σ member idfs, reported
-    # as one component row per clause with term = the quoted phrase
-    phrase_tf: dict[tuple[int, int], int] = {}
-    phrase_clauses = [(ci, c) for ci, c in enumerate(plan.clauses)
-                      if c.phrase and len(c.terms) > 1]
-    if phrase_clauses and meta.get("positions"):
-        words_all = sorted({t for _, c in phrase_clauses for t, _ in c.terms})
+    # as one component row per clause with term = the quoted phrase.
+    # Labels are nesting paths ("1", "2.0", …) so nested-group components
+    # stay attributable.
+    def leaves(clauses, prefix=""):
+        for ci, c in enumerate(clauses):
+            label = f"{prefix}{ci}"
+            if c.group:
+                yield from leaves(c.group, label + ".")
+            else:
+                yield label, c
+
+    phrase_tf: dict[tuple[str, int], int] = {}
+    phrase_leaves = [(lb, c) for lb, c in leaves(plan.clauses)
+                     if c.phrase and len(c.terms) > 1]
+    if phrase_leaves and meta.get("positions"):
+        words_all = sorted({t for _, c in phrase_leaves for t, _ in c.terms})
         prows = (spark.read.parquet(f"{index_path}/positions")
                  .where(F.col("term").isin(words_all) &
                         F.col("docid").isin(list(want))).collect())
         pos_by = {(r["term"], int(r["docid"])): list(r["positions"])
                   for r in prows}
-        for ci, c in phrase_clauses:
+        for lb, c in phrase_leaves:
             words = [t for t, _ in c.terms]
             for docid in want:
                 sets = [set(x - i for x in pos_by.get((w, docid), ()))
                         for i, w in enumerate(words)]
-                phrase_tf[(ci, docid)] = len(set.intersection(*sets)) if all(sets) else 0
+                phrase_tf[(lb, docid)] = len(set.intersection(*sets)) if all(sets) else 0
+
+    def idf_of(df):
+        return math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5))
+
+    def eval_doc(clauses, docid, ext_id, dl, dlq, kpart, prefix, scale):
+        """Mirror of the scorer kernel for ONE doc: returns (rows, total,
+        matched). A nested group's leaf rows are emitted only if the group
+        itself matches (Lucene: non-matching clauses contribute nothing);
+        ``scale`` carries the product of ancestor boosts so row
+        contributions sum EXACTLY to the doc's search score."""
+        rows, total = [], 0.0
+        matched = False
+        must_ok = True
+        forbidden = False
+        for ci, c in enumerate(clauses):
+            label = f"{prefix}{ci}"
+            if c.group:
+                srows, stotal, smatch = eval_doc(
+                    c.group, docid, ext_id, dl, dlq, kpart,
+                    label + ".", scale * c.boost)
+                if c.occur == MUST_NOT:
+                    forbidden |= smatch
+                    continue
+                if c.occur == MUST:
+                    must_ok &= smatch
+                if smatch:
+                    matched = True
+                    total += c.boost * stotal
+                    rows += srows
+                continue
+            is_phrase = (label, docid) in phrase_tf or any(
+                k[0] == label for k in phrase_tf)
+            if is_phrase:
+                tf = phrase_tf.get((label, docid), 0)
+                clause_total = 0.0
+                crows = []
+                if tf > 0:
+                    words = [t for t, _ in c.terms]
+                    idf_sum = sum(idf_of(stats[w]) for w in words
+                                  if stats.get(w, 0) > 0)
+                    clause_total = c.boost * idf_sum * tf / (tf + kpart)
+                    crows = [(plan.qid, ext_id, label,
+                              '"' + " ".join(words) + '"', tf, dl, dlq, 0,
+                              idf_sum, scale * clause_total)]
+                mask = tf > 0
+            elif len(c.terms) > 1:
+                # PSQ clause: expected statistics (etf = Σp·tf, edf = Σp·df)
+                # — ONE component row, exactly the kernel's clause score
+                etf = sum(p * tf_by.get((t, docid), 0) for t, p in c.terms)
+                edf = sum(p * stats.get(t, 0) for t, p in c.terms
+                          if stats.get(t, 0) > 0)
+                clause_total = 0.0
+                crows = []
+                if etf > 0 and edf > 0:
+                    idf = idf_of(edf)
+                    clause_total = c.boost * idf * etf / (etf + kpart)
+                    name = "(" + " ".join(f"{t}^{p:g}" for t, p in c.terms) + ")"
+                    crows = [(plan.qid, ext_id, label, name, int(round(etf)),
+                              dl, dlq, int(round(edf)), idf,
+                              scale * clause_total)]
+                mask = etf > 0
+            else:
+                term, p = c.terms[0]
+                df_t = stats.get(term, 0)
+                tf = tf_by.get((term, docid), 0)
+                clause_total = 0.0
+                crows = []
+                if df_t > 0 and tf > 0:
+                    idf = idf_of(df_t)
+                    clause_total = c.boost * p * idf * tf / (tf + kpart)
+                    crows = [(plan.qid, ext_id, label, term, tf, dl, dlq,
+                              df_t, idf, scale * clause_total)]
+                mask = tf > 0
+            if c.occur == MUST_NOT:
+                forbidden |= mask
+                continue
+            if c.occur == MUST:
+                must_ok &= mask
+            if mask:
+                matched = True
+                total += clause_total
+                rows += crows
+        return rows, total, matched and must_ok and not forbidden
 
     rows = []
-    for ci, clause in enumerate(plan.clauses):
-        if any(k[0] == ci for k in phrase_tf):
-            words = [t for t, _ in clause.terms]
-            df_sum_idf = sum(
-                math.log(1.0 + (num_docs - stats[w] + 0.5) / (stats[w] + 0.5))
-                for w in words if stats.get(w, 0) > 0)
-            for docid, (ext_id, dl) in want.items():
-                tf = phrase_tf.get((ci, docid), 0)
-                if tf == 0:
-                    continue
-                dlq = float(quantize_length(np.array([dl]))[0])
-                kpart = cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl)
-                contrib = clause.boost * df_sum_idf * tf / (tf + kpart)
-                rows.append((plan.qid, ext_id, ci, '"' + " ".join(words) + '"',
-                             tf, dl, dlq, 0, df_sum_idf, contrib))
-            continue
-        for term, p in clause.terms:
-            df_t = stats.get(term, 0)
-            if df_t == 0:
-                continue
-            idf = math.log(1.0 + (num_docs - df_t + 0.5) / (df_t + 0.5))
-            for docid, (ext_id, dl) in want.items():
-                tf = tf_by.get((term, docid), 0)
-                if tf == 0:
-                    continue
-                dlq = float(quantize_length(np.array([dl]))[0])
-                kpart = cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl)
-                contrib = clause.boost * p * idf * tf / (tf + kpart)
-                rows.append((plan.qid, ext_id, ci, term, tf, dl, dlq,
-                             df_t, idf, contrib))
+    for docid, (ext_id, dl) in want.items():
+        dlq = float(quantize_length(np.array([dl]))[0])
+        kpart = cfg.k1 * (1 - cfg.b + cfg.b * dlq / avgdl)
+        drows, _total, _matched = eval_doc(plan.clauses, docid, ext_id, dl,
+                                           dlq, kpart, "", 1.0)
+        rows += drows
     return spark.createDataFrame(
-        rows, "query_id string, doc_id string, clause int, term string, "
+        rows, "query_id string, doc_id string, clause string, term string, "
               "tf long, dl long, dlq double, df long, idf double, "
               "contribution double")

@@ -74,17 +74,32 @@ def run(spark: SparkSession, cfg: RunConfig, resume: bool = True) -> dict:
     # ---- stage 2: topics → retrieve → score ----------------------------
     if cfg.topics.input_path:
         t0 = time.perf_counter()
-        queries = [(r["query_id"], r["text"])
-                   for r in _read_topics(spark, cfg).collect()]
+        topics_df = _read_topics(spark, cfg)
+        n_topics = topics_df.count()
         timing["topics"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
         run_path = os.path.join(cfg.path, "results")
         rcfg: RetrieveConfig = cfg.retrieve
-        if rcfg.rm3:
+        # large topic sets use the chunked queries-as-DataFrame path: only
+        # one chunk's plans are driver-resident at a time (the reference
+        # holds every topic in memory — its ceiling, not ours). RM3 keeps
+        # the list path (its two-pass feedback is per-batch by design).
+        use_frame = (not rcfg.rm3) and (
+            cfg.topics.chunk_size > 0 or n_topics > cfg.topics.auto_chunk_above)
+        if use_frame:
+            from ..operators.retrieve import search_query_frame
+            results = search_query_frame(
+                spark, index_path, topics_df,
+                os.path.join(cfg.path, "results_chunks"), rcfg,
+                text_cfg=cfg.index.text, lang=cfg.topics.lang,
+                chunk_size=cfg.topics.chunk_size or 16384, resume=resume)
+        elif rcfg.rm3:
+            queries = [(r["query_id"], r["text"]) for r in topics_df.collect()]
             results = search_rm3(spark, index_path, queries, rcfg,
                                  text_cfg=cfg.index.text, lang=cfg.topics.lang)
         else:
+            queries = [(r["query_id"], r["text"]) for r in topics_df.collect()]
             results = search_texts(spark, index_path, queries, rcfg,
                                    text_cfg=cfg.index.text, lang=cfg.topics.lang)
         results = results.cache()

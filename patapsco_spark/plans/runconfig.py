@@ -229,6 +229,11 @@ class TopicsConfig:
     source: str = "original"
     fields: tuple[str, ...] = ("title",)
     qrels_lang: str | None = None
+    # retrieval batching: 0 = auto (driver-resident plan list for small
+    # topic sets, chunked queries-as-DataFrame path past `auto_chunk_above`
+    # topics); >0 forces the chunked path with that chunk size
+    chunk_size: int = 0
+    auto_chunk_above: int = 50_000
 
 
 @dataclass(frozen=True)

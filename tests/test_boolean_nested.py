@@ -116,3 +116,24 @@ class TestScoring:
     def test_double_nested_or(self, spark, idx):
         got = _hits(spark, idx, "((alpha OR beta) AND gamma) OR delta")
         assert set(got) == {"n1", "n2", "n3", "n6", "n7"}
+
+    def test_explain_decomposes_nested_scores_exactly(self, spark, idx):
+        """explain() must gate nested-group components on group matching and
+        scale by ancestor boosts so per-doc contributions sum to the search
+        score; clause labels are nesting paths."""
+        from collections import defaultdict
+
+        from patapsco_spark.operators.retrieve import explain
+
+        q = "(alpha OR beta)^2 AND gamma"
+        hits = _hits(spark, idx, q)
+        plan = parse_query("q", q, mode="boolean")
+        exp = explain(spark, idx, plan, list(hits)).collect()
+        sums = defaultdict(float)
+        labels = set()
+        for r in exp:
+            sums[r["doc_id"]] += r["contribution"]
+            labels.add(r["clause"])
+        for d, s in hits.items():
+            assert sums[d] == pytest.approx(s, rel=1e-9)
+        assert any("." in lb for lb in labels)  # nested path labels present

@@ -181,6 +181,42 @@ class TestJobRunner:
         run(spark, cfg, resume=True)
         assert time.perf_counter() - t0 < 30  # no full rebuild
 
+    def test_chunked_topics_path_matches_list_path(self, spark, tmp_path, corpus):
+        """topics.chunk_size > 0 routes retrieval through the chunked
+        queries-as-DataFrame path; the TREC run must be line-identical to
+        the driver-list path (modulo line order)."""
+        from patapsco_spark.plans.job import run
+
+        topics_path = tmp_path / "topics.tsv"
+        topics_path.write_text("q1\tdata stream window\nq2\tindex web crawl\n"
+                               "q3\tcrawl data\n")
+        base = {
+            "documents": {"input_path": corpus, "input_format": "webpages"},
+            "text": {"stem": None, "stopwords": None},
+            "index": {"num_shards": 2},
+            "retrieve": {"k": 5},
+        }
+
+        def read_run(out):
+            lines = []
+            for f in os.listdir(out["results_path"]):
+                if f.startswith("part"):
+                    lines += open(os.path.join(out["results_path"], f)
+                                  ).read().splitlines()
+            return sorted(ln.rsplit(" ", 1)[0] for ln in lines)  # drop system
+
+        out_list = run(spark, RunConfig.from_dict(dict(
+            base, run={"name": "lst", "path": str(tmp_path / "runL")},
+            topics={"input_path": str(topics_path), "input_format": "tsv"})))
+        out_chunk = run(spark, RunConfig.from_dict(dict(
+            base, run={"name": "chk", "path": str(tmp_path / "runC")},
+            topics={"input_path": str(topics_path), "input_format": "tsv",
+                    "chunk_size": 2})))
+        assert os.path.isdir(os.path.join(str(tmp_path / "runC"),
+                                          "results_chunks"))
+        a, b = read_run(out_list), read_run(out_chunk)
+        assert a == b and len(a) > 0
+
     def test_rm3_mode(self, spark, tmp_path, corpus):
         from patapsco_spark.plans.job import run
 
