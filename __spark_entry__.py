@@ -170,6 +170,22 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(docs, shingle=5)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-bigram coverage,
+    duplicate-trigram fraction) — the boilerplate/spam filters of
+    web-scale training-data pipelines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_stats(docs).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_bigram", "top_bigram_frac", "dup_trigram_frac")
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 bigrams (contamination/boilerplate lists)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.top_ngrams(docs, n=2, k=100)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # report every hash group (the >1 filter may legitimately be empty on
@@ -413,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
+        "repetition_stats": q_repetition_stats,
+        "top_ngrams": q_top_ngrams,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1152,6 +1170,58 @@ short_docs AS (
   SELECT doc_id, md5(text) AS fingerprint FROM base WHERE len(toks) < 5
 )
 SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs
+""",
+        "repetition_stats": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) >= 3 THEN
+           ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS DOUBLE)
+               / GREATEST(len(toks) - 2, 1), 6)
+         ELSE 0.0 END AS dup_trigram_frac
+  FROM w
+),
+big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         ELSE [] END) AS bigram
+  FROM w
+),
+cnts AS (
+  SELECT doc_id, bigram, count(*)::BIGINT AS cnt FROM big GROUP BY doc_id, bigram
+),
+top AS (
+  SELECT doc_id, bigram AS top_bigram, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, bigram ASC) AS rn
+    FROM cnts) WHERE rn = 1
+)
+SELECT b.doc_id, b.n_tokens, t.top_bigram,
+       ROUND(COALESCE(t.cnt * 2.0 / GREATEST(b.n_tokens, 1), 0.0), 6) AS top_bigram_frac,
+       b.dup_trigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+""",
+        "top_ngrams": """
+WITH w AS (
+  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+    list_transform(range(1, len(toks)),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+  ELSE [] END) AS ngram
+  FROM w
+)
+SELECT ngram, count(*)::BIGINT AS cnt FROM grams GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 100
 """,
         "eval_metrics": """
 WITH run0 AS (

@@ -87,6 +87,79 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021
+    use duplicate-line and top-n-gram fractions to drop boilerplate/spam;
+    these are the token-window analogues for flat text):
+
+    - ``top_bigram``       most frequent word 2-gram (ties → lexicographically
+                           smallest, deterministic for the SQL oracle)
+    - ``top_bigram_frac``  tokens covered by that bigram / n_tokens
+                           (count × 2 / n_tokens)
+    - ``dup_trigram_frac`` fraction of 3-gram occurrences that are repeats
+                           (1 − distinct/total)
+
+    Plan shape: the trigram signal is a pure per-row higher-order-function
+    projection (no shuffle); the bigram mode is one explode + two hash
+    aggregations keyed by doc — at 100 TB both run map-side-heavy with the
+    doc id as the only shuffle key."""
+    toks = _TOKENS(text_col)
+    d = docs.select(F.col(id_col), toks.alias("toks"),
+                    F.size(toks).alias("n_tokens"))
+    # NB: sequence(1, 0) DESCENDS in Spark, so short docs need the if()
+    # guard, not a greatest() clamp
+    tri = F.expr("if(size(toks) >= 3, transform(sequence(1, size(toks) - 2), "
+                 "i -> concat_ws(' ', slice(toks, i, 3))), "
+                 "cast(array() as array<string>))")
+    base = d.select(
+        id_col, "toks", "n_tokens",
+        F.when(F.size("toks") >= 3,
+               F.round(F.lit(1.0) - F.size(F.array_distinct(tri)) /
+                       F.greatest(F.size(tri), F.lit(1)), 6))
+         .otherwise(0.0).alias("dup_trigram_frac"))
+    bigrams = base.select(
+        id_col,
+        F.explode(F.expr(
+            "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
+            "i -> concat_ws(' ', slice(toks, i, 2))), "
+            "cast(array() as array<string>))")).alias("bigram"))
+    counts = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
+    # argmax with smallest-bigram tie-break: min over (-cnt, bigram) structs
+    top = (counts.groupBy(id_col)
+           .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                               F.col("bigram"))).alias("m"))
+           .select(id_col, F.col("m.bigram").alias("top_bigram"),
+                   (-F.col("m.neg")).alias("top_cnt")))
+    return (base.drop("toks").join(top, id_col, "left")
+            .select(id_col, "n_tokens",
+                    "top_bigram",
+                    F.round(F.when(F.col("top_cnt").isNotNull(),
+                                   F.col("top_cnt") * 2 /
+                                   F.greatest(F.col("n_tokens"), F.lit(1)))
+                             .otherwise(0.0), 6).alias("top_bigram_frac"),
+                    "dup_trigram_frac"))
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams — the training-data staple behind
+    contamination checks and boilerplate lists. One explode + one hash
+    aggregation on the n-gram (partial map-side combine collapses the head
+    before the shuffle) + TakeOrderedAndProject for the top-k; ties break on
+    the n-gram string for determinism."""
+    toks = _TOKENS(text_col)
+    grams = (docs.select(toks.alias("toks"))
+             .select(F.explode(F.expr(
+                 f"if(size(toks) >= {n}, "
+                 f"transform(sequence(1, size(toks) - {n - 1}), "
+                 f"i -> concat_ws(' ', slice(toks, i, {n}))), "
+                 f"cast(array() as array<string>))")).alias("ngram")))
+    return (grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+            .select("ngram", F.col("cnt").cast("long").alias("cnt")))
+
+
 def fingerprints(docs: DataFrame, shingle: int = 5, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: min md5 over word-``shingle``-grams
