@@ -998,7 +998,14 @@ def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
     init indices into the md5-ordered 200-vector sample are embedded as
     literals; Lloyd iterations, the final assignment, the nprobe probe and
     the cosine re-rank are all recomputed in SQL. Matches the engine up to
-    last-ulp AVG summation order (scores rounded to 6, like every oracle)."""
+    last-ulp AVG summation order (scores rounded to 6, like every oracle).
+
+    Validity precondition: the base table must have ≥ ivf_sample_size
+    (=200) non-query vectors — the engine then draws rng.choice(200, …),
+    exactly the literals embedded here. Every driver sf dir satisfies this
+    (500-2000 embeddings); smaller ad-hoc corpora fall back to
+    rng.choice(len(sample)) in the engine, which this replay does not
+    model (covered by the pytest recall checks instead)."""
     import numpy as np
 
     from patapsco_spark.operators.ann import ivf_sample_size

@@ -238,20 +238,35 @@ def health_probe() -> dict:
     """2-vs-8-core Arrow round-trip: the self-adjudication probe. A healthy
     box shows ≈3-4× from 4× cores; a saturated shared-memory host shows ≈1×
     (then scaling_efficiency numbers are environment artifacts, not engine
-    properties — see BASELINE.md round 2)."""
+    properties — see BASELINE.md round 2). The probe must never take the
+    bench down with it: subprocess timeouts/failures are recorded as an
+    error key (a host degraded enough to time the probe out is exactly the
+    case the bench must still report)."""
     out = {}
-    for cores in (2, 8):
+    lo_c, hi_c = 2, min(8, CPUS)
+    for cores in sorted({lo_c, hi_c}):
         code = ("import sys; sys.path.insert(0, %r); import bench; "
                 "print('MRPS', bench.health_child(%d))" % (REPO, cores))
-        proc = subprocess.run([sys.executable, "-c", code],
-                              capture_output=True, text=True, timeout=600)
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  capture_output=True, text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            out[f"arrow_mrps_{cores}_error"] = "probe timeout (600s)"
+            continue
+        got = None
         for line in proc.stdout.splitlines():
             if line.startswith("MRPS "):
-                out[f"arrow_mrps_{cores}"] = round(float(line.split()[1]), 2)
-    lo, hi = out.get("arrow_mrps_2"), out.get("arrow_mrps_8")
-    if lo and hi:
+                got = round(float(line.split()[1]), 2)
+        if got is None:
+            out[f"arrow_mrps_{cores}_error"] = proc.stderr[-300:]
+        else:
+            out[f"arrow_mrps_{cores}"] = got
+    lo, hi = out.get(f"arrow_mrps_{lo_c}"), out.get(f"arrow_mrps_{hi_c}")
+    if lo and hi and hi_c > lo_c:
         out["ratio_2_to_8"] = round(hi / lo, 2)
         out["healthy"] = out["ratio_2_to_8"] >= 2.5
+    else:
+        out["healthy"] = None  # unmeasurable ≠ healthy
     return out
 
 

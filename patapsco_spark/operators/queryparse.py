@@ -143,8 +143,12 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                 continue
             if tok in ("+", "-"):
                 # bare prefix directly before '(' — "+(a b)" tokenizes as
-                # '+' '(' ... — applies to the next clause
-                pending_occur = MUST if tok == "+" else MUST_NOT
+                # '+' '(' ... — applies to the group. A dangling '+'/'-'
+                # NOT followed by '(' (e.g. a hyphen in "data - stream") is
+                # dropped, as Lucene's parser and the round-2 parser did —
+                # it must not silently prohibit the next term.
+                if pos + 1 < len(toks) and toks[pos + 1] == "(":
+                    pending_occur = MUST if tok == "+" else MUST_NOT
                 pos += 1
                 continue
             if tok == "(":

@@ -198,30 +198,60 @@ def search_query_frame(spark: SparkSession, index_path: str,
     The reference collects all topics into memory before retrieval
     (generators over the full topic store, /root/reference/patapsco/job.py)
     — fine at its scale, a driver bottleneck at 10^6 topics. Here the query
-    set is split into hash chunks; only ONE chunk's texts/plans/term-stats
-    live on the driver at a time (bounded by ``chunk_size``), each chunk's
-    results land in their own ``chunk=K`` parquet directory (idempotent
-    per-chunk overwrite + ``resume=True`` skips completed chunks after a
-    crash — the artifact-resume discipline of the batch indexer), and the
-    returned frame is the partitioned parquet read, so downstream consumers
-    see one DataFrame. Results are identical to :func:`search_texts` on the
-    same queries.
+    set is SNAPSHOTTED to parquet once (so chunk membership is computed from
+    one materialization — a nondeterministic source can't shift rows between
+    the per-chunk jobs, and each chunk read is a cheap columnar scan of the
+    snapshot, not a re-execution of the source plan), then split into hash
+    chunks; only ONE chunk's texts/plans/term-stats live on the driver at a
+    time (bounded by ``chunk_size``), and each chunk's results land in their
+    own ``chunk=K`` parquet directory.
+
+    Resume discipline (the batch indexer's): a run manifest fingerprints the
+    retrieval/text config, mode, lang, chunking and index path. With
+    ``resume=True``, a matching manifest reuses the snapshot and skips
+    completed chunks (crash-resume); a MISMATCHED manifest (changed k,
+    scorer, chunk size, …) wipes ``out_path`` and recomputes everything —
+    stale chunks from a different configuration are never served. As with
+    every artifact stage in this engine, resume identity is (path, config):
+    to re-run the same config on changed query content, pass
+    ``resume=False`` (full wipe). Results are identical to
+    :func:`search_texts` on the same queries.
     """
     import os
 
+    from ..plans import manifest as mf
+    from .indexer import _delete_path
+
     cfg = cfg or RetrieveConfig()
-    n = queries_df.count()
+    text_cfg = text_cfg or TextConfig()
+    run_doc = {"retrieve": vars(cfg), "text": vars(text_cfg), "lang": lang,
+               "mode": mode, "chunk_size": chunk_size, "index": index_path}
+
+    staged = os.path.join(out_path, "_topics")
+    man = mf.read_manifest(out_path) if resume else None
+    fresh = (man is None or man.get("stage") != "query_chunks"
+             or man.get("config", {}).get("run") != run_doc)
+    if fresh:
+        _delete_path(spark, out_path)
+        (queries_df.select(
+            F.col("query_id").cast("string").alias("query_id"), "text")
+         .write.mode("overwrite").parquet(staged))
+
+    snapshot = spark.read.parquet(staged)
+    n = snapshot.count()
     if n == 0:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
     n_chunks = max(1, -(-n // chunk_size))
-    chunked = queries_df.select(
-        F.col("query_id").cast("string").alias("query_id"), "text",
-        F.pmod(F.xxhash64(F.col("query_id").cast("string")), n_chunks)
-         .cast("int").alias("chunk"))
+    if fresh:
+        mf.write_manifest(out_path, "query_chunks",
+                          {"run": run_doc, "n": n, "n_chunks": n_chunks})
+    chunked = snapshot.select(
+        "query_id", "text",
+        F.pmod(F.xxhash64("query_id"), n_chunks).cast("int").alias("chunk"))
     for c in range(n_chunks):
         chunk_dir = os.path.join(out_path, f"chunk={c}")
-        if resume and os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
+        if not fresh and os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
             continue
         batch = [(r["query_id"], r["text"])
                  for r in chunked.where(F.col("chunk") == c)
@@ -235,7 +265,8 @@ def search_query_frame(spark: SparkSession, index_path: str,
         res = search_texts(spark, index_path, batch, cfg,
                            text_cfg=text_cfg, lang=lang, mode=mode)
         res.write.mode("overwrite").parquet(chunk_dir)
-    return spark.read.parquet(out_path).drop("chunk")
+    return (spark.read.parquet(os.path.join(out_path, "chunk=*"))
+            .drop("chunk"))
 
 
 def _phrase_pseudo_term(words: list[str]) -> str:
@@ -305,6 +336,12 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
     arrs = F.col("arrs")
     inter = F.aggregate(arrs, F.element_at(arrs, 1),
                         lambda acc, a: F.array_intersect(acc, a))
+    # materialized ONCE as an eager localCheckpoint (we must execute it
+    # anyway for the stats collect below): feeds both the stats and the
+    # pseudo-term encode without recompute, and its blocks are GC-released
+    # with the plan — a bare persist() here would leak one cached frame per
+    # phrase-bearing search() for the session lifetime (a long-lived query
+    # service or a warm bench loop fills executor storage memory)
     tf_all = (shifted.groupBy("pid", "shard", "docid")
               .agg(F.count("*").alias("nm"), F.max("n_words").alias("nw"),
                    F.collect_list("sp").alias("arrs"))
@@ -312,7 +349,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
               .select("pid", "shard", "docid", F.size(inter).alias("tf"))
               .where(F.col("tf") > 0)
               .join(norms, ["shard", "docid"])
-              .persist())  # tiny (phrase-matching docs); feeds stats + encode
+              .localCheckpoint(eager=True))
 
     # ALL phrases' stats in one job
     stats = {int(r["pid"]): (int(r["df"]), int(r["cf"]))
@@ -331,7 +368,6 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
             for w in words if w in df_map and df_map[w][0] > 0)
         live_pids.append(pid)
     if not live_pids:
-        tf_all.unpersist()
         union = None
     else:
         base_kernel = _make_postings_kernel(block_size, docs_per_shard)

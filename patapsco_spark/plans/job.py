@@ -74,7 +74,9 @@ def run(spark: SparkSession, cfg: RunConfig, resume: bool = True) -> dict:
     # ---- stage 2: topics → retrieve → score ----------------------------
     if cfg.topics.input_path:
         t0 = time.perf_counter()
-        topics_df = _read_topics(spark, cfg)
+        # cache around the two uses (count for the path decision + either
+        # collect or the chunked snapshot) so the topics source executes once
+        topics_df = _read_topics(spark, cfg).cache()
         n_topics = topics_df.count()
         timing["topics"] = round(time.perf_counter() - t0, 3)
 
@@ -104,6 +106,7 @@ def run(spark: SparkSession, cfg: RunConfig, resume: bool = True) -> dict:
                                    text_cfg=cfg.index.text, lang=cfg.topics.lang)
         results = results.cache()
         trec.write_trec_run(results, run_path, system=cfg.name)
+        topics_df.unpersist()
         timing["retrieve"] = round(time.perf_counter() - t0, 3)
         out["results_path"] = run_path
 

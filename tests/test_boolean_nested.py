@@ -77,6 +77,17 @@ class TestParser:
         assert outer.group[1].terms == [("gamma", 1.0)]
         assert d.terms == [("delta", 1.0)]
 
+    def test_dangling_hyphen_is_dropped_not_prohibiting(self):
+        # "data - stream" (hyphen from a raw topic title): the bare '-' must
+        # be dropped, NOT flip 'stream' to MUST_NOT — only '-(' / '+('
+        # prefix a group
+        plan = parse_query("q", "data - stream", mode="boolean")
+        assert [(c.occur, c.terms) for c in plan.clauses] == [
+            (SHOULD, [("data", 1.0)]), (SHOULD, [("stream", 1.0)])]
+        plan2 = parse_query("q", "data -(a b) + c", mode="boolean")
+        assert plan2.clauses[1].occur == MUST_NOT  # group prefix still works
+        assert plan2.clauses[2].occur == SHOULD    # dangling '+' dropped
+
     def test_flat_queries_unchanged(self):
         plan = parse_query("q", "window AND stream NOT batch", mode="boolean")
         w, s, b = plan.clauses

@@ -79,9 +79,6 @@ def test_multi_phrase_rewrite_is_one_job_and_one_union(spark, pos_idx):
     round-2 shape ran 2 jobs PER phrase) and add exactly one union branch to
     the postings frame regardless of phrase count."""
     from patapsco_spark.config import RetrieveConfig
-    from patapsco_spark.operators.retrieve import search_texts
-
-    from patapsco_spark.config import RetrieveConfig
     from patapsco_spark.operators.retrieve import search_texts as st
 
     sc = spark.sparkContext

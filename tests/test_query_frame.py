@@ -66,6 +66,23 @@ def test_100k_queries_bounded_driver_and_identical_results(
     assert got == want and len(want) > 0
 
 
+def test_config_change_invalidates_chunks(spark, idx, queries_df, tmp_path):
+    """resume=True with a CHANGED retrieval config must wipe and recompute —
+    never serve chunks built under a different k/scorer (stale-resume
+    hazard). The run manifest fingerprints the full config."""
+    out = str(tmp_path / "runout3")
+    small = queries_df.limit(300)
+    r1 = search_query_frame(spark, idx, small, out, RetrieveConfig(k=2),
+                            text_cfg=RAW, chunk_size=200)
+    assert r1.groupBy("query_id").count().agg({"count": "max"}).first()[0] <= 2
+    r2 = search_query_frame(spark, idx, small, out, RetrieveConfig(k=3),
+                            text_cfg=RAW, chunk_size=200)
+    # k=3 results actually materialize (old k=2 chunks were invalidated)
+    assert r2.groupBy("query_id").count().agg({"count": "max"}).first()[0] == 3
+    # and a stale out-of-range chunk dir from a larger earlier run is gone
+    assert not os.path.exists(os.path.join(out, "chunk=99"))
+
+
 def test_resume_skips_completed_chunks(spark, idx, queries_df, tmp_path):
     """A second call with resume=True must not recompute finished chunks —
     pin via the parquet files' mtimes staying put."""
