@@ -230,6 +230,19 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN: top-5 per query for a broadcast batch of query
+    vectors (vec_id 0-2) against the rest — the many-queries shape of
+    embedding retrieval (one scan, per-query window top-k)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.where(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = ann.cosine_topk_many(emb.where(F.col("vec_id") >= 3), queries, k=5)
+    return out.select(F.col("qid").cast("long"), F.col("vec_id").cast("long"),
+                      F.col("rank").cast("long").alias("rnk"), "cosine")
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate w.r.t. brute force (recall pinned in pytest), but fully
     # deterministic w.r.t. the algorithm — the oracle replays the seeded
@@ -437,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rm3_topk": q_rm3_topk,
         "eval_metrics": q_eval_metrics,
@@ -1423,6 +1437,33 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "ann_batch_topk": """
+WITH qx AS (
+  SELECT vec_id AS qid, CAST(unnest(embedding) AS DOUBLE) AS qv,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id < 3
+),
+ex AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id >= 3
+),
+qn AS (SELECT qid, SQRT(SUM(qv * qv)) AS qn FROM qx GROUP BY qid),
+dots AS (
+  SELECT qx.qid, ex.vec_id, SUM(ex.v * qx.qv) AS dot, SUM(ex.v * ex.v) AS n2
+  FROM ex JOIN qx USING (i) GROUP BY qx.qid, ex.vec_id
+),
+scored AS (
+  SELECT d.qid, d.vec_id, d.dot / (SQRT(d.n2) * qn.qn) AS cosine
+  FROM dots d JOIN qn USING (qid)
+)
+SELECT qid, vec_id,
+       (row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id ASC) - 1)::BIGINT AS rnk,
+       ROUND(cosine, 6) AS cosine
+FROM scored
+QUALIFY rnk < 5
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
