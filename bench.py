@@ -115,11 +115,16 @@ def run_queries(spark, sf_dir: str, warm_reps: int = WARM_REPS):
     p95: dict[str, float] = {}
     for name, fn in entry.queries().items():
         runs = []
-        for _ in range(1 + warm_reps):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+        try:
+            for _ in range(1 + warm_reps):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+        except Exception as e:  # one broken query must not zero the bench
+            cold[name] = warm[name] = p95[name] = -1.0
+            cold[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+            continue
         cold[name] = round(runs[0], 3)
         ws = sorted(runs[1:])
         warm[name] = round(ws[len(ws) // 2], 3)
