@@ -115,6 +115,22 @@ def q_boolean_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+WILDCARD_MUST, WILDCARD_PREFIX = "window", "s"
+
+
+def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix wildcard (new r4): 'window AND s*' — the 's' prefix expands
+    against the index term dictionary at search time (one StringStartsWith-
+    pushed term_stats read) into a SHOULD-group (Lucene's
+    SCORING_BOOLEAN_REWRITE); docs must contain 'window' AND ≥1 expanded
+    term, scoring BM25 over every matching query term."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx,
+                       [("q1", f"{WILDCARD_MUST} AND {WILDCARD_PREFIX}*")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
 PHRASE_WORDS = ["data", "stream"]
 PHRASE_EXTRA = "window"
 
@@ -368,18 +384,30 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS, IVF_ITERS, IVF_NPROBE, IVF_SEED = 8, 3, 3, 7
 
 
+def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF artifact per sf_dir — the Lloyd build runs once and a
+    warm query is read-only (centroids from manifest + nprobe-pruned scan),
+    mirroring _ensure_index's resume discipline."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_ivf_{tag}")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann.ivf_write(spark, emb.where(F.col("vec_id") != 0), path,
+                  n_cells=IVF_CELLS, iters=IVF_ITERS, seed=IVF_SEED,
+                  resume=True)
+    return path
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: approximate w.r.t. brute force (recall pinned in pytest)
     but fully deterministic w.r.t. the algorithm — centroid init samples the
     first 200 vectors in md5(id) order with seeded-rng index literals, so
     the oracle replays the ENTIRE k-means (init, Lloyd assignments with
     (d2, cell) tie-breaks, per-dim means, empty-cell carry-over), the
-    nprobe cell probe, and the exact re-rank in SQL."""
+    nprobe cell probe, and the exact re-rank in SQL. The index itself is a
+    persisted artifact (ann.ivf_write) — a warm call runs ZERO Lloyd jobs."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    cents, assigned = ann.ivf_build(emb.where(F.col("vec_id") != 0),
-                                    n_cells=IVF_CELLS, iters=IVF_ITERS,
-                                    seed=IVF_SEED)
+    cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
     out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=IVF_NPROBE)
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
@@ -438,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
+        "wildcard_bm25": q_wildcard_bm25,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -523,6 +552,46 @@ SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
        ROUND(score, 5) AS score
 FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _wildcard_bm25_sql(must_term: str, prefix: str, k1: float, b: float,
+                       k: int) -> str:
+    """Oracle for 'must_term AND prefix*': the query term set is the must
+    term plus every corpus term LIKE 'prefix%' (exactly the engine's
+    term-dictionary expansion); a doc matches iff it contains the must term
+    and ≥1 expanded term, scoring Σ BM25 over its matching query terms."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms AS (
+  SELECT '{must_term}' AS term
+  UNION
+  SELECT DISTINCT term FROM tf WHERE term LIKE '{prefix}%'
+),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score,
+         MAX(CASE WHEN tf.term = '{must_term}' THEN 1 ELSE 0 END) AS has_must,
+         MAX(CASE WHEN tf.term <> '{must_term}' THEN 1 ELSE 0 END) AS has_wild
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores WHERE has_must = 1 AND has_wild = 1
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -1116,6 +1185,8 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
         "boolean_nested": _boolean_nested_sql(["window", "stream"], "data",
                                               "batch", 0.9, 0.4, K),
+        "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST, WILDCARD_PREFIX,
+                                            0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,

@@ -111,17 +111,28 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
     exact-similarity layout.
 
     The chunk count comes from ``n_chunks``, or from ``approx_count`` (any
-    cheap row estimate — the value only tunes GEMM tile size, never results),
-    else a fixed default; no driver-side count() job is ever run."""
+    cheap row estimate — the value only tunes GEMM tile size, never results).
+    With neither hint, the estimate is derived by counting ONE partition of
+    the id column (a single-partition runJob over a pruned projection — no
+    full count() job) and scaling by the partition count: a fixed default
+    B would make the per-task GEMM tile grow linearly with input size (task
+    OOM at scale), so the tile is always targeted at ~2000 rows."""
     import pandas as pd
 
     spark = embeddings.sparkSession
     if n_chunks:
         B = n_chunks
-    elif approx_count:
-        B = max(2, min(32, int(np.ceil(approx_count / 2000))))
     else:
-        B = 16
+        if not approx_count:
+            ids = embeddings.select(F.col(id_col)).rdd
+            parts = ids.getNumPartitions()
+            if parts:
+                p0 = spark.sparkContext.runJob(
+                    ids, lambda it: [sum(1 for _ in it)], partitions=[0])
+                approx_count = max(1, (p0[0] if p0 else 0)) * parts
+            else:
+                approx_count = 1
+        B = max(2, min(256, int(np.ceil(approx_count / 2000))))
     chunked = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         (F.abs(F.hash(F.col(id_col))) % B).alias("chunk"))
@@ -275,3 +286,54 @@ def ivf_topk(assigned: DataFrame, cents: np.ndarray, query_vec: list[float],
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
     cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_write(spark, embeddings: DataFrame, path: str, n_cells: int = 16,
+              iters: int = 3, seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding", resume: bool = True) -> None:
+    """Persist the IVF index as an artifact — centroids in the manifest,
+    assignments as cell-partitioned parquet — behind the same manifest/
+    resume gates as the text index (operators/indexer.py build_index):
+    resume identity is (path, config); a matching complete manifest makes
+    this a NO-OP (zero Spark jobs), a mismatched one rebuilds from scratch.
+
+    Round-3 verdict: IVF was the only index in the engine rebuilt per call
+    (sampling + 3 Lloyd iterations = (iters+1) full scans + collects before
+    every probe — the slowest warm query). Persisting makes the query path
+    read-only: centroid argsort on the driver + an nprobe-pruned scan of
+    the ``cell=`` partitions (partition pruning does the candidate cut).
+    """
+    from ..plans import manifest as mf
+    from .indexer import _delete_path
+
+    cfg = {"op": "ivf", "n_cells": n_cells, "iters": iters, "seed": seed,
+           "id_col": id_col, "vec_col": vec_col}
+    if resume and mf.is_complete(path, "ivf", cfg):
+        return
+    _delete_path(spark, path)
+    cents, assigned = ivf_build(embeddings, n_cells=n_cells, iters=iters,
+                                seed=seed, id_col=id_col, vec_col=vec_col)
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/assigned"))
+    # manifest commit LAST (atomic rename) — a crashed build never passes
+    # is_complete, the next call rebuilds
+    mf.write_manifest(path, "ivf", cfg,
+                      metrics={"n_cells": int(len(cents)),
+                               "dim": int(cents.shape[1]),
+                               "centroids": [[float(x) for x in c]
+                                             for c in cents]})
+
+
+def ivf_read(spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> tuple[np.ndarray, DataFrame]:
+    """Load a persisted IVF index: (centroids, assigned DataFrame). The
+    assigned frame is lazy — ivf_topk's cell filter prunes partitions."""
+    from ..plans import manifest as mf
+
+    man = mf.read_manifest(path)
+    if man is None or man.get("stage") != "ivf":
+        raise FileNotFoundError(f"no IVF index at {path}")
+    cents = np.asarray(man["metrics"]["centroids"], dtype=np.float64)
+    assigned = spark.read.parquet(f"{path}/assigned") \
+        .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+    return cents, assigned

@@ -77,6 +77,12 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     total_tf = int(meta["total_tf"])
     avgdl = float(meta["avgdl"])
     docs_per_shard = int(meta["docs_per_shard"])
+    num_shards = int(meta["num_shards"])
+
+    # prefix wildcards ("te*") expand against the term dictionary BEFORE
+    # stats lookup — one prefix-pushed term_stats read for all wildcards
+    if any(c.prefix for p in plans for c in iter_term_clauses(p.clauses)):
+        plans = _expand_prefix_plans(spark, index_path, plans, num_shards)
 
     all_terms = sorted({t for p in plans
                         for c in iter_term_clauses(p.clauses)
@@ -84,8 +90,6 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if not all_terms or num_docs == 0:
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
-
-    num_shards = int(meta["num_shards"])
 
     # global term stats for idf/cf — only the query's terms are read;
     # aggregated across additive COMMITTED segments (seg < num_shards gates
@@ -207,14 +211,16 @@ def search_query_frame(spark: SparkSession, index_path: str,
     own ``chunk=K`` parquet directory.
 
     Resume discipline (the batch indexer's): a run manifest fingerprints the
-    retrieval/text config, mode, lang, chunking and index path. With
-    ``resume=True``, a matching manifest reuses the snapshot and skips
-    completed chunks (crash-resume); a MISMATCHED manifest (changed k,
-    scorer, chunk size, …) wipes ``out_path`` and recomputes everything —
-    stale chunks from a different configuration are never served. As with
-    every artifact stage in this engine, resume identity is (path, config):
-    to re-run the same config on changed query content, pass
-    ``resume=False`` (full wipe). Results are identical to
+    retrieval/text config, mode, lang, chunking, index path AND the query
+    CONTENT — (row count, xor of xxhash64(query_id, text)), one cheap
+    aggregation over the input. With ``resume=True``, a matching manifest reuses the
+    snapshot and skips completed chunks (crash-resume); a MISMATCHED
+    manifest (changed k, scorer, chunk size, …, or a changed topic set —
+    round-3 advice: config-only identity silently served stale chunks for
+    changed content) wipes ``out_path`` and recomputes everything. Caveat: a
+    nondeterministic query SOURCE fingerprints differently every run and thus
+    never resumes — correct, at the price of re-running; snapshot the
+    source to parquet first if that matters. Results are identical to
     :func:`search_texts` on the same queries.
     """
     import os
@@ -226,11 +232,20 @@ def search_query_frame(spark: SparkSession, index_path: str,
     text_cfg = text_cfg or TextConfig()
     run_doc = {"retrieve": vars(cfg), "text": vars(text_cfg), "lang": lang,
                "mode": mode, "chunk_size": chunk_size, "index": index_path}
+    # bit_xor, not sum: order-independent like sum but cannot overflow a
+    # long under ANSI mode (100k hashes summed overflow int64)
+    fp = (queries_df.select(
+        F.xxhash64(F.col("query_id").cast("string"),
+                   F.col("text")).alias("_h"))
+        .agg(F.count("*").alias("n"),
+             F.expr("bit_xor(_h)").alias("h")).first())
+    content_fp = {"n": int(fp["n"] or 0), "h": int(fp["h"] or 0)}
 
     staged = os.path.join(out_path, "_topics")
     man = mf.read_manifest(out_path) if resume else None
     fresh = (man is None or man.get("stage") != "query_chunks"
-             or man.get("config", {}).get("run") != run_doc)
+             or man.get("config", {}).get("run") != run_doc
+             or man.get("config", {}).get("content") != content_fp)
     if fresh:
         _delete_path(spark, out_path)
         (queries_df.select(
@@ -245,7 +260,8 @@ def search_query_frame(spark: SparkSession, index_path: str,
     n_chunks = max(1, -(-n // chunk_size))
     if fresh:
         mf.write_manifest(out_path, "query_chunks",
-                          {"run": run_doc, "n": n, "n_chunks": n_chunks})
+                          {"run": run_doc, "content": content_fp,
+                           "n": n, "n_chunks": n_chunks})
     chunked = snapshot.select(
         "query_id", "text",
         F.pmod(F.xxhash64("query_id"), n_chunks).cast("int").alias("chunk"))
@@ -267,6 +283,65 @@ def search_query_frame(spark: SparkSession, index_path: str,
         res.write.mode("overwrite").parquet(chunk_dir)
     return (spark.read.parquet(os.path.join(out_path, "chunk=*"))
             .drop("chunk"))
+
+
+MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
+
+
+def _expand_prefix_plans(spark: SparkSession, index_path: str,
+                         plans: list[QueryPlan], num_shards: int,
+                         max_expansions: int = MAX_PREFIX_EXPANSIONS
+                         ) -> list[QueryPlan]:
+    """Rewrite prefix-wildcard clauses ("te*") to SHOULD-groups over the
+    index terms matching the prefix — Lucene's SCORING_BOOLEAN_REWRITE for
+    multi-term queries: the group matches any doc containing ≥1 expanded
+    term and scores boost × Σ per-term BM25/QLD contributions.
+
+    Plan shape: ONE term_stats read for ALL prefixes in the batch, with the
+    OR-of-startswith predicate pushed to the parquet scan (StringStartsWith
+    → row-group pruning over the term-sorted stats files); only matching
+    terms are collected (bounded by max_expansions per prefix — Lucene's
+    BooleanQuery.maxClauseCount raises TooManyClauses the same way). A
+    prefix matching NOTHING keeps a reserved \\x01 pseudo-term so MUST
+    still excludes everything and SHOULD contributes nothing, exactly like
+    an empty Lucene PrefixQuery rewrite."""
+    from functools import reduce
+
+    from .indexer import read_term_stats
+    from .queryparse import Clause, ParseError
+
+    prefixes = sorted({c.terms[0][0] for p in plans
+                       for c in iter_term_clauses(p.clauses) if c.prefix})
+    cond = reduce(lambda a, b: a | b,
+                  [F.col("term").startswith(p) for p in prefixes])
+    stats = read_term_stats(spark, index_path, num_shards=num_shards)
+    terms = sorted(r["term"]
+                   for r in stats.where(cond).select("term").collect())
+    match = {p: [t for t in terms if t.startswith(p)] for p in prefixes}
+    for p, ts in match.items():
+        if len(ts) > max_expansions:
+            raise ParseError(
+                f"prefix wildcard '{p}*' expands to {len(ts)} terms "
+                f"(max {max_expansions}); use a longer prefix")
+
+    def rw(cs: list) -> list:
+        out = []
+        for c in cs:
+            if c.group:
+                out.append(Clause(c.occur, c.boost, [], group=rw(c.group)))
+            elif c.prefix:
+                ts = match[c.terms[0][0]]
+                if ts:
+                    out.append(Clause(c.occur, c.boost, [], group=[
+                        Clause(SHOULD, 1.0, [(t, 1.0)]) for t in ts]))
+                else:
+                    out.append(Clause(c.occur, c.boost,
+                                      [("\x01wild:" + c.terms[0][0], 1.0)]))
+            else:
+                out.append(c)
+        return out
+
+    return [QueryPlan(p.qid, rw(p.clauses), p.mode) for p in plans]
 
 
 def _phrase_pseudo_term(words: list[str]) -> str:

@@ -34,6 +34,54 @@ class TestAnnScalePaths:
         assert assigned.count() == emb.count()
         assert assigned.select("cell").distinct().count() <= 8
 
+    def test_ivf_artifact_roundtrip_identical_and_warm_is_zero_jobs(
+            self, spark, emb, tmp_path):
+        """ivf_write/ivf_read (round-3 verdict #2): the persisted artifact
+        must reproduce the in-memory build exactly, a warm ivf_write must
+        run ZERO Spark jobs (no Lloyd rebuild per call), the probe scan must
+        partition-prune on cell, and a changed config must rebuild."""
+        import io
+        from contextlib import redirect_stdout
+
+        import numpy as np
+
+        base = emb.where("vec_id <> 0")
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        path = str(tmp_path / "ivf")
+        ann.ivf_write(spark, base, path, n_cells=8, seed=7)
+        cents, assigned = ann.ivf_read(spark, path)
+        cents2, assigned2 = ann.ivf_build(base, n_cells=8, seed=7)
+        assert np.allclose(cents, cents2)
+        got = [(r.vec_id, r.cosine) for r in
+               ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=3).collect()]
+        want = [(r.vec_id, r.cosine) for r in
+                ann.ivf_topk(assigned2, cents2, qvec, k=10, nprobe=3).collect()]
+        assert got == want and len(got) == 10
+
+        # warm second build: manifest gate short-circuits before any job
+        sc = spark.sparkContext
+        sc.setJobGroup("ivf-warm-guard", "warm ivf_write must be a no-op")
+        try:
+            ann.ivf_write(spark, base, path, n_cells=8, seed=7)
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup("ivf-warm-guard"))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert n_jobs == 0
+
+        # the probe candidate cut is PARTITION pruning, not a post-scan filter
+        probe_plan = io.StringIO()
+        with redirect_stdout(probe_plan):
+            ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=3) \
+                .explain("formatted")
+        plan = probe_plan.getvalue()
+        assert "PartitionFilters" in plan
+        assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+        # changed config: stale artifact is never served
+        ann.ivf_write(spark, base, path, n_cells=4, seed=7)
+        cents3, _ = ann.ivf_read(spark, path)
+        assert len(cents3) == 4
+
     def test_lsh_near_dup_subset_of_exact(self, spark, emb):
         exact = {(r.id_a, r.id_b) for r in
                  ann.cosine_pairs(emb, threshold=0.4).collect()}

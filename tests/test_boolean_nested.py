@@ -88,6 +88,17 @@ class TestParser:
         assert plan2.clauses[1].occur == MUST_NOT  # group prefix still works
         assert plan2.clauses[2].occur == SHOULD    # dangling '+' dropped
 
+    def test_dangling_hyphen_consumes_pending_occur(self):
+        # round-3 advice: a dropped dangling '+'/'-' must also CONSUME any
+        # pending AND/NOT occur — "window AND - stream" must not propagate
+        # MUST onto 'stream' past the dropped hyphen (round-2 behavior)
+        plan = parse_query("q", "window AND - stream", mode="boolean")
+        assert [(c.occur, c.terms) for c in plan.clauses] == [
+            (MUST, [("window", 1.0)]), (SHOULD, [("stream", 1.0)])]
+        plan2 = parse_query("q", "alpha NOT - stream", mode="boolean")
+        assert [(c.occur, c.terms) for c in plan2.clauses] == [
+            (SHOULD, [("alpha", 1.0)]), (SHOULD, [("stream", 1.0)])]
+
     def test_flat_queries_unchanged(self):
         plan = parse_query("q", "window AND stream NOT batch", mode="boolean")
         w, s, b = plan.clauses

@@ -97,3 +97,25 @@ def test_resume_skips_completed_chunks(spark, idx, queries_df, tmp_path):
     after = {d: os.path.getmtime(os.path.join(out, d, "_SUCCESS"))
              for d in os.listdir(out) if d.startswith("chunk=")}
     assert after == mtimes
+
+
+def test_content_change_invalidates_chunks(spark, idx, tmp_path):
+    """resume=True with the SAME config but CHANGED topic content must not
+    serve stale chunks (round-3 advice: identity was (path, config) only —
+    the manifest now fingerprints (row count, sum xxhash64(qid, text)))."""
+    out = str(tmp_path / "runout4")
+    q1 = spark.createDataFrame([("qa", "term1"), ("qb", "term2 alpha")],
+                               "query_id string, text string")
+    search_query_frame(spark, idx, q1, out, RetrieveConfig(k=3),
+                       text_cfg=RAW, chunk_size=10)
+    q2 = spark.createDataFrame([("qa", "term3"), ("qb", "term4 gamma")],
+                               "query_id string, text string")
+    r2 = search_query_frame(spark, idx, q2, out, RetrieveConfig(k=3),
+                            text_cfg=RAW, chunk_size=10)
+    expect = search_texts(spark, idx, [("qa", "term3"), ("qb", "term4 gamma")],
+                          RetrieveConfig(k=3), text_cfg=RAW)
+    got = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+           for r in r2.collect()}
+    want = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
+            for r in expect.collect()}
+    assert got == want and len(want) > 0
