@@ -30,6 +30,16 @@ from dataclasses import dataclass, field
 SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 
 
+class ParseError(ValueError):
+    """A Lucene QueryParser construct this engine cannot score. The
+    reference's classic QueryParser (/root/reference/patapsco/retrieve.py:79-82)
+    accepts wildcards, fuzzy, fielded and range queries; we score trailing-*
+    PREFIX wildcards (expanded against the index's term dictionary at search
+    time) and refuse the rest LOUDLY — round-3 verdict: treating ``term~`` /
+    ``title:foo`` / ``[a TO b]`` as literal terms was a silent-wrong-answer
+    class (the literal just matches nothing)."""
+
+
 @dataclass
 class Clause:
     occur: str = SHOULD
@@ -47,6 +57,12 @@ class Clause:
     # (the reference reaches this through Lucene QueryParser + luqum,
     # /root/reference/patapsco/topics.py:362-414)
     group: list["Clause"] | None = None
+    # True for a trailing-* prefix wildcard ("te*"): terms holds [(prefix,
+    # 1.0)]; search-time expansion against the index term dictionary rewrites
+    # it to a SHOULD-group over the matching terms (Lucene's
+    # SCORING_BOOLEAN_REWRITE for multi-term queries), capped at
+    # MAX_PREFIX_EXPANSIONS like Lucene's BooleanQuery.maxClauseCount
+    prefix: bool = False
 
 
 @dataclass
@@ -97,6 +113,29 @@ def plan_psq(qid: str, query: str) -> QueryPlan:
 
 _BOOST_TOK = re.compile(r"\^\d+(?:\.\d+)?(?:[eE]-?\d+)?$")
 
+# Lucene range syntax "[a TO b]" / "{a TO b}" spans multiple whitespace
+# tokens — detected on the raw query before tokenization
+_RANGE_SYNTAX = re.compile(r"[\[\{]\S+\s+TO\s+\S+[\]\}]")
+
+
+def _check_term_token(tok: str) -> None:
+    """Refuse (loudly) the classic-QueryParser constructs we don't score —
+    see ParseError. Called on a bare term token (prefix/boost stripped)."""
+    if "~" in tok:
+        raise ParseError(
+            f"fuzzy/proximity query {tok!r} is not supported "
+            "(Lucene '~' syntax); remove the '~' for an exact term")
+    if ":" in tok:
+        raise ParseError(
+            f"fielded query {tok!r} is not supported (the index has a "
+            "single 'contents' field, like the reference index)")
+    if "?" in tok or "*" in tok[:-1]:
+        raise ParseError(
+            f"wildcard {tok!r} is not supported: only trailing-* prefix "
+            "wildcards ('te*') are scored")
+    if tok == "*":
+        raise ParseError("bare '*' (match-all) is not supported")
+
 
 def plan_boolean(qid: str, query: str) -> QueryPlan:
     """Parse the Lucene-classic boolean syntax the reference exercises
@@ -111,6 +150,10 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
     # a quoted phrase keeps any ^boost suffix attached ("a b"^3 is ONE token
     # — a bare alternation would split off '^3' and silently drop the boost);
     # parens are their own tokens so "(a" splits into "(" and "a"
+    if _RANGE_SYNTAX.search(query):
+        raise ParseError(
+            f"range query in {query!r} is not supported "
+            "(Lucene '[a TO b]' / '{a TO b}' syntax)")
     toks = re.findall(r'"[^"]*"(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+', query)
     pos = 0
 
@@ -145,10 +188,13 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                 # bare prefix directly before '(' — "+(a b)" tokenizes as
                 # '+' '(' ... — applies to the group. A dangling '+'/'-'
                 # NOT followed by '(' (e.g. a hyphen in "data - stream") is
-                # dropped, as Lucene's parser and the round-2 parser did —
-                # it must not silently prohibit the next term.
+                # dropped AND consumes any pending occur, as Lucene's parser
+                # and the round-2 parser did — "window AND - stream" must
+                # not propagate MUST onto "stream" past the dropped hyphen.
                 if pos + 1 < len(toks) and toks[pos + 1] == "(":
                     pending_occur = MUST if tok == "+" else MUST_NOT
+                else:
+                    pending_occur = None
                 pos += 1
                 continue
             if tok == "(":
@@ -181,7 +227,12 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                     clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
                                           phrase=len(words) > 1))
             elif tok:
-                clauses.append(Clause(occur, boost, [(tok, 1.0)]))
+                _check_term_token(tok)
+                if tok.endswith("*"):
+                    clauses.append(Clause(occur, boost, [(tok[:-1], 1.0)],
+                                          prefix=True))
+                else:
+                    clauses.append(Clause(occur, boost, [(tok, 1.0)]))
             pos += 1
         return clauses
 
