@@ -329,7 +329,8 @@ def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """trec_eval-semantics scoring (map/ndcg/ndcg'/recall@100/P@10) over a
+    """trec_eval-semantics scoring (map/ndcg/ndcg'/recall@100/P@10 +
+    recip_rank/judged@10, the round-4 breadth additions) over a
     deterministic pseudo-run: per lang ("query"), top-30 docs by a unique
     score; qrels = docs with n_chars % 3 == 0, graded 1 + doc_id % 2."""
     from pyspark.sql import Window
@@ -346,9 +347,11 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
         (1 + F.col("doc_id") % 2).cast("int").alias("relevance"))
-    out = evaluate_run(run, qrels)
-    return out.select("query_id", *[F.round(m, 6).alias(m) for m in
-                                    ("map", "ndcg", "ndcg_prime", "recall_100", "P_10")])
+    metrics = ("map", "ndcg", "ndcg_prime", "recall_100", "P_10",
+               "recip_rank", "judged_10")
+    out = evaluate_run(run, qrels, metrics=metrics)
+    return out.select("query_id",
+                      *[F.round(m, 6).alias(m) for m in metrics])
 
 
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,7 +1364,9 @@ agg AS (
          SUM(CASE WHEN rel > 0 THEN CAST(cum_rel AS DOUBLE)/trec_rank ELSE 0 END) AS ap_num,
          SUM(rel / log2(trec_rank + 1.0)) AS dcg,
          SUM(CASE WHEN rel > 0 AND trec_rank <= 100 THEN 1 ELSE 0 END) AS rel100,
-         SUM(CASE WHEN rel > 0 AND trec_rank <= 10 THEN 1 ELSE 0 END) AS rel10
+         SUM(CASE WHEN rel > 0 AND trec_rank <= 10 THEN 1 ELSE 0 END) AS rel10,
+         MIN(CASE WHEN rel > 0 THEN trec_rank END) AS first_rel,
+         SUM(CASE WHEN judged AND trec_rank <= 10 THEN 1 ELSE 0 END) AS judged10
   FROM perdoc GROUP BY query_id
 ),
 aggp AS (
@@ -1375,16 +1380,20 @@ perq AS (
          CASE WHEN i.idcg > 0 THEN COALESCE(p.dcg_prime, a.dcg, 0)/i.idcg ELSE 0 END AS ndcg_prime,
          CASE WHEN i.num_rel > 0 THEN COALESCE(a.rel100, 0)/CAST(i.num_rel AS DOUBLE)
               ELSE 0 END AS recall_100,
-         COALESCE(a.rel10, 0)/10.0 AS P_10
+         COALESCE(a.rel10, 0)/10.0 AS P_10,
+         COALESCE(1.0 / a.first_rel, 0) AS recip_rank,
+         COALESCE(a.judged10, 0)/10.0 AS judged_10
   FROM ideal i LEFT JOIN agg a USING (query_id) LEFT JOIN aggp p USING (query_id)
 )
 SELECT query_id, ROUND(map,6) AS map, ROUND(ndcg,6) AS ndcg,
        ROUND(ndcg_prime,6) AS ndcg_prime, ROUND(recall_100,6) AS recall_100,
-       ROUND(P_10,6) AS P_10
+       ROUND(P_10,6) AS P_10, ROUND(recip_rank,6) AS recip_rank,
+       ROUND(judged_10,6) AS judged_10
 FROM perq
 UNION ALL
 SELECT 'all', ROUND(AVG(map),6), ROUND(AVG(ndcg),6), ROUND(AVG(ndcg_prime),6),
-       ROUND(AVG(recall_100),6), ROUND(AVG(P_10),6) FROM perq
+       ROUND(AVG(recall_100),6), ROUND(AVG(P_10),6), ROUND(AVG(recip_rank),6),
+       ROUND(AVG(judged_10),6) FROM perq
 """,
         "media_stats": """
 SELECT doc_id,

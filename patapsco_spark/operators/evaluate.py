@@ -40,7 +40,7 @@ from ..config import ConfigError
 DEFAULT_METRICS = ("map", "ndcg", "ndcg_prime", "recall_100", "recall_1000",
                    "P_10")
 
-_CUT_FAMILY = re.compile(r"^(recall|P|ndcg_cut)_(\d+)$")
+_CUT_FAMILY = re.compile(r"^(recall|P|ndcg_cut|judged)_(\d+)$")
 
 
 def normalize_metrics(metrics) -> list[str]:
@@ -54,16 +54,17 @@ def normalize_metrics(metrics) -> list[str]:
 
 def _parse_metrics(metrics: list[str]) -> dict[str, dict[int, str]]:
     """Validate and split into families; raises ConfigError on unknown."""
-    fams: dict[str, dict[int, str]] = {"recall": {}, "P": {}, "ndcg_cut": {}}
+    fams: dict[str, dict[int, str]] = {"recall": {}, "P": {}, "ndcg_cut": {},
+                                       "judged": {}}
     for m in metrics:
-        if m in ("map", "ndcg", "ndcg_prime"):
+        if m in ("map", "ndcg", "ndcg_prime", "recip_rank"):
             continue
         match = _CUT_FAMILY.match(m)
         if not match:
             raise ConfigError(
                 f"unsupported metric '{m}'; supported: map, ndcg, ndcg' "
-                f"(ndcg_prime), recall_<k>, P_<k>, ndcg_cut_<k> "
-                f"(also accepted with '@': recall@100, P@10, ...)")
+                f"(ndcg_prime), recip_rank, recall_<k>, P_<k>, ndcg_cut_<k>, "
+                f"judged_<k> (also accepted with '@': recall@100, P@10, ...)")
         fams[match.group(1)][int(match.group(2))] = m
     return fams
 
@@ -106,6 +107,10 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
     if depth is not None:
         run = run.where(F.col("trec_rank") <= depth)
     joined = (run.join(qrels, ["query_id", "doc_id"], "left")
+              # judged ⟺ the (query, doc) pair appears in the qrels at ANY
+              # grade (including 0 = judged non-relevant) — judged_k counts
+              # these, rel-based metrics treat unjudged as rel 0
+              .withColumn("judged", F.col("rel").isNotNull())
               .withColumn("rel", F.coalesce("rel", F.lit(0.0))))
 
     # per-query qrels stats: R (num relevant), ideal DCG over ALL judged docs
@@ -135,11 +140,18 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
     main_aggs = [
         F.sum(F.when(F.col("rel") > 0, F.col("prec_at")).otherwise(0.0)).alias("ap_num"),
         _dcg("rel", "trec_rank").alias("dcg"),
+        # rank of the first relevant hit → recip_rank (trec_eval: over the
+        # depth-truncated run; 0 when no relevant doc is retrieved)
+        F.min(F.when(F.col("rel") > 0, F.col("trec_rank"))).alias("first_rel"),
     ]
     for k in set(fams["recall"]) | set(fams["P"]):
         main_aggs.append(_rel_at(k).alias(f"rel_at_{k}"))
     for k in fams["ndcg_cut"]:
         main_aggs.append(_dcg("rel", "trec_rank", cut=k).alias(f"dcg_{k}"))
+    for k in fams["judged"]:
+        main_aggs.append(
+            F.sum(F.when(F.col("judged") & (F.col("trec_rank") <= k), 1)
+                  .otherwise(0)).alias(f"judged_at_{k}"))
     agg_main = per_doc.groupBy("query_id").agg(*main_aggs)
     agg_prime = judged_ranked.groupBy("query_id").agg(
         _dcg("rel", "jrank").alias("dcg_prime"))
@@ -155,6 +167,7 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
             F.col("idcg") > 0,
             F.coalesce("dcg_prime", F.col("dcg"), F.lit(0.0)) / F.col("idcg"))
             .otherwise(0.0),
+        "recip_rank": F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)),
     }
     for k, name in fams["recall"].items():
         cols[name] = (F.when(F.col("num_rel") > 0,
@@ -166,6 +179,8 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
         cols[name] = (F.when(F.col(f"idcg_{k}") > 0,
                              F.coalesce(f"dcg_{k}", F.lit(0.0)) / F.col(f"idcg_{k}"))
                       .otherwise(0.0))
+    for k, name in fams["judged"].items():
+        cols[name] = F.coalesce(f"judged_at_{k}", F.lit(0)) / F.lit(float(k))
 
     per_q = (ideal
              # trec_eval: topics with no positive judgment are NOT evaluated

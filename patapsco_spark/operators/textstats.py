@@ -15,6 +15,14 @@ from ..functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
 _TOKENS = lambda c: F.filter(F.split(F.trim(F.col(c)), r"\s+"), lambda t: t != "")
 
+# stopword membership as In(lower(t), literals): Catalyst rewrites In over
+# >10 literals to InSet — an O(1) hash lookup per token. The previous
+# array_contains(stop_arr, ...) form linearly scanned the 33-element array
+# per token (twice per doc at two call sites): correct, JVM-side, but a
+# needless 30x constant at 100 TB (round-3 verdict). Occurrence counting is
+# preserved: the filter keeps every stopword OCCURRENCE, not distinct hits.
+_IS_STOP = lambda t: F.lower(t).isin(*sorted(LUCENE_ENGLISH_STOPWORDS))
+
 
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
@@ -38,9 +46,8 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     - repetition: distinct/total token ratio
     """
     toks = _TOKENS(text_col)
-    stop_arr = F.array(*[F.lit(w) for w in sorted(LUCENE_ENGLISH_STOPWORDS)])
     n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_stop = F.size(F.filter(toks, _IS_STOP))
     mean_wl = F.aggregate(toks, F.lit(0).cast("long"),
                           lambda acc, t: acc + F.length(t)).cast("double") / n_tok
     alpha_ratio = (F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")) /
@@ -73,9 +80,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     tokens are English stopwords, zho if CJK chars dominate, else und.
     """
     toks = _TOKENS(text_col)
-    stop_arr = F.array(*[F.lit(w) for w in sorted(LUCENE_ENGLISH_STOPWORDS)])
     n_tok = F.greatest(F.size(toks), F.lit(1))
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))) / n_tok
+    stop_ratio = F.size(F.filter(toks, _IS_STOP)) / n_tok
     cjk_ratio = (F.length(F.regexp_replace(F.col(text_col), r"[^\x{4e00}-\x{9fff}]", "")) /
                  F.greatest(F.length(F.col(text_col)), F.lit(1)))
     return docs.select(

@@ -173,6 +173,30 @@ class TestReferenceSemantics:
         idcg3 = 2 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
         assert q["ndcg_cut_3"] == pytest.approx(dcg3 / idcg3)
 
+    def test_recip_rank_and_judged_k(self, spark):
+        # round-4 breadth: recip_rank = 1/rank of first rel>0 hit (0 when
+        # none retrieved); judged_k = |top-k ∩ qrels| / k, counting rel=0
+        # (judged non-relevant) pairs as judged — trec_eval conventions
+        run = spark.createDataFrame(
+            [("q1", "d1", 5.0), ("q1", "d2", 4.0), ("q1", "d3", 3.0),
+             ("q1", "d4", 2.0), ("q2", "d1", 1.0)],
+            "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame(
+            [("q1", "d2", 0), ("q1", "d3", 2), ("q1", "d9", 1),
+             ("q2", "d9", 1)],
+            "query_id string, doc_id string, relevance int")
+        got = {r["query_id"]: r.asDict() for r in evaluate_run(
+            run, qrels,
+            metrics=("recip_rank", "judged_2", "judged_10")).collect()}
+        # q1 ranked d1,d2,d3,d4: first rel>0 is d3 at rank 3
+        assert got["q1"]["recip_rank"] == pytest.approx(1 / 3)
+        assert got["q1"]["judged_2"] == pytest.approx(1 / 2)    # d2 only
+        assert got["q1"]["judged_10"] == pytest.approx(2 / 10)  # d2, d3
+        # q2 retrieved nothing relevant/judged
+        assert got["q2"]["recip_rank"] == 0.0
+        assert got["q2"]["judged_10"] == 0.0
+        assert got["all"]["recip_rank"] == pytest.approx(1 / 6)
+
     def test_unsupported_metric_raises(self, spark):
         from patapsco_spark.config import ConfigError
         run = spark.createDataFrame([("q1", "d1", 1.0)],
