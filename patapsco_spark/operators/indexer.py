@@ -395,7 +395,8 @@ def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],
 
 
 def read_term_stats(spark: SparkSession, index_path: str,
-                    num_shards: int | None = None) -> DataFrame:
+                    num_shards: int | None = None,
+                    shard_base: int | None = None) -> DataFrame:
     """(term, df, cf) aggregated across additive segments: seg=-1 is the
     base build, seg=K a streaming append's delta starting at shard K. A
     query-term filter applied on top still pushes to the parquet scan before
@@ -405,14 +406,23 @@ def read_term_stats(spark: SparkSession, index_path: str,
     from an UNCOMMITTED append (a crash between the seg write and the
     manifest commit): a committed append always has num_shards > its seg, so
     ``seg < num_shards`` admits exactly the committed segments — the same
-    snapshot isolation the postings/norms reads get from their shard filter."""
+    snapshot isolation the postings/norms reads get from their shard filter.
+    ``shard_base`` (> 0 after a compaction) additionally gates out the
+    pre-compaction base/deltas: the compacted stats live in one
+    seg=shard_base segment, and everything older is a superseded generation
+    (deleted lazily after the compaction's manifest commit)."""
     df = spark.read.parquet(f"{index_path}/term_stats")
-    if num_shards is None:
+    if num_shards is None or shard_base is None:
         man = mf.read_manifest(index_path)
         if man is not None:
-            num_shards = int(man["config"].get("num_shards", 0)) or None
+            if num_shards is None:
+                num_shards = int(man["config"].get("num_shards", 0)) or None
+            if shard_base is None:
+                shard_base = int(man["config"].get("shard_base", 0))
     if num_shards is not None:
         df = df.where(F.col("seg") < num_shards)
+    if shard_base:
+        df = df.where(F.col("seg") >= shard_base)
     return (df.groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
 

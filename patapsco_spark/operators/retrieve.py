@@ -78,11 +78,18 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     avgdl = float(meta["avgdl"])
     docs_per_shard = int(meta["docs_per_shard"])
     num_shards = int(meta["num_shards"])
+    # [shard_base, num_shards) is the committed live generation: compaction
+    # (streaming/incremental.compact_index) rewrites the index into fresh
+    # dense shards ABOVE the old range and flips shard_base in the manifest
+    # — a reader holding either manifest sees exactly one consistent
+    # generation (manifest-snapshot isolation, same as the append gate)
+    shard_base = int(meta.get("shard_base", 0))
 
     # prefix wildcards ("te*") expand against the term dictionary BEFORE
     # stats lookup — one prefix-pushed term_stats read for all wildcards
     if any(c.prefix for p in plans for c in iter_term_clauses(p.clauses)):
-        plans = _expand_prefix_plans(spark, index_path, plans, num_shards)
+        plans = _expand_prefix_plans(spark, index_path, plans, num_shards,
+                                     shard_base=shard_base)
 
     all_terms = sorted({t for p in plans
                         for c in iter_term_clauses(p.clauses)
@@ -95,7 +102,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # aggregated across additive COMMITTED segments (seg < num_shards gates
     # out a crashed append's uncommitted delta, like the shard filters below)
     from .indexer import read_term_stats
-    stats_df = (read_term_stats(spark, index_path, num_shards=num_shards)
+    stats_df = (read_term_stats(spark, index_path, num_shards=num_shards,
+                                shard_base=shard_base)
                 .where(F.col("term").isin(all_terms)))
     df_map: dict[str, tuple[int, int]] = {
         r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
@@ -115,7 +123,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         plans, phrase_posts = _rewrite_phrase_plans(
             spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
             num_shards=num_shards, docs_per_shard=docs_per_shard,
-            block_size=int(meta.get("block_size", 128)))
+            block_size=int(meta.get("block_size", 128)),
+            shard_base=shard_base)
 
     # postings read is filtered on the POST-rewrite plans' real terms — a
     # word appearing only inside phrases is read from positions/, not here.
@@ -127,13 +136,15 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
                          for t, _ in c.terms if not t.startswith("\x01")})
     posts = (spark.read.parquet(f"{index_path}/postings")
              .where(F.col("term").isin(live_terms) &
+                    (F.col("shard") >= shard_base) &
                     (F.col("shard") < num_shards)))
     if phrase_posts is not None:
         posts = posts.unionByName(phrase_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
-                    .where(F.col("shard") < num_shards))
+                    .where((F.col("shard") >= shard_base) &
+                           (F.col("shard") < num_shards)))
 
     def _clause_payload(c):
         # (occur, boost, terms, children): children non-empty for a nested
@@ -195,7 +206,7 @@ def search_query_frame(spark: SparkSession, index_path: str,
                        cfg: RetrieveConfig | None = None,
                        text_cfg: TextConfig | None = None, lang: str = "eng",
                        mode: str = "plain", chunk_size: int = 16384,
-                       resume: bool = True) -> DataFrame:
+                       resume: bool = True, parallel: int = 2) -> DataFrame:
     """Batch retrieval for a DataFrame of queries (query_id, text) — the
     scale path for topic sets too large to hold as driver-resident plans.
 
@@ -206,9 +217,11 @@ def search_query_frame(spark: SparkSession, index_path: str,
     one materialization — a nondeterministic source can't shift rows between
     the per-chunk jobs, and each chunk read is a cheap columnar scan of the
     snapshot, not a re-execution of the source plan), then split into hash
-    chunks; only ONE chunk's texts/plans/term-stats live on the driver at a
-    time (bounded by ``chunk_size``), and each chunk's results land in their
-    own ``chunk=K`` parquet directory.
+    chunks; at most ``parallel`` chunks' texts/plans/term-stats live on the
+    driver at a time (bounded by ``parallel × chunk_size``), overlapping
+    that many chunk jobs so wall-time tracks cluster capacity instead of
+    chunk count, and each chunk's results land in their own ``chunk=K``
+    parquet directory.
 
     Resume discipline (the batch indexer's): a run manifest fingerprints the
     retrieval/text config, mode, lang, chunking, index path AND the query
@@ -265,10 +278,11 @@ def search_query_frame(spark: SparkSession, index_path: str,
     chunked = snapshot.select(
         "query_id", "text",
         F.pmod(F.xxhash64("query_id"), n_chunks).cast("int").alias("chunk"))
-    for c in range(n_chunks):
+
+    def run_chunk(c: int) -> None:
         chunk_dir = os.path.join(out_path, f"chunk={c}")
         if not fresh and os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
-            continue
+            return
         batch = [(r["query_id"], r["text"])
                  for r in chunked.where(F.col("chunk") == c)
                                  .select("query_id", "text").collect()]
@@ -277,10 +291,27 @@ def search_query_frame(spark: SparkSession, index_path: str,
             (spark.createDataFrame([], "query_id string, doc_id string, "
                                        "docid long, rank int, score double")
              .write.mode("overwrite").parquet(chunk_dir))
-            continue
+            return
         res = search_texts(spark, index_path, batch, cfg,
                            text_cfg=text_cfg, lang=lang, mode=mode)
         res.write.mode("overwrite").parquet(chunk_dir)
+
+    # overlap a bounded number of chunk jobs (round-3 verdict #5): the
+    # strictly-sequential loop made wall-time scale with chunk count, not
+    # cluster size — each chunk's driver collect + small fan-out left most
+    # executors idle. Spark schedules concurrent jobs from driver threads
+    # (FIFO pool sharing); driver memory stays bounded at parallel ×
+    # chunk_size texts, and per-chunk `_SUCCESS` resume is unchanged (each
+    # chunk dir is still written atomically by exactly one thread).
+    parallel = max(1, int(parallel))
+    if parallel == 1 or n_chunks == 1:
+        for c in range(n_chunks):
+            run_chunk(c)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(parallel, n_chunks)) as pool:
+            # list() drains the iterator so the first failure propagates
+            list(pool.map(run_chunk, range(n_chunks)))
     return (spark.read.parquet(os.path.join(out_path, "chunk=*"))
             .drop("chunk"))
 
@@ -290,8 +321,8 @@ MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 
 def _expand_prefix_plans(spark: SparkSession, index_path: str,
                          plans: list[QueryPlan], num_shards: int,
-                         max_expansions: int = MAX_PREFIX_EXPANSIONS
-                         ) -> list[QueryPlan]:
+                         max_expansions: int = MAX_PREFIX_EXPANSIONS,
+                         shard_base: int = 0) -> list[QueryPlan]:
     """Rewrite prefix-wildcard clauses ("te*") to SHOULD-groups over the
     index terms matching the prefix — Lucene's SCORING_BOOLEAN_REWRITE for
     multi-term queries: the group matches any doc containing ≥1 expanded
@@ -314,7 +345,8 @@ def _expand_prefix_plans(spark: SparkSession, index_path: str,
                        for c in iter_term_clauses(p.clauses) if c.prefix})
     cond = reduce(lambda a, b: a | b,
                   [F.col("term").startswith(p) for p in prefixes])
-    stats = read_term_stats(spark, index_path, num_shards=num_shards)
+    stats = read_term_stats(spark, index_path, num_shards=num_shards,
+                            shard_base=shard_base)
     terms = sorted(r["term"]
                    for r in stats.where(cond).select("term").collect())
     match = {p: [t for t in terms if t.startswith(p)] for p in prefixes}
@@ -351,7 +383,8 @@ def _phrase_pseudo_term(words: list[str]) -> str:
 
 
 def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
-                          num_docs, num_shards, docs_per_shard, block_size):
+                          num_docs, num_shards, docs_per_shard, block_size,
+                          shard_base=0):
     """Rewrite phrase clauses to pseudo-terms backed by positional postings
     — ONE Spark job for ALL phrases, however many the batch contains.
 
@@ -395,8 +428,13 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
     pos_path = f"{index_path}/positions"
     all_words = sorted({w for ws in phrases for w in ws})
     pos = (spark.read.parquet(pos_path)
-           .where(F.col("term").isin(all_words) & (F.col("shard") < num_shards)))
-    norms = spark.read.parquet(f"{index_path}/norms").select("shard", "docid", "dl")
+           .where(F.col("term").isin(all_words) &
+                  (F.col("shard") >= shard_base) &
+                  (F.col("shard") < num_shards)))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where((F.col("shard") >= shard_base) &
+                    (F.col("shard") < num_shards))
+             .select("shard", "docid", "dl"))
 
     memb = spark.createDataFrame(
         [(pid, w, off, len(words))

@@ -198,6 +198,239 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     return new_meta
 
 
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Merge appended shards + collapse term_stats deltas into a fresh dense
+    base — the missing analogue of Lucene's segment merging
+    (/root/reference/patapsco/index.py:93-103, IndexWriter.addIndexes +
+    forceMerge). Round-3 verdict #3: without this, 10^4 micro-batches leave
+    10^4 stats segments and 10^4 under-filled shard dirs (every append pads
+    its docid base to the next shard boundary, so a 100-doc batch burns a
+    whole docs_per_shard range).
+
+    Design — generation flip under manifest-snapshot isolation:
+
+    1. The live generation [shard_base, num_shards) is rewritten into fresh
+       DENSE shards ABOVE the current range: new docids start at the next
+       shard boundary (num_docs_ceil) and renumber the old docids
+       ORDER-PRESERVINGLY (docid order ties retrieval ranks; preserving it
+       keeps results identical), so ``shard = docid // docs_per_shard``
+       stays a pure function and every new shard except the last is full.
+       Because every build/append assigns docids densely within a shard,
+       the old→new map is affine PER SHARD: (docid - shard_min + new_base)
+       — a broadcast join on the shard id, no doc-keyed shuffle.
+    2. Postings blobs are decoded per old shard (a cogrouped kernel over
+       postings × packed norms, the scorer's own access shape), remapped,
+       and re-encoded through the SAME blocked-varbyte kernel as the batch
+       build — one repartition on the new shard id, the build shuffle.
+    3. term_stats collapses to ONE seg=new_base segment computed from the
+       rewritten postings.
+    4. The manifest commit (atomic rename, LAST step) flips
+       ``shard_base``/``num_shards`` to the new generation; readers hold
+       either the old manifest (old range only) or the new one (new range
+       only) — never a mix. Old-generation partition dirs are deleted after
+       the commit (like Lucene deleting merged-away segments).
+
+    Replay-safe: a crash before the commit leaves the half-written new
+    generation ABOVE num_shards where no reader looks, and a re-run
+    recomputes the same target partitions with dynamic overwrite.
+
+    Global stats (num_docs, total_tf, avgdl) are unchanged, docid order is
+    preserved, per-doc dlq bytes are copied — retrieval results after
+    compaction are identical (pinned in tests) while shard count drops to
+    ceil(num_docs / docs_per_shard) and stats segments to 1.
+    """
+    import pathlib
+
+    from ..operators.indexer import read_term_stats  # noqa: F401 (doc ref)
+
+    root = mf.read_manifest(index_path)
+    if root is None:
+        raise FileNotFoundError(f"no index at {index_path}")
+    meta = root["config"]
+    dps = int(meta["docs_per_shard"])
+    num_shards = int(meta["num_shards"])
+    shard_base = int(meta.get("shard_base", 0))
+    positions = bool(meta.get("positions"))
+    block_size = int(meta.get("block_size", 128))
+    base0 = int(meta["num_docs_ceil"]) if "num_docs_ceil" in meta else \
+        math.ceil(int(meta["num_docs"]) / dps) * dps
+    new_base_shard = base0 // dps
+
+    live = lambda df: df.where((F.col("shard") >= shard_base) &
+                               (F.col("shard") < num_shards))
+    norms = live(spark.read.parquet(f"{index_path}/norms"))
+    per_shard = (norms.groupBy("shard")
+                 .agg(F.min("docid").alias("mn"), F.max("docid").alias("mx"),
+                      F.count("*").alias("n"))
+                 .orderBy("shard").collect())
+    if not per_shard:
+        return meta
+    remap: dict[int, tuple[int, int]] = {}
+    off = 0
+    for r in per_shard:
+        if int(r["mx"]) - int(r["mn"]) + 1 != int(r["n"]):
+            # never produced by this engine (docids are dense within a
+            # shard by construction) — refuse rather than corrupt
+            raise ValueError(f"shard {r['shard']} has docid gaps; "
+                             "cannot compact with the affine remap")
+        remap[int(r["shard"])] = (int(r["mn"]), base0 + off)
+        off += int(r["n"])
+    num_docs = off
+    last_docid = base0 + num_docs - 1
+    new_num_shards = last_docid // dps + 1
+    new_shard_count = new_num_shards - new_base_shard
+
+    mdf = spark.createDataFrame([(s, mn, nb) for s, (mn, nb) in remap.items()],
+                                "shard int, mn long, nb long")
+
+    def remapped(df: DataFrame) -> DataFrame:
+        return (df.join(F.broadcast(mdf), "shard")
+                .withColumn("docid", F.col("docid") - F.col("mn") + F.col("nb"))
+                .drop("mn", "nb")
+                .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int")))
+
+    dyn = {"partitionOverwriteMode": "dynamic"}
+    # each table stages through _compact_stage first: Spark cannot
+    # (correctly) overwrite a parquet path it is also reading from, and the
+    # new generation's rows are derived from the old generation in the SAME
+    # table. The stage is overwrite-mode → a crashed compaction's re-run
+    # recomputes it cleanly.
+    stage = f"{index_path}/_compact_stage"
+
+    # ---- norms + packed norms ------------------------------------------
+    (remapped(norms.select("shard", "docid", "id", "dl"))
+     .write.mode("overwrite").parquet(f"{stage}/norms"))
+    (spark.read.parquet(f"{stage}/norms")
+     .repartition(new_shard_count, "shard").sortWithinPartitions("docid")
+     .write.mode("overwrite").options(**dyn).partitionBy("shard")
+     .parquet(f"{index_path}/norms"))
+    (spark.read.parquet(f"{index_path}/norms")
+     .where(F.col("shard") >= new_base_shard)
+     .groupBy("shard")
+     .applyInPandas(_pack_norms(dps),
+                    schema="shard int, base long, n long, codes binary")
+     .write.mode("overwrite").options(**dyn).partitionBy("shard")
+     .parquet(f"{index_path}/norms_packed"))
+
+    # ---- postings: decode per old shard, remap, re-encode ---------------
+    old_posts = live(spark.read.parquet(f"{index_path}/postings"))
+    old_packed = live(spark.read.parquet(f"{index_path}/norms_packed"))
+    tf_rows = (old_posts.groupBy("shard").cogroup(old_packed.groupBy("shard"))
+               .applyInPandas(
+                   _make_decode_remap_kernel(dps, remap),
+                   schema="shard int, term string, docid long, tf int, dlq int"))
+    (tf_rows.repartition(new_shard_count, "shard")
+     .sortWithinPartitions("shard", "term", "docid")
+     .mapInPandas(_make_postings_kernel(block_size, dps),
+                  schema=POSTINGS_SCHEMA)
+     .write.mode("overwrite").parquet(f"{stage}/postings"))
+    (spark.read.parquet(f"{stage}/postings")
+     .write.mode("overwrite").options(**dyn).partitionBy("shard")
+     .parquet(f"{index_path}/postings"))
+
+    # ---- positions sidecar (plain rows: remap only) ----------------------
+    if positions:
+        pos = live(spark.read.parquet(f"{index_path}/positions"))
+        (remapped(pos)
+         .repartition(new_shard_count, "shard")
+         .sortWithinPartitions("shard", "term", "docid")
+         .write.mode("overwrite").parquet(f"{stage}/positions"))
+        (spark.read.parquet(f"{stage}/positions")
+         .write.mode("overwrite").options(**dyn).partitionBy("shard")
+         .parquet(f"{index_path}/positions"))
+
+    # ---- term stats: ONE collapsed segment -------------------------------
+    (spark.read.parquet(f"{index_path}/postings")
+     .where(F.col("shard") >= new_base_shard)
+     .groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+     .withColumn("seg", F.lit(new_base_shard))
+     .repartition(max(1, new_shard_count // 4)).sortWithinPartitions("term")
+     .write.mode("overwrite").options(**dyn).partitionBy("seg")
+     .parquet(f"{index_path}/term_stats"))
+
+    # ---- generation flip (atomic manifest rename) ------------------------
+    new_meta = dict(meta)
+    new_meta.update({
+        "num_docs": num_docs,
+        "shard_base": new_base_shard,
+        "num_shards": new_num_shards,
+        "num_docs_ceil": new_num_shards * dps,
+        "compactions": int(meta.get("compactions", 0)) + 1,
+    })
+    mf.write_manifest(index_path, "index", new_meta,
+                      metrics={"num_docs": num_docs,
+                               "compacted_shards": len(per_shard),
+                               "live_shards": new_shard_count})
+
+    # ---- delete the superseded generation (post-commit, like Lucene
+    # dropping merged segments; an in-flight reader on the OLD manifest
+    # must finish first — same contract as Lucene without refcounts) ------
+    tables = ["norms", "norms_packed", "postings"] + \
+        (["positions"] if positions else [])
+    for table in tables:
+        for d in pathlib.Path(f"{index_path}/{table}").glob("shard=*"):
+            if int(d.name.split("=", 1)[1]) < new_base_shard:
+                _delete_path(spark, str(d))
+    for d in pathlib.Path(f"{index_path}/term_stats").glob("seg=*"):
+        if int(d.name.split("=", 1)[1]) < new_base_shard:
+            _delete_path(spark, str(d))
+    _delete_path(spark, stage)
+    return new_meta
+
+
+def _make_decode_remap_kernel(docs_per_shard: int,
+                              remap: dict[int, tuple[int, int]]):
+    """Cogrouped (postings, packed norms) per OLD shard → decoded tf rows
+    with REMAPPED docids/shards, ready for the batch postings kernel. The
+    remap dict is one (min, new_base) pair per old shard — broadcast via
+    closure; at 10^12 docs / 10^5 docs_per_shard that is 10^7 entries
+    (~hundreds of MB driver-side): compact more often than never, or shard
+    the compaction by docid range."""
+    import pandas as pd
+
+    from ..functions.codec import decode_blocks
+    from ..functions.smallfloat import byte4_to_int
+
+    def kernel(key, posts_pdf: pd.DataFrame,
+               packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "shard": pd.Series(dtype=np.int32),
+            "term": pd.Series(dtype=object),
+            "docid": pd.Series(dtype=np.int64),
+            "tf": pd.Series(dtype=np.int32),
+            "dlq": pd.Series(dtype=np.int32)})
+        if posts_pdf.empty or packed_pdf.empty:
+            return empty
+        old_shard = int(key[0])
+        mn, nb = remap[old_shard]
+        base = old_shard * docs_per_shard
+        codes = np.frombuffer(bytes(packed_pdf["codes"].iloc[0]),
+                              dtype=np.uint8)
+        terms, docids, tfs, dlqs = [], [], [], []
+        for row in posts_pdf.itertuples(index=False):
+            offs = np.asarray(row.block_off, dtype=np.int64)
+            d, tf = decode_blocks(bytes(row.postings),
+                                  np.arange(len(offs)), offs,
+                                  np.asarray(row.block_gap_len, dtype=np.int64),
+                                  np.asarray(row.block_last, dtype=np.int64),
+                                  base)
+            dlqs.append(byte4_to_int(codes[d - base]))
+            docids.append(d - mn + nb)
+            tfs.append(tf)
+            terms.append(np.full(len(d), row.term, dtype=object))
+        if not terms:
+            return empty
+        docid = np.concatenate(docids)
+        return pd.DataFrame({
+            "shard": (docid // docs_per_shard).astype(np.int32),
+            "term": np.concatenate(terms),
+            "docid": docid,
+            "tf": np.concatenate(tfs).astype(np.int32),
+            "dlq": np.concatenate(dlqs).astype(np.int32)})
+
+    return kernel
+
+
 def stream_index(spark: SparkSession, pages_stream: DataFrame, index_path: str,
                  checkpoint: str, cfg: IndexConfig | None = None,
                  id_col: str = "id", text_col: str = "text",

@@ -119,3 +119,29 @@ def test_content_change_invalidates_chunks(spark, idx, tmp_path):
     want = {(r["query_id"], r["doc_id"], r["rank"], round(r["score"], 9))
             for r in expect.collect()}
     assert got == want and len(want) > 0
+
+
+def test_parallel_chunks_identical_and_not_slower(spark, idx, queries_df,
+                                                  tmp_path):
+    """parallel=4 must produce results identical to the sequential path and
+    overlap chunk jobs (round-3 verdict #5: the serial loop scaled wall-time
+    with chunk count). The timing bound is lenient (noisy shared VM): the
+    overlapped run must at minimum not serialize WORSE than sequential."""
+    import time
+
+    out_seq = str(tmp_path / "seq")
+    out_par = str(tmp_path / "par")
+    t0 = time.perf_counter()
+    r_seq = search_query_frame(spark, idx, queries_df, out_seq,
+                               RetrieveConfig(k=3), text_cfg=RAW,
+                               chunk_size=25_000, parallel=1)
+    seq_rows = sorted(map(tuple, r_seq.collect()))
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r_par = search_query_frame(spark, idx, queries_df, out_par,
+                               RetrieveConfig(k=3), text_cfg=RAW,
+                               chunk_size=25_000, parallel=4)
+    par_rows = sorted(map(tuple, r_par.collect()))
+    t_par = time.perf_counter() - t0
+    assert par_rows == seq_rows and len(par_rows) > 0
+    assert t_par < t_seq * 1.15, (t_par, t_seq)

@@ -203,3 +203,103 @@ class TestStreamIndex:
                            RetrieveConfig(k=10), text_cfg=CFG)
         ids = {r.doc_id for r in res.collect()}
         assert ids == {"seed", "s0"}
+
+
+class TestCompaction:
+    """compact_index (round-3 verdict #3): N appends → compact → identical
+    retrieval results; shard dirs and stats segments collapse; appends keep
+    working on the compacted generation."""
+
+    def _build_with_appends(self, spark, idx, n_appends=4,
+                            docs_per_shard=None, positions=False):
+        from patapsco_spark.config import IndexConfig
+        kw = dict(text=CFG, num_shards=2, positions=positions)
+        build_index(spark, _docs(spark, [
+            ("a1", "stream window join red fox", "eng"),
+            ("a2", "filter scan table stream", "eng"),
+            ("a3", "red fox runs fast", "eng")]), idx,
+            IndexConfig(**kw), resume=False)
+        for e in range(n_appends):
+            append_batch(spark, _docs(spark, [
+                (f"b{e}_1", f"stream epoch{e} window red", "eng"),
+                (f"b{e}_2", f"vector epoch{e} fox probe", "eng")]), idx,
+                IndexConfig(**kw), epoch_id=e)
+
+    @staticmethod
+    def _results(spark, idx, queries):
+        res = search_texts(spark, idx, queries, RetrieveConfig(k=50),
+                           text_cfg=CFG)
+        return sorted((r.query_id, r.doc_id, r["rank"], round(r.score, 12))
+                      for r in res.collect())
+
+    def test_compact_preserves_results_and_bounds_layout(self, spark, tmp_path):
+        import os
+        from patapsco_spark.plans import manifest as mf
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "cidx")
+        self._build_with_appends(spark, idx, n_appends=4)
+        queries = [("q1", "stream red"), ("q2", "fox"), ("q3", "epoch2"),
+                   ("q4", "vector probe window")]
+        before = self._results(spark, idx, queries)
+        pre = mf.read_manifest(idx)["config"]
+        pre_shards = {d for d in os.listdir(f"{idx}/postings")
+                      if d.startswith("shard=")}
+        pre_segs = {d for d in os.listdir(f"{idx}/term_stats")
+                    if d.startswith("seg=")}
+        assert len(pre_segs) == 5  # base + 4 append deltas
+
+        meta = compact_index(spark, idx)
+        after = self._results(spark, idx, queries)
+        assert after == before and len(before) > 0
+
+        # layout is bounded: dense shards, ONE stats segment, old gen gone
+        dps = int(meta["docs_per_shard"])
+        live = meta["num_shards"] - meta["shard_base"]
+        assert live == -(-meta["num_docs"] // dps)
+        segs = {d for d in os.listdir(f"{idx}/term_stats")
+                if d.startswith("seg=")}
+        assert segs == {f"seg={meta['shard_base']}"}
+        shards = {d for d in os.listdir(f"{idx}/postings")
+                  if d.startswith("shard=")}
+        assert len(shards) == live
+        assert shards.isdisjoint(pre_shards)
+        assert meta["num_docs"] == pre["num_docs"]
+        assert meta["total_tf"] == pre["total_tf"]
+        assert meta["avgdl"] == pre["avgdl"]
+
+    def test_compact_positions_index_keeps_phrases(self, spark, tmp_path):
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "cidxp")
+        self._build_with_appends(spark, idx, n_appends=3, positions=True)
+        q = [("q", '"red fox"')]
+        before = sorted((r.doc_id, round(r.score, 12)) for r in search_texts(
+            spark, idx, q, RetrieveConfig(k=50), text_cfg=CFG,
+            mode="boolean").collect())
+        compact_index(spark, idx)
+        after = sorted((r.doc_id, round(r.score, 12)) for r in search_texts(
+            spark, idx, q, RetrieveConfig(k=50), text_cfg=CFG,
+            mode="boolean").collect())
+        assert after == before and len(before) >= 2
+
+    def test_append_after_compact_and_recompact(self, spark, tmp_path):
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "cidx2")
+        self._build_with_appends(spark, idx, n_appends=2)
+        compact_index(spark, idx)
+        meta = append_batch(spark, _docs(spark, [
+            ("c1", "stream after compact", "eng")]), idx,
+            IndexConfig(text=CFG), epoch_id=100)
+        assert meta["num_docs"] == 8
+        res = search_texts(spark, idx, [("q", "stream")],
+                           RetrieveConfig(k=50), text_cfg=CFG)
+        ids = {r.doc_id for r in res.collect()}
+        assert {"a1", "a2", "c1", "b0_1", "b1_1"} <= ids
+        # a second compaction folds the post-compact append in too
+        meta2 = compact_index(spark, idx)
+        assert meta2["compactions"] == 2
+        res2 = search_texts(spark, idx, [("q", "stream")],
+                            RetrieveConfig(k=50), text_cfg=CFG)
+        assert {r.doc_id for r in res2.collect()} == ids
