@@ -69,6 +69,12 @@ def make_tokenizer(name: str, lang: str):
         return whitespace_tokenize_series
     if name == "ngram":
         return lambda s: ngram_tokenize_series(s, lang)
+    if name == "cjk_bigram":
+        # in-repo dictionary+bigram CJK kernel (kernels/cjk.py) — the
+        # dependency-free stand-in for jieba, also reachable as
+        # plugin:patapsco_spark.kernels.cjk_bigram_tokenizer
+        from ..kernels.cjk import cjk_bigram_tokenizer
+        return cjk_bigram_tokenizer(lang)
     if name.startswith("plugin:"):
         return load_plugin_kernel(name, lang)
     if name in ("moses", "jieba", "stanza", "spacy"):
@@ -77,5 +83,8 @@ def make_tokenizer(name: str, lang: str):
             "this environment; wire your own Series[str]->Series[list[str]] "
             "kernel with tokenize='plugin:your_module.your_tokenizer' "
             "(same contract; module must be importable on executors)"
+            + ("; for Chinese, the in-repo tokenize='cjk_bigram' kernel "
+               "(dictionary forward-maximum-matching + bigram fallback) "
+               "works without external packages" if name == "jieba" else "")
         )
     raise ValueError(f"unknown tokenizer: {name}")
