@@ -330,9 +330,11 @@ def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """trec_eval-semantics scoring (map/ndcg/ndcg'/recall@100/P@10 +
-    recip_rank/judged@10, the round-4 breadth additions) over a
-    deterministic pseudo-run: per lang ("query"), top-30 docs by a unique
-    score; qrels = docs with n_chars % 3 == 0, graded 1 + doc_id % 2."""
+    recip_rank/judged@10/Rprec/bpref/success@10, the round-4 breadth
+    additions) over a deterministic pseudo-run: per lang ("query"), top-30
+    docs by a unique score; qrels = docs with n_chars % 3 == 0, graded
+    doc_id % 3 — grade 0 rows are JUDGED NON-RELEVANT, which is what
+    bpref/judged@10 discriminate on."""
     from pyspark.sql import Window
     from patapsco_spark.operators.evaluate import evaluate_run
 
@@ -346,9 +348,9 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels = docs.where("n_chars % 3 = 0").select(
         F.col("lang").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
-        (1 + F.col("doc_id") % 2).cast("int").alias("relevance"))
+        (F.col("doc_id") % 3).cast("int").alias("relevance"))
     metrics = ("map", "ndcg", "ndcg_prime", "recall_100", "P_10",
-               "recip_rank", "judged_10")
+               "recip_rank", "judged_10", "Rprec", "bpref", "success_10")
     out = evaluate_run(run, qrels, metrics=metrics)
     return out.select("query_id",
                       *[F.round(m, 6).alias(m) for m in metrics])
@@ -1328,7 +1330,7 @@ WITH run0 AS (
 ), run AS (SELECT query_id, doc_id, score FROM run0 WHERE rn <= 30),
 qrels AS (
   SELECT lang AS query_id, CAST(doc_id AS VARCHAR) AS doc_id,
-         CAST(1 + doc_id % 2 AS INT) AS rel
+         CAST(doc_id % 3 AS INT) AS rel
   FROM documents WHERE n_chars % 3 = 0
 ),
 ideal AS (
@@ -1366,8 +1368,35 @@ agg AS (
          SUM(CASE WHEN rel > 0 AND trec_rank <= 100 THEN 1 ELSE 0 END) AS rel100,
          SUM(CASE WHEN rel > 0 AND trec_rank <= 10 THEN 1 ELSE 0 END) AS rel10,
          MIN(CASE WHEN rel > 0 THEN trec_rank END) AS first_rel,
-         SUM(CASE WHEN judged AND trec_rank <= 10 THEN 1 ELSE 0 END) AS judged10
+         SUM(CASE WHEN judged AND trec_rank <= 10 THEN 1 ELSE 0 END) AS judged10,
+         MAX(CASE WHEN rel > 0 AND trec_rank <= 10 THEN 1 ELSE 0 END) AS succ10
   FROM perdoc GROUP BY query_id
+),
+aggr AS (
+  SELECT p.query_id,
+         SUM(CASE WHEN p.rel > 0 AND p.trec_rank <= i.num_rel THEN 1 ELSE 0 END) AS rel_at_R
+  FROM perdoc p JOIN ideal i USING (query_id) GROUP BY p.query_id
+),
+nn AS (
+  SELECT query_id, SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END) AS n_nonrel
+  FROM qrels GROUP BY query_id
+),
+jc AS (
+  SELECT query_id, rel,
+         COALESCE(SUM(CASE WHEN rel = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id ORDER BY jrank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nonrel_above
+  FROM jranked
+),
+aggb AS (
+  SELECT jc.query_id,
+         SUM(CASE WHEN jc.rel > 0 THEN
+               CASE WHEN jc.nonrel_above = 0 THEN 1.0
+                    ELSE 1.0 - CAST(LEAST(jc.nonrel_above, i.num_rel) AS DOUBLE)
+                               / LEAST(nn.n_nonrel, i.num_rel) END
+             ELSE 0 END) AS bpref_num
+  FROM jc JOIN ideal i USING (query_id) JOIN nn USING (query_id)
+  GROUP BY jc.query_id
 ),
 aggp AS (
   SELECT query_id, SUM(rel / log2(jrank + 1.0)) AS dcg_prime
@@ -1382,18 +1411,27 @@ perq AS (
               ELSE 0 END AS recall_100,
          COALESCE(a.rel10, 0)/10.0 AS P_10,
          COALESCE(1.0 / a.first_rel, 0) AS recip_rank,
-         COALESCE(a.judged10, 0)/10.0 AS judged_10
+         COALESCE(a.judged10, 0)/10.0 AS judged_10,
+         CASE WHEN i.num_rel > 0 THEN COALESCE(r2.rel_at_R, 0)/CAST(i.num_rel AS DOUBLE)
+              ELSE 0 END AS "Rprec",
+         CASE WHEN i.num_rel > 0 THEN COALESCE(b.bpref_num, 0)/i.num_rel
+              ELSE 0 END AS bpref,
+         CAST(COALESCE(a.succ10, 0) AS DOUBLE) AS success_10
   FROM ideal i LEFT JOIN agg a USING (query_id) LEFT JOIN aggp p USING (query_id)
+       LEFT JOIN aggr r2 USING (query_id) LEFT JOIN aggb b USING (query_id)
+  WHERE i.num_rel > 0
 )
 SELECT query_id, ROUND(map,6) AS map, ROUND(ndcg,6) AS ndcg,
        ROUND(ndcg_prime,6) AS ndcg_prime, ROUND(recall_100,6) AS recall_100,
        ROUND(P_10,6) AS P_10, ROUND(recip_rank,6) AS recip_rank,
-       ROUND(judged_10,6) AS judged_10
+       ROUND(judged_10,6) AS judged_10, ROUND("Rprec",6) AS "Rprec",
+       ROUND(bpref,6) AS bpref, ROUND(success_10,6) AS success_10
 FROM perq
 UNION ALL
 SELECT 'all', ROUND(AVG(map),6), ROUND(AVG(ndcg),6), ROUND(AVG(ndcg_prime),6),
        ROUND(AVG(recall_100),6), ROUND(AVG(P_10),6), ROUND(AVG(recip_rank),6),
-       ROUND(AVG(judged_10),6) FROM perq
+       ROUND(AVG(judged_10),6), ROUND(AVG("Rprec"),6), ROUND(AVG(bpref),6),
+       ROUND(AVG(success_10),6) FROM perq
 """,
         "media_stats": """
 SELECT doc_id,

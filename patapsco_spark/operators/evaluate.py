@@ -40,7 +40,7 @@ from ..config import ConfigError
 DEFAULT_METRICS = ("map", "ndcg", "ndcg_prime", "recall_100", "recall_1000",
                    "P_10")
 
-_CUT_FAMILY = re.compile(r"^(recall|P|ndcg_cut|judged)_(\d+)$")
+_CUT_FAMILY = re.compile(r"^(recall|P|ndcg_cut|judged|success)_(\d+)$")
 
 
 def normalize_metrics(metrics) -> list[str]:
@@ -55,16 +55,17 @@ def normalize_metrics(metrics) -> list[str]:
 def _parse_metrics(metrics: list[str]) -> dict[str, dict[int, str]]:
     """Validate and split into families; raises ConfigError on unknown."""
     fams: dict[str, dict[int, str]] = {"recall": {}, "P": {}, "ndcg_cut": {},
-                                       "judged": {}}
+                                       "judged": {}, "success": {}}
     for m in metrics:
-        if m in ("map", "ndcg", "ndcg_prime", "recip_rank"):
+        if m in ("map", "ndcg", "ndcg_prime", "recip_rank", "Rprec", "bpref"):
             continue
         match = _CUT_FAMILY.match(m)
         if not match:
             raise ConfigError(
                 f"unsupported metric '{m}'; supported: map, ndcg, ndcg' "
-                f"(ndcg_prime), recip_rank, recall_<k>, P_<k>, ndcg_cut_<k>, "
-                f"judged_<k> (also accepted with '@': recall@100, P@10, ...)")
+                f"(ndcg_prime), recip_rank, Rprec, bpref, recall_<k>, P_<k>, "
+                f"ndcg_cut_<k>, judged_<k>, success_<k> "
+                f"(also accepted with '@': recall@100, P@10, ...)")
         fams[match.group(1)][int(match.group(2))] = m
     return fams
 
@@ -152,9 +153,49 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
         main_aggs.append(
             F.sum(F.when(F.col("judged") & (F.col("trec_rank") <= k), 1)
                   .otherwise(0)).alias(f"judged_at_{k}"))
+    for k in fams["success"]:
+        main_aggs.append(
+            F.max(F.when((F.col("rel") > 0) & (F.col("trec_rank") <= k), 1)
+                  .otherwise(0)).alias(f"success_at_{k}"))
     agg_main = per_doc.groupBy("query_id").agg(*main_aggs)
     agg_prime = judged_ranked.groupBy("query_id").agg(
         _dcg("rel", "jrank").alias("dcg_prime"))
+
+    # Rprec: relevant hits within the top num_rel ranks / num_rel — needs
+    # the per-query R alongside each row, so its own (tiny) agg + join
+    agg_rprec = None
+    if "Rprec" in metrics:
+        agg_rprec = (per_doc
+                     .join(ideal.select("query_id", "num_rel"), "query_id")
+                     .groupBy("query_id")
+                     .agg(F.sum(F.when((F.col("rel") > 0) &
+                                       (F.col("trec_rank") <= F.col("num_rel")),
+                                       1).otherwise(0)).alias("rel_at_R")))
+
+    # bpref (trec_eval m_bpref.c): over RETRIEVED JUDGED docs in rank order,
+    # each relevant doc contributes 1 when no judged-nonrelevant doc ranks
+    # above it, else 1 - min(nonrel_above, R)/min(N, R) with N = judged
+    # nonrelevant in the QRELS; sum / R
+    agg_bpref = None
+    if "bpref" in metrics:
+        n_nonrel = qrels.groupBy("query_id").agg(
+            F.sum(F.when(F.col("rel") == 0, 1).otherwise(0)).alias("n_nonrel"))
+        w_prev = (Window.partitionBy("query_id").orderBy("jrank")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        jb = judged_ranked.withColumn(
+            "nonrel_above",
+            F.coalesce(F.sum(F.when(F.col("rel") == 0, 1).otherwise(0))
+                       .over(w_prev), F.lit(0)))
+        agg_bpref = (jb.join(ideal.select("query_id", "num_rel"), "query_id")
+                     .join(n_nonrel, "query_id")
+                     .groupBy("query_id")
+                     .agg(F.sum(F.when(
+                         F.col("rel") > 0,
+                         F.when(F.col("nonrel_above") == 0, F.lit(1.0))
+                          .otherwise(F.lit(1.0) -
+                                     F.least("nonrel_above", "num_rel") /
+                                     F.least("n_nonrel", "num_rel")))
+                         .otherwise(0.0)).alias("bpref_num")))
 
     cols: dict[str, Column] = {
         "map": F.when(F.col("num_rel") > 0,
@@ -168,6 +209,12 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
             F.coalesce("dcg_prime", F.col("dcg"), F.lit(0.0)) / F.col("idcg"))
             .otherwise(0.0),
         "recip_rank": F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)),
+        "Rprec": F.when(F.col("num_rel") > 0,
+                        F.coalesce("rel_at_R", F.lit(0)) / F.col("num_rel"))
+                  .otherwise(0.0),
+        "bpref": F.when(F.col("num_rel") > 0,
+                        F.coalesce("bpref_num", F.lit(0.0)) / F.col("num_rel"))
+                  .otherwise(0.0),
     }
     for k, name in fams["recall"].items():
         cols[name] = (F.when(F.col("num_rel") > 0,
@@ -181,14 +228,19 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
                       .otherwise(0.0))
     for k, name in fams["judged"].items():
         cols[name] = F.coalesce(f"judged_at_{k}", F.lit(0)) / F.lit(float(k))
+    for k, name in fams["success"].items():
+        cols[name] = F.coalesce(f"success_at_{k}", F.lit(0)).cast("double")
 
     per_q = (ideal
              # trec_eval: topics with no positive judgment are NOT evaluated
              .where(F.col("num_rel") > 0)
              .join(agg_main, "query_id", "left")
-             .join(agg_prime, "query_id", "left")
-             .select("query_id",
-                     *[cols[m].alias(m) for m in metrics]))
+             .join(agg_prime, "query_id", "left"))
+    if agg_rprec is not None:
+        per_q = per_q.join(agg_rprec, "query_id", "left")
+    if agg_bpref is not None:
+        per_q = per_q.join(agg_bpref, "query_id", "left")
+    per_q = per_q.select("query_id", *[cols[m].alias(m) for m in metrics])
 
     keep = [m for m in metrics]
     mean_row = per_q.groupBy(F.lit("all").alias("query_id")).agg(

@@ -832,6 +832,13 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     num_docs = int(meta["num_docs"])
     avgdl = float(meta["avgdl"])
 
+    # wildcard plans explain their EXPANDED terms (same rewrite as search —
+    # a literal 'te*' term would silently contribute nothing here)
+    if any(c.prefix for c in iter_term_clauses(plan.clauses)):
+        plan = _expand_prefix_plans(
+            spark, index_path, [plan], int(meta["num_shards"]),
+            shard_base=int(meta.get("shard_base", 0)))[0]
+
     norms = (spark.read.parquet(f"{index_path}/norms")
              .where(F.col("id").isin(list(doc_ids)))
              .select("docid", "id", "dl"))

@@ -197,6 +197,32 @@ class TestReferenceSemantics:
         assert got["q2"]["judged_10"] == 0.0
         assert got["all"]["recip_rank"] == pytest.approx(1 / 6)
 
+    def test_rprec_bpref_success(self, spark):
+        # q1 ranked d1..d5 by score desc; qrels: d2=0, d4=0 (judged nonrel),
+        # d3=2, d5=1, d9=1 (unretrieved) -> R=3, N(nonrel)=2
+        run = spark.createDataFrame(
+            [("q1", f"d{i}", float(6 - i)) for i in range(1, 6)] +
+            [("q2", "d1", 1.0)],
+            "query_id string, doc_id string, score double")
+        qrels = spark.createDataFrame(
+            [("q1", "d2", 0), ("q1", "d4", 0), ("q1", "d3", 2),
+             ("q1", "d5", 1), ("q1", "d9", 1),
+             # q2: all-positive qrels -> N=0 exercises bpref's
+             # no-nonrel-above branch (trec_eval adds 1.0, no div by 0)
+             ("q2", "d1", 1), ("q2", "d7", 2)],
+            "query_id string, doc_id string, relevance int")
+        got = {r["query_id"]: r.asDict() for r in evaluate_run(
+            run, qrels,
+            metrics=("Rprec", "bpref", "success_1", "success_5")).collect()}
+        q = got["q1"]
+        assert q["Rprec"] == pytest.approx(1 / 3)     # top-3 rel hits: d3
+        # bpref: judged retrieved in order d2(0), d3(2), d4(0), d5(1):
+        #   d3 -> 1 - min(1,3)/min(2,3) = 0.5 ; d5 -> 1 - min(2,3)/min(2,3) = 0
+        assert q["bpref"] == pytest.approx(0.5 / 3)
+        assert q["success_1"] == 0.0 and q["success_5"] == 1.0
+        assert got["q2"]["bpref"] == pytest.approx(1 / 2)  # 1.0 / R=2
+        assert got["q2"]["Rprec"] == pytest.approx(1 / 2)
+
     def test_unsupported_metric_raises(self, spark):
         from patapsco_spark.config import ConfigError
         run = spark.createDataFrame([("q1", "d1", 1.0)],
@@ -204,4 +230,4 @@ class TestReferenceSemantics:
         qrels = spark.createDataFrame([("q1", "d1", 1)],
                                       "query_id string, doc_id string, relevance int")
         with pytest.raises(ConfigError, match="unsupported metric"):
-            evaluate_run(run, qrels, metrics=("bpref",)).collect()
+            evaluate_run(run, qrels, metrics=("gm_map",)).collect()

@@ -126,3 +126,16 @@ def test_search_uses_no_python_row_udfs(spark, idx):
     plan = _plan(res)
     assert "BatchEvalPython" not in plan
     assert "FlatMapCoGroupsInPandas" in plan or "FlatMapCoGroupsInArrow" in plan
+
+
+def test_term_stats_prefix_scan_pushes_startswith(spark, idx):
+    """Wildcard expansion reads the term dictionary with the OR-of-prefixes
+    predicate pushed to the parquet scan (StringStartsWith → row-group
+    pruning over term-sorted stats files) — not a full-dictionary scan."""
+    from patapsco_spark.operators.indexer import read_term_stats
+    stats = (read_term_stats(spark, idx, num_shards=3)
+             .where(F.col("term").startswith("te") |
+                    F.col("term").startswith("al")))
+    plan = _plan(stats)
+    assert "PushedFilters" in plan
+    assert "StringStartsWith" in plan
