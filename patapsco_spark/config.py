@@ -19,8 +19,10 @@ class ConfigError(ValueError):
 class TextConfig:
     """Text-processing config (reference: TextProcessorConfig)."""
 
-    tokenize: str = "whitespace"          # whitespace | ngram | moses | jieba | stanza | spacy
-    stem: str | None = None               # None | porter | parsivar | stanza | spacy
+    tokenize: str = "whitespace"          # whitespace | ngram | cjk_bigram | moses_lite
+                                          # | moses | jieba | stanza | spacy (gated)
+    stem: str | None = None               # None | porter | parsivar_lite
+                                          # | parsivar | stanza | spacy (gated)
     stopwords: str | None = "lucene"      # source name, or None to disable
     lowercase: bool = True                # normalize.lowercase (schema.py:34)
     stopword_dir: str | None = None       # dir with {source}/{lang}.txt lists
@@ -37,8 +39,11 @@ class TextConfig:
             raise ConfigError("stanza lemmatization requires the stanza tokenizer")
         if self.stem == "porter" and lang != "eng":
             raise ConfigError("Porter stemmer only supports English")
-        if self.stem == "parsivar" and lang != "fas":
-            raise ConfigError("Parsivar stemmer only supports Farsi")
+        if self.stem in ("parsivar", "parsivar_lite") and lang != "fas":
+            raise ConfigError(f"{self.stem} stemmer only supports Farsi")
+        if self.tokenize == "moses_lite" and lang == "zho":
+            raise ConfigError("moses_lite tokenizer does not support zho; "
+                              "use cjk_bigram or ngram")
 
 
 @dataclass(frozen=True)

@@ -286,6 +286,12 @@ def make_stemmer(name: str | None, lang: str):
         if lang != "eng":
             raise ValueError("Porter stemmer only supports English")
         return stem_series
+    if name == "parsivar_lite":
+        # in-repo light Farsi affix stripper (kernels/farsi.py) — the
+        # dependency-free stand-in for parsivar, also reachable as
+        # plugin:patapsco_spark.kernels.parsivar_lite_stemmer
+        from ..kernels.farsi import parsivar_lite_stemmer
+        return parsivar_lite_stemmer(lang)
     if name.startswith("plugin:"):
         from .tokenize import load_plugin_kernel
         return load_plugin_kernel(name, lang)
@@ -295,5 +301,8 @@ def make_stemmer(name: str | None, lang: str):
             "environment; wire your own Series[list[str]]->Series[list[str]] "
             "kernel with stem='plugin:your_module.your_stemmer' "
             "(same contract; module must be importable on executors)"
+            + ("; the in-repo stem='parsivar_lite' kernel (rule-based affix "
+               "stripping, no verb dictionaries) works without external "
+               "packages" if name == "parsivar" else "")
         )
     raise ValueError(f"unknown stemmer: {name}")

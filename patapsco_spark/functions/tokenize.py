@@ -75,6 +75,12 @@ def make_tokenizer(name: str, lang: str):
         # plugin:patapsco_spark.kernels.cjk_bigram_tokenizer
         from ..kernels.cjk import cjk_bigram_tokenizer
         return cjk_bigram_tokenizer(lang)
+    if name == "moses_lite":
+        # in-repo Moses-rule kernel (kernels/moses.py) — the dependency-free
+        # stand-in for sacremoses, also reachable as
+        # plugin:patapsco_spark.kernels.moses_lite_tokenizer
+        from ..kernels.moses import moses_lite_tokenizer
+        return moses_lite_tokenizer(lang)
     if name.startswith("plugin:"):
         return load_plugin_kernel(name, lang)
     if name in ("moses", "jieba", "stanza", "spacy"):
@@ -86,5 +92,8 @@ def make_tokenizer(name: str, lang: str):
             + ("; for Chinese, the in-repo tokenize='cjk_bigram' kernel "
                "(dictionary forward-maximum-matching + bigram fallback) "
                "works without external packages" if name == "jieba" else "")
+            + ("; the in-repo tokenize='moses_lite' kernel (Moses rule "
+               "pipeline, no sentence model) works without external "
+               "packages" if name == "moses" else "")
         )
     raise ValueError(f"unknown tokenizer: {name}")
