@@ -329,42 +329,84 @@ SCALING_SMALL_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_SMALL", "50000"))
 WATCH_PATH = os.path.join(REPO, "SCALING_WATCH.json")
 
 
-def run_scaling_interleaved(n_pages: int, reps: int = 3) -> dict:
-    """The healthy-window measurement itself: local[N] vs local[4N] cold
-    index builds over the SAME cached corpus, strictly INTERLEAVED
-    (lo, hi, lo, hi, …) so host drift hits both levels equally, medians per
-    level (robust to one contended run), efficiency = med_hi/(med_lo·span).
-    """
+WATCH_PAGES = int(os.environ.get("SPARK_GRAFT_WATCH_PAGES", "250000"))
+
+
+def _scaling_run_child(cores: int, corpus: str) -> tuple[float | None, str | None]:
+    code = ("import sys; sys.path.insert(0, %r); import bench; "
+            "print('RATE', bench.scaling_child(%d, %r))"
+            % (REPO, cores, corpus))
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=3000)
+    except subprocess.TimeoutExpired:
+        return None, "timeout (3000s)"
+    for line in proc.stdout.splitlines():
+        if line.startswith("RATE "):
+            return float(line.split()[1]), None
+    return None, proc.stderr[-400:]
+
+
+def run_scaling_bracketed(n_pages: int, max_pairs: int = 4,
+                          target_healthy_pairs: int = 2,
+                          pre_probe: dict | None = None) -> dict:
+    """The healthy-window measurement: local[N] vs local[4N] cold index
+    builds over the SAME cached corpus, run as (lo,hi) PAIRS each BRACKETED
+    by Arrow health probes. A pair's efficiency counts toward the attempt
+    only when both its brackets are healthy — i.e. the window demonstrably
+    held through that pair. This salvages partial windows: the round-3
+    protocol ran all reps before a single post-probe, so a window that
+    collapsed mid-attempt poisoned every rep (SCALING_WATCH.json attempt 1:
+    pre healthy, post ratio 1.05, efficiency 0.328 — discarded whole).
+    Pair run order alternates (lo,hi)/(hi,lo) so linear host drift cancels.
+    Stops early once ``target_healthy_pairs`` healthy pairs land, or as
+    soon as a bracket goes unhealthy (back to polling — more pairs in a
+    dead window are wasted minutes)."""
     low, high = max(2, CPUS // 8), max(8, CPUS // 2)
+    span = high / low
     corpus = _corpus_path(n_pages)
     _ensure_corpus(corpus, n_pages)
-    runs: dict[int, list[float]] = {low: [], high: []}
-    out: dict = {"pages": n_pages, "reps": reps, "cores": [low, high]}
-    for _ in range(reps):
-        for cores in (low, high):
-            code = ("import sys; sys.path.insert(0, %r); import bench; "
-                    "print('RATE', bench.scaling_child(%d, %r))"
-                    % (REPO, cores, corpus))
-            try:
-                proc = subprocess.run([sys.executable, "-c", code],
-                                      capture_output=True, text=True,
-                                      timeout=3000)
-            except subprocess.TimeoutExpired:
-                out[f"local[{cores}]_error"] = "timeout (3000s)"
-                continue
-            got = [float(l.split()[1]) for l in proc.stdout.splitlines()
-                   if l.startswith("RATE ")]
-            if got:
-                runs[cores].append(got[0])
-            else:
-                out[f"local[{cores}]_error"] = proc.stderr[-400:]
-    for cores in (low, high):
-        rs = sorted(runs[cores])
-        out[f"local[{cores}]_runs"] = [round(r, 1) for r in rs]
-        out[f"local[{cores}]"] = round(rs[len(rs) // 2], 1) if rs else None
-    r_lo, r_hi = out[f"local[{low}]"], out[f"local[{high}]"]
-    if r_lo and r_hi:
-        out["scaling_efficiency"] = round(r_hi / (r_lo * (high / low)), 3)
+    out: dict = {"pages": n_pages, "cores": [low, high], "pairs": []}
+    left = pre_probe or health_probe()
+    for i in range(max_pairs):
+        order = (low, high) if i % 2 == 0 else (high, low)
+        rates: dict[int, float | None] = {}
+        for cores in order:
+            rate, err = _scaling_run_child(cores, corpus)
+            rates[cores] = rate
+            if err:
+                out.setdefault("errors", []).append(f"local[{cores}]: {err}")
+        right = health_probe()
+        r_lo, r_hi = rates.get(low), rates.get(high)
+        pair = {
+            "order": list(order),
+            f"local[{low}]": round(r_lo, 1) if r_lo else None,
+            f"local[{high}]": round(r_hi, 1) if r_hi else None,
+            "pre_healthy": bool(left.get("healthy")),
+            "post_healthy": bool(right.get("healthy")),
+        }
+        if r_lo and r_hi:
+            pair["efficiency"] = round(r_hi / (r_lo * span), 3)
+        pair["healthy"] = (pair["pre_healthy"] and pair["post_healthy"]
+                           and "efficiency" in pair)
+        out["pairs"].append(pair)
+        n_healthy = sum(p["healthy"] for p in out["pairs"])
+        left = right
+        if n_healthy >= target_healthy_pairs:
+            break
+        if not right.get("healthy"):
+            break  # window gone; resume polling instead of burning pairs
+    healthy_effs = sorted(p["efficiency"] for p in out["pairs"]
+                          if p["healthy"])
+    all_effs = sorted(p["efficiency"] for p in out["pairs"]
+                      if "efficiency" in p)
+    out["n_healthy_pairs"] = len(healthy_effs)
+    pool = healthy_effs or all_effs
+    if pool:
+        mid = len(pool) // 2
+        med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2
+        out["scaling_efficiency"] = round(med, 3)
+    out["healthy"] = bool(healthy_effs)
     return out
 
 
@@ -393,8 +435,11 @@ def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
     AFTER the pair (the window must hold through the measurement), and
     appends everything to SCALING_WATCH.json. If the host never recovers,
     the recorded probe history IS the evidence. bench.py main() folds the
-    best attempt into the compact driver line."""
-    n_pages = n_pages or SCALING_PAGES
+    best attempt into the compact driver line.
+
+    ``reps`` = healthy bracketed pairs to aim for per attempt (each pair is
+    individually health-stamped — see run_scaling_bracketed)."""
+    n_pages = n_pages or WATCH_PAGES
     state = _load_watch()
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
@@ -403,11 +448,10 @@ def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
         _save_watch(state)
         print(json.dumps({"probe": h}), flush=True)
         if h.get("healthy"):
-            res = run_scaling_interleaved(n_pages, reps=reps)
-            post = health_probe()
-            attempt = {"t": round(time.time(), 1), "pre_health": h,
-                       "post_health": post, **res}
-            attempt["healthy"] = bool(h.get("healthy") and post.get("healthy"))
+            res = run_scaling_bracketed(n_pages, max_pairs=2 * reps,
+                                        target_healthy_pairs=reps,
+                                        pre_probe=h)
+            attempt = {"t": round(time.time(), 1), **res}
             state["attempts"].append(attempt)
             _save_watch(state)
             print(json.dumps({"attempt": attempt}), flush=True)
