@@ -202,6 +202,41 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.top_ngrams(docs, n=2, k=100)
 
 
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram decontamination (textstats.ngram_contamination,
+    the GPT-3/Gopher 13-gram protocol at n=3 for this corpus's short docs):
+    eval set = docs with doc_id % 97 == 0; per remaining doc, distinct
+    3-grams, how many appear in the eval set, and the contamination
+    ratio. Eval grams broadcast; corpus side is one narrow explode +
+    map-side-combinable agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    out = textstats.ngram_contamination(corpus, ev, n=3)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_grams", "n_hit", "contamination")
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingestion URL operators (operators/weburl.py): deterministic
+    messy URLs derived from doc_id (mixed case, default port, fragments,
+    tracking params, permuted params, trailing slashes) → canonicalize →
+    per-registered-domain rollup (pages, distinct canonicals, dup rate).
+    The oracle replays every canonicalization rule in DuckDB SQL."""
+    from patapsco_spark.operators.weburl import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m3 = F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:80/p/"), (F.col("doc_id") % 50).cast("string"),
+        F.when(m3 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+         .when(m3 == 1, F.lit("?a=1&utm_campaign=x&b=2#frag"))
+         .otherwise(F.lit("/")))
+    out = domain_stats(docs.select(url.alias("url")))
+    return out.select("domain", "n_pages", "n_canonical", "dup_rate")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # report every hash group (the >1 filter may legitimately be empty on
@@ -478,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
+        "contamination_overlap": q_contamination_overlap,
+        "url_domain_stats": q_url_domain_stats,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1319,6 +1356,92 @@ grams AS (
 )
 SELECT ngram, count(*)::BIGINT AS cnt FROM grams GROUP BY ngram
 ORDER BY cnt DESC, ngram ASC LIMIT 100
+""",
+        "contamination_overlap": """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS grams
+  FROM tok
+),
+evg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+per AS (
+  SELECT cg.doc_id, count(*) AS n_grams,
+         SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM cg LEFT JOIN evg e USING (gram) GROUP BY cg.doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_hit AS DOUBLE) / p.n_grams ELSE 0.0 END
+         AS contamination
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN per p USING (doc_id)
+""",
+        "url_domain_stats": """
+WITH base AS (
+  SELECT 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+         CAST(doc_id % 50 AS VARCHAR) ||
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+           WHEN 1 THEN '?a=1&utm_campaign=x&b=2#frag'
+           ELSE '/' END AS url
+  FROM documents
+),
+nofrag AS (SELECT regexp_replace(trim(url), '#.*$', '') AS u FROM base),
+pre AS (
+  SELECT u, lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))
+           AS prefix0
+  FROM nofrag
+),
+parts AS (
+  SELECT u,
+         regexp_replace(regexp_replace(prefix0, '^(http://[^/:]+):80$', '\\1'),
+                        '^(https://[^/:]+):443$', '\\1') AS prefix,
+         substring(u, length(prefix0) + 1) AS rest
+  FROM pre
+),
+canon AS (
+  SELECT prefix || regexp_replace(regexp_replace(rest, '\\?.*$', ''), '/+$', '')
+           || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical,
+         lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1))
+           AS host
+  FROM (
+    SELECT u, prefix, rest,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(
+               p, '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)='))), '&')
+             AS qs
+    FROM parts)
+),
+dom AS (
+  SELECT canonical,
+         CASE WHEN len(labels) >= 3 AND
+                   array_to_string(labels[len(labels)-1:len(labels)], '.') IN
+                   ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                    'org.au','co.jp','ne.jp','or.jp','com.br','com.cn',
+                    'com.mx','com.tr','com.ar','co.in','co.kr','co.za','co.nz')
+              THEN array_to_string(labels[len(labels)-2:len(labels)], '.')
+              WHEN len(labels) >= 2
+              THEN array_to_string(labels[len(labels)-1:len(labels)], '.')
+              ELSE host END AS domain
+  FROM (SELECT canonical, host, string_split(host, '.') AS labels FROM canon)
+),
+per AS (SELECT domain, canonical, count(*) AS c FROM dom
+        GROUP BY domain, canonical)
+SELECT domain, SUM(c)::BIGINT AS n_pages, COUNT(*)::BIGINT AS n_canonical,
+       ROUND(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_rate
+FROM per GROUP BY domain
 """,
         "eval_metrics": """
 WITH run0 AS (

@@ -166,6 +166,47 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100,
             .select("ngram", F.col("cnt").cast("long").alias("cnt")))
 
 
+def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document n-gram overlap against an evaluation set — the
+    train/test decontamination filter of LLM data pipelines (the published
+    GPT-3/Gopher 13-gram protocol, ``n`` parameterized). Returns one row
+    per corpus doc: ``n_grams`` (DISTINCT word n-grams in the doc),
+    ``n_hit`` (how many of those appear anywhere in the eval set), and
+    ``contamination`` = n_hit / n_grams (0.0 for docs shorter than n).
+
+    Scale design: the eval side collapses to DISTINCT n-grams and is
+    broadcast — eval sets are tiny next to a 100 TB corpus, and past the
+    broadcast threshold Spark/AQE falls back to a shuffled hash join on its
+    own. The corpus side is one narrow explode → map-side broadcast probe →
+    one groupBy on the id (a doc's grams stay partition-local after the
+    explode, so the final agg is map-side combinable). Nothing quadratic,
+    no shuffle wider than (id, two longs)."""
+    def gram_expr() -> str:
+        return (f"if(size(toks) >= {n}, "
+                f"transform(sequence(1, size(toks) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))), "
+                f"cast(array() as array<string>))")
+
+    corpus = (docs.select(F.col(id_col), _TOKENS(text_col).alias("toks"))
+              .select(id_col, F.explode_outer(
+                  F.array_distinct(F.expr(gram_expr()))).alias("gram")))
+    ev = (eval_docs.select(_TOKENS(text_col).alias("toks"))
+          .select(F.explode(F.expr(gram_expr())).alias("gram"))
+          .distinct())
+    hit = corpus.join(F.broadcast(ev.withColumn("hit", F.lit(1))),
+                      "gram", "left")
+    agg = hit.groupBy(id_col).agg(
+        F.sum(F.when(F.col("gram").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"))
+    return agg.select(
+        id_col, "n_grams", "n_hit",
+        F.when(F.col("n_grams") > 0, F.col("n_hit") / F.col("n_grams"))
+         .otherwise(F.lit(0.0)).alias("contamination"))
+
+
 def fingerprints(docs: DataFrame, shingle: int = 5, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: min md5 over word-``shingle``-grams
