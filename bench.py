@@ -349,7 +349,9 @@ def _scaling_run_child(cores: int, corpus: str) -> tuple[float | None, str | Non
 
 def run_scaling_bracketed(n_pages: int, max_pairs: int = 4,
                           target_healthy_pairs: int = 2,
-                          pre_probe: dict | None = None) -> dict:
+                          pre_probe: dict | None = None,
+                          cores: tuple[int, int] | None = None,
+                          require_healthy: bool = True) -> dict:
     """The healthy-window measurement: local[N] vs local[4N] cold index
     builds over the SAME cached corpus, run as (lo,hi) PAIRS each BRACKETED
     by Arrow health probes. A pair's efficiency counts toward the attempt
@@ -361,8 +363,18 @@ def run_scaling_bracketed(n_pages: int, max_pairs: int = 4,
     Pair run order alternates (lo,hi)/(hi,lo) so linear host drift cancels.
     Stops early once ``target_healthy_pairs`` healthy pairs land, or as
     soon as a bracket goes unhealthy (back to polling — more pairs in a
-    dead window are wasted minutes)."""
-    low, high = max(2, CPUS // 8), max(8, CPUS // 2)
+    dead window are wasted minutes).
+
+    ``cores`` overrides the (low, high) parallelism pair. The default
+    (CPUS//8, CPUS//2) is the widest clean 4x span on this box; on a
+    bandwidth-saturated host the meaningful alternative is (1, 4) — the
+    widest span whose UPPER level stays under the observed Arrow/IPC
+    ceiling, so the pair measures the engine, not the ceiling. With
+    ``require_healthy=False`` every completed pair counts (used for the
+    below-ceiling pair, where the 2-vs-8 Arrow probe reads saturated by
+    construction yet doesn't bind the measurement); brackets are still
+    recorded so the attempt carries its environment either way."""
+    low, high = cores or (max(2, CPUS // 8), max(8, CPUS // 2))
     span = high / low
     corpus = _corpus_path(n_pages)
     _ensure_corpus(corpus, n_pages)
@@ -390,18 +402,19 @@ def run_scaling_bracketed(n_pages: int, max_pairs: int = 4,
         pair["healthy"] = (pair["pre_healthy"] and pair["post_healthy"]
                            and "efficiency" in pair)
         out["pairs"].append(pair)
-        n_healthy = sum(p["healthy"] for p in out["pairs"])
+        n_done = sum(p["healthy"] for p in out["pairs"]) if require_healthy \
+            else sum("efficiency" in p for p in out["pairs"])
         left = right
-        if n_healthy >= target_healthy_pairs:
+        if n_done >= target_healthy_pairs:
             break
-        if not right.get("healthy"):
+        if require_healthy and not right.get("healthy"):
             break  # window gone; resume polling instead of burning pairs
     healthy_effs = sorted(p["efficiency"] for p in out["pairs"]
                           if p["healthy"])
     all_effs = sorted(p["efficiency"] for p in out["pairs"]
                       if "efficiency" in p)
     out["n_healthy_pairs"] = len(healthy_effs)
-    pool = healthy_effs or all_effs
+    pool = (healthy_effs or all_effs) if require_healthy else all_effs
     if pool:
         mid = len(pool) // 2
         med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2
