@@ -111,6 +111,15 @@ class TestContamination:
         # 7 positions but only 3 distinct grams; 'a b c' hits once
         assert r["n_grams"] == 3 and r["n_hit"] == 1
 
+    def test_all_jvm_side(self, spark):
+        """URL canonicalization + domain rollup compile to pure Catalyst
+        (no Python UDF stages) so they fuse into the page scan at 100 TB."""
+        pages = spark.createDataFrame([("http://a.com/p?x=1",)], "url string")
+        plan = domain_stats(pages)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
     def test_eval_side_is_broadcast(self, spark):
         docs = spark.createDataFrame([("d1", "a b c d")],
                                      "doc_id string, text string")
