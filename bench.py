@@ -558,12 +558,26 @@ def main() -> None:
         compact["scaling_efficiency_small"] = details["scaling_small"].get(
             "scaling_efficiency")
     if watch_best is not None:
-        compact["scaling_watch"] = {
+        state = _load_watch()
+        sw = {
             "scaling_efficiency": watch_best.get("scaling_efficiency"),
             "healthy": watch_best.get("healthy"),
             "pages": watch_best.get("pages"),
             "cores": watch_best.get("cores"),
+            "probes": len(state.get("probes", [])),
+            "probes_healthy": sum(1 for p in state.get("probes", [])
+                                  if p.get("healthy")),
         }
+        # the saturated-host fallback pair (cores chosen so the upper level
+        # sits under the observed IPC ceiling) — see run_scaling_bracketed
+        below = state.get("below_ceiling_attempts", [])
+        if below:
+            b = max(below, key=lambda a: a.get("scaling_efficiency") or -1)
+            sw["below_ceiling"] = {
+                "scaling_efficiency": b.get("scaling_efficiency"),
+                "cores": b.get("cores"), "pages": b.get("pages"),
+            }
+        compact["scaling_watch"] = sw
     print(json.dumps(compact))
 
 
