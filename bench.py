@@ -453,10 +453,13 @@ def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
     ``reps`` = healthy bracketed pairs to aim for per attempt (each pair is
     individually health-stamped — see run_scaling_bracketed)."""
     n_pages = n_pages or WATCH_PAGES
-    state = _load_watch()
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
         h = health_probe()
+        # reload each iteration: other processes (below-ceiling pairs, a
+        # second watcher) append their own keys — holding one in-memory
+        # copy across the whole watch silently clobbers them on save
+        state = _load_watch()
         state["probes"].append({"t": round(time.time(), 1), **h})
         _save_watch(state)
         print(json.dumps({"probe": h}), flush=True)
@@ -465,6 +468,7 @@ def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
                                         target_healthy_pairs=reps,
                                         pre_probe=h)
             attempt = {"t": round(time.time(), 1), **res}
+            state = _load_watch()  # the pair took minutes; re-sync first
             state["attempts"].append(attempt)
             _save_watch(state)
             print(json.dumps({"attempt": attempt}), flush=True)
