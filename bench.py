@@ -414,11 +414,17 @@ def run_scaling_bracketed(n_pages: int, max_pairs: int = 4,
     all_effs = sorted(p["efficiency"] for p in out["pairs"]
                       if "efficiency" in p)
     out["n_healthy_pairs"] = len(healthy_effs)
-    pool = (healthy_effs or all_effs) if require_healthy else all_effs
+    # ADVICE r4: when require_healthy and no healthy pair landed, do NOT
+    # publish the number under "scaling_efficiency" — a collapsed-window
+    # median must not be pickable as evidence by downstream max() folds.
+    pool = healthy_effs if require_healthy else all_effs
+    key = "scaling_efficiency"
+    if require_healthy and not healthy_effs:
+        pool, key = all_effs, "scaling_efficiency_unhealthy"
     if pool:
         mid = len(pool) // 2
         med = pool[mid] if len(pool) % 2 else (pool[mid - 1] + pool[mid]) / 2
-        out["scaling_efficiency"] = round(med, 3)
+        out[key] = round(med, 3)
     out["healthy"] = bool(healthy_effs)
     return out
 
@@ -435,6 +441,20 @@ def _save_watch(state: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1)
     os.replace(tmp, WATCH_PATH)
+
+
+def _watch_update(mutate) -> dict:
+    """Atomically load-mutate-save SCALING_WATCH.json under an flock
+    (ADVICE r4: two concurrent writers — the watcher and a below-ceiling
+    pair run — could interleave load/replace and drop appended records).
+    ``mutate`` receives the freshly loaded state and edits it in place."""
+    import fcntl
+    with open(WATCH_PATH + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        state = _load_watch()
+        mutate(state)
+        _save_watch(state)
+    return state
 
 
 def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
@@ -456,27 +476,24 @@ def watch_scaling(max_hours: float = 5.0, poll_sec: int = 420,
     deadline = time.time() + max_hours * 3600
     while time.time() < deadline:
         h = health_probe()
-        # reload each iteration: other processes (below-ceiling pairs, a
-        # second watcher) append their own keys — holding one in-memory
-        # copy across the whole watch silently clobbers them on save
-        state = _load_watch()
-        state["probes"].append({"t": round(time.time(), 1), **h})
-        _save_watch(state)
+        # flocked read-modify-write: other processes (below-ceiling pairs,
+        # a second watcher) append their own records concurrently
+        _watch_update(
+            lambda s: s["probes"].append({"t": round(time.time(), 1), **h}))
         print(json.dumps({"probe": h}), flush=True)
         if h.get("healthy"):
             res = run_scaling_bracketed(n_pages, max_pairs=2 * reps,
                                         target_healthy_pairs=reps,
                                         pre_probe=h)
             attempt = {"t": round(time.time(), 1), **res}
-            state = _load_watch()  # the pair took minutes; re-sync first
-            state["attempts"].append(attempt)
-            _save_watch(state)
+            state = _watch_update(
+                lambda s: s["attempts"].append(attempt))
             print(json.dumps({"attempt": attempt}), flush=True)
             if attempt["healthy"] and \
                     (res.get("scaling_efficiency") or 0) >= 0.8:
                 break  # captured: a healthy-window ≥0.8 measurement
         time.sleep(poll_sec)
-    return state
+    return _load_watch()
 
 
 def best_watch_attempt() -> dict | None:
@@ -489,7 +506,8 @@ def best_watch_attempt() -> dict | None:
         return None
     healthy = [a for a in attempts if a.get("healthy")]
     pool = healthy or attempts
-    return max(pool, key=lambda a: a.get("scaling_efficiency") or -1)
+    return max(pool, key=lambda a: a.get("scaling_efficiency")
+               or a.get("scaling_efficiency_unhealthy") or -1)
 
 
 def main() -> None:
@@ -565,6 +583,8 @@ def main() -> None:
         state = _load_watch()
         sw = {
             "scaling_efficiency": watch_best.get("scaling_efficiency"),
+            "scaling_efficiency_unhealthy": watch_best.get(
+                "scaling_efficiency_unhealthy"),
             "healthy": watch_best.get("healthy"),
             "pages": watch_best.get("pages"),
             "cores": watch_best.get("cores"),
@@ -581,7 +601,8 @@ def main() -> None:
                 "scaling_efficiency": b.get("scaling_efficiency"),
                 "cores": b.get("cores"), "pages": b.get("pages"),
             }
-        compact["scaling_watch"] = sw
+        compact["scaling_watch"] = {k: v for k, v in sw.items()
+                                    if v is not None}
     print(json.dumps(compact))
 
 

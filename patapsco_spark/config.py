@@ -58,6 +58,11 @@ class IndexConfig:
     # exact phrase scoring — EXCEEDS the reference, whose Lucene index stores
     # DOCS_AND_FREQS only (index.py:52) and silently degrades phrases
     positions: bool = False
+    # keep the pre-tokenization normalized text (original_text) in analyzed/
+    # — needed by the doc store / rerankers (reference: database.py, a
+    # separate task from the indexer). False = pure index build: the
+    # analysis stage ships only term arrays back from Python workers.
+    store_raw: bool = True
 
 
 @dataclass(frozen=True)

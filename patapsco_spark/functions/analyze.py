@@ -14,8 +14,19 @@ reference guarantees docs and queries share one config (job.py:952-962).
 
 Exposed as:
 - :func:`analyze_tokens_batch` — pandas-level kernel (testable w/o Spark)
-- :func:`analyze_documents`   — Spark ``mapInPandas`` wrapper producing
-  ``(id, lang, terms, dl, proc_text, original_text)``
+- :func:`analyze_documents`   — Spark wrapper producing
+  ``(id, lang, terms, dl[, original_text][, term_pos])``
+
+IPC note (round-5 hot-path work): for the default chain (whitespace
+tokenize + lowercase, no stopwords, no stemmer) every printable-ASCII row
+is processed **entirely JVM-side** (:func:`_analyze_catalyst`) — the
+pre-normalization chain provably reduces to space-run collapapse on that
+character class (fix_encoding is identity below 0x80, there are no control
+or format chars in \\x20-\\x7E+\\n, ASCII is NFC-invariant, and JVM
+``lower``/``split`` agree with CPython on ASCII). Only rows containing
+anything outside ``[\\x20-\\x7E\\n]`` cross the Arrow boundary into the
+pandas kernel. Byte-identity of the two routes is pinned by
+tests/test_fast_path.py on a corpus mixing both classes.
 """
 
 from __future__ import annotations
@@ -107,7 +118,8 @@ def _stem_list(stemmer, tokens: list[str]) -> list[str]:
 
 def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
                   text_col: str = "text", lang_col: str | None = "lang",
-                  with_positions: bool = False) -> pd.DataFrame:
+                  with_positions: bool = False,
+                  store_raw: bool = True) -> pd.DataFrame:
     """Full analysis of one Arrow batch → analyzed-docs rows.
 
     Rejects over-long documents (reference MAX_TEXT_LEN, docs.py:245-247) by
@@ -144,9 +156,9 @@ def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
             "lang": lang,
             "terms": terms,
             "dl": terms.map(len).astype("int64"),
-            "proc_text": terms.map(" ".join),
-            "original_text": normed,
         })
+        if store_raw:
+            part["original_text"] = normed
         if with_positions:
             part["term_pos"] = poss.to_numpy()
         out_parts.append(part)
@@ -154,8 +166,9 @@ def analyze_batch(pdf: pd.DataFrame, cfg: TextConfig, id_col: str = "id",
         empty = pd.DataFrame({
             "id": pd.Series(dtype=str), "lang": pd.Series(dtype=str),
             "terms": pd.Series(dtype=object), "dl": pd.Series(dtype="int64"),
-            "proc_text": pd.Series(dtype=str), "original_text": pd.Series(dtype=str),
         })
+        if store_raw:
+            empty["original_text"] = pd.Series(dtype=str)
         if with_positions:
             empty["term_pos"] = pd.Series(dtype=object)
         return empty
@@ -174,35 +187,152 @@ def _lang_key(lang: str) -> str:
     return _LANG_ALIASES.get(lang, lang)
 
 
-ANALYZED_SCHEMA = (
-    "id string, lang string, terms array<string>, dl long, "
-    "proc_text string, original_text string"
-)
-ANALYZED_SCHEMA_POS = ANALYZED_SCHEMA + ", term_pos array<int>"
+def analyzed_schema(with_positions: bool = False,
+                    store_raw: bool = True) -> str:
+    s = "id string, lang string, terms array<string>, dl long"
+    if store_raw:
+        s += ", original_text string"
+    if with_positions:
+        s += ", term_pos array<int>"
+    return s
+
+
+# kept for import compatibility (round ≤4 name); proc_text was dropped in
+# round 5 — it had zero consumers and doubled the Python→JVM Arrow bytes
+ANALYZED_SCHEMA = analyzed_schema()
+ANALYZED_SCHEMA_POS = analyzed_schema(with_positions=True)
+
+# the character class on which the JVM chain is provably byte-identical to
+# the Python chain: printable ASCII + newline. \A..\z (not ^..$): Java $
+# also matches before a trailing \r (a line terminator to Java but not to
+# Python re), which would mis-route "abc\r" into the fast path.
+_FAST_ASCII_RE = "\\A[\\x20-\\x7E\\n]*\\z"
+
+
+def catalyst_fast_eligible(cfg: TextConfig) -> bool:
+    """True when the configured chain is whitespace tokenize + lowercase
+    only — the chain :func:`_analyze_catalyst` reproduces exactly on
+    printable-ASCII rows. Stopword removal / stemming / other tokenizers
+    always route through the pandas kernel."""
+    return (cfg.tokenize == "whitespace" and cfg.stem is None
+            and cfg.stopwords is None and cfg.lowercase)
+
+
+def _analyze_catalyst(df, cfg: TextConfig, id_col: str, text_col: str,
+                      lang_col: str | None, with_positions: bool,
+                      store_raw: bool):
+    """Pure-Catalyst analysis of printable-ASCII rows (default chain only).
+
+    On ``[\\x20-\\x7E\\n]*`` the reference chain reduces to: collapse
+    space runs → split on whitespace → lowercase. All three agree between
+    JVM and CPython on this class (test_fast_path pins it), so these rows
+    never cross the Arrow boundary — whole-stage-codegen instead of a
+    Python worker round trip.
+    """
+    from pyspark.sql import functions as F
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    normed = F.regexp_replace(text, " +", " ")
+    toks = F.split(F.lower(normed), "[ \n]+")
+    terms = F.filter(toks, lambda x: x != F.lit(""))
+    lang = (F.lit("eng") if lang_col is None or lang_col not in df.columns
+            else F.coalesce(F.nullif(F.col(lang_col), F.lit("")), F.lit("eng")))
+    out = [F.col(id_col).cast("string").alias("id"), lang.alias("lang"),
+           terms.alias("terms"), F.size(terms).cast("long").alias("dl")]
+    if store_raw:
+        out.append(normed.alias("original_text"))
+    if with_positions:
+        dl = F.size(terms)
+        out.append(
+            F.when(dl > 0, F.sequence(F.lit(0), dl - F.lit(1)))
+             .otherwise(F.array().cast("array<int>")).alias("term_pos"))
+    return df.select(*out)
 
 
 def analyze_documents(df, cfg: TextConfig, id_col: str = "id",
                       text_col: str = "text", lang_col: str | None = "lang",
                       batch_transform=None, extra_cols: tuple[str, ...] = (),
-                      with_positions: bool = False):
-    """Spark DataFrame of raw docs → analyzed docs via mapInPandas.
+                      with_positions: bool = False, store_raw: bool = True,
+                      allow_catalyst: bool = True):
+    """Spark DataFrame of raw docs → analyzed docs.
 
-    One Arrow-batched pass; no per-row Python UDFs. ``batch_transform`` (a
-    pandas DataFrame → DataFrame function, e.g. html→text extraction) is
-    FUSED into the same kernel: chaining two mapInPandas stages instead
-    would keep two Python workers alive per task with four JVM↔Python Arrow
-    crossings — measurably pathological under high task concurrency.
-    ``extra_cols`` are additional input columns the transform needs.
+    Default chain + ``allow_catalyst``: rows are routed by an ASCII
+    predicate — printable-ASCII rows run entirely in Catalyst (zero Arrow
+    traffic), the rest through the Arrow-batched pandas kernel, unioned
+    back. The source is scanned once per branch (the predicate can't
+    prune at the parquet level), a deliberate trade: a second columnar
+    decode is far cheaper than shipping every row across the JVM↔Python
+    boundary — the measured ceiling on this host and the per-row cost
+    that survives a 1000-executor scale-up.
+
+    Other chains: one Arrow-batched pass; no per-row Python UDFs.
+    ``batch_transform`` (a pandas DataFrame → DataFrame function, e.g.
+    html→text extraction) is FUSED into the pandas kernel when the whole
+    batch needs Python anyway; under the Catalyst fast path it runs as an
+    extraction-only kernel (minimal output: id, lang, text) so the
+    analysis itself still happens JVM-side. ``extra_cols`` are additional
+    input columns the transform needs. ``store_raw=False`` drops the
+    ``original_text`` column — the pure-index build (the reference's doc
+    database is a separate task, index.py vs database.py) then ships only
+    the term arrays back from Python.
     """
+    schema = analyzed_schema(with_positions, store_raw)
+
+    if allow_catalyst and catalyst_fast_eligible(cfg):
+        if batch_transform is not None:
+            df = _transform_only(df, batch_transform, id_col, text_col,
+                                 lang_col, extra_cols)
+        from pyspark.sql import functions as F
+        is_ascii = F.coalesce(F.col(text_col), F.lit("")).rlike(_FAST_ASCII_RE)
+        fast = _analyze_catalyst(
+            df.where(is_ascii &
+                     (F.length(F.coalesce(F.col(text_col), F.lit("")))
+                      <= cfg.max_text_len)),
+            cfg, id_col, text_col, lang_col, with_positions, store_raw)
+        slow_src = df.where(~is_ascii)
+
+        def run_slow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield analyze_batch(pdf, cfg, id_col=id_col, text_col=text_col,
+                                    lang_col=lang_col,
+                                    with_positions=with_positions,
+                                    store_raw=store_raw)
+
+        cols = [c for c in (id_col, text_col, lang_col) if c and c in df.columns]
+        slow = slow_src.select(*cols).mapInPandas(run_slow, schema=schema)
+        return fast.unionByName(slow)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if batch_transform is not None:
                 pdf = batch_transform(pdf)
             yield analyze_batch(pdf, cfg, id_col=id_col, text_col=text_col,
                                 lang_col=lang_col,
-                                with_positions=with_positions)
+                                with_positions=with_positions,
+                                store_raw=store_raw)
 
     cols = [c for c in (id_col, text_col, lang_col, *extra_cols)
             if c and c in df.columns]
-    schema = ANALYZED_SCHEMA_POS if with_positions else ANALYZED_SCHEMA
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+def _transform_only(df, batch_transform, id_col: str, text_col: str,
+                    lang_col: str | None, extra_cols: tuple[str, ...]):
+    """Run ``batch_transform`` (e.g. html→text) as an extraction-only
+    kernel emitting the minimal ``(id, lang, text)`` columns — the Arrow
+    return payload is just the extracted text, and the analysis chain
+    downstream stays JVM-side for ASCII rows."""
+    out_cols = [id_col] + ([lang_col] if lang_col and lang_col in df.columns
+                           else []) + [text_col]
+    schema = ", ".join(f"`{c}` string" for c in out_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            got = batch_transform(pdf)
+            out = pd.DataFrame({c: got[c].astype(str) if c == id_col
+                                else got[c] for c in out_cols})
+            yield out
+
+    in_cols = [c for c in (id_col, text_col, lang_col, *extra_cols)
+               if c and c in df.columns]
+    return df.select(*in_cols).mapInPandas(run, schema=schema)

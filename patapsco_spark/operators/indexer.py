@@ -4,7 +4,7 @@ whose physical work happens inside opaque Lucene.
 
 Layout written under ``index_path``:
 
-    analyzed/   (id, lang, terms, dl, proc_text)      range-partitioned by id
+    analyzed/   (id, lang, terms, dl[, original_text]) range-partitioned by id
     norms/      shard=K/ (docid, id, dl, norm)        Lucene norm byte per doc
     postings/   shard=K/ (term, df, cf, max_tf, postings, block_*)
     term_stats/ (term, df, cf)                        global df/cf per term
@@ -68,9 +68,12 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
     cfg = cfg or IndexConfig()
     # positions is part of the analyzed cache key: a positions build stores
     # per-token pre-removal offsets (term_pos) that a plain build's cached
-    # analyzed/ dir would lack
+    # analyzed/ dir would lack. analyzed_format 2 = round-5 layout (no
+    # proc_text column; original_text gated by store_raw) — busts round-4
+    # analyzed/ caches whose schema differs.
     cfg_doc = {"text": vars(cfg.text), "block_size": cfg.block_size,
-               "num_shards": cfg.num_shards, "positions": bool(cfg.positions)}
+               "num_shards": cfg.num_shards, "positions": bool(cfg.positions),
+               "store_raw": bool(cfg.store_raw), "analyzed_format": 2}
 
     analyzed_path = f"{index_path}/analyzed"
     if not (resume and mf.is_complete(analyzed_path, "analyzed", cfg_doc)):
@@ -88,7 +91,8 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                                      text_col=text_col, lang_col=lang_col,
                                      batch_transform=batch_transform,
                                      extra_cols=transform_cols,
-                                     with_positions=bool(cfg.positions))
+                                     with_positions=bool(cfg.positions),
+                                     store_raw=cfg.store_raw)
         # materialize BEFORE range partitioning: repartitionByRange runs a
         # sampling job over its child, which would re-execute the whole
         # Python analysis chain a second time. Staged through parquet, the
@@ -160,9 +164,16 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                .parquet(f"{index_path}/norms_packed"))
         mf.write_manifest(f"{index_path}/norms_packed", "norms_packed", build_cfg)
 
-        # per-doc term frequencies (map-side combine in the Arrow kernel)
-        tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
-            _emit_tf, schema="shard int, term string, docid long, tf int, dlq int")
+        # per-doc term frequencies — pure Catalyst (round 5): sort each
+        # doc's term array, find run boundaries with HOFs, explode one row
+        # per distinct term; SmallFloat dl quantization via its closed-form
+        # SQL. Replaces the Arrow-batched _emit_tf kernel: the whole token
+        # stream used to cross JVM→Python→JVM here — on the measured host
+        # that IPC is the throughput ceiling, and it burns cluster memory
+        # bandwidth at any scale. _emit_tf remains as the cross-check
+        # reference kernel (tests pin row-identical output).
+        tf_rows = emit_tf_catalyst(
+            docided.select("shard", "docid", "dl", "terms"))
 
         # SPIMI merge: one shuffle keyed on shard; a reducer receives (at
         # most) one whole shard sorted by (term, docid) and ONE kernel builds
@@ -250,11 +261,40 @@ def _pick_partitions(spark: SparkSession, pages: DataFrame, cfg: IndexConfig) ->
     return max(spark.sparkContext.defaultParallelism, 4)
 
 
+def emit_tf_catalyst(docided: DataFrame) -> DataFrame:
+    """(shard, docid, dl, terms[]) → (shard, term, docid, tf, dlq), JVM-side.
+
+    The map-side combine of the SPIMI build with zero Python: per row,
+    ``array_sort`` the term array, compute run-start offsets with a HOF
+    filter, then explode one (term, tf) struct per run. tf = distance to
+    the next run start; dlq = Lucene SmallFloat round-trip of dl via its
+    closed-form SQL (pinned against the numpy reference in
+    tests/test_fast_path.py). Row-identical to :func:`_emit_tf` (also
+    pinned), which stays as the cross-check kernel."""
+    from ..functions.smallfloat import quantize_length_expr
+
+    return (
+        docided
+        .where(F.size("terms") > 0)
+        .withColumn("dlq", F.expr(quantize_length_expr("dl")).cast("int"))
+        .withColumn("s_terms", F.expr("array_sort(terms)"))
+        .withColumn("starts", F.expr(
+            "filter(sequence(0, size(s_terms)-1), "
+            "i -> i = 0 OR s_terms[i] != get(s_terms, i-1))"))
+        .select("shard", "docid", "dlq", F.explode(F.expr(
+            "transform(starts, (st, j) -> struct(s_terms[st] as term, "
+            "coalesce(get(starts, j+1), size(s_terms)) - st as tf))")).alias("p"))
+        .select("shard", F.col("p.term").alias("term"), "docid",
+                F.col("p.tf").cast("int").alias("tf"), "dlq"))
+
+
 def _emit_tf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """(shard, docid, dl, terms[]) batches → (shard, term, docid, tf, dlq).
 
     Fully vectorized: flatten token arrays with np.repeat/concatenate, then a
     single C-level groupby-size — the map-side combine of the SPIMI build.
+    Round 5: superseded in the build by :func:`emit_tf_catalyst`; kept as
+    the independent reference kernel the tests compare against.
     """
     for pdf in batches:
         if pdf.empty:

@@ -38,6 +38,7 @@ from ..config import RetrieveConfig, TextConfig
 from ..functions.analyze import analyze_tokens_batch
 from ..functions.codec import decode_blocks
 from ..functions.smallfloat import quantize_length
+from ..plans import fsio
 from ..plans import manifest as mf
 from .queryparse import (MUST, MUST_NOT, SHOULD, QueryPlan,
                          iter_term_clauses, parse_query)
@@ -254,7 +255,7 @@ def search_query_frame(spark: SparkSession, index_path: str,
              F.expr("bit_xor(_h)").alias("h")).first())
     content_fp = {"n": int(fp["n"] or 0), "h": int(fp["h"] or 0)}
 
-    staged = os.path.join(out_path, "_topics")
+    staged = f"{out_path}/_topics"
     man = mf.read_manifest(out_path) if resume else None
     fresh = (man is None or man.get("stage") != "query_chunks"
              or man.get("config", {}).get("run") != run_doc
@@ -280,8 +281,9 @@ def search_query_frame(spark: SparkSession, index_path: str,
         F.pmod(F.xxhash64("query_id"), n_chunks).cast("int").alias("chunk"))
 
     def run_chunk(c: int) -> None:
-        chunk_dir = os.path.join(out_path, f"chunk={c}")
-        if not fresh and os.path.exists(os.path.join(chunk_dir, "_SUCCESS")):
+        chunk_dir = f"{out_path}/chunk={c}"
+        # fsio: scheme-qualified out_paths (hdfs://, s3a://) resume too
+        if not fresh and fsio.exists(f"{chunk_dir}/_SUCCESS"):
             return
         batch = [(r["query_id"], r["text"])
                  for r in chunked.where(F.col("chunk") == c)
@@ -312,7 +314,7 @@ def search_query_frame(spark: SparkSession, index_path: str,
         with ThreadPoolExecutor(max_workers=min(parallel, n_chunks)) as pool:
             # list() drains the iterator so the first failure propagates
             list(pool.map(run_chunk, range(n_chunks)))
-    return (spark.read.parquet(os.path.join(out_path, "chunk=*"))
+    return (spark.read.parquet(f"{out_path}/chunk=*")
             .drop("chunk"))
 
 

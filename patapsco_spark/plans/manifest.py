@@ -26,6 +26,8 @@ import time
 import pathlib
 from typing import Any
 
+from . import fsio
+
 # underscore prefix: Spark/Hadoop file indexes skip `_*` files (like
 # _SUCCESS), so the manifest can live inside the Parquet directory
 MANIFEST = "_manifest.json"
@@ -35,8 +37,6 @@ def write_manifest(path: str | pathlib.Path, stage: str,
                    config: dict | None = None,
                    metrics: dict | None = None,
                    lineage: list[dict] | None = None) -> None:
-    p = pathlib.Path(path)
-    p.mkdir(parents=True, exist_ok=True)
     doc = {
         "stage": stage,
         "config": config or {},
@@ -44,16 +44,17 @@ def write_manifest(path: str | pathlib.Path, stage: str,
         "lineage": lineage or [],
         "written_at": time.time(),  # provenance; is_complete ignores it
     }
-    tmp = p / (MANIFEST + ".tmp")
-    tmp.write_text(json.dumps(doc, indent=1, default=str))
-    tmp.rename(p / MANIFEST)  # atomic completion marker
+    # fsio routes scheme-qualified paths (hdfs://, s3a://, file:) through
+    # the Hadoop FileSystem API — round-4 defect #1: this layer was
+    # POSIX-only, voiding resume on object-store index paths
+    fsio.mkdirs(str(path))
+    fsio.write_text_atomic(f"{path}/{MANIFEST}",
+                           json.dumps(doc, indent=1, default=str))
 
 
 def read_manifest(path: str | pathlib.Path) -> dict[str, Any] | None:
-    f = pathlib.Path(path) / MANIFEST
-    if not f.exists():
-        return None
-    return json.loads(f.read_text())
+    text = fsio.read_text(f"{path}/{MANIFEST}")
+    return None if text is None else json.loads(text)
 
 
 def is_complete(path: str | pathlib.Path, stage: str,

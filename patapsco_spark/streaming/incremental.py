@@ -52,11 +52,12 @@ from ..operators.indexer import (
     POSTINGS_SCHEMA,
     _assign_docids,
     _delete_path,
-    _emit_tf,
     _make_postings_kernel,
+    emit_tf_catalyst,
     _pack_norms,
     _per_file_stats,
 )
+from ..plans import fsio
 from ..plans import manifest as mf
 
 
@@ -134,8 +135,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
      .write.mode("overwrite").options(**dyn).partitionBy("shard")
      .parquet(f"{index_path}/norms_packed"))
 
-    tf_rows = docided.select("shard", "docid", "dl", "terms").mapInPandas(
-        _emit_tf, schema="shard int, term string, docid long, tf int, dlq int")
+    tf_rows = emit_tf_catalyst(docided.select("shard", "docid", "dl", "terms"))
     postings = (tf_rows
                 .repartition(new_shard_count, "shard")
                 .sortWithinPartitions("shard", "term", "docid")
@@ -239,8 +239,6 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     compaction are identical (pinned in tests) while shard count drops to
     ceil(num_docs / docs_per_shard) and stats segments to 1.
     """
-    import pathlib
-
     from ..operators.indexer import read_term_stats  # noqa: F401 (doc ref)
 
     root = mf.read_manifest(index_path)
@@ -368,12 +366,12 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     tables = ["norms", "norms_packed", "postings"] + \
         (["positions"] if positions else [])
     for table in tables:
-        for d in pathlib.Path(f"{index_path}/{table}").glob("shard=*"):
-            if int(d.name.split("=", 1)[1]) < new_base_shard:
-                _delete_path(spark, str(d))
-    for d in pathlib.Path(f"{index_path}/term_stats").glob("seg=*"):
-        if int(d.name.split("=", 1)[1]) < new_base_shard:
-            _delete_path(spark, str(d))
+        for val, d in fsio.list_partition_dirs(f"{index_path}/{table}", "shard"):
+            if val < new_base_shard:
+                _delete_path(spark, d)
+    for val, d in fsio.list_partition_dirs(f"{index_path}/term_stats", "seg"):
+        if val < new_base_shard:
+            _delete_path(spark, d)
     _delete_path(spark, stage)
     return new_meta
 
