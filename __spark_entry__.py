@@ -131,6 +131,24 @@ def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS = "window", "lin", 2
+
+
+def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term (new r5): 'window AND lin~2' — 'lin' expands against the
+    index term dictionary to every term within plain Levenshtein distance 2
+    (length-range pushed to the term_stats scan, distance JVM-side,
+    limit-bounded collect) into a SHOULD-group; docs must contain 'window'
+    AND ≥1 expanded term, scoring BM25 over every matching query term.
+    Closes round-4 parity gap #3 (the reference's classic QueryParser
+    accepts term~, /root/reference/patapsco/retrieve.py:79-82)."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx,
+                       [("q1", f"{FUZZY_MUST} AND {FUZZY_BASE}~{FUZZY_EDITS}")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
 PHRASE_WORDS = ["data", "stream"]
 PHRASE_EXTRA = "window"
 
@@ -507,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
         "wildcard_bm25": q_wildcard_bm25,
+        "fuzzy_bm25": q_fuzzy_bm25,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -581,8 +600,10 @@ dfs AS (
 ),
 scores AS (
   SELECT tf.doc_id,
-         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
   FROM tf
   JOIN qterms USING (term)
   JOIN dfs ON dfs.term = tf.term
@@ -619,8 +640,10 @@ dfs AS (
 ),
 scores AS (
   SELECT tf.doc_id,
-         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
          MAX(CASE WHEN tf.term = '{must_term}' THEN 1 ELSE 0 END) AS has_must,
          MAX(CASE WHEN tf.term <> '{must_term}' THEN 1 ELSE 0 END) AS has_wild
   FROM tf
@@ -634,6 +657,50 @@ SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
        ROUND(score, 5) AS score
 FROM scores WHERE has_must = 1 AND has_wild = 1
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _fuzzy_bm25_sql(must_term: str, base: str, edits: int, k1: float,
+                    b: float, k: int) -> str:
+    """Oracle for 'must_term AND base~edits': the query term set is the
+    must term plus every corpus term within plain Levenshtein distance
+    ``edits`` of ``base`` (exactly the engine's dictionary expansion —
+    DuckDB's levenshtein and Spark's F.levenshtein are both the plain
+    distance); a doc matches iff it contains the must term and ≥1 expanded
+    term, scoring Σ BM25 over its matching query terms."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms AS (
+  SELECT '{must_term}' AS term
+  UNION
+  SELECT DISTINCT term FROM tf WHERE levenshtein(term, '{base}') <= {edits}
+),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
+         MAX(CASE WHEN tf.term = '{must_term}' THEN 1 ELSE 0 END) AS has_must,
+         MAX(CASE WHEN tf.term <> '{must_term}' THEN 1 ELSE 0 END) AS has_fuzzy
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores WHERE has_must = 1 AND has_fuzzy = 1
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -657,7 +724,7 @@ dfs AS (
   GROUP BY tf.term
 ),
 pass1 AS (
-  SELECT tf.doc_id, SUM({bm25_part}) AS score
+  SELECT tf.doc_id, list_aggregate(list({bm25_part} ORDER BY tf.term), 'sum') AS score
   FROM tf JOIN qterms USING (term) JOIN dfs ON dfs.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
   GROUP BY tf.doc_id
@@ -668,7 +735,7 @@ fb AS (
   FROM pass1 QUALIFY rn <= {fb_docs}
 ),
 rm1 AS (
-  SELECT tf.term, SUM(tf.tf / dl.dl * fb.score) AS w
+  SELECT tf.term, list_aggregate(list(tf.tf / dl.dl * fb.score ORDER BY tf.doc_id), 'sum') AS w
   FROM fb JOIN tf ON tf.doc_id = fb.doc_id JOIN dl ON dl.doc_id = fb.doc_id
   GROUP BY tf.term
 ),
@@ -677,7 +744,7 @@ rm1top AS (
   FROM rm1 QUALIFY rn <= {fb_terms}
 ),
 rm1n AS (
-  SELECT term, w / (SELECT SUM(w) FROM rm1top) AS p_rm1 FROM rm1top
+  SELECT term, w / (SELECT list_aggregate(list(w ORDER BY term), 'sum') FROM rm1top) AS p_rm1 FROM rm1top
 ),
 orig AS (
   SELECT term, count(*)::DOUBLE / {n_q} AS p_q FROM qterms GROUP BY term
@@ -693,9 +760,11 @@ dfs2 AS (
 ),
 pass2 AS (
   SELECT tf.doc_id,
-         SUM( weights.weight
+         list_aggregate(list(
+             weights.weight
               * ln(1 + (stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
   FROM tf JOIN weights USING (term) JOIN dfs2 ON dfs2.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
   GROUP BY tf.doc_id
@@ -721,9 +790,9 @@ cfs AS (
 ),
 scores AS (
   SELECT tf.doc_id,
-         SUM(GREATEST(
+         list_aggregate(list(GREATEST(
              ln(1 + tf.tf / ({mu} * (cfs.cf + 1) / (stats.total_tf + 1)))
-             + ln({mu} / ({quant} + {mu})), 0)) AS score
+             + ln({mu} / ({quant} + {mu})), 0) ORDER BY tf.term), 'sum') AS score
   FROM tf
   JOIN qterms USING (term)
   JOIN cfs ON cfs.term = tf.term
@@ -751,17 +820,19 @@ dfs AS (
   WHERE tf.term IN (SELECT term FROM clauses) GROUP BY tf.term
 ),
 edf AS (
-  SELECT c.cid, SUM(c.p * dfs.df) AS edf
+  SELECT c.cid, list_aggregate(list(c.p * dfs.df ORDER BY c.term), 'sum') AS edf
   FROM clauses c JOIN dfs ON dfs.term = c.term GROUP BY c.cid
 ),
 etf AS (
-  SELECT tf.doc_id, c.cid, SUM(c.p * tf.tf) AS etf
+  SELECT tf.doc_id, c.cid, list_aggregate(list(c.p * tf.tf ORDER BY c.term), 'sum') AS etf
   FROM tf JOIN clauses c ON c.term = tf.term GROUP BY tf.doc_id, c.cid
 ),
 scores AS (
   SELECT etf.doc_id,
-         SUM( ln(1 + (stats.n - edf.edf + 0.5) / (edf.edf + 0.5))
-              * etf.etf / (etf.etf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+         list_aggregate(list(
+             ln(1 + (stats.n - edf.edf + 0.5) / (edf.edf + 0.5))
+              * etf.etf / (etf.etf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY cid), 'sum') AS score
   FROM etf
   JOIN edf USING (cid)
   JOIN dl ON dl.doc_id = etf.doc_id
@@ -802,7 +873,7 @@ dfs AS (
   WHERE term IN ({phrase_in}, '{extra}') GROUP BY term
 ),
 phidf AS (
-  SELECT SUM(ln(1 + (stats.n - df + 0.5) / (df + 0.5))) AS idf
+  SELECT list_aggregate(list(ln(1 + (stats.n - df + 0.5) / (df + 0.5)) ORDER BY term), 'sum') AS idf
   FROM dfs CROSS JOIN stats WHERE term IN ({phrase_in})
 ),
 phscore AS (
@@ -818,8 +889,9 @@ wscore AS (
   JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
 ),
 scores AS (
-  SELECT doc_id, SUM(s) AS score
-  FROM (SELECT * FROM phscore UNION ALL SELECT * FROM wscore) GROUP BY doc_id
+  SELECT doc_id, list_aggregate(list(s ORDER BY ord), 'sum') AS score
+  FROM (SELECT doc_id, s, 0 AS ord FROM phscore
+        UNION ALL SELECT doc_id, s, 1 AS ord FROM wscore) GROUP BY doc_id
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -863,8 +935,9 @@ wscore AS (
   WHERE tf.term = '{extra}'
 ),
 scores AS (
-  SELECT doc_id, SUM(s) AS score
-  FROM (SELECT * FROM phscore UNION ALL SELECT * FROM wscore) GROUP BY doc_id
+  SELECT doc_id, list_aggregate(list(s ORDER BY ord), 'sum') AS score
+  FROM (SELECT doc_id, s, 0 AS ord FROM phscore
+        UNION ALL SELECT doc_id, s, 1 AS ord FROM wscore) GROUP BY doc_id
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -891,8 +964,10 @@ dfs AS (
 ),
 matched AS (
   SELECT tf.doc_id,
-         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * {quant} / stats.avgdl)) ) AS score,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
          count(DISTINCT tf.term) AS n_must
   FROM tf
   JOIN qterms USING (term)
@@ -932,8 +1007,10 @@ dfs AS (
 ),
 scored AS (
   SELECT tf.doc_id,
-         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
          BOOL_OR(tf.term IN ({gvals.replace("(", "").replace(")", "")})) AS has_group,
          BOOL_OR(tf.term = '{must_term}') AS has_must
   FROM tf
@@ -1023,8 +1100,10 @@ dfs AS (
 ),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         SUM( ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
-              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) ) AS score
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
   FROM tf
   JOIN qterms q USING (term)
   JOIN dfs ON dfs.term = tf.term
@@ -1229,6 +1308,8 @@ def oracle_sql() -> dict[str, str]:
                                               "batch", 0.9, 0.4, K),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST, WILDCARD_PREFIX,
                                             0.9, 0.4, K),
+        "fuzzy_bm25": _fuzzy_bm25_sql(FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS,
+                                      0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,

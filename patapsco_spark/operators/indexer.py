@@ -434,6 +434,20 @@ def _assign_docids(analyzed_df: DataFrame, offsets: dict[str, int],
             .drop("file", "offset"))
 
 
+def live_shard_pred(meta: dict):
+    """Column predicate admitting exactly the committed live shards of a
+    manifest snapshot: ``[shard_base, num_shards)`` minus any
+    ``dead_ranges`` holes recorded by tiered compaction (round 5 — a
+    tiered compact keeps full base shards in place and rewrites only the
+    underfilled tail above the range, so the live set is no longer one
+    closed interval). Each range term is parquet-partition-prunable."""
+    pred = (F.col("shard") >= int(meta.get("shard_base", 0))) & \
+           (F.col("shard") < int(meta["num_shards"]))
+    for a, b in meta.get("dead_ranges", []) or []:
+        pred &= ~((F.col("shard") >= int(a)) & (F.col("shard") < int(b)))
+    return pred
+
+
 def read_term_stats(spark: SparkSession, index_path: str,
                     num_shards: int | None = None,
                     shard_base: int | None = None) -> DataFrame:
@@ -447,10 +461,13 @@ def read_term_stats(spark: SparkSession, index_path: str,
     manifest commit): a committed append always has num_shards > its seg, so
     ``seg < num_shards`` admits exactly the committed segments — the same
     snapshot isolation the postings/norms reads get from their shard filter.
-    ``shard_base`` (> 0 after a compaction) additionally gates out the
-    pre-compaction base/deltas: the compacted stats live in one
-    seg=shard_base segment, and everything older is a superseded generation
-    (deleted lazily after the compaction's manifest commit)."""
+    ``shard_base`` here is the STATS baseline (> 0 after a compaction):
+    the compacted stats live in one seg=baseline segment, and every older
+    segment is superseded (deleted lazily after the compaction's manifest
+    commit). Callers should pass the manifest's ``stats_base`` when
+    present — after a TIERED compaction the shard floor stays put (full
+    base shards are kept in place) while the stats baseline moves to the
+    new collapsed segment, so the two are no longer the same number."""
     df = spark.read.parquet(f"{index_path}/term_stats")
     if num_shards is None or shard_base is None:
         man = mf.read_manifest(index_path)
@@ -458,7 +475,8 @@ def read_term_stats(spark: SparkSession, index_path: str,
             if num_shards is None:
                 num_shards = int(man["config"].get("num_shards", 0)) or None
             if shard_base is None:
-                shard_base = int(man["config"].get("shard_base", 0))
+                shard_base = int(man["config"].get(
+                    "stats_base", man["config"].get("shard_base", 0)))
     if num_shards is not None:
         df = df.where(F.col("seg") < num_shards)
     if shard_base:

@@ -63,6 +63,15 @@ class Clause:
     # SCORING_BOOLEAN_REWRITE for multi-term queries), capped at
     # MAX_PREFIX_EXPANSIONS like Lucene's BooleanQuery.maxClauseCount
     prefix: bool = False
+    # max edit distance for a fuzzy term ("term~" / "term~N", round-5):
+    # terms holds [(base, 1.0)]; search-time expansion rewrites it to a
+    # SHOULD-group over dictionary terms within Levenshtein distance N
+    # (length-range pushed to the term_stats scan, distance computed
+    # JVM-side). N∈{0,1,2} like Lucene FuzzyQuery's LEVENSHTEIN_MAXIMUM_
+    # SUPPORTED_DISTANCE; departure from Lucene documented at the expansion
+    # site (plain Levenshtein, no transpositions; boolean rewrite, not
+    # TopTermsBlended). None = not fuzzy.
+    fuzzy: int | None = None
 
 
 @dataclass
@@ -118,13 +127,45 @@ _BOOST_TOK = re.compile(r"\^\d+(?:\.\d+)?(?:[eE]-?\d+)?$")
 _RANGE_SYNTAX = re.compile(r"[\[\{]\S+\s+TO\s+\S+[\]\}]")
 
 
+_FUZZY_TOK = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$")
+
+
+def _parse_fuzzy(tok: str) -> tuple[str, int] | None:
+    """``term~`` / ``term~N`` → (base, max_edits). Lucene semantics: bare
+    ``~`` means 2; N must be an integer in {0, 1, 2} (FuzzyQuery throws on
+    larger, and the classic float-similarity syntax ``term~0.8`` is gone
+    since Lucene 4 — both refused loudly here). Returns None when the token
+    carries no fuzzy suffix."""
+    m = _FUZZY_TOK.match(tok)
+    if not m:
+        return None
+    base, n = m.group(1), m.group(2)
+    if n is None:
+        return base, 2
+    if "." in n:
+        raise ParseError(
+            f"fuzzy query {tok!r}: float similarity syntax was removed in "
+            "Lucene 4; use an integer edit distance (term~1 / term~2)")
+    edits = int(n)
+    if edits > 2:
+        raise ParseError(
+            f"fuzzy query {tok!r}: max supported edit distance is 2 "
+            "(Lucene FuzzyQuery LEVENSHTEIN_MAXIMUM_SUPPORTED_DISTANCE)")
+    return base, edits
+
+
 def _check_term_token(tok: str) -> None:
     """Refuse (loudly) the classic-QueryParser constructs we don't score —
-    see ParseError. Called on a bare term token (prefix/boost stripped)."""
+    see ParseError. Called on a bare term token (prefix/boost/fuzzy-suffix
+    stripped). Words INSIDE a quoted phrase deliberately bypass this check:
+    Lucene's classic parser treats phrase contents as literal analyzed text
+    ('"te* foo"' matches the literal token te*, not a wildcard), and so do
+    we."""
     if "~" in tok:
         raise ParseError(
-            f"fuzzy/proximity query {tok!r} is not supported "
-            "(Lucene '~' syntax); remove the '~' for an exact term")
+            f"fuzzy/proximity query {tok!r} is not supported here "
+            "(term~ / term~N fuzzy IS supported; proximity \"a b\"~N and "
+            "a bare '~' are not)")
     if ":" in tok:
         raise ParseError(
             f"fielded query {tok!r} is not supported (the index has a "
@@ -227,12 +268,22 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                     clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
                                           phrase=len(words) > 1))
             elif tok:
-                _check_term_token(tok)
-                if tok.endswith("*"):
-                    clauses.append(Clause(occur, boost, [(tok[:-1], 1.0)],
-                                          prefix=True))
+                fz = _parse_fuzzy(tok)
+                if fz is not None:
+                    base, edits = fz
+                    _check_term_token(base)
+                    if base.endswith("*"):
+                        raise ParseError(
+                            f"cannot combine wildcard and fuzzy in {tok!r}")
+                    clauses.append(Clause(occur, boost, [(base, 1.0)],
+                                          fuzzy=edits))
                 else:
-                    clauses.append(Clause(occur, boost, [(tok, 1.0)]))
+                    _check_term_token(tok)
+                    if tok.endswith("*"):
+                        clauses.append(Clause(occur, boost, [(tok[:-1], 1.0)],
+                                              prefix=True))
+                    else:
+                        clauses.append(Clause(occur, boost, [(tok, 1.0)]))
             pos += 1
         return clauses
 

@@ -198,7 +198,8 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     return new_meta
 
 
-def compact_index(spark: SparkSession, index_path: str) -> dict:
+def compact_index(spark: SparkSession, index_path: str,
+                  mode: str = "full", fill_threshold: float = 0.5) -> dict:
     """Merge appended shards + collapse term_stats deltas into a fresh dense
     base — the missing analogue of Lucene's segment merging
     (/root/reference/patapsco/index.py:93-103, IndexWriter.addIndexes +
@@ -238,9 +239,29 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     preserved, per-doc dlq bytes are copied — retrieval results after
     compaction are identical (pinned in tests) while shard count drops to
     ceil(num_docs / docs_per_shard) and stats segments to 1.
+
+    ``mode="tiered"`` (round-5 verdict #7): at 100 TB the base index
+    dominates and a full rewrite per compaction is prohibitive. Tiered
+    mode rewrites only the SUFFIX of the live shard sequence starting at
+    the first shard filled at or below ``fill_threshold × docs_per_shard`` —
+    appends only ever leave their LAST shard underfilled, so the
+    underfilled tail an append stream accumulates is exactly such a
+    suffix, and full base shards ahead of it are left byte-untouched
+    (mtime-pinned in tests). The suffix rule is what preserves docid
+    ORDER (the retrieval tie-break): every kept doc keeps a docid below
+    every moved doc's old AND new docid, so results stay identical. The
+    live set becomes kept-ranges ∪ new-tail — expressed to readers via
+    ``dead_ranges`` holes (operators/indexer.live_shard_pred) — and the
+    collapsed stats segment's baseline moves to ``stats_base``
+    independently of the unchanged ``shard_base`` floor. term_stats is
+    recomputed over kept ∪ new postings — a columnar (term, df, cf) scan,
+    NOT a blob rewrite, so the base cost is metadata-only.
     """
+    from ..operators.indexer import live_shard_pred
     from ..operators.indexer import read_term_stats  # noqa: F401 (doc ref)
 
+    if mode not in ("full", "tiered"):
+        raise ValueError(f"unknown compaction mode {mode!r}")
     root = mf.read_manifest(index_path)
     if root is None:
         raise FileNotFoundError(f"no index at {index_path}")
@@ -254,18 +275,33 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
         math.ceil(int(meta["num_docs"]) / dps) * dps
     new_base_shard = base0 // dps
 
-    live = lambda df: df.where((F.col("shard") >= shard_base) &
-                               (F.col("shard") < num_shards))
-    norms = live(spark.read.parquet(f"{index_path}/norms"))
-    per_shard = (norms.groupBy("shard")
+    live = lambda df: df.where(live_shard_pred(meta))
+    norms_all = live(spark.read.parquet(f"{index_path}/norms"))
+    per_shard = (norms_all.groupBy("shard")
                  .agg(F.min("docid").alias("mn"), F.max("docid").alias("mx"),
                       F.count("*").alias("n"))
                  .orderBy("shard").collect())
     if not per_shard:
         return meta
+
+    if mode == "tiered":
+        # merge the SUFFIX from the first underfilled shard (docid-order
+        # preservation argument in the docstring); full shards before it
+        # are kept byte-untouched
+        fill_min = fill_threshold * dps
+        cut_rows = [r for r in per_shard if int(r["n"]) <= fill_min]
+        if not cut_rows:
+            return meta  # every live shard is adequately filled — no-op
+        cutoff = int(cut_rows[0]["shard"])
+    else:
+        cutoff = int(per_shard[0]["shard"])  # full: merge everything live
+    kept_rows = [r for r in per_shard if int(r["shard"]) < cutoff]
+    merge_rows = [r for r in per_shard if int(r["shard"]) >= cutoff]
+    kept_docs = sum(int(r["n"]) for r in kept_rows)
+
     remap: dict[int, tuple[int, int]] = {}
     off = 0
-    for r in per_shard:
+    for r in merge_rows:
         if int(r["mx"]) - int(r["mn"]) + 1 != int(r["n"]):
             # never produced by this engine (docids are dense within a
             # shard by construction) — refuse rather than corrupt
@@ -273,10 +309,13 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
                              "cannot compact with the affine remap")
         remap[int(r["shard"])] = (int(r["mn"]), base0 + off)
         off += int(r["n"])
-    num_docs = off
-    last_docid = base0 + num_docs - 1
+    num_docs = kept_docs + off
+    last_docid = base0 + off - 1
     new_num_shards = last_docid // dps + 1
     new_shard_count = new_num_shards - new_base_shard
+    merge = lambda df: df.where(live_shard_pred(meta) &
+                                (F.col("shard") >= cutoff))
+    norms = merge(spark.read.parquet(f"{index_path}/norms"))
 
     mdf = spark.createDataFrame([(s, mn, nb) for s, (mn, nb) in remap.items()],
                                 "shard int, mn long, nb long")
@@ -311,8 +350,8 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
      .parquet(f"{index_path}/norms_packed"))
 
     # ---- postings: decode per old shard, remap, re-encode ---------------
-    old_posts = live(spark.read.parquet(f"{index_path}/postings"))
-    old_packed = live(spark.read.parquet(f"{index_path}/norms_packed"))
+    old_posts = merge(spark.read.parquet(f"{index_path}/postings"))
+    old_packed = merge(spark.read.parquet(f"{index_path}/norms_packed"))
     tf_rows = (old_posts.groupBy("shard").cogroup(old_packed.groupBy("shard"))
                .applyInPandas(
                    _make_decode_remap_kernel(dps, remap),
@@ -328,7 +367,7 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
 
     # ---- positions sidecar (plain rows: remap only) ----------------------
     if positions:
-        pos = live(spark.read.parquet(f"{index_path}/positions"))
+        pos = merge(spark.read.parquet(f"{index_path}/positions"))
         (remapped(pos)
          .repartition(new_shard_count, "shard")
          .sortWithinPartitions("shard", "term", "docid")
@@ -337,24 +376,41 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
          .write.mode("overwrite").options(**dyn).partitionBy("shard")
          .parquet(f"{index_path}/positions"))
 
-    # ---- term stats: ONE collapsed segment -------------------------------
+    # ---- generation flip metadata (computed first: the stats scan needs
+    # the NEW live predicate — kept ranges + new tail) ---------------------
+    new_meta = dict(meta)
+    if mode == "tiered" and kept_rows:
+        dead = [list(map(int, r)) for r in (meta.get("dead_ranges") or [])]
+        dead.append([cutoff, num_shards])
+        new_meta.update({
+            "num_docs": num_docs,
+            "shard_base": shard_base,          # kept base shards stay live
+            "stats_base": new_base_shard,      # collapsed stats move up
+            "dead_ranges": sorted(dead),
+            "num_shards": new_num_shards,
+            "num_docs_ceil": new_num_shards * dps,
+            "compactions": int(meta.get("compactions", 0)) + 1,
+        })
+    else:
+        new_meta.update({
+            "num_docs": num_docs,
+            "shard_base": new_base_shard,
+            "stats_base": new_base_shard,
+            "dead_ranges": [],
+            "num_shards": new_num_shards,
+            "num_docs_ceil": new_num_shards * dps,
+            "compactions": int(meta.get("compactions", 0)) + 1,
+        })
+
+    # ---- term stats: ONE collapsed segment over the new live set ---------
     (spark.read.parquet(f"{index_path}/postings")
-     .where(F.col("shard") >= new_base_shard)
+     .where(live_shard_pred(new_meta))
      .groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .withColumn("seg", F.lit(new_base_shard))
      .repartition(max(1, new_shard_count // 4)).sortWithinPartitions("term")
      .write.mode("overwrite").options(**dyn).partitionBy("seg")
      .parquet(f"{index_path}/term_stats"))
 
-    # ---- generation flip (atomic manifest rename) ------------------------
-    new_meta = dict(meta)
-    new_meta.update({
-        "num_docs": num_docs,
-        "shard_base": new_base_shard,
-        "num_shards": new_num_shards,
-        "num_docs_ceil": new_num_shards * dps,
-        "compactions": int(meta.get("compactions", 0)) + 1,
-    })
     mf.write_manifest(index_path, "index", new_meta,
                       metrics={"num_docs": num_docs,
                                "compacted_shards": len(per_shard),
@@ -363,11 +419,18 @@ def compact_index(spark: SparkSession, index_path: str) -> dict:
     # ---- delete the superseded generation (post-commit, like Lucene
     # dropping merged segments; an in-flight reader on the OLD manifest
     # must finish first — same contract as Lucene without refcounts) ------
+    def _dead(val: int) -> bool:
+        if val >= new_base_shard:
+            return False
+        if mode == "tiered" and kept_rows:
+            return val >= cutoff  # kept base shards below cutoff stay
+        return True
+
     tables = ["norms", "norms_packed", "postings"] + \
         (["positions"] if positions else [])
     for table in tables:
         for val, d in fsio.list_partition_dirs(f"{index_path}/{table}", "shard"):
-            if val < new_base_shard:
+            if _dead(val):
                 _delete_path(spark, d)
     for val, d in fsio.list_partition_dirs(f"{index_path}/term_stats", "seg"):
         if val < new_base_shard:

@@ -42,11 +42,19 @@ def _hits(spark, idx, q, k=10):
 
 
 class TestParseErrors:
-    def test_fuzzy_raises(self):
+    def test_proximity_and_bad_fuzzy_raise(self):
+        # round 5: term~ / term~N is now SUPPORTED; what still raises is
+        # proximity ("a b"~N), bare ~, distances > 2, and float similarity
         with pytest.raises(ParseError, match="fuzzy"):
-            parse_query("q", "stream~", mode="boolean")
+            parse_query("q", '"stream gamma"~3', mode="boolean")
         with pytest.raises(ParseError, match="fuzzy"):
-            parse_query("q", "alpha AND stream~2", mode="boolean")
+            parse_query("q", "alpha AND ~2", mode="boolean")
+        with pytest.raises(ParseError, match="edit distance"):
+            parse_query("q", "stream~3", mode="boolean")
+        with pytest.raises(ParseError, match="float similarity"):
+            parse_query("q", "stream~0.8", mode="boolean")
+        with pytest.raises(ParseError, match="wildcard and fuzzy"):
+            parse_query("q", "stre*~2", mode="boolean")
 
     def test_fielded_raises(self):
         with pytest.raises(ParseError, match="fielded"):
@@ -107,8 +115,53 @@ class TestPrefixScoring:
         assert set(got) == {"w4", "w5"}
 
     def test_too_many_expansions_raises(self, spark, idx):
-        from patapsco_spark.operators.queryparse import QueryPlan
         plans = [parse_query("q", "g*", mode="boolean")]
-        with pytest.raises(ParseError, match="expands to"):
+        with pytest.raises(ParseError, match="expands to more than"):
             _expand_prefix_plans(spark, idx, plans, num_shards=2,
                                  max_expansions=0)
+
+
+class TestFuzzyParsing:
+    def test_fuzzy_parses(self):
+        p = parse_query("q", "stream~", mode="boolean")
+        assert p.clauses[0].fuzzy == 2
+        assert p.clauses[0].terms == [("stream", 1.0)]
+        assert parse_query("q", "stream~1", mode="boolean").clauses[0].fuzzy == 1
+        assert parse_query("q", "stream~0", mode="boolean").clauses[0].fuzzy == 0
+
+    def test_fuzzy_with_occur_and_boost(self):
+        p = parse_query("q", "+stream~1^3", mode="boolean")
+        c = p.clauses[0]
+        assert c.occur == MUST and c.boost == 3.0 and c.fuzzy == 1
+
+
+class TestFuzzyScoring:
+    def test_fuzzy_equals_explicit_or(self, spark, idx):
+        """'stream~2' must score exactly like the explicit disjunction of
+        the dictionary terms within Levenshtein distance 2 (stream,
+        streams — NOT strong at 3, NOT streaming at 3)."""
+        got = _hits(spark, idx, "stream~2")
+        want = _hits(spark, idx, "(stream OR streams)")
+        assert got == want and set(got) == {"w1", "w2", "w3"}
+
+    def test_fuzzy_as_must_filters(self, spark, idx):
+        got = _hits(spark, idx, "delta AND stream~1")
+        assert set(got) == set()
+        got2 = _hits(spark, idx, "gamma AND stream~1")
+        assert set(got2) == {"w1", "w2", "w3"}
+
+    def test_fuzzy_no_match_is_empty_not_error(self, spark, idx):
+        assert _hits(spark, idx, "zzzzzzzz~1") == {}
+        assert _hits(spark, idx, "gamma AND zzzzzzzz~1") == {}
+        got = _hits(spark, idx, "delta OR zzzzzzzz~1")
+        assert set(got) == {"w4", "w5"}
+
+    def test_fuzzy_zero_is_exact(self, spark, idx):
+        assert _hits(spark, idx, "strong~0") == _hits(spark, idx, "strong")
+
+    def test_fuzzy_cap_raises(self, spark, idx):
+        from patapsco_spark.operators.retrieve import _expand_multiterm_plans
+        plans = [parse_query("q", "gamma~2", mode="boolean")]
+        with pytest.raises(ParseError, match="expands to more than"):
+            _expand_multiterm_plans(spark, idx, plans, num_shards=2,
+                                    max_expansions=0)

@@ -303,3 +303,128 @@ class TestCompaction:
         res2 = search_texts(spark, idx, [("q", "stream")],
                             RetrieveConfig(k=50), text_cfg=CFG)
         assert {r.doc_id for r in res2.collect()} == ids
+
+
+class TestTieredCompaction:
+    """Round-5 verdict #7: tiered compaction merges only the underfilled
+    appended tail into dense shards, leaving full base shards byte-untouched
+    — at 100 TB the base dominates and a full rewrite per compaction is
+    prohibitive. Pinned here: retrieval identity, base-shard files untouched
+    (path+mtime+size), bounded shard count, collapsed stats segment, appends
+    and full compaction still working afterwards."""
+
+    QUERIES = [("q1", "stream red"), ("q2", "fox"), ("q3", "tail1"),
+               ("q4", "base word probe")]
+
+    def _build(self, spark, idx, n_appends=4):
+        # base: 4 docs / 2 full shards (dps=2); appends: 1 doc each → each
+        # burns a whole shard range at 50% fill — the tiered target
+        build_index(spark, _docs(spark, [
+            ("a1", "stream window red fox", "eng"),
+            ("a2", "filter scan base word", "eng"),
+            ("a3", "red fox runs fast", "eng"),
+            ("a4", "probe vector base stream", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=2), resume=False)
+        for e in range(n_appends):
+            append_batch(spark, _docs(spark, [
+                (f"t{e}", f"stream tail{e} red probe", "eng")]), idx,
+                IndexConfig(text=CFG), epoch_id=e)
+
+    @staticmethod
+    def _snapshot_files(root):
+        import os
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    @staticmethod
+    def _results(spark, idx, queries):
+        res = search_texts(spark, idx, queries, RetrieveConfig(k=50),
+                           text_cfg=CFG)
+        return sorted((r.query_id, r.doc_id, r["rank"], round(r.score, 12))
+                      for r in res.collect())
+
+    def test_tiered_keeps_base_untouched_and_results_identical(
+            self, spark, tmp_path):
+        import os
+        from patapsco_spark.plans import manifest as mf
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "tidx")
+        self._build(spark, idx, n_appends=4)
+        before = self._results(spark, idx, self.QUERIES)
+        pre = mf.read_manifest(idx)["config"]
+        dps = int(pre["docs_per_shard"])
+        base_files = {}
+        for table in ("postings", "norms", "norms_packed"):
+            for s in (0, 1):
+                base_files.update(self._snapshot_files(f"{idx}/{table}/shard={s}"))
+        assert base_files
+
+        meta = compact_index(spark, idx, mode="tiered", fill_threshold=0.5)
+        after = self._results(spark, idx, self.QUERIES)
+        assert after == before and len(before) > 0
+
+        # full base shards byte-untouched
+        post_files = {}
+        for table in ("postings", "norms", "norms_packed"):
+            for s in (0, 1):
+                post_files.update(self._snapshot_files(f"{idx}/{table}/shard={s}"))
+        assert post_files == base_files
+
+        # tail merged dense: 4 one-doc shards → ceil(4/2)=2 new shards;
+        # live = 2 kept + 2 new, with the dead range recorded
+        assert meta["shard_base"] == 0
+        assert meta["dead_ranges"] == [[2, 6]]
+        live_shards = {int(d.split("=")[1])
+                       for d in os.listdir(f"{idx}/postings")
+                       if d.startswith("shard=")}
+        assert live_shards == {0, 1, 6, 7}
+        assert meta["num_docs"] == 8
+        assert meta["num_shards"] == 8
+
+        # stats collapsed to one segment at the new baseline
+        segs = {d for d in os.listdir(f"{idx}/term_stats")
+                if d.startswith("seg=")}
+        assert segs == {f"seg={meta['stats_base']}"}
+        assert meta["stats_base"] == 6
+
+    def test_tiered_noop_when_all_filled(self, spark, tmp_path):
+        from patapsco_spark.plans import manifest as mf
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "tidx2")
+        build_index(spark, _docs(spark, [
+            ("a1", "stream window red fox", "eng"),
+            ("a2", "filter scan base word", "eng"),
+            ("a3", "red fox runs fast", "eng"),
+            ("a4", "probe vector base stream", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=2), resume=False)
+        pre = mf.read_manifest(idx)["config"]
+        meta = compact_index(spark, idx, mode="tiered", fill_threshold=0.5)
+        assert meta == pre  # every shard full — nothing rewritten
+
+    def test_append_and_full_compact_after_tiered(self, spark, tmp_path):
+        from patapsco_spark.streaming.incremental import compact_index
+
+        idx = str(tmp_path / "tidx3")
+        self._build(spark, idx, n_appends=3)
+        compact_index(spark, idx, mode="tiered", fill_threshold=0.5)
+        meta = append_batch(spark, _docs(spark, [
+            ("z1", "stream after tiered", "eng"),
+            ("z2", "red fox again", "eng")]), idx,
+            IndexConfig(text=CFG), epoch_id=50)
+        res = search_texts(spark, idx, [("q", "stream")],
+                           RetrieveConfig(k=50), text_cfg=CFG)
+        got = {r.doc_id for r in res.collect()}
+        assert "z1" in got and "a1" in got and "t0" in got
+
+        before = self._results(spark, idx, self.QUERIES)
+        meta2 = compact_index(spark, idx)  # full compact resets the holes
+        assert meta2["dead_ranges"] == [] and \
+            meta2["shard_base"] == meta2["stats_base"]
+        assert self._results(spark, idx, self.QUERIES) == before
