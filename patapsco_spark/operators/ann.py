@@ -112,11 +112,13 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
     The chunk count comes from ``n_chunks``, or from ``approx_count`` (any
     cheap row estimate — the value only tunes GEMM tile size, never results).
-    With neither hint, the estimate is derived by counting ONE partition of
-    the id column (a single-partition runJob over a pruned projection — no
-    full count() job) and scaling by the partition count: a fixed default
-    B would make the per-task GEMM tile grow linearly with input size (task
-    OOM at scale), so the tile is always targeted at ~2000 rows."""
+    With neither hint, the estimate is derived by counting min(3, parts)
+    partitions of the id column (one runJob over a pruned projection — no
+    full count() job) and scaling by their MEAN (a single-partition sample
+    undersizes B on skewed inputs — one large + many small files — and
+    recreates the oversized GEMM tiles this sizing exists to prevent): a
+    fixed default B would make the per-task GEMM tile grow linearly with
+    input size (task OOM at scale), so the tile targets ~2000 rows."""
     import pandas as pd
 
     spark = embeddings.sparkSession
@@ -127,9 +129,13 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
             ids = embeddings.select(F.col(id_col)).rdd
             parts = ids.getNumPartitions()
             if parts:
-                p0 = spark.sparkContext.runJob(
-                    ids, lambda it: [sum(1 for _ in it)], partitions=[0])
-                approx_count = max(1, (p0[0] if p0 else 0)) * parts
+                # spread the sample across the partition index range so a
+                # sorted-by-size file layout doesn't bias the mean
+                sample = sorted({0, parts // 2, parts - 1})[:min(3, parts)]
+                counts = spark.sparkContext.runJob(
+                    ids, lambda it: [sum(1 for _ in it)], partitions=sample)
+                mean = (sum(counts) / len(counts)) if counts else 0
+                approx_count = max(1, int(mean * parts))
             else:
                 approx_count = 1
         B = max(2, min(256, int(np.ceil(approx_count / 2000))))
@@ -182,13 +188,19 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
 
 def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
                        n_tables: int = 6, n_bits: int = 10, seed: int = 42,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs at scale: candidates meet inside any of
     ``n_tables`` independent random-hyperplane bucketings (the shuffle keys
     on (table, bucket) — only same-bucket pairs join), then the exact cosine
-    verifies. Recall grows with n_tables; precision is exact (verified)."""
+    verifies. Recall grows with n_tables; precision is exact (verified).
+
+    Pass ``dim`` (the embedding dimensionality, config-known in any real
+    pipeline) to keep plan construction job-free; without it a one-row
+    ``F.size`` probe job runs (the array<float> schema carries no size)."""
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = int(embeddings.select(F.size(vec_col)).first()[0])
     rng = np.random.default_rng(seed)
     blocked = None
     for t in range(n_tables):

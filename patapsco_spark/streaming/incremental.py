@@ -460,8 +460,16 @@ def _make_decode_remap_kernel(docs_per_shard: int,
             "docid": pd.Series(dtype=np.int64),
             "tf": pd.Series(dtype=np.int32),
             "dlq": pd.Series(dtype=np.int32)})
-        if posts_pdf.empty or packed_pdf.empty:
+        if posts_pdf.empty:
             return empty
+        if packed_pdf.empty:
+            # a shard with postings but no norms_packed row violates the
+            # build invariant (every shard writes exactly one blob row);
+            # dropping the postings here would be silent data loss — refuse
+            # loudly like the docid-gap check above
+            raise ValueError(
+                f"shard {int(key[0])} has postings but no norms_packed "
+                "row; index is corrupt — refusing to compact")
         old_shard = int(key[0])
         mn, nb = remap[old_shard]
         base = old_shard * docs_per_shard

@@ -94,6 +94,27 @@ class TestAnnScalePaths:
         assert lsh <= exact                 # exact verification → no FPs
         assert len(lsh) >= 0.6 * len(exact)
 
+    def test_lsh_plan_is_job_free_with_dim_hint(self, spark, emb):
+        # round-5 verdict #9: with dim= passed (config-known in any real
+        # pipeline), building the LSH-pairs plan must launch zero jobs —
+        # the old path ran a .first() probe just to learn the dimension
+        dim = len(emb.select("embedding").first()[0])
+        sc = spark.sparkContext
+        sc.setJobGroup("lsh-dim-guard", "plan construction must be job-free")
+        try:
+            df = ann.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=2,
+                                        n_bits=3, dim=dim)
+            n_jobs = len(sc.statusTracker().getJobIdsForGroup("lsh-dim-guard"))
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        assert n_jobs == 0
+        # and the hinted plan returns the same pairs as the probed one
+        hinted = {(r.id_a, r.id_b) for r in df.collect()}
+        probed = {(r.id_a, r.id_b) for r in
+                  ann.lsh_near_dup_pairs(emb, threshold=0.4, n_tables=2,
+                                         n_bits=3).collect()}
+        assert hinted == probed
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")

@@ -428,3 +428,23 @@ class TestTieredCompaction:
         assert meta2["dead_ranges"] == [] and \
             meta2["shard_base"] == meta2["stats_base"]
         assert self._results(spark, idx, self.QUERIES) == before
+
+    def test_decode_kernel_refuses_missing_norms_blob(self):
+        # ADVICE r4: postings without a norms_packed row is index
+        # corruption — the kernel must refuse loudly, not silently drop
+        # the shard from the compacted index
+        import pandas as pd
+        import pytest
+        from patapsco_spark.streaming.incremental import \
+            _make_decode_remap_kernel
+
+        kernel = _make_decode_remap_kernel(2, {3: (6, 12)})
+        posts = pd.DataFrame({"term": ["x"], "postings": [b""],
+                              "block_off": [[]], "block_gap_len": [[]],
+                              "block_last": [[]]})
+        packed = pd.DataFrame({"codes": pd.Series(dtype=object)})
+        with pytest.raises(ValueError, match="corrupt"):
+            kernel((3,), posts, packed)
+        # the converse (norms row, no postings) stays a silent empty: a
+        # shard whose docs contain only stop-worded/empty text is legal
+        assert kernel((3,), posts.iloc[0:0], packed).empty
