@@ -131,7 +131,8 @@ def run_queries(spark, sf_dir: str, warm_reps: int = WARM_REPS):
             continue
         cold[name] = round(runs[0], 3)
         ws = sorted(runs[1:])
-        warm[name] = round(ws[len(ws) // 2], 3)
+        if ws:  # warm_reps=0 (sf1 cold-only pass) has no warm sample
+            warm[name] = round(ws[len(ws) // 2], 3)
         p95[name] = round(sorted(runs)[-1 if len(runs) < 20 else
                                        int(len(runs) * 0.95)], 3)
     return cold, warm, p95, errors
@@ -527,6 +528,31 @@ def main() -> None:
     details["queries_p95"] = p95
     if q_errors:
         details["query_errors"] = q_errors
+
+    # one full-suite pass at sf1 (10x; round-4 verdict #8): exposes any
+    # driver-memory or quadratic surprise hiding below sf0.1's fixed
+    # overheads. The dataset is synthesized deterministically from sf0.1
+    # (tools/make_sf1.py — key-shifted replicas, star joins preserved) and
+    # cached in /tmp; cold-only timings (no warm reps) bound the runtime.
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            from tools.make_sf1 import ensure_sf1
+            sf1_dir = ensure_sf1()
+            sf1["health_pre"] = health_probe()
+            with tempfile.TemporaryDirectory() as d:
+                s1secs, s1n = build_cold(spark, sf1_dir, d)
+            sf1["index_docs_per_sec"] = round(s1n / s1secs, 2)
+            sf1["index_build_sec"] = round(s1secs, 3)
+            sf1["num_docs"] = s1n
+            c1, _w1, _p1, e1 = run_queries(spark, sf1_dir, warm_reps=0)
+            sf1["queries"] = c1
+            if e1:
+                sf1["query_errors"] = e1
+            sf1["health_post"] = health_probe()
+        except Exception as e:  # sf1 must never zero the sf0.1 bench
+            sf1["error"] = f"{type(e).__name__}: {e}"[:300]
+        details["sf1"] = sf1
     spark.stop()
 
     # headline: throughput at a corpus size where fixed overhead amortizes
@@ -575,6 +601,18 @@ def main() -> None:
     }
     if q_errors:
         compact["query_errors"] = q_errors
+    if sf1:
+        compact["sf1"] = {
+            "index_docs_per_sec": sf1.get("index_docs_per_sec"),
+            "num_docs": sf1.get("num_docs"),
+            "queries": {k: round(v, 2) for k, v in
+                        sf1.get("queries", {}).items()},
+            "healthy": bool(sf1.get("health_pre", {}).get("healthy") and
+                            sf1.get("health_post", {}).get("healthy")),
+        }
+        for opt in ("query_errors", "error"):
+            if sf1.get(opt):
+                compact["sf1"][opt] = sf1[opt]
     if scaling_eff is not None:
         compact["scaling_efficiency"] = scaling_eff
         compact["scaling_efficiency_small"] = details["scaling_small"].get(
