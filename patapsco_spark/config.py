@@ -22,6 +22,7 @@ class TextConfig:
     tokenize: str = "whitespace"          # whitespace | ngram | cjk_bigram | moses_lite
                                           # | moses | jieba | stanza | spacy (gated)
     stem: str | None = None               # None | porter | parsivar_lite
+                                          # | lemma_lite
                                           # | parsivar | stanza | spacy (gated)
     stopwords: str | None = "lucene"      # source name, or None to disable
     lowercase: bool = True                # normalize.lowercase (schema.py:34)
@@ -37,8 +38,8 @@ class TextConfig:
             raise ConfigError("spacy lemmatization requires the spacy tokenizer")
         if self.stem == "stanza" and self.tokenize != "stanza":
             raise ConfigError("stanza lemmatization requires the stanza tokenizer")
-        if self.stem == "porter" and lang != "eng":
-            raise ConfigError("Porter stemmer only supports English")
+        if self.stem in ("porter", "lemma_lite") and lang != "eng":
+            raise ConfigError(f"{self.stem} stemmer only supports English")
         if self.stem in ("parsivar", "parsivar_lite") and lang != "fas":
             raise ConfigError(f"{self.stem} stemmer only supports Farsi")
         if self.tokenize == "moses_lite" and lang == "zho":

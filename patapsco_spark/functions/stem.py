@@ -286,6 +286,12 @@ def make_stemmer(name: str | None, lang: str):
         if lang != "eng":
             raise ValueError("Porter stemmer only supports English")
         return stem_series
+    if name == "lemma_lite":
+        # in-repo Morphy-style English lemmatizer (kernels/lemma.py) — the
+        # dependency-free stand-in for spaCy/stanza lemmatization, also
+        # reachable as plugin:patapsco_spark.kernels.lemma_lite_lemmatizer
+        from ..kernels.lemma import lemma_lite_lemmatizer
+        return lemma_lite_lemmatizer(lang)
     if name == "parsivar_lite":
         # in-repo light Farsi affix stripper (kernels/farsi.py) — the
         # dependency-free stand-in for parsivar, also reachable as
@@ -303,6 +309,9 @@ def make_stemmer(name: str | None, lang: str):
             "(same contract; module must be importable on executors)"
             + ("; the in-repo stem='parsivar_lite' kernel (rule-based affix "
                "stripping, no verb dictionaries) works without external "
-               "packages" if name == "parsivar" else "")
+               "packages" if name == "parsivar" else
+               "; the in-repo stem='lemma_lite' kernel (Morphy-style "
+               "exception table + suffix detachment, English) works "
+               "without external packages")
         )
     raise ValueError(f"unknown stemmer: {name}")
