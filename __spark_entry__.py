@@ -279,6 +279,31 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling (round 5): per-language keep
+    rates via portable md5-prefix thresholds (operators/sampling.py) —
+    reproducible across runs, engines, and partitionings, unlike
+    DataFrame.sample. Oracle replays the same CASE'd hex comparison."""
+    from patapsco_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "lang",
+                            {"en": 0.5, "zh": 0.2, "es": 0.2},
+                            key_col="doc_id", salt="s0",
+                            default_fraction=0.1)
+    return out.select("doc_id", "lang")
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION (round 5): connected components over the
+    exact-Jaccard pair frame, min-id representative per cluster — the step
+    that turns pairwise output into a keep-one dedup decision (A~B and B~C
+    collapse into one cluster even when A~C was never emitted). Oracle
+    replays the pair SQL and closes it transitively with a recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
+    return dedup.dedup_clusters(pairs)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-dup pairs, exact-Jaccard-verified. Fully oracled:
     every hash in the chain is md5 (engine-portable), so DuckDB reproduces
@@ -537,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1713,6 +1740,56 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "stratified_sample": """
+-- md5-prefix thresholds: fraction f keeps rows whose first 8 md5 hex chars
+-- sort below format(int(f * 16^8), '08x'); 0.5→80000000, 0.2→33333333,
+-- default 0.1→19999999 (lexicographic = numeric for fixed-length hex)
+SELECT doc_id, lang FROM documents
+WHERE substring(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN lang = 'en' THEN '80000000'
+           WHEN lang = 'zh' THEN '33333333'
+           WHEN lang = 'es' THEN '33333333'
+           ELSE '19999999' END
+""",
+        "dedup_clusters": """
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS shingles
+  FROM w
+), t AS (SELECT DISTINCT doc_id, unnest(shingles) AS term FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+-- transitive closure: every node reachable from src (UNION dedups, so the
+-- walk terminates); component = min reachable node, matching the engine's
+-- min-label propagation exactly
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT wk.src, e.b FROM walk wk JOIN edges e ON wk.node = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster FROM walk GROUP BY src)
+SELECT doc_id, cluster,
+       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM comp
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),

@@ -352,3 +352,64 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id transitively reachable — the deterministic cluster
+    representative used by every near-dup resolution pipeline (pairs alone
+    don't dedupe a corpus: A~B and B~C must collapse into ONE keep-set even
+    when A~C was never emitted).
+
+    Min-label propagation: each round unions the current labels with labels
+    seen across one edge hop and keeps the per-node min — one shuffle per
+    round, converged when the global label sum stops changing (the sum is
+    strictly decreasing while any label can still shrink, so the scalar
+    comparison is an exact convergence test, not a heuristic). Rounds
+    needed = max component diameter; near-dup clusters are short-diameter
+    by construction (members all overlap the same content), so this
+    converges in a handful of rounds where a 100 TB corpus would pay
+    max_iter only under an adversarial chain graph. Each round
+    localCheckpoints the label frame: the iterative plan would otherwise
+    grow exponentially and re-execute every prior round per action.
+
+    Raises if ``max_iter`` rounds pass without convergence (silently
+    returning half-merged clusters would corrupt a dedup keep-set).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("comp", F.col("node")))
+    prev_sum = None
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=False)
+        hop = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+               .select(F.col("src").alias("node"), "comp"))
+        labels = (labels.union(hop)
+                  .groupBy("node").agg(F.min("comp").alias("comp")))
+        cur = labels.agg(F.sum("comp")).first()[0]
+        if cur == prev_sum:
+            return labels
+        prev_sum = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter — raise it)")
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Near-dup cluster resolution over a verified pair frame: returns
+    (doc_id, cluster, cluster_size) for every doc in a non-singleton
+    cluster, where ``cluster`` is the min member id (the canonical doc a
+    keep-one policy retains: keep rows with doc_id = cluster, drop the
+    rest). Built on :func:`connected_components`; the size window shuffles
+    the (tiny) clustered-node frame only, never the corpus."""
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    return (cc.select(F.col("node").alias("doc_id"),
+                      F.col("comp").alias("cluster"))
+            .withColumn("cluster_size",
+                        F.count("*").over(Window.partitionBy("cluster"))))

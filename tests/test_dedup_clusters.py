@@ -1,0 +1,73 @@
+"""Near-dup cluster resolution (round 5): connected components over a
+verified pair frame + keep-one representative selection — the step that
+turns pairwise near-dup output into an actual dedup decision."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from patapsco_spark.operators.dedup import (connected_components,
+                                            dedup_clusters,
+                                            token_jaccard_pairs)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+class TestConnectedComponents:
+    def test_chain_merges_transitively(self, spark):
+        # A~B, B~C, C~D but never A~D: one component labeled min=1
+        cc = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+        got = {r["node"]: r["comp"] for r in cc.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_separate_components(self, spark):
+        cc = connected_components(
+            _pairs(spark, [(10, 20), (30, 40), (40, 50)]))
+        got = {r["node"]: r["comp"] for r in cc.collect()}
+        assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30}
+
+    def test_order_independent(self, spark):
+        # min label must flow against edge direction too (50,1) merges all
+        cc = connected_components(
+            _pairs(spark, [(20, 30), (30, 50), (50, 1)]))
+        got = {r["node"]: r["comp"] for r in cc.collect()}
+        assert set(got.values()) == {1}
+
+    def test_empty_pairs(self, spark):
+        assert connected_components(_pairs(spark, [])).count() == 0
+
+    def test_nonconvergence_raises(self, spark):
+        # diameter-3 chain cannot settle in one round
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1)
+
+
+class TestDedupClusters:
+    def test_representative_and_size(self, spark):
+        out = dedup_clusters(
+            _pairs(spark, [(7, 3), (3, 9), (100, 200)])).collect()
+        got = {r["doc_id"]: (r["cluster"], r["cluster_size"])
+               for r in out}
+        assert got == {3: (3, 3), 7: (3, 3), 9: (3, 3),
+                       100: (100, 2), 200: (100, 2)}
+        # keep-one policy: exactly one doc per cluster has doc_id == cluster
+        keeps = [d for d, (c, _) in got.items() if d == c]
+        assert sorted(keeps) == [3, 100]
+
+    def test_end_to_end_from_jaccard_pairs(self, spark):
+        # three mutually-similar docs + one unrelated: the pair frame may
+        # miss one of the three edges, the cluster must still be whole
+        docs = spark.createDataFrame([
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a quick brown fox jumps over the lazy dog today"),
+            (4, "completely different text about spark query engines"),
+        ], "doc_id long, text string")
+        pairs = token_jaccard_pairs(docs, threshold=0.3, shingle=3)
+        out = dedup_clusters(pairs).collect()
+        clustered = {r["doc_id"] for r in out}
+        assert clustered == {1, 2, 3}
+        assert {r["cluster"] for r in out} == {1}
+        assert all(r["cluster_size"] == 3 for r in out)
