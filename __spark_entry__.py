@@ -279,6 +279,18 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (round 5): each doc's
+    window assignment in the packed token stream at seq_len=512, laid out
+    in doc_id order with a 1-token separator. The engine computes the
+    global prefix sum scale-safely (range partitions + per-partition
+    totals + broadcast bases, operators/packing.py); the oracle is the
+    single-window SQL SUM OVER ORDER BY it must equal exactly."""
+    from patapsco_spark.operators.packing import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=512)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix sampling (round 5): per-language keep
     rates via portable md5-prefix thresholds (operators/sampling.py) —
@@ -564,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1740,6 +1753,24 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+""",
+        "pack_sequences": """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back for dtype parity
+         CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS "offset"
+  FROM s
+)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // 512 AS first_seq,
+       GREATEST("offset", "offset" + n_tokens - 1) // 512 AS last_seq
+FROM o
 """,
         "stratified_sample": """
 -- md5-prefix thresholds: fraction f keeps rows whose first 8 md5 hex chars
