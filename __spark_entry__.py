@@ -476,6 +476,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs(emb, threshold=0.4)
 
 
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup resolution (round 5): connected components over the
+    cosine near-dup pair graph — the embedding-space sibling of
+    dedup_clusters (same min-label propagation; text near-dups and
+    embedding near-dups both need pairs collapsed into keep-one sets)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = ann.cosine_pairs(emb, threshold=0.4)
+    return dedup.dedup_clusters(pairs)
+
+
 IVF_CELLS, IVF_ITERS, IVF_NPROBE, IVF_SEED = 8, 3, 3, 7
 
 
@@ -590,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
         "topk_window": q_topk_window,
         "lineitem_agg": q_lineitem_agg,
@@ -1710,6 +1721,24 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "embedding_dedup_clusters": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT wk.src, e.b FROM walk wk JOIN edges e ON wk.node = e.a
+),
+comp AS (SELECT src AS doc_id, MIN(node) AS cluster FROM walk GROUP BY src)
+SELECT doc_id, cluster,
+       COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM comp
 """,
         "html_extract_roundtrip": """
 SELECT doc_id, length(text) AS n_chars, md5(text) AS text_md5 FROM documents
