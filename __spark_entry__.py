@@ -199,6 +199,15 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(docs)
 
 
+def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9-language heuristic language ID (round 5): script detection +
+    per-language stopword occurrence rates over the shipped Lucene lists
+    (textstats.language_id_multi). The oracle embeds the same lists as IN
+    literals and replays the same CASE order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.language_id_multi(docs)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.fingerprints(docs, shingle=5)
@@ -576,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
+        "language_id_multi": q_language_id_multi,
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
@@ -1344,6 +1354,66 @@ LIMIT {k}
 """
 
 
+def _lang_multi_sql() -> str:
+    """language_id_multi oracle: same lists (loaded from the shipped
+    resources — single source of truth), same script regexps, same CASE
+    order; Latin rates compared UNROUNDED like the engine, rounded only
+    for output."""
+    from patapsco_spark.functions.stopwords import load_stopwords
+
+    def inlist(lang: str) -> str:
+        return ", ".join("'" + w.replace("'", "''") + "'"
+                         for w in sorted(load_stopwords("lucene", lang)))
+
+    def rate(lang: str) -> str:
+        return (f"CAST(count(*) FILTER (WHERE lower(t.term) IN "
+                f"({inlist(lang)})) AS DOUBLE) / GREATEST(count(t.term), 1)")
+
+    def script(block: str) -> str:
+        return (f"CAST(length(regexp_replace(d.text, '[^{block}]', '', 'g'))"
+                f" AS DOUBLE) / GREATEST(length(d.text), 1)")
+
+    cjk = "\\x{4e00}-\\x{9fff}"
+    hangul = "\\x{ac00}-\\x{d7af}"
+    hebrew = "\\x{0590}-\\x{05ff}"
+    cyrillic = "\\x{0400}-\\x{04ff}"
+    arabic = "\\x{0600}-\\x{06ff}"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+per AS (
+  SELECT d.doc_id,
+         {rate('eng')} AS eng_rate,
+         {rate('spa')} AS spa_rate,
+         {rate('ind')} AS ind_rate,
+         {rate('ara')} AS ara_rate,
+         {rate('fas')} AS fas_rate,
+         {script(cjk)} AS cjk_ratio,
+         {script(hangul)} AS hangul_ratio,
+         {script(hebrew)} AS hebrew_ratio,
+         {script(cyrillic)} AS cyrillic_ratio,
+         {script(arabic)} AS arabic_ratio
+  FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
+  GROUP BY d.doc_id, d.text
+)
+SELECT doc_id, ROUND(eng_rate, 6) AS eng_rate, ROUND(spa_rate, 6) AS spa_rate,
+       ROUND(ind_rate, 6) AS ind_rate,
+       CASE WHEN cjk_ratio > 0.25 THEN 'zho'
+            WHEN hangul_ratio > 0.25 THEN 'kor'
+            WHEN hebrew_ratio > 0.25 THEN 'heb'
+            WHEN cyrillic_ratio > 0.25 THEN 'rus'
+            WHEN arabic_ratio > 0.25 THEN
+                 CASE WHEN fas_rate > ara_rate THEN 'fas' ELSE 'ara' END
+            WHEN eng_rate >= 0.12 AND eng_rate >= spa_rate
+                 AND eng_rate >= ind_rate THEN 'eng'
+            WHEN spa_rate >= 0.12 AND spa_rate >= ind_rate THEN 'spa'
+            WHEN ind_rate >= 0.12 THEN 'ind'
+            ELSE 'und' END AS lang_guess
+FROM per
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from patapsco_spark.functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
@@ -1398,6 +1468,7 @@ SELECT *, ROUND(
   + (CASE WHEN distinct_ratio >= 0.2 THEN 0.25 ELSE 0 END), 6) AS quality
 FROM per
 """,
+        "language_id_multi": _lang_multi_sql(),
         "language_id": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents

@@ -224,3 +224,67 @@ def fingerprints(docs: DataFrame, shingle: int = 5, id_col: str = "doc_id",
     short = (d.where(F.size("toks") < shingle)
              .select(id_col, F.md5(F.col(text_col)).alias("fingerprint")))
     return fp.unionByName(short)
+
+
+# script-block char ratios for language_id_multi: fraction of text chars in
+# each Unicode block (regexp_replace strips everything OUTSIDE the block)
+_SCRIPTS = {
+    "cjk": r"[^\x{4e00}-\x{9fff}]",
+    "hangul": r"[^\x{ac00}-\x{d7af}]",
+    "hebrew": r"[^\x{0590}-\x{05ff}]",
+    "cyrillic": r"[^\x{0400}-\x{04ff}]",
+    "arabic": r"[^\x{0600}-\x{06ff}]",
+}
+
+
+def _script_ratio(text_col: str, pattern: str):
+    return (F.length(F.regexp_replace(F.col(text_col), pattern, "")) /
+            F.greatest(F.length(F.col(text_col)), F.lit(1)))
+
+
+def _stop_rate(toks, n_tok, words: frozenset[str]):
+    return (F.size(F.filter(toks, lambda t: F.lower(t).isin(*sorted(words))))
+            / n_tok)
+
+
+def language_id_multi(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Multilingual heuristic language ID over the 9 shipped Lucene lists
+    (round-4 verdict: the lists shipped in round 5; this puts them to work
+    beyond stopword REMOVAL). Two-stage, all pure Catalyst:
+
+    1. script detection — CJK→zho, Hangul→kor, Hebrew→heb, Cyrillic→rus
+       decide on >25% of chars alone; Arabic script splits ara vs fas by
+       comparing the two lists' stopword occurrence rates (tie → ara);
+    2. Latin text — argmax over {eng, spa, ind} stopword occurrence rates
+       with a 12% floor and fixed eng>spa>ind tie priority; below the
+       floor → und.
+
+    A real pipeline plugs fasttext/CLD3 via mapInPandas; this stays
+    dependency-free and deterministic (same CASE order in the SQL oracle).
+    """
+    from ..functions.stopwords import load_stopwords
+    toks = _TOKENS(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    rate = {lang: _stop_rate(toks, n_tok, load_stopwords("lucene", lang))
+            for lang in ("eng", "spa", "ind", "ara", "fas")}
+    script = {name: _script_ratio(text_col, pat)
+              for name, pat in _SCRIPTS.items()}
+    guess = (
+        F.when(script["cjk"] > 0.25, "zho")
+        .when(script["hangul"] > 0.25, "kor")
+        .when(script["hebrew"] > 0.25, "heb")
+        .when(script["cyrillic"] > 0.25, "rus")
+        .when(script["arabic"] > 0.25,
+              F.when(rate["fas"] > rate["ara"], "fas").otherwise("ara"))
+        .when((rate["eng"] >= 0.12) & (rate["eng"] >= rate["spa"]) &
+              (rate["eng"] >= rate["ind"]), "eng")
+        .when((rate["spa"] >= 0.12) & (rate["spa"] >= rate["ind"]), "spa")
+        .when(rate["ind"] >= 0.12, "ind")
+        .otherwise("und"))
+    return docs.select(
+        F.col(id_col),
+        F.round(rate["eng"], 6).alias("eng_rate"),
+        F.round(rate["spa"], 6).alias("spa_rate"),
+        F.round(rate["ind"], 6).alias("ind_rate"),
+        guess.alias("lang_guess"))

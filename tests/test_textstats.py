@@ -58,3 +58,24 @@ class TestTopNgrams:
         got = [(r["ngram"], r["cnt"]) for r in
                textstats.top_ngrams(docs, n=3, k=1).collect()]
         assert got == [("a b c", 1)]
+
+
+class TestLanguageIdMulti:
+    def test_script_and_stopword_routing(self, spark):
+        from patapsco_spark.operators.textstats import language_id_multi
+        docs = spark.createDataFrame([
+            (1, "the quick brown fox is on the hill and it is quiet there"),
+            (2, "el perro y el gato están en la casa de la abuela con los niños"),
+            (3, "yang ini adalah rumah besar dan kami akan pergi ke pasar itu"),
+            (4, "这是一个非常大的房子我们今天去市场买东西然后回家吃饭"),
+            (5, "오늘은 날씨가 좋아서 우리는 공원에 갔다가 집으로 돌아왔다"),
+            (6, "זה בית גדול מאוד ואנחנו הולכים לשוק היום עם המשפחה שלנו"),
+            (7, "это очень большой дом и мы сегодня идем на рынок за продуктами"),
+            (8, "هذا بيت كبير جدا ونحن ذاهبون الى السوق اليوم مع كل العائلة"),
+            (9, "این خانه بسیار بزرگ است و ما امروز با خانواده به بازار می رویم"),
+            (10, "zzz qqq xxx vvv kkk jjj www yyy hhh ggg fff ddd sss aaa"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r["lang_guess"]
+               for r in language_id_multi(docs).collect()}
+        assert got == {1: "eng", 2: "spa", 3: "ind", 4: "zho", 5: "kor",
+                       6: "heb", 7: "rus", 8: "ara", 9: "fas", 10: "und"}
