@@ -199,6 +199,44 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(docs)
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2 pre-tokenizer piece counts (round 5): the LLM-budget token
+    estimate next to whitespace words, RE2-compatible pattern so the
+    DuckDB oracle replays the identical regex (cross-engine agreement
+    probed on apostrophes, CJK, runs of spaces)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.bpe_token_counts(docs)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (round 5): RefinedWeb/Falcon-style boilerplate
+    removal. The flat documents table has no newlines, so deterministic
+    site chrome is injected by doc_id arithmetic (cookie banner on every
+    3rd doc, footer on every 2nd) — the oracle replays the same injection
+    literally; the operator must strip exactly those lines (each appears in
+    ~n/3 and ~n/2 docs ≫ min_docs=50) and keep every original text line."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("COOKIE NOTICE: this site uses cookies")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("Copyright 2026 Example Corp"))).alias("text"))
+    return dedup.line_dedup(injected, min_docs=50)
+
+
+def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram-LM perplexity per doc (round 5): the CCNet-style
+    LM quality filter shape with a dependency-free LM. Exact SQL replay —
+    the LM is the corpus's own term counts, so DuckDB recomputes it
+    identically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.ulm_perplexity(docs)
+
+
 def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """9-language heuristic language ID (round 5): script detection +
     per-language stopword occurrence rates over the shipped Lucene lists
@@ -586,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "language_id_multi": q_language_id_multi,
+        "bpe_token_stats": q_bpe_token_stats,
+        "ulm_perplexity": q_ulm_perplexity,
+        "line_dedup": q_line_dedup,
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
@@ -1414,6 +1455,24 @@ FROM per
 """
 
 
+def _bpe_token_stats_sql() -> str:
+    """bpe_token_stats oracle: the SAME pre-tokenizer regex (single source
+    of truth in textstats.BPE_PIECE_PATTERN), SQL-escaped."""
+    from patapsco_spark.operators.textstats import BPE_PIECE_PATTERN
+    pat = BPE_PIECE_PATTERN.replace("'", "''")
+    return f"""
+WITH per AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}')) AS n_pieces,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT doc_id, n_pieces, n_words,
+       ROUND(CAST(n_pieces AS DOUBLE) / GREATEST(n_words, 1), 6) AS fertility
+FROM per
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from patapsco_spark.functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
@@ -1469,6 +1528,69 @@ SELECT *, ROUND(
 FROM per
 """,
         "language_id_multi": _lang_multi_sql(),
+        "bpe_token_stats": _bpe_token_stats_sql(),
+        "line_dedup": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'COOKIE NOTICE: this site uses cookies' END,
+                   text,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Copyright 2026 Example Corp' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM src
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) <> '' THEN md5(trim(line)) END AS lkey
+  FROM lines
+),
+hot AS (
+  SELECT lkey FROM keyed WHERE lkey IS NOT NULL
+  GROUP BY lkey HAVING count(DISTINCT doc_id) >= 50
+),
+kept AS (
+  SELECT k.* FROM keyed k
+  WHERE k.lkey IS NULL OR k.lkey NOT IN (SELECT lkey FROM hot)
+),
+clean AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines FROM src
+)
+SELECT b.doc_id, b.n_lines,
+       (b.n_lines - COALESCE(c.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(c.clean_text, '') AS clean_text
+FROM base b LEFT JOIN clean c USING (doc_id)
+""",
+        "ulm_perplexity": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+lm AS (SELECT term, count(*)::BIGINT AS cnt FROM t GROUP BY term),
+tot AS (SELECT SUM(cnt) AS tot FROM lm),
+per AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         AVG(log2(tot.tot) - log2(l.cnt)) AS ce
+  FROM t JOIN lm l USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       ROUND(p.ce, 6) AS cross_entropy,
+       ROUND(POW(2.0, p.ce), 4) AS perplexity
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
         "language_id": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents

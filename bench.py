@@ -256,7 +256,21 @@ def health_probe() -> dict:
     The ratio key and the healthy threshold both follow the ACTUAL core
     pair (on a CPUS<8 host the high probe runs at CPUS cores, so a
     hardcoded ``ratio_2_to_8``/2.5 label+threshold would be wrong there):
-    healthy ⟺ ratio ≥ 0.6 × (hi/lo) span."""
+    healthy ⟺ ratio ≥ 0.6 × (hi/lo) span AND the lo-core leg is not
+    starved by external load.
+
+    The second clause (round 5) closes a contention false-positive: every
+    ratio-healthy probe recorded through round 5 had arrow_mrps_2 of
+    0.40-0.68 against a 101-probe median of 1.63 — i.e. something ELSE was
+    loading the box and starving the 2-core child, inflating the ratio
+    while the 8-core leg stayed pinned at the ~2 M rows/s bandwidth
+    ceiling. A ratio ≥ threshold reached that way is the OPPOSITE of a
+    healthy window, and external load inflates a scaling pair the same
+    direction (the 4N leg hides a fixed external burn better than the N
+    leg), so certifying on such a window would publish a contention
+    artifact as engine evidence. Uncontended 2-core legs read ≥1.3 even
+    when the host is saturated (2 cores sit under the ceiling), so a
+    simple absolute floor discriminates cleanly."""
     out = {}
     lo_c, hi_c = 2, min(8, CPUS)
     for cores in sorted({lo_c, hi_c}):
@@ -278,13 +292,24 @@ def health_probe() -> dict:
             out[f"arrow_mrps_{cores}"] = got
     lo, hi = out.get(f"arrow_mrps_{lo_c}"), out.get(f"arrow_mrps_{hi_c}")
     if lo and hi and hi_c > lo_c:
-        ratio = round(hi / lo, 2)
-        out[f"ratio_{lo_c}_to_{hi_c}"] = ratio
-        out["healthy_threshold"] = round(0.6 * hi_c / lo_c, 2)
-        out["healthy"] = ratio >= out["healthy_threshold"]
+        out.update(adjudicate_health(lo, hi, lo_c, hi_c))
     else:
         out["healthy"] = None  # unmeasurable ≠ healthy
     return out
+
+
+def adjudicate_health(lo: float, hi: float, lo_c: int, hi_c: int) -> dict:
+    """Pure health decision (unit-tested): ratio span test + the round-5
+    contention floor on the lo-core leg."""
+    ratio = round(hi / lo, 2)
+    lo_floor = float(os.environ.get("SPARK_GRAFT_HEALTH_LO_FLOOR", "1.0"))
+    return {
+        f"ratio_{lo_c}_to_{hi_c}": ratio,
+        "healthy_threshold": round(0.6 * hi_c / lo_c, 2),
+        "lo_floor": lo_floor,
+        "contention_suspect": lo < lo_floor,
+        "healthy": ratio >= 0.6 * hi_c / lo_c and lo >= lo_floor,
+    }
 
 
 def run_scaling(_sf_dir: str, n_pages: int | None = None) -> dict:

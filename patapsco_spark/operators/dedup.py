@@ -424,3 +424,55 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                       F.col("comp").alias("cluster"))
             .withColumn("cluster_size",
                         F.count("*").over(Window.partitionBy("cluster"))))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2) -> DataFrame:
+    """Corpus-level line deduplication — the RefinedWeb/Falcon boilerplate
+    filter (Penedo et al. 2023 §"line-wise corrections"; also MassiveText's
+    repetition cleanup): a line whose trimmed form occurs in ≥ ``min_docs``
+    DISTINCT documents is site chrome (cookie banners, nav bars, footers)
+    and every occurrence is removed; blank lines and document structure are
+    preserved. Returns (id, n_lines, n_removed, clean_text) per doc.
+
+    Scale shape: one posexplode, one agg keyed on md5(line) — the 16-byte
+    hash bounds the shuffle key regardless of line length, and md5 keeps
+    the plan replayable in any engine (an md5 collision would merge two
+    lines' counts identically in Spark and the oracle). The hot set (lines
+    in ≥ min_docs docs) is a tiny fraction of the line stream — AQE
+    broadcast-converts the anti-join — then one groupBy(id) rebuilds the
+    text with order restored by the carried pos. All Catalyst; no Python,
+    no collects, no windows over the full line stream.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn(
+        "lkey", F.when(F.trim(F.col("line")) != "",
+                       F.md5(F.trim(F.col("line")))))
+    hot = (keyed.where(F.col("lkey").isNotNull())
+           .groupBy("lkey")
+           .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+           .where(F.col("n_docs") >= min_docs)
+           .select("lkey"))
+    # blank lines have NULL lkey and never match → always kept
+    kept = keyed.join(hot, "lkey", "left_anti")
+    clean = (kept.groupBy(id_col)
+             .agg(F.count("*").alias("n_kept"),
+                  F.concat_ws(
+                      "\n",
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct("pos", "line"))),
+                          lambda x: x["line"])).alias("clean_text")))
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"))
+    return (base.join(clean, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("n_kept"),
+                                                   F.lit(0)))
+                    .cast("long").alias("n_removed"),
+                    F.coalesce(F.col("clean_text"), F.lit(""))
+                    .alias("clean_text")))

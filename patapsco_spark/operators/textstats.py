@@ -288,3 +288,69 @@ def language_id_multi(docs: DataFrame, id_col: str = "doc_id",
         F.round(rate["spa"], 6).alias("spa_rate"),
         F.round(rate["ind"], 6).alias("ind_rate"),
         guess.alias("lang_guess"))
+
+
+# GPT-2-style pre-tokenizer pattern (Radford et al. 2019), RE2-compatible:
+# the original's trailing-space lookahead branch (\s+(?!\S)) is dropped —
+# DuckDB's RE2 has no lookahead — so runs of whitespace count as ONE piece
+# instead of splitting the final space off. Documented departure; both
+# engines (Java regex, RE2) agree on alternation-order semantics for this
+# pattern, which is what makes the count oracle-able.
+BPE_PIECE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+                     r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def ulm_perplexity(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-doc perplexity under the corpus's OWN unigram LM — the in-repo
+    stand-in for CCNet-style LM quality filtering (Wenzek et al. 2020 score
+    Common-Crawl docs by KenLM perplexity and keep the low-perplexity head;
+    the unigram corpus-self model is the dependency-free analogue and the
+    same filter shape: boilerplate/keyword-stuffed docs score low, gibberish
+    and rare-token soup score high).
+
+    p(t) = corpus_count(t) / corpus_total (no smoothing needed — every doc
+    token is by construction in the corpus vocabulary); per doc,
+    cross_entropy = -mean(log2 p(t_i)) over token OCCURRENCES and
+    perplexity = 2^cross_entropy.
+
+    Scale shape: one explode + one groupBy(term) agg for the LM, one
+    shuffle hash join token→p(t) (vocabulary is Zipf — orders of magnitude
+    smaller than the token stream; AQE broadcast-converts it when it fits),
+    one groupBy(doc) agg. All Catalyst; no collected vocab, no Python.
+    Empty docs get NULL entropy/perplexity rather than a sentinel."""
+    toks = (docs.select(F.col(id_col), F.explode(_TOKENS(text_col))
+                        .alias("term")))
+    lm = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("tot"))
+    # -log2 p(t) = log2(total) - log2(cnt); total is a 1-row broadcast
+    scored = (toks.join(lm, "term").crossJoin(F.broadcast(total))
+              .select(F.col(id_col),
+                      (F.log2(F.col("tot")) - F.log2(F.col("cnt")))
+                      .alias("nll")))
+    per = (scored.groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"),
+                F.avg("nll").alias("ce")))
+    # left join back so zero-token docs keep a row (NULL scores)
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.round(F.col("ce"), 6).alias("cross_entropy"),
+                    F.round(F.pow(F.lit(2.0), F.col("ce")), 4)
+                    .alias("perplexity")))
+
+
+def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc LLM-tokenizer cost estimate: GPT-2 pre-tokenizer piece count
+    (the pre-merge upper bound on BPE tokens — the number every training
+    budget is quoted in) next to the whitespace word count, plus their
+    ratio (pieces per word ≈ subword fertility). Pure Catalyst regex."""
+    pieces = F.size(F.regexp_extract_all(F.col(text_col),
+                                         F.lit(BPE_PIECE_PATTERN), F.lit(0)))
+    words = F.size(_TOKENS(text_col))
+    return docs.select(
+        F.col(id_col),
+        pieces.cast("long").alias("n_pieces"),
+        words.cast("long").alias("n_words"),
+        F.round(pieces / F.greatest(words, F.lit(1)), 6).alias("fertility"))

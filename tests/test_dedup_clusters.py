@@ -71,3 +71,34 @@ class TestDedupClusters:
         assert clustered == {1, 2, 3}
         assert {r["cluster"] for r in out} == {1}
         assert all(r["cluster_size"] == 3 for r in out)
+
+
+class TestLineDedup:
+    def test_boilerplate_removed_structure_kept(self, spark):
+        from patapsco_spark.operators.dedup import line_dedup
+        banner = "COOKIES ACCEPT"
+        docs = spark.createDataFrame([
+            (1, f"{banner}\nalpha beta\n\ngamma"),
+            (2, f"{banner}\ndelta"),
+            (3, f"{banner}\nalpha beta"),   # 'alpha beta' in 2 docs only
+            (4, "epsilon\n  COOKIES ACCEPT  "),  # trimmed form matches
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               line_dedup(docs, min_docs=3).collect()}
+        assert got[1]["clean_text"] == "alpha beta\n\ngamma"
+        assert (got[1]["n_lines"], got[1]["n_removed"]) == (4, 1)
+        assert got[2]["clean_text"] == "delta"
+        assert got[3]["clean_text"] == "alpha beta"  # below min_docs: kept
+        assert got[4]["clean_text"] == "epsilon"
+        assert got[4]["n_removed"] == 1
+
+    def test_all_lines_removed_keeps_row(self, spark):
+        from patapsco_spark.operators.dedup import line_dedup
+        docs = spark.createDataFrame(
+            [(i, "nav bar") for i in range(1, 4)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+        assert len(got) == 3
+        for r in got.values():
+            assert (r["n_lines"], r["n_removed"], r["clean_text"]) \
+                == (1, 1, "")

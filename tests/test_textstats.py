@@ -79,3 +79,56 @@ class TestLanguageIdMulti:
                for r in language_id_multi(docs).collect()}
         assert got == {1: "eng", 2: "spa", 3: "ind", 4: "zho", 5: "kor",
                        6: "heb", 7: "rus", 8: "ara", 9: "fas", 10: "und"}
+
+
+class TestUlmPerplexity:
+    def test_pinned_small_corpus(self, spark):
+        from patapsco_spark.operators.textstats import ulm_perplexity
+        # corpus: a a a b  /  b c  /  (empty) → total 6 tokens
+        # p(a)=3/6, p(b)=2/6, p(c)=1/6
+        docs = spark.createDataFrame([
+            (1, "a a a b"), (2, "b c"), (3, "   ")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in ulm_perplexity(docs).collect()}
+        import math
+        nll = {"a": -math.log2(3 / 6), "b": -math.log2(2 / 6),
+               "c": -math.log2(1 / 6)}
+        ce1 = (3 * nll["a"] + nll["b"]) / 4
+        ce2 = (nll["b"] + nll["c"]) / 2
+        assert got[1]["n_tokens"] == 4
+        assert abs(got[1]["cross_entropy"] - round(ce1, 6)) < 1e-9
+        assert abs(got[1]["perplexity"] - round(2 ** ce1, 4)) < 1e-9
+        assert got[2]["n_tokens"] == 2
+        assert abs(got[2]["cross_entropy"] - round(ce2, 6)) < 1e-9
+        # whitespace-only doc keeps its row with NULL scores
+        assert got[3]["n_tokens"] == 0
+        assert got[3]["cross_entropy"] is None
+        assert got[3]["perplexity"] is None
+
+    def test_boilerplate_scores_lower_than_rare_soup(self, spark):
+        from patapsco_spark.operators.textstats import ulm_perplexity
+        common = " ".join(["the quick brown fox"] * 5)
+        docs = spark.createDataFrame(
+            [(i, common) for i in range(1, 9)]
+            + [(9, "zyx qwv jkl pqr")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["perplexity"]
+               for r in ulm_perplexity(docs).collect()}
+        assert got[9] > got[1]  # rare-token soup = high perplexity
+
+
+class TestBpeTokenCounts:
+    def test_piece_counts_pinned(self, spark):
+        from patapsco_spark.operators.textstats import bpe_token_counts
+        docs = spark.createDataFrame([
+            (1, "it's a test, isn't it?"),      # contractions split as 's/'t
+            (2, "hello   world 123 foo-bar"),   # space runs = 1 piece
+            (3, ""),
+            (4, "价格是100元"),                  # CJK letters / digits split
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_pieces"], r["n_words"], r["fertility"])
+               for r in bpe_token_counts(docs).collect()}
+        assert got[1] == (9, 5, 1.8)
+        assert got[2] == (7, 4, 1.75)
+        assert got[3] == (0, 0, 0.0)
+        assert got[4] == (3, 1, 3.0)
