@@ -165,6 +165,23 @@ def q_phrase_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+SLOP = 3
+
+
+def q_sloppy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy proximity phrase (round 5): '"data stream"~3' — ordered
+    anchored-greedy proximity over the positions sidecar (semantics and
+    Lucene SloppyPhraseScorer departures documented at
+    queryparse.Clause.slop). tf = matching anchors, idf = Σ member idfs,
+    same BM25 plumbing as exact phrases; the oracle replays the greedy
+    chain as correlated min() subqueries."""
+    idx = _ensure_pos_index(spark, sf_dir)
+    q = f'"{" ".join(PHRASE_WORDS)}"~{SLOP}'
+    res = search_texts(spark, idx, [("q1", q)], RetrieveConfig(k=K),
+                       text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
 def q_phrase_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase under QLD/LMDirichlet (exceeds the reference, which
     always degrades): the phrase pseudo-term scores through the standard
@@ -613,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "phrase_bm25": q_phrase_bm25,
+        "sloppy_bm25": q_sloppy_bm25,
         "phrase_qld": q_phrase_qld,
         "qld_topk": q_qld_topk,
         "psq_bm25": q_psq_bm25,
@@ -994,6 +1012,65 @@ scores AS (
   SELECT doc_id, list_aggregate(list(s ORDER BY ord), 'sum') AS score
   FROM (SELECT doc_id, s, 0 AS ord FROM phscore
         UNION ALL SELECT doc_id, s, 1 AS ord FROM wscore) GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _sloppy_bm25_sql(phrase: list[str], slop: int, k1: float, b: float,
+                     k: int) -> str:
+    """Sloppy proximity phrase under BM25: tf via the SAME ordered
+    anchored-greedy chain as the engine (retrieve._rewrite_phrase_plans
+    sloppy branch), replayed as correlated min() subqueries — from each
+    first-word position, each later word links to its earliest position
+    after the previous link; an anchor matches iff last-first-(k-1) ≤ slop.
+    1-based SQL positions vs the sidecar's 0-based cancel in differences."""
+    quant = _quant_sql("dl.dl")
+    phrase_in = ", ".join(f"'{w}'" for w in phrase)
+    n = len(phrase)
+    # c{j} carries (doc_id, p1, p{j}): the anchor and the latest link — all
+    # any later stage or the final width check needs
+    chain = [f"c1 AS (SELECT doc_id, i AS p1 FROM pos WHERE term = '{phrase[0]}')"]
+    for j in range(2, n + 1):
+        chain.append(
+            f"c{j} AS (SELECT c.doc_id, c.p1,\n"
+            f"  (SELECT min(p.i) FROM pos p WHERE p.doc_id = c.doc_id\n"
+            f"   AND p.term = '{phrase[j - 1]}' AND p.i > c.p{j - 1}) AS p{j}\n"
+            f"  FROM c{j - 1} c)")
+    chain_sql = ",\n".join(chain)
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS i
+  FROM w
+),
+{chain_sql},
+ph AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM c{n}
+  WHERE p{n} IS NOT NULL AND p{n} - p1 - {n - 1} <= {slop}
+  GROUP BY doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({phrase_in}) GROUP BY term
+),
+phidf AS (
+  SELECT list_aggregate(list(ln(1 + (stats.n - df + 0.5) / (df + 0.5)) ORDER BY term), 'sum') AS idf
+  FROM dfs CROSS JOIN stats
+),
+scores AS (
+  SELECT ph.doc_id,
+         phidf.idf * ph.tf / (ph.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) AS score
+  FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN stats CROSS JOIN phidf
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -1491,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25": _fuzzy_bm25_sql(FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS,
                                       0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
+        "sloppy_bm25": _sloppy_bm25_sql(PHRASE_WORDS, SLOP, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,
         "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),

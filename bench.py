@@ -652,8 +652,12 @@ def main() -> None:
             "pages": watch_best.get("pages"),
             "cores": watch_best.get("cores"),
             "probes": len(state.get("probes", [])),
-            "probes_healthy": sum(1 for p in state.get("probes", [])
-                                  if p.get("healthy")),
+            # exclude probes a later audit re-adjudicated as contention
+            # artifacts (healthy_reaudit_r5=False) — the as-recorded flag
+            # alone would count spoofed windows as healthy
+            "probes_healthy": sum(
+                1 for p in state.get("probes", [])
+                if p.get("healthy") and p.get("healthy_reaudit_r5", True)),
         }
         # the saturated-host fallback pair (cores chosen so the upper level
         # sits under the observed IPC ceiling) — see run_scaling_bracketed

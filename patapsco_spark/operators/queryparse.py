@@ -72,6 +72,20 @@ class Clause:
     # site (plain Levenshtein, no transpositions; boolean rewrite, not
     # TopTermsBlended). None = not fuzzy.
     fuzzy: int | None = None
+    # proximity slop for a quoted phrase ('"a b"~N', round-5): maximum
+    # extra width allowed around the in-order match. 0 = exact phrase.
+    # Semantics are ORDERED anchored-greedy proximity (SpanNearQuery
+    # inOrder=true shape): from each occurrence of the first word, chain
+    # each later word to its EARLIEST position after the previous link; the
+    # anchor matches iff last - first - (n_words-1) ≤ slop, and tf = the
+    # number of matching anchors. Documented departures from Lucene's
+    # SloppyPhraseScorer: no unordered/transposed matches (Lucene allows
+    # them at slop ≥ 2) and integer match counts instead of Σ 1/(1+slop_i)
+    # weights — Lucene's greedy repeat-handling is order-dependent and not
+    # replayable declaratively; this definition is exact, reduces to the
+    # exact-phrase count at slop=0, and is SQL-replayable (the oracle runs
+    # the same chain as correlated min() subqueries).
+    slop: int = 0
 
 
 @dataclass
@@ -163,9 +177,9 @@ def _check_term_token(tok: str) -> None:
     we."""
     if "~" in tok:
         raise ParseError(
-            f"fuzzy/proximity query {tok!r} is not supported here "
-            "(term~ / term~N fuzzy IS supported; proximity \"a b\"~N and "
-            "a bare '~' are not)")
+            f"fuzzy query {tok!r} is not supported here "
+            "(term~ / term~N fuzzy and \"a b\"~N phrase proximity ARE "
+            "supported; a bare '~' or '~' inside a term is not)")
     if ":" in tok:
         raise ParseError(
             f"fielded query {tok!r} is not supported (the index has a "
@@ -195,7 +209,8 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
         raise ParseError(
             f"range query in {query!r} is not supported "
             "(Lucene '[a TO b]' / '{a TO b}' syntax)")
-    toks = re.findall(r'"[^"]*"(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+', query)
+    toks = re.findall(r'"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
+                      query)
     pos = 0
 
     def parse_level(depth: int) -> list[Clause]:
@@ -262,11 +277,21 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
             m = _WEIGHTED.match(tok)
             if m:
                 tok, boost = m.group(1), float(m.group(2))
+            slop = 0
+            sm = re.match(r'^("[^"]*")~([\d.]+)$', tok)
+            if sm:
+                if "." in sm.group(2):
+                    raise ParseError(
+                        f"phrase slop in {tok!r} must be an integer "
+                        '("a b"~2); float slop is not supported')
+                tok, slop = sm.group(1), int(sm.group(2))
             if tok.startswith('"') and tok.endswith('"'):
                 words = tok.strip('"').split()
                 if words:
+                    # Lucene drops the slop on a single-word "phrase"
                     clauses.append(Clause(occur, boost, [(w, 1.0) for w in words],
-                                          phrase=len(words) > 1))
+                                          phrase=len(words) > 1,
+                                          slop=slop if len(words) > 1 else 0))
             elif tok:
                 fz = _parse_fuzzy(tok)
                 if fz is not None:

@@ -421,9 +421,12 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
 _expand_prefix_plans = _expand_multiterm_plans
 
 
-def _phrase_pseudo_term(words: list[str]) -> str:
+def _phrase_pseudo_term(words: list[str], slop: int = 0) -> str:
     # \x01 prefix keeps pseudo-terms out of the real term namespace
-    # (no analyzed token can contain a control char)
+    # (no analyzed token can contain a control char); sloppy phrases get
+    # their own namespace so "a b" and "a b"~3 coexist in one batch
+    if slop:
+        return f"\x01near{slop}:" + " ".join(words)
     return "\x01phrase:" + " ".join(words)
 
 
@@ -461,17 +464,19 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
     from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
     from .queryparse import Clause, QueryPlan
 
-    phrases: dict[tuple[str, ...], str] = {}
+    # keyed by (words, slop): "a b" and "a b"~3 are distinct pseudo-terms
+    phrases: dict[tuple[tuple[str, ...], int], str] = {}
     for p in plans:
         for c in iter_term_clauses(p.clauses):
             if c.phrase and len(c.terms) > 1:
-                words = tuple(t for t, _ in c.terms)
-                phrases.setdefault(words, _phrase_pseudo_term(list(words)))
-    pid_of = {words: i for i, words in enumerate(phrases)}
-    pseudo_of_pid = {i: phrases[w] for w, i in pid_of.items()}
+                key = (tuple(t for t, _ in c.terms), getattr(c, "slop", 0))
+                phrases.setdefault(
+                    key, _phrase_pseudo_term(list(key[0]), key[1]))
+    pid_of = {key: i for i, key in enumerate(phrases)}
+    pseudo_of_pid = {i: phrases[k] for k, i in pid_of.items()}
 
     pos_path = f"{index_path}/positions"
-    all_words = sorted({w for ws in phrases for w in ws})
+    all_words = sorted({w for ws, _s in phrases for w in ws})
     if live_pred is None:
         live_pred = ((F.col("shard") >= shard_base) &
                      (F.col("shard") < num_shards))
@@ -482,29 +487,83 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
              .select("shard", "docid", "dl"))
 
     memb = spark.createDataFrame(
-        [(pid, w, off, len(words))
-         for words, pid in pid_of.items()
-         for off, w in enumerate(words)],
-        "pid int, word string, off int, n_words int")
+        [(pid, w, off, len(ws), slop)
+         for (ws, slop), pid in pid_of.items()
+         for off, w in enumerate(ws)],
+        "pid int, word string, off int, n_words int, slop int")
 
-    shifted = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
-               .select("pid", "shard", "docid", "n_words",
-                       F.transform("positions",
-                                   lambda x: x - F.col("off")).alias("sp")))
-    arrs = F.col("arrs")
-    inter = F.aggregate(arrs, F.element_at(arrs, 1),
-                        lambda acc, a: F.array_intersect(acc, a))
+    joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
+              .select("pid", "shard", "docid", "off", "n_words", "slop",
+                      "positions"))
+    tf_parts = []
+
+    if any(s == 0 for _ws, s in pid_of):
+        # exact phrases: shift each member's positions by its offset; the
+        # intersection size of the shifted arrays = phrase frequency
+        shifted = (joined.where(F.col("slop") == 0)
+                   .select("pid", "shard", "docid", "n_words",
+                           F.transform("positions",
+                                       lambda x: x - F.col("off"))
+                           .alias("sp")))
+        arrs = F.col("arrs")
+        inter = F.aggregate(arrs, F.element_at(arrs, 1),
+                            lambda acc, a: F.array_intersect(acc, a))
+        tf_parts.append(
+            (shifted.groupBy("pid", "shard", "docid")
+             .agg(F.count("*").alias("nm"), F.max("n_words").alias("nw"),
+                  F.collect_list("sp").alias("arrs"))
+             .where(F.col("nm") == F.col("nw"))
+             .select("pid", "shard", "docid", F.size(inter).alias("tf"))))
+
+    if any(s > 0 for _ws, s in pid_of):
+        # sloppy phrases ('"a b"~N'): ordered anchored-greedy proximity
+        # (see queryparse.Clause.slop for semantics + Lucene departures).
+        # Folded entirely in Catalyst: sort member arrays by phrase offset,
+        # seed per-anchor (start, cur) structs from the first word's
+        # positions, then aggregate() over the remaining arrays advancing
+        # each anchor to the EARLIEST position after its current link —
+        # a dead anchor's cur goes NULL and stays NULL (filter over a NULL
+        # bound is empty, array_min(empty) is NULL). tf = anchors whose
+        # final width excess ≤ slop. Like the exact path this is one
+        # groupBy keyed (pid, shard, docid), shard-salted by construction.
+        grouped = (joined.where(F.col("slop") > 0)
+                   .groupBy("pid", "shard", "docid")
+                   .agg(F.count("*").alias("nm"),
+                        F.max("n_words").alias("nw"),
+                        F.max("slop").alias("slop"),
+                        F.array_sort(F.collect_list(
+                            F.struct("off", "positions"))).alias("offarrs"))
+                   .where(F.col("nm") == F.col("nw")))
+        parrs = F.transform("offarrs", lambda x: x["positions"])
+        init = F.transform(F.element_at(parrs, 1),
+                           lambda p: F.struct(p.alias("start"),
+                                              p.alias("cur")))
+        chained = F.aggregate(
+            F.slice(parrs, F.lit(2), F.size(parrs) - 1), init,
+            lambda acc, nxt: F.transform(
+                acc,
+                lambda s: F.struct(
+                    s["start"].alias("start"),
+                    F.array_min(F.filter(nxt, lambda x: x > s["cur"]))
+                    .alias("cur"))))
+        tf_sloppy = F.size(F.filter(
+            chained,
+            lambda s: s["cur"].isNotNull()
+            & ((s["cur"] - s["start"] - (F.col("nw") - 1))
+               <= F.col("slop"))))
+        tf_parts.append(grouped.select("pid", "shard", "docid",
+                                       tf_sloppy.alias("tf")))
+
+    tf_union = tf_parts[0]
+    for part in tf_parts[1:]:
+        tf_union = tf_union.unionByName(part)
     # materialized ONCE as an eager localCheckpoint (we must execute it
     # anyway for the stats collect below): feeds both the stats and the
     # pseudo-term encode without recompute, and its blocks are GC-released
     # with the plan — a bare persist() here would leak one cached frame per
     # phrase-bearing search() for the session lifetime (a long-lived query
     # service or a warm bench loop fills executor storage memory)
-    tf_all = (shifted.groupBy("pid", "shard", "docid")
-              .agg(F.count("*").alias("nm"), F.max("n_words").alias("nw"),
-                   F.collect_list("sp").alias("arrs"))
-              .where(F.col("nm") == F.col("nw"))
-              .select("pid", "shard", "docid", F.size(inter).alias("tf"))
+    tf_all = (tf_union
               .where(F.col("tf") > 0)
               .join(norms, ["shard", "docid"])
               .localCheckpoint(eager=True))
@@ -515,7 +574,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
                             .agg(F.count("*").alias("df"),
                                  F.sum("tf").alias("cf")).collect()}
     live_pids = []
-    for words, pid in pid_of.items():
+    for (words, _slop), pid in pid_of.items():
         st = stats.get(pid)
         if not st or st[0] == 0:
             continue  # phrase matches nothing: pseudo stays out of df_map
@@ -555,7 +614,8 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
             if c.group:
                 cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
             elif c.phrase and len(c.terms) > 1:
-                pseudo = phrases[tuple(t for t, _ in c.terms)]
+                pseudo = phrases[(tuple(t for t, _ in c.terms),
+                                  getattr(c, "slop", 0))]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
             else:
                 cl.append(c)
@@ -862,6 +922,28 @@ def _empty_result() -> pd.DataFrame:
     })
 
 
+def _chain_count(pos_lists: list[list[int]], slop: int) -> int:
+    """Driver-side mirror of the sloppy-phrase Catalyst fold (explain()
+    only touches a handful of docs): ordered anchored-greedy proximity —
+    from each first-word position, link each later word to its earliest
+    position after the previous link; count anchors whose width excess
+    ≤ slop. Lists must be sorted ascending (positions/ stores them so)."""
+    import bisect
+    k = len(pos_lists)
+    count = 0
+    for p1 in pos_lists[0]:
+        cur, alive = p1, True
+        for arr in pos_lists[1:]:
+            i = bisect.bisect_right(arr, cur)
+            if i == len(arr):
+                alive = False
+                break
+            cur = arr[i]
+        if alive and cur - p1 - (k - 1) <= slop:
+            count += 1
+    return count
+
+
 def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
             doc_ids: list[str], cfg: RetrieveConfig | None = None) -> DataFrame:
     """Per-term score components for specific docs — the rebuild of the
@@ -941,10 +1023,18 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
                   for r in prows}
         for lb, c in phrase_leaves:
             words = [t for t, _ in c.terms]
+            slop = getattr(c, "slop", 0)
             for docid in want:
-                sets = [set(x - i for x in pos_by.get((w, docid), ()))
-                        for i, w in enumerate(words)]
-                phrase_tf[(lb, docid)] = len(set.intersection(*sets)) if all(sets) else 0
+                if slop:
+                    lists = [sorted(pos_by.get((w, docid), ()))
+                             for w in words]
+                    phrase_tf[(lb, docid)] = (
+                        _chain_count(lists, slop) if all(lists) else 0)
+                else:
+                    sets = [set(x - i for x in pos_by.get((w, docid), ()))
+                            for i, w in enumerate(words)]
+                    phrase_tf[(lb, docid)] = (
+                        len(set.intersection(*sets)) if all(sets) else 0)
 
     def idf_of(df):
         return math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5))
@@ -986,8 +1076,11 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
                     idf_sum = sum(idf_of(stats[w]) for w in words
                                   if stats.get(w, 0) > 0)
                     clause_total = c.boost * idf_sum * tf / (tf + kpart)
+                    ptxt = '"' + " ".join(words) + '"'
+                    if getattr(c, "slop", 0):
+                        ptxt += f"~{c.slop}"
                     crows = [(plan.qid, ext_id, label,
-                              '"' + " ".join(words) + '"', tf, dl, dlq, 0,
+                              ptxt, tf, dl, dlq, 0,
                               idf_sum, scale * clause_total)]
                 mask = tf > 0
             elif len(c.terms) > 1:

@@ -43,10 +43,13 @@ def _hits(spark, idx, q, k=10):
 
 class TestParseErrors:
     def test_proximity_and_bad_fuzzy_raise(self):
-        # round 5: term~ / term~N is now SUPPORTED; what still raises is
-        # proximity ("a b"~N), bare ~, distances > 2, and float similarity
-        with pytest.raises(ParseError, match="fuzzy"):
-            parse_query("q", '"stream gamma"~3', mode="boolean")
+        # round 5: term~ / term~N AND phrase proximity "a b"~N are now
+        # SUPPORTED; what still raises is bare ~, distances > 2, float
+        # similarity/slop
+        plan = parse_query("q", '"stream gamma"~3', mode="boolean")
+        assert plan.clauses[0].slop == 3 and plan.clauses[0].phrase
+        with pytest.raises(ParseError, match="integer"):
+            parse_query("q", '"stream gamma"~1.5', mode="boolean")
         with pytest.raises(ParseError, match="fuzzy"):
             parse_query("q", "alpha AND ~2", mode="boolean")
         with pytest.raises(ParseError, match="edit distance"):

@@ -202,3 +202,106 @@ def test_boosted_phrase(spark, pos_index):
     assert set(base) == set(boosted)
     for d in base:
         assert boosted[d] == pytest.approx(3 * base[d], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrases ('"a b"~N', round 5): ordered anchored-greedy proximity —
+# semantics + Lucene departures documented at queryparse.Clause.slop
+
+
+def test_slop_parses_and_orders(spark, pos_index):
+    # red..jumps within excess 1: d1 (red=0,jumps=2: excess 1),
+    # d2 (red=1,jumps=2: 0), d3 (best anchor red=2,jumps=4: 1); d4 is 2 away
+    hits = _run(spark, pos_index, '"red jumps"~1')
+    assert {h[0] for h in hits} == {"d1", "d2", "d3"}
+
+
+def test_slop_widens_matches(spark, pos_index):
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red jumps"~3'))
+    assert set(hits) == {"d1", "d2", "d3", "d4"}
+    # d3 has TWO matching anchors (red@0 excess 3, red@2 excess 1) → tf 2
+    # beats every tf-1 doc at equal dl
+    assert all(hits["d3"] > hits[d] for d in ("d1", "d2", "d4"))
+
+
+def test_slop_is_ordered_only(spark, pos_index):
+    # reversed words never match within any doc — SpanNear(inOrder=true)
+    # semantics, a documented departure from Lucene's unordered slop≥2
+    assert _run(spark, pos_index, '"jumps red"~2') == []
+
+
+def test_slop_zero_equals_exact_phrase(spark, pos_index):
+    assert _run(spark, pos_index, '"red fox"~0') == \
+        _run(spark, pos_index, '"red fox"')
+
+
+def test_slop_score_matches_closed_form(spark, pos_index):
+    """score = (idf_red + idf_jumps) · tf/(tf + k1·(1-b+b·dlq/avgdl))."""
+    n, k1, b = 5, 0.9, 0.4
+    avgdl = float(np.float32(25 / n))
+    idf = lambda df: math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf_ph = idf(4) + idf(4)      # red in d1-d4, jumps in d1-d4
+    dlq = float(quantize_length(np.array([5]))[0])
+    kpart = k1 * (1 - b + b * dlq / avgdl)
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red jumps"~3'))
+    assert hits["d3"] == pytest.approx(idf_ph * 2 / (2 + kpart), rel=1e-9)
+    assert hits["d1"] == pytest.approx(idf_ph * 1 / (1 + kpart), rel=1e-9)
+
+
+def test_slop_and_exact_coexist_one_batch(spark, pos_index):
+    # same words at two slops in ONE query: distinct pseudo-terms, both
+    # score. Only d2 ("fox red jumps …") contains the exact phrase, so it
+    # earns the exact clause's contribution ON TOP of the sloppy one; all
+    # other docs keep their sloppy-only scores.
+    hits = dict((h[0], h[2])
+                for h in _run(spark, pos_index, '"red jumps" OR "red jumps"~3'))
+    only_sloppy = dict((h[0], h[2])
+                       for h in _run(spark, pos_index, '"red jumps"~3'))
+    only_exact = dict((h[0], h[2])
+                      for h in _run(spark, pos_index, '"red jumps"'))
+    assert set(hits) == {"d1", "d2", "d3", "d4"}
+    assert set(only_exact) == {"d2"}
+    for d, s in only_sloppy.items():
+        expect = s + only_exact.get(d, 0.0)
+        assert hits[d] == pytest.approx(expect, rel=1e-9)
+
+
+def test_slop_explain_components_sum(spark, pos_index):
+    from patapsco_spark.operators.queryparse import plan_boolean
+    from patapsco_spark.operators.retrieve import explain
+    rows = explain(spark, pos_index, plan_boolean("q", '"red jumps"~3'),
+                   ["d3"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["term"] == '"red jumps"~3'
+    assert rows[0]["tf"] == 2
+    hits = dict((h[0], h[2]) for h in _run(spark, pos_index, '"red jumps"~3'))
+    assert rows[0]["contribution"] == pytest.approx(hits["d3"], rel=1e-9)
+
+
+def test_slop_degrades_without_positions(spark, flat_index):
+    # no sidecar → bag-of-words degrade over the phrase words, exactly the
+    # same clause the exact phrase degrades to (slop is a positions-only
+    # concept; the reference's positionless Lucene index always degrades)
+    sloppy = _run(spark, flat_index, '"red jumps"~1')
+    exact = _run(spark, flat_index, '"red jumps"')
+    assert sloppy == exact
+    assert {"d1", "d2", "d3", "d4"} <= {h[0] for h in sloppy}
+
+
+def test_slop_float_rejected():
+    from patapsco_spark.operators.queryparse import ParseError, plan_boolean
+    with pytest.raises(ParseError, match="integer"):
+        plan_boolean("q", '"red fox"~1.5')
+
+
+def test_slop_single_word_ignored():
+    from patapsco_spark.operators.queryparse import plan_boolean
+    plan = plan_boolean("q", '"red"~4')
+    assert plan.clauses[0].slop == 0 and not plan.clauses[0].phrase
+
+
+def test_slop_with_boost_parses():
+    from patapsco_spark.operators.queryparse import plan_boolean
+    plan = plan_boolean("q", '"red fox"~2^3')
+    c = plan.clauses[0]
+    assert c.slop == 2 and c.boost == 3.0 and c.phrase
