@@ -149,6 +149,23 @@ def q_fuzzy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+RANGE_LO, RANGE_HI = "slow", "table"
+
+
+def q_range_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term range query (round 5): '[slow TO table]' — the last classic-
+    QueryParser construct we rejected loudly. Expands against the term
+    dictionary (range predicate pushed to the term-sorted stats scan,
+    limit-bounded collect) into a SHOULD-group scored as Σ per-term BM25 —
+    SCORING_BOOLEAN_REWRITE, a documented departure from Lucene
+    TermRangeQuery's constant-score default, consistent with our
+    wildcard/fuzzy rewrite."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", f"[{RANGE_LO} TO {RANGE_HI}]")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
 PHRASE_WORDS = ["data", "stream"]
 PHRASE_EXTRA = "window"
 
@@ -243,6 +260,35 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0,
                    F.lit("Copyright 2026 Example Corp"))).alias("text"))
     return dedup.line_dedup(injected, min_docs=50)
+
+
+CLEAN_DUP_BODY = "shared landing page body with enough distinct tokens"
+
+
+def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning recipe (round 5): line dedup → exact dedup
+    → quality filter, reporting the per-stage survivor funnel. The
+    injection makes every stage bite deterministically: cookie/footer
+    chrome by doc_id arithmetic (removed by line dedup), and every 29th doc
+    replaced by one shared body (sparse enough to stay under the hot-line
+    threshold, so it reaches the dedup stage instead of being eaten as
+    boilerplate) — duplicates HIDDEN by differing chrome
+    that only become byte-identical after boilerplate removal, the classic
+    real-web ordering dependence this recipe exists to handle."""
+    from patapsco_spark.operators import recipes
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("COOKIE NOTICE: this site uses cookies")),
+            F.when(F.col("doc_id") % 29 == 0,
+                   F.lit(CLEAN_DUP_BODY)).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("Copyright 2026 Example Corp"))).alias("text"))
+    return recipes.clean_corpus_funnel(
+        injected, line_min_docs=50, min_tokens=5, min_distinct_ratio=0.4)
 
 
 def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "phrase_bm25": q_phrase_bm25,
         "sloppy_bm25": q_sloppy_bm25,
+        "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
         "qld_topk": q_qld_topk,
         "psq_bm25": q_psq_bm25,
@@ -645,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "ulm_perplexity": q_ulm_perplexity,
         "line_dedup": q_line_dedup,
+        "clean_funnel": q_clean_funnel,
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
@@ -1012,6 +1060,42 @@ scores AS (
   SELECT doc_id, list_aggregate(list(s ORDER BY ord), 'sum') AS score
   FROM (SELECT doc_id, s, 0 AS ord FROM phscore
         UNION ALL SELECT doc_id, s, 1 AS ord FROM wscore) GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _range_bm25_sql(lo: str, hi: str, k1: float, b: float, k: int) -> str:
+    """Oracle for '[lo TO hi]' (inclusive): query terms = every corpus term
+    in the lexicographic range, scoring Σ per-term BM25 over a doc's
+    matching terms — exactly the engine's SCORING_BOOLEAN_REWRITE group."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms AS (
+  SELECT DISTINCT term FROM tf WHERE term >= '{lo}' AND term <= '{hi}'
+),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -1569,6 +1653,7 @@ def oracle_sql() -> dict[str, str]:
                                       0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
         "sloppy_bm25": _sloppy_bm25_sql(PHRASE_WORDS, SLOP, 0.9, 0.4, K),
+        "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,
         "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),
@@ -1649,6 +1734,69 @@ SELECT b.doc_id, b.n_lines,
        (b.n_lines - COALESCE(c.n_kept, 0))::BIGINT AS n_removed,
        COALESCE(c.clean_text, '') AS clean_text
 FROM base b LEFT JOIN clean c USING (doc_id)
+""",
+        "clean_funnel": rf"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'COOKIE NOTICE: this site uses cookies' END,
+                   CASE WHEN doc_id % 29 = 0
+                        THEN '{CLEAN_DUP_BODY}' ELSE text END,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Copyright 2026 Example Corp' END) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM src
+),
+keyed AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN trim(line) <> '' THEN md5(trim(line)) END AS lkey
+  FROM lines
+),
+hot AS (
+  SELECT lkey FROM keyed WHERE lkey IS NOT NULL
+  GROUP BY lkey HAVING count(DISTINCT doc_id) >= 50
+),
+kept AS (
+  SELECT k.* FROM keyed k
+  WHERE k.lkey IS NULL OR k.lkey NOT IN (SELECT lkey FROM hot)
+),
+cleaned AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+  HAVING trim(string_agg(line, chr(10) ORDER BY pos)) <> ''
+),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM cleaned) WHERE keep = doc_id
+),
+tokd AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM deduped
+),
+final AS (
+  SELECT doc_id FROM tokd
+  WHERE len(toks) >= 5 AND len(list_distinct(toks)) > 0.4 * len(toks)
+)
+SELECT * FROM (
+  SELECT 0::BIGINT AS stage_no, 'input' AS stage,
+         (SELECT count(*) FROM src)::BIGINT AS docs_out
+  UNION ALL SELECT 1::BIGINT, 'line_dedup',
+         (SELECT count(*) FROM cleaned)::BIGINT
+  UNION ALL SELECT 2::BIGINT, 'exact_dedup',
+         (SELECT count(*) FROM deduped)::BIGINT
+  UNION ALL SELECT 3::BIGINT, 'quality',
+         (SELECT count(*) FROM final)::BIGINT
+) ORDER BY stage_no
 """,
         "ulm_perplexity": r"""
 WITH tok AS (

@@ -33,11 +33,13 @@ SHOULD, MUST, MUST_NOT = "SHOULD", "MUST", "MUST_NOT"
 class ParseError(ValueError):
     """A Lucene QueryParser construct this engine cannot score. The
     reference's classic QueryParser (/root/reference/patapsco/retrieve.py:79-82)
-    accepts wildcards, fuzzy, fielded and range queries; we score trailing-*
-    PREFIX wildcards (expanded against the index's term dictionary at search
-    time) and refuse the rest LOUDLY — round-3 verdict: treating ``term~`` /
-    ``title:foo`` / ``[a TO b]`` as literal terms was a silent-wrong-answer
-    class (the literal just matches nothing)."""
+    accepts wildcards, fuzzy, proximity, fielded and range queries; as of
+    round 5 we score trailing-* PREFIX wildcards, fuzzy ``term~N``, phrase
+    proximity ``"a b"~N`` and term ranges ``[a TO b]`` (all expanded or
+    rewritten against the index at search time) and refuse the rest —
+    fielded queries, leading/inner wildcards, bare ``~``/``*`` — LOUDLY.
+    Round-3 verdict: treating ``title:foo`` etc. as literal terms was a
+    silent-wrong-answer class (the literal just matches nothing)."""
 
 
 @dataclass
@@ -86,6 +88,15 @@ class Clause:
     # exact-phrase count at slop=0, and is SQL-replayable (the oracle runs
     # the same chain as correlated min() subqueries).
     slop: int = 0
+    # term range query ('[a TO b]' / '{a TO b}' / mixed, round-5):
+    # (lo, hi, lo_inclusive, hi_inclusive), either bound None for the open
+    # '*'. Expanded at search time against the term dictionary (range
+    # predicate pushed to the term_stats scan) into a SHOULD-group —
+    # SCORING_BOOLEAN_REWRITE, matching our wildcard/fuzzy choice and
+    # documented as a departure from Lucene TermRangeQuery's default
+    # constant-score rewrite. Bounds are matched RAW against indexed terms
+    # (the classic parser does not analyze range bounds either).
+    trange: tuple | None = None
 
 
 @dataclass
@@ -135,11 +146,6 @@ def plan_psq(qid: str, query: str) -> QueryPlan:
 
 
 _BOOST_TOK = re.compile(r"\^\d+(?:\.\d+)?(?:[eE]-?\d+)?$")
-
-# Lucene range syntax "[a TO b]" / "{a TO b}" spans multiple whitespace
-# tokens — detected on the raw query before tokenization
-_RANGE_SYNTAX = re.compile(r"[\[\{]\S+\s+TO\s+\S+[\]\}]")
-
 
 _FUZZY_TOK = re.compile(r"^(.+?)~(\d+(?:\.\d+)?)?$")
 
@@ -205,12 +211,12 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
     # a quoted phrase keeps any ^boost suffix attached ("a b"^3 is ONE token
     # — a bare alternation would split off '^3' and silently drop the boost);
     # parens are their own tokens so "(a" splits into "(" and "a"
-    if _RANGE_SYNTAX.search(query):
-        raise ParseError(
-            f"range query in {query!r} is not supported "
-            "(Lucene '[a TO b]' / '{a TO b}' syntax)")
-    toks = re.findall(r'"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
-                      query)
+    # range tokens contain spaces, so they get their own (earlier) branch;
+    # +/- occur prefixes and ^boost suffixes stay attached like phrases
+    toks = re.findall(
+        r'[+-]?[\[\{][^\]\}]*[\]\}](?:\^[\d.eE-]+)?'
+        r'|"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
+        query)
     pos = 0
 
     def parse_level(depth: int) -> list[Clause]:
@@ -277,6 +283,21 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
             m = _WEIGHTED.match(tok)
             if m:
                 tok, boost = m.group(1), float(m.group(2))
+            rm = re.match(r'^([\[\{])\s*([^\s\]\}]+)\s+TO\s+([^\s\]\}]+)'
+                          r'\s*([\]\}])$', tok)
+            if rm or (tok and tok[0] in "[{"):
+                if not rm:
+                    raise ParseError(
+                        f"malformed range query {tok!r}: expected "
+                        "'[lower TO upper]' / '{lower TO upper}' "
+                        "(either bound may be *)")
+                lo = None if rm.group(2) == "*" else rm.group(2)
+                hi = None if rm.group(3) == "*" else rm.group(3)
+                clauses.append(Clause(occur, boost, [],
+                                      trange=(lo, hi, rm.group(1) == "[",
+                                              rm.group(4) == "]")))
+                pos += 1
+                continue
             slop = 0
             sm = re.match(r'^("[^"]*")~([\d.]+)$', tok)
             if sm:

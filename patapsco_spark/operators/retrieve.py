@@ -95,6 +95,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # the term dictionary BEFORE stats lookup — one bounded union job for
     # all patterns in the batch
     if any(c.prefix or c.fuzzy is not None
+           or getattr(c, "trange", None) is not None
            for p in plans for c in iter_term_clauses(p.clauses)):
         plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
                                         shard_base=stats_base)
@@ -325,15 +326,27 @@ def search_query_frame(spark: SparkSession, index_path: str,
 MAX_PREFIX_EXPANSIONS = 1024  # Lucene BooleanQuery.maxClauseCount
 
 
+def _range_key(rng: tuple) -> str:
+    """Stable branch key for a term range; \\x00 separators keep term
+    content from colliding with the key syntax."""
+    lo, hi, lo_inc, hi_inc = rng
+    return (f"r:{'[' if lo_inc else '{'}{lo or '*'}\x00"
+            f"{hi or '*'}{']' if hi_inc else '}'}")
+
+
 def _expand_multiterm_plans(spark: SparkSession, index_path: str,
                             plans: list[QueryPlan], num_shards: int,
                             max_expansions: int = MAX_PREFIX_EXPANSIONS,
                             shard_base: int = 0) -> list[QueryPlan]:
-    """Rewrite multi-term clauses — prefix wildcards ("te*") and fuzzy
-    terms ("term~N", round 5) — to SHOULD-groups over the matching
-    dictionary terms: Lucene's SCORING_BOOLEAN_REWRITE, the group matches
-    any doc containing ≥1 expanded term and scores boost × Σ per-term
-    BM25/QLD contributions.
+    """Rewrite multi-term clauses — prefix wildcards ("te*"), fuzzy terms
+    ("term~N") and term ranges ("[a TO b]", round 5) — to SHOULD-groups
+    over the matching dictionary terms: Lucene's SCORING_BOOLEAN_REWRITE,
+    the group matches any doc containing ≥1 expanded term and scores
+    boost × Σ per-term BM25/QLD contributions. (For ranges that is a
+    documented departure from Lucene TermRangeQuery's default
+    constant-score rewrite — consistent with the wildcard/fuzzy choice
+    here, and it keeps the oracle an exact BM25 sum.) Range bounds push
+    GreaterThan/LessThan straight to the term-sorted stats scan.
 
     Plan shape: ONE job for ALL expansions — a union of per-pattern
     branches over the term_stats read, each branch bounded by
@@ -366,6 +379,10 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
     fuzzies = sorted({(c.terms[0][0], c.fuzzy) for p in plans
                       for c in iter_term_clauses(p.clauses)
                       if c.fuzzy is not None})
+    ranges = sorted({c.trange for p in plans
+                     for c in iter_term_clauses(p.clauses)
+                     if getattr(c, "trange", None) is not None},
+                    key=repr)
     stats = read_term_stats(spark, index_path, num_shards=num_shards,
                             shard_base=shard_base)
     branches = []
@@ -381,14 +398,31 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
             stats.where(cond)
                  .select(F.lit(f"f:{n}:{base}").alias("key"), "term")
                  .limit(max_expansions + 1))
+    for rng in ranges:
+        lo, hi, lo_inc, hi_inc = rng
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & ((F.col("term") >= lo) if lo_inc
+                           else (F.col("term") > lo))
+        if hi is not None:
+            cond = cond & ((F.col("term") <= hi) if hi_inc
+                           else (F.col("term") < hi))
+        branches.append(
+            stats.where(cond)
+                 .select(F.lit(_range_key(rng)).alias("key"), "term")
+                 .limit(max_expansions + 1))
     match: dict[str, list[str]] = {}
     for r in reduce(DataFrame.unionByName, branches).collect():
         match.setdefault(r["key"], []).append(r["term"])
     for key, ts in match.items():
         if len(ts) > max_expansions:
-            what = (f"prefix wildcard '{key[2:]}*'" if key.startswith("p:")
-                    else f"fuzzy term '{key.split(':', 2)[2]}~"
-                         f"{key.split(':', 2)[1]}'")
+            if key.startswith("p:"):
+                what = f"prefix wildcard '{key[2:]}*'"
+            elif key.startswith("f:"):
+                what = (f"fuzzy term '{key.split(':', 2)[2]}~"
+                        f"{key.split(':', 2)[1]}'")
+            else:
+                what = f"range query '{key[2:]}'"
             raise ParseError(
                 f"{what} expands to more than {max_expansions} terms; "
                 "use a more selective pattern")
@@ -399,15 +433,19 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
         for c in cs:
             if c.group:
                 out.append(Clause(c.occur, c.boost, [], group=rw(c.group)))
-            elif c.prefix or c.fuzzy is not None:
-                base = c.terms[0][0]
-                key = ("p:" + base) if c.prefix else f"f:{c.fuzzy}:{base}"
+            elif (c.prefix or c.fuzzy is not None
+                  or getattr(c, "trange", None) is not None):
+                if c.trange is not None:
+                    base, key, tag = str(c.trange), _range_key(c.trange), "range"
+                else:
+                    base = c.terms[0][0]
+                    key = ("p:" + base) if c.prefix else f"f:{c.fuzzy}:{base}"
+                    tag = "wild" if c.prefix else "fuzzy"
                 ts = match.get(key, [])
                 if ts:
                     out.append(Clause(c.occur, c.boost, [], group=[
                         Clause(SHOULD, 1.0, [(t, 1.0)]) for t in ts]))
                 else:
-                    tag = "wild" if c.prefix else "fuzzy"
                     out.append(Clause(c.occur, c.boost,
                                       [(f"\x01{tag}:" + base, 1.0)]))
             else:
@@ -959,9 +997,10 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     num_docs = int(meta["num_docs"])
     avgdl = float(meta["avgdl"])
 
-    # wildcard/fuzzy plans explain their EXPANDED terms (same rewrite as
-    # search — a literal 'te*' term would silently contribute nothing here)
+    # wildcard/fuzzy/range plans explain their EXPANDED terms (same rewrite
+    # as search — a literal 'te*' term would silently contribute nothing)
     if any(c.prefix or c.fuzzy is not None
+           or getattr(c, "trange", None) is not None
            for c in iter_term_clauses(plan.clauses)):
         plan = _expand_multiterm_plans(
             spark, index_path, [plan], int(meta["num_shards"]),

@@ -63,11 +63,17 @@ class TestParseErrors:
         with pytest.raises(ParseError, match="fielded"):
             parse_query("q", "title:stream", mode="boolean")
 
-    def test_range_raises(self):
-        with pytest.raises(ParseError, match="range"):
-            parse_query("q", "[alpha TO gamma]", mode="boolean")
-        with pytest.raises(ParseError, match="range"):
+    def test_range_parses_fielded_range_raises(self):
+        # round 5: bare term ranges are now SCORED; fielded ranges still
+        # raise (single-field index), and malformed brackets raise loudly
+        plan = parse_query("q", "[alpha TO gamma]", mode="boolean")
+        assert plan.clauses[0].trange == ("alpha", "gamma", True, True)
+        plan = parse_query("q", "{alpha TO gamma]", mode="boolean")
+        assert plan.clauses[0].trange == ("alpha", "gamma", False, True)
+        with pytest.raises(ParseError, match="fielded"):
             parse_query("q", "date:{2020 TO 2021}", mode="boolean")
+        with pytest.raises(ParseError, match="malformed range"):
+            parse_query("q", "[alpha gamma]", mode="boolean")
 
     def test_non_prefix_wildcards_raise(self):
         with pytest.raises(ParseError, match="wildcard"):
@@ -168,3 +174,39 @@ class TestFuzzyScoring:
         with pytest.raises(ParseError, match="expands to more than"):
             _expand_multiterm_plans(spark, idx, plans, num_shards=2,
                                     max_expansions=0)
+
+
+class TestRangeScoring:
+    # vocab: delta gamma strategy stream streaming streams strong
+    def test_inclusive_range(self, spark, idx):
+        # [strategy TO streaming]: strategy, stream, streaming
+        hits = _hits(spark, idx, "[strategy TO streaming]")
+        assert set(hits) == {"w1", "w2", "w5"}
+
+    def test_exclusive_bounds(self, spark, idx):
+        # {strategy TO streaming}: stream only
+        hits = _hits(spark, idx, "{strategy TO streaming}")
+        assert set(hits) == {"w1", "w2"}
+
+    def test_open_bounds(self, spark, idx):
+        assert set(_hits(spark, idx, "[streams TO *]")) == {"w2", "w3"}
+        assert set(_hits(spark, idx, "[* TO delta]")) == {"w4", "w5"}
+
+    def test_range_equals_expanded_or(self, spark, idx):
+        # SCORING_BOOLEAN_REWRITE: score-identical to the explicit OR group
+        rng = _hits(spark, idx, "[strategy TO streaming]")
+        explicit = _hits(spark, idx, "(strategy OR stream OR streaming)")
+        assert rng == explicit
+
+    def test_range_as_must_and_must_not(self, spark, idx):
+        # 'strategy' < 'stream': [strategy TO stream] = {strategy, stream};
+        # only w5 has delta AND a term in that range
+        assert set(_hits(spark, idx, "delta AND [strategy TO stream]")) \
+            == {"w5"}
+        assert set(_hits(spark, idx, "gamma -[delta TO delta]")) \
+            == {"w1", "w2", "w3"}
+
+    def test_empty_range_matches_nothing(self, spark, idx):
+        assert _hits(spark, idx, "[zz TO zzz]") == {}
+        # ...and as a SHOULD alongside a live term it contributes nothing
+        assert set(_hits(spark, idx, "delta [zz TO zzz]")) == {"w4", "w5"}
