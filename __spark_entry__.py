@@ -291,6 +291,27 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         injected, line_min_docs=50, min_tokens=5, min_distinct_ratio=0.4)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII redaction (round 5): emails/IPv4/intl-phone counted and
+    replaced in a fixed order. PII is injected deterministically by doc_id
+    arithmetic (the flat corpus has none) and the oracle replays injection
+    + the identical RE2-compatible patterns + the same replace order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("contact bob"), F.col("doc_id"),
+                            F.lit("@example.com now"))),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("server 10.0."), F.col("doc_id") % 256,
+                            F.lit(".1 up"))),
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.lit("call +1 555 0199 today"))).alias("text"))
+    return textstats.pii_scrub(injected)
+
+
 def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self unigram-LM perplexity per doc (round 5): the CCNet-style
     LM quality filter shape with a dependency-free LM. Exact SQL replay —
@@ -693,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ulm_perplexity": q_ulm_perplexity,
         "line_dedup": q_line_dedup,
         "clean_funnel": q_clean_funnel,
+        "pii_scrub": q_pii_scrub,
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
@@ -1616,6 +1638,38 @@ FROM per
 """
 
 
+def _pii_scrub_sql() -> str:
+    """pii_scrub oracle: the SAME patterns (single source of truth in
+    textstats.PII_*) and the same email → ip → phone replace order."""
+    from patapsco_spark.operators.textstats import (
+        PII_EMAIL, PII_IP, PII_PHONE)
+    em, ip, ph = (p.replace("'", "''") for p in (PII_EMAIL, PII_IP,
+                                                 PII_PHONE))
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+           CASE WHEN doc_id % 4 = 0 THEN 'contact bob'
+                || CAST(doc_id AS VARCHAR) || '@example.com now' END,
+           CASE WHEN doc_id % 5 = 0 THEN 'server 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.1 up' END,
+           CASE WHEN doc_id % 6 = 0 THEN 'call +1 555 0199 today' END
+         ) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{em}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{em}', '[EMAIL]', 'g'),
+           '{ip}', '[IP]', 'g'),
+         '{ph}', '[PHONE]', 'g') AS clean_text
+FROM src
+"""
+
+
 def _bpe_token_stats_sql() -> str:
     """bpe_token_stats oracle: the SAME pre-tokenizer regex (single source
     of truth in textstats.BPE_PIECE_PATTERN), SQL-escaped."""
@@ -1735,6 +1789,7 @@ SELECT b.doc_id, b.n_lines,
        COALESCE(c.clean_text, '') AS clean_text
 FROM base b LEFT JOIN clean c USING (doc_id)
 """,
+        "pii_scrub": _pii_scrub_sql(),
         "clean_funnel": rf"""
 WITH src AS (
   SELECT doc_id,

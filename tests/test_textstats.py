@@ -132,3 +132,25 @@ class TestBpeTokenCounts:
         assert got[2] == (7, 4, 1.75)
         assert got[3] == (0, 0, 0.0)
         assert got[4] == (3, 1, 3.0)
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction_pinned(self, spark):
+        from patapsco_spark.operators.textstats import pii_scrub
+        docs = spark.createDataFrame([
+            (1, "mail a.b+c@x-corp.io or d@e.org, host 192.168.0.1"),
+            (2, "call +44 20 7946 0958 or +1 555 0199"),
+            (3, "no pii here 12.34 and half-ip 1.2.3"),
+            (4, ""),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        r1 = got[1]
+        assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 0)
+        assert r1["clean_text"] == "mail [EMAIL] or [EMAIL], host [IP]"
+        r2 = got[2]
+        assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 2)
+        assert r2["clean_text"] == "call [PHONE] or [PHONE]"
+        r3 = got[3]
+        assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (0, 0, 0)
+        assert r3["clean_text"] == docs.collect()[2]["text"]
+        assert got[4]["clean_text"] == ""
