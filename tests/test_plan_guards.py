@@ -139,3 +139,37 @@ def test_term_stats_prefix_scan_pushes_startswith(spark, idx):
     plan = _plan(stats)
     assert "PushedFilters" in plan
     assert "StringStartsWith" in plan
+
+
+def test_term_stats_range_scan_pushes_bounds(spark, idx):
+    """Range expansion ([a TO b]) reads the term dictionary with the bound
+    predicates pushed to the parquet scan (GreaterThanOrEqual/LessThan →
+    row-group pruning over term-sorted stats files)."""
+    from patapsco_spark.operators.indexer import read_term_stats
+    stats = (read_term_stats(spark, idx, num_shards=3)
+             .where((F.col("term") >= "al") & (F.col("term") < "te")))
+    plan = _plan(stats)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual" in plan and "LessThan" in plan
+
+
+def test_round5_text_ops_are_pure_catalyst(spark):
+    """The round-5 training-data operators (pii_scrub, bpe counts, unigram
+    perplexity, line dedup, the clean-corpus funnel) must stay JVM-side:
+    any Python/Arrow eval node means a UDF crept into an I/O-speed path."""
+    from patapsco_spark.operators import dedup, recipes, textstats
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e f")],
+                                 "doc_id long, text string")
+    frames = [textstats.pii_scrub(docs), textstats.bpe_token_counts(docs),
+              textstats.ulm_perplexity(docs), dedup.line_dedup(docs),
+              recipes.clean_corpus_funnel(docs)]
+    # match the UDF execution nodes specifically — a bare "Python"
+    # substring also hits the PythonRDD input scan that createDataFrame
+    # produces in an Arrow-less session, which is input plumbing, not a
+    # UDF in the operator's plan
+    udf_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+                 "AggregateInPandas", "MapInArrow")
+    for frame in frames:
+        plan = _plan(frame)
+        assert not any(n in plan for n in udf_nodes), plan
