@@ -467,6 +467,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8 scalar-quantized store (round 5): per-vector
+    symmetric scale, dequantize-and-score against the full-precision query
+    (IVFADC's asymmetric-distance shape). The oracle replays quantize →
+    dequantize → cosine exactly — round() ties break away from zero in
+    both engines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = ann.sq8_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
+    return out.select(F.col("vec_id").cast("long"), "cosine")
+
+
 def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact ANN: top-5 per query for a broadcast batch of query
     vectors (vec_id 0-2) against the rest — the many-queries shape of
@@ -729,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_sq8_topk": q_ann_sq8_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rm3_topk": q_rm3_topk,
@@ -2397,6 +2410,38 @@ SELECT qid, vec_id,
        ROUND(cosine, 6) AS cosine
 FROM scored
 QUALIFY rnk < 5
+""",
+        "ann_sq8_topk": """
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+qx AS (SELECT CAST(unnest(e) AS DOUBLE) AS qv, generate_subscripts(e, 1) AS i FROM q),
+scales AS (
+  -- m and scale kept as SEPARATE values computed in the engine's exact
+  -- operation order (codes use v*127/m, dequant uses code*(m/127)) — a
+  -- refactored-but-equivalent expression can differ by 1 ulp and flip a
+  -- rounding tie, which is visible at 6 cosine decimals
+  SELECT vec_id,
+         GREATEST(MAX(ABS(CAST(v AS DOUBLE))), 1e-30) AS m
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings WHERE vec_id <> 0)
+  GROUP BY vec_id
+),
+deq AS (
+  SELECT e.vec_id,
+         ROUND(CAST(e.v AS DOUBLE) * 127.0 / s.m, 0) * (s.m / 127.0) AS dv,
+         e.i
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id <> 0) e
+  JOIN scales s USING (vec_id)
+),
+dots AS (
+  SELECT vec_id, SUM(dv * qv) AS dot, SUM(dv * dv) AS n2
+  FROM deq JOIN qx USING (i) GROUP BY vec_id
+),
+qn AS (SELECT SQRT(SUM(qv * qv)) AS qn FROM qx)
+SELECT vec_id, ROUND(dot / (SQRT(n2) * qn.qn), 6) AS cosine
+FROM dots, qn
+ORDER BY dot / (SQRT(n2) * qn.qn) DESC, vec_id ASC
+LIMIT 10
 """,
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),

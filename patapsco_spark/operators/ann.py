@@ -349,3 +349,45 @@ def ivf_read(spark, path: str, id_col: str = "vec_id",
     assigned = spark.read.parquet(f"{path}/assigned") \
         .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
     return cents, assigned
+
+
+def sq8_encode(embeddings: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization of the vector store: per-vector symmetric
+    scale = max(|x|)/127, codes = round(x/scale) ∈ [-127, 127] — the
+    standard warm-tier memory cut (4× vs float32, 8× vs float64) for
+    trillion-vector stores; IVF cells or LSH buckets prune WHICH vectors
+    to touch, SQ8 shrinks the bytes touched per vector. Pure Catalyst
+    HOFs (one max-fold + one transform per row, whole-stage codegen);
+    deterministic and engine-portable: round() ties go away from zero in
+    both Spark (HALF_UP) and DuckDB, so the oracle replays codes exactly.
+    """
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m = F.aggregate(vec, F.lit(0.0),
+                    lambda acc, v: F.greatest(acc, F.abs(v)))
+    safe = F.greatest(m, F.lit(1e-30))
+    codes = F.transform(vec, lambda v: F.round(v * 127.0 / safe, 0)
+                        .cast("int"))
+    return embeddings.select(F.col(id_col), codes.alias("codes"),
+                             (safe / 127.0).alias("scale"))
+
+
+def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact-arithmetic top-k over the QUANTIZED store: dequantize
+    (code × scale) and score cosine against a float query —
+    asymmetric-distance-computation shape (query stays full precision,
+    like IVFADC). Same plan skeleton as cosine_topk: Catalyst HOFs +
+    TakeOrderedAndProject, no Python. Returns (id, cosine) with the
+    quantized-store cosine — callers comparing against exact cosine_topk
+    measure the quantization recall directly."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    enc = sq8_encode(embeddings, id_col, vec_col)
+    deq = F.transform(F.col("codes"),
+                      lambda c: c.cast("double") * F.col("scale"))
+    scored = enc.select(
+        F.col(id_col),
+        (_dot(deq, q) / (_norm(deq) * F.lit(qn))).alias("cosine"))
+    return (scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+            .select(id_col, F.round("cosine", 6).alias("cosine")))

@@ -29,6 +29,28 @@ class TestAnnScalePaths:
                   ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=5).collect()}
         assert len(exact & approx) >= 7
 
+    def test_sq8_codes_bounded_and_recall(self, spark, emb):
+        """int8 quantization: codes within [-127,127], scale positive, and
+        the quantized top-10 recovers >=9/10 of the exact top-10 (int8 on
+        unit-scale vectors loses ~0.4% relative precision — deterministic,
+        not statistical)."""
+        from pyspark.sql import functions as F
+        base = emb.where("vec_id <> 0")
+        enc = ann.sq8_encode(base)
+        row = enc.agg(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+            F.min("scale").alias("smin")).first()
+        assert -127 <= row["lo"] and row["hi"] <= 127 and row["smin"] > 0
+        # every vector hits +/-127 at its own max-|x| component
+        at_limit = enc.where(
+            (F.array_max("codes") == 127) | (F.array_min("codes") == -127))
+        assert at_limit.count() == base.count()
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        exact = {r.vec_id for r in ann.cosine_topk(base, qvec, k=10).collect()}
+        quant = {r.vec_id for r in ann.sq8_topk(base, qvec, k=10).collect()}
+        assert len(exact & quant) >= 9
+
     def test_ivf_assignment_total(self, spark, emb):
         cents, assigned = ann.ivf_build(emb, n_cells=8)
         assert assigned.count() == emb.count()
