@@ -660,6 +660,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
+def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (round 5): the persisted IVF index prunes cells, then the
+    int8-quantized candidates score asymmetrically against the
+    full-precision query — the composition trillion-vector stores run
+    (prune which vectors, shrink bytes per vector). Oracle = the full IVF
+    k-means replay with the SQ8 dequantize spliced into the scoring CTE."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
+    out = ann.ivf_sq8_topk(assigned, cents, list(qvec), k=10,
+                           nprobe=IVF_NPROBE)
+    return out.select(F.col("vec_id").cast("long"), "cosine")
+
+
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -754,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivfadc_topk": q_ann_ivfadc_topk,
         "topk_window": q_topk_window,
         "lineitem_agg": q_lineitem_agg,
         "join_orders_by_nation": q_join_orders_by_nation,
@@ -1494,8 +1509,35 @@ LIMIT {k}
 """
 
 
+def _dots_cte(quantized: bool) -> str:
+    """Candidate scoring CTE for the IVF oracle: full-precision cosine, or
+    (quantized=True, the IVFADC path) int8 dequantize-then-cosine with the
+    engine's exact double operation order (see ann_sq8_topk oracle)."""
+    if not quantized:
+        return """dots AS (
+  SELECT ex.vec_id, SUM(ex.v * qx.qv) AS dot, SUM(ex.v * ex.v) AS n2
+  FROM ex JOIN qx USING (j)
+  WHERE ex.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY ex.vec_id
+)"""
+    return """scales AS (
+  SELECT vec_id, GREATEST(MAX(ABS(v)), 1e-30) AS m
+  FROM ex WHERE vec_id IN (SELECT vec_id FROM cand) GROUP BY vec_id
+),
+deq AS (
+  SELECT ex.vec_id, ROUND(ex.v * 127.0 / s.m, 0) * (s.m / 127.0) AS dv, ex.j
+  FROM ex JOIN scales s USING (vec_id)
+),
+dots AS (
+  SELECT deq.vec_id, SUM(deq.dv * qx.qv) AS dot, SUM(deq.dv * deq.dv) AS n2
+  FROM deq JOIN qx USING (j)
+  GROUP BY deq.vec_id
+)"""
+
+
 def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
-                 nprobe: int = IVF_NPROBE, seed: int = IVF_SEED) -> str:
+                 nprobe: int = IVF_NPROBE, seed: int = IVF_SEED,
+                 quantized: bool = False) -> str:
     """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
     init indices into the md5-ordered 200-vector sample are embedded as
     literals; Lloyd iterations, the final assignment, the nprobe probe and
@@ -1575,12 +1617,7 @@ probe AS (
 cand AS (
   SELECT vec_id FROM afin WHERE cell IN (SELECT cell FROM probe)
 ),
-dots AS (
-  SELECT ex.vec_id, SUM(ex.v * qx.qv) AS dot, SUM(ex.v * ex.v) AS n2
-  FROM ex JOIN qx USING (j)
-  WHERE ex.vec_id IN (SELECT vec_id FROM cand)
-  GROUP BY ex.vec_id
-),
+{_dots_cte(quantized)},
 qn AS (SELECT SQRT(SUM(qv * qv)) AS qn FROM qx)""")
     return f"""
 WITH {", ".join(ctes)}
@@ -2340,6 +2377,7 @@ FROM comp
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivfadc_topk": _ann_ivf_sql(quantized=True),
         "minhash_lsh_pairs": """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks

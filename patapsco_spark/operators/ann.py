@@ -391,3 +391,19 @@ def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         (_dot(deq, q) / (_norm(deq) * F.lit(qn))).alias("cosine"))
     return (scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
             .select(id_col, F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_sq8_topk(assigned: DataFrame, cents: np.ndarray,
+                 query_vec: list[float], k: int = 10, nprobe: int = 3,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVFADC (Jégou et al.'s IVF + asymmetric distance, with scalar int8
+    in place of PQ codebooks): cell pruning picks WHICH vectors to touch
+    (partition pruning at scale), int8 quantization shrinks the bytes per
+    vector touched, and the full-precision query scores against the
+    dequantized candidates. Composition of the two audited paths — no new
+    shuffle, no new kernel."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    return sq8_topk(cand, query_vec, k, id_col, vec_col)

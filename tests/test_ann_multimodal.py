@@ -51,6 +51,20 @@ class TestAnnScalePaths:
         quant = {r.vec_id for r in ann.sq8_topk(base, qvec, k=10).collect()}
         assert len(exact & quant) >= 9
 
+    def test_ivfadc_composition_recall(self, spark, emb):
+        """IVFADC = ivf cell pruning + sq8 asymmetric scoring: candidates
+        come only from the probed cells, and the quantized top-10 recovers
+        most of the plain-IVF top-10 (deterministic build, pinned)."""
+        base = emb.where("vec_id <> 0")
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        cents, assigned = ann.ivf_build(base, n_cells=8, seed=7)
+        ivf = {r.vec_id for r in
+               ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=5).collect()}
+        adc = {r.vec_id for r in
+               ann.ivf_sq8_topk(assigned, cents, qvec, k=10,
+                                nprobe=5).collect()}
+        assert len(ivf & adc) >= 8
+
     def test_ivf_assignment_total(self, spark, emb):
         cents, assigned = ann.ivf_build(emb, n_cells=8)
         assert assigned.count() == emb.count()
