@@ -148,6 +148,13 @@ def lemma_lite(token: str) -> str:
         w = w[:-2]
         if len(w) <= 3:
             return w
+        # the strip must survive the fall-through: "table's" matches no
+        # later suffix rule, and returning the ORIGINAL token would keep
+        # the possessive in the index while queries lemmatize to "table"
+        token = w
+        # re-check irregulars on the stripped form: children's -> child
+        if w in _EXCEPTIONS:
+            return _EXCEPTIONS[w]
     # --- plural detachment (ordered, first match wins) ---
     if w.endswith("ies") and len(w) >= 5:
         return w[:-3] + "y"

@@ -364,9 +364,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
     Min-label propagation: each round unions the current labels with labels
     seen across one edge hop and keeps the per-node min — one shuffle per
-    round, converged when the global label sum stops changing (the sum is
-    strictly decreasing while any label can still shrink, so the scalar
-    comparison is an exact convergence test, not a heuristic). Rounds
+    round, converged when no node's label changed that round (an exact,
+    type-agnostic test: labels are monotone non-increasing under min
+    propagation, so zero changes means a fixed point; a join on the
+    checkpointed previous frame with an early-exit ``limit(1)`` detects any
+    change without aggregating label values, which would silently NULL out
+    on string node ids). Rounds
     needed = max component diameter; near-dup clusters are short-diameter
     by construction (members all overlap the same content), so this
     converges in a handful of rounds where a 100 TB corpus would pay
@@ -384,9 +387,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
-    prev_sum = None
     for _ in range(max_iter):
         labels = labels.localCheckpoint(eager=False)
+        prev = labels
         hop = (edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                .select(F.col("src").alias("node"), "comp"))
         labels = (labels.union(hop)
@@ -402,10 +405,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = (labels.join(ptr, labels["comp"] == ptr["_pn"], "left")
                   .select("node",
                           F.coalesce("_pc", "comp").alias("comp")))
-        cur = labels.agg(F.sum("comp")).first()[0]
-        if cur == prev_sum:
+        # exact convergence test: did ANY label change this round? A value
+        # aggregate (sum of comp) would implicitly cast string node ids to
+        # double and return NULL, making NULL == NULL exit after round 1
+        # with half-merged clusters — the silent corruption this function
+        # promises to refuse. limit(1) lets Spark stop at the first change.
+        changed = (labels
+                   .join(prev.withColumnRenamed("comp", "prev_comp"), "node")
+                   .filter(F.col("comp") != F.col("prev_comp"))
+                   .limit(1).count())
+        if changed == 0:
             return labels
-        prev_sum = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter — raise it)")
@@ -444,9 +454,12 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
     text with order restored by the carried pos. All Catalyst; no Python,
     no collects, no windows over the full line stream.
     """
+    # NULL text would make split() NULL: posexplode drops the doc and
+    # size() yields -1, publishing negative counts — treat NULL as empty
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(txt, "\n")).alias("pos", "line"))
     keyed = lines.withColumn(
         "lkey", F.when(F.trim(F.col("line")) != "",
                        F.md5(F.trim(F.col("line")))))
@@ -467,7 +480,7 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
                           lambda x: x["line"])).alias("clean_text")))
     base = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"))
+        F.size(F.split(txt, "\n")).cast("long").alias("n_lines"))
     return (base.join(clean, id_col, "left")
             .select(F.col(id_col),
                     F.col("n_lines"),

@@ -196,6 +196,15 @@ def _check_term_token(tok: str) -> None:
             "wildcards ('te*') are scored")
     if tok == "*":
         raise ParseError("bare '*' (match-all) is not supported")
+    if any(b in tok for b in "[]{}"):
+        # range syntax glued to adjacent text ('foo[a TO b]') tokenizes
+        # into literal fragments ('foo[a', 'TO', 'b]') because the range
+        # alternative only matches at a token start — refuse loudly
+        # rather than silently scoring the fragments as terms
+        raise ParseError(
+            f"term {tok!r} contains range brackets: ranges must be "
+            "standalone tokens ('[a TO b]' / '{a TO b}'), not glued to "
+            "adjacent text")
 
 
 def plan_boolean(qid: str, query: str) -> QueryPlan:

@@ -23,18 +23,21 @@ from .dedup import line_dedup
 from .textstats import _TOKENS
 
 
-def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", *, line_min_docs: int = 2,
-                 min_tokens: int = 5,
-                 min_distinct_ratio: float = 0.3) -> DataFrame:
-    """The cleaned corpus: (id, text) after all three stages.
+def _stage_frames(docs: DataFrame, id_col: str, text_col: str, *,
+                  line_min_docs: int, min_tokens: int,
+                  min_distinct_ratio: float
+                  ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cleaned, deduped, final) — the ONE definition of the three stage
+    plans, shared by `clean_corpus` and `clean_corpus_funnel` so the funnel
+    counts can never desynchronize from the corpus the recipe produces.
 
     1. line dedup  — drop lines whose trimmed form occurs in ≥
        ``line_min_docs`` distinct docs (site chrome); docs reduced to
        nothing are dropped.
     2. exact dedup — among byte-identical cleaned texts, keep the doc with
        the smallest id (deterministic survivor, same rule as
-       dedup.exact_duplicates' canonical_id).
+       dedup.exact_duplicates' canonical_id). One shuffle on the 16-byte
+       md5 of the text.
     3. quality     — keep docs with ≥ ``min_tokens`` tokens AND a
        distinct/total token ratio > ``min_distinct_ratio`` (the repetition
        screen from quality_scores, C4/Gopher-style).
@@ -42,7 +45,6 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     cleaned = (line_dedup(docs, id_col, text_col, min_docs=line_min_docs)
                .where(F.trim(F.col("clean_text")) != "")
                .select(F.col(id_col), F.col("clean_text").alias(text_col)))
-    # keep-one: min id per text hash — one shuffle on the 16-byte hash
     w = Window.partitionBy(F.md5(F.col(text_col)))
     deduped = (cleaned
                .withColumn("_keep", F.min(id_col).over(w))
@@ -53,7 +55,19 @@ def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
     quality_ok = ((n_tok >= min_tokens)
                   & (F.size(F.array_distinct(toks))
                      > F.lit(min_distinct_ratio) * n_tok))
-    return deduped.where(quality_ok)
+    return cleaned, deduped, deduped.where(quality_ok)
+
+
+def clean_corpus(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *, line_min_docs: int = 2,
+                 min_tokens: int = 5,
+                 min_distinct_ratio: float = 0.3) -> DataFrame:
+    """The cleaned corpus: (id, text) after all three stages — see
+    :func:`_stage_frames` for the stage definitions."""
+    _, _, final = _stage_frames(
+        docs, id_col, text_col, line_min_docs=line_min_docs,
+        min_tokens=min_tokens, min_distinct_ratio=min_distinct_ratio)
+    return final
 
 
 def clean_corpus_funnel(docs: DataFrame, id_col: str = "doc_id",
@@ -62,21 +76,11 @@ def clean_corpus_funnel(docs: DataFrame, id_col: str = "doc_id",
                         min_distinct_ratio: float = 0.3) -> DataFrame:
     """Per-stage survivor counts: (stage_no, stage, docs_out) — the
     curation funnel. One row per stage including the input row, ordered by
-    stage_no, all computed from the same lazy stage frames as
-    `clean_corpus` (identical predicates, not re-implementations)."""
-    cleaned = (line_dedup(docs, id_col, text_col, min_docs=line_min_docs)
-               .where(F.trim(F.col("clean_text")) != "")
-               .select(F.col(id_col), F.col("clean_text").alias(text_col)))
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    deduped = (cleaned
-               .withColumn("_keep", F.min(id_col).over(w))
-               .where(F.col("_keep") == F.col(id_col))
-               .drop("_keep"))
-    toks = _TOKENS(text_col)
-    n_tok = F.size(toks)
-    final = deduped.where((n_tok >= min_tokens)
-                          & (F.size(F.array_distinct(toks))
-                             > F.lit(min_distinct_ratio) * n_tok))
+    stage_no, computed from the SAME stage frames `clean_corpus` returns
+    (one shared builder, so the funnel cannot drift from the corpus)."""
+    cleaned, deduped, final = _stage_frames(
+        docs, id_col, text_col, line_min_docs=line_min_docs,
+        min_tokens=min_tokens, min_distinct_ratio=min_distinct_ratio)
     stages = [("input", docs), ("line_dedup", cleaned),
               ("exact_dedup", deduped), ("quality", final)]
     counts = None

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from ..functions.stopwords import LUCENE_ENGLISH_STOPWORDS
 
-_TOKENS = lambda c: F.filter(F.split(F.trim(F.col(c)), r"\s+"), lambda t: t != "")
+# NULL text must count as zero tokens, not propagate to size()=-1 rows
+_TOKENS = lambda c: F.filter(
+    F.split(F.trim(F.coalesce(F.col(c), F.lit(""))), r"\s+"),
+    lambda t: t != "")
 
 # stopword membership as In(lower(t), literals): Catalyst rewrites In over
 # >10 literals to InSet — an O(1) hash lookup per token. The previous
@@ -358,7 +361,8 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     replacements apply in a fixed email → ip → phone order, so the oracle
     replays the identical sequence. Pure Catalyst regex — fuses into the
     scan; at 100 TB this runs at I/O speed like the other textstats ops."""
-    t = F.col(text_col)
+    # NULL text → size(NULL)=-1 / clean_text NULL; treat NULL as empty
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
     n_ips = F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0)))
     n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
@@ -381,8 +385,9 @@ def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
     (the pre-merge upper bound on BPE tokens — the number every training
     budget is quoted in) next to the whitespace word count, plus their
     ratio (pieces per word ≈ subword fertility). Pure Catalyst regex."""
-    pieces = F.size(F.regexp_extract_all(F.col(text_col),
-                                         F.lit(BPE_PIECE_PATTERN), F.lit(0)))
+    pieces = F.size(F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")),
+        F.lit(BPE_PIECE_PATTERN), F.lit(0)))
     words = F.size(_TOKENS(text_col))
     return docs.select(
         F.col(id_col),

@@ -12,6 +12,18 @@ Atomicity note: completion markers are written to a ``.tmp`` sibling and
 renamed. Rename is atomic on POSIX and HDFS; on S3A it is copy+delete —
 still safe here because readers only ever look for the final name and a
 half-copied final object is impossible (S3 PUT is atomic per object).
+
+REPLACEMENT (manifest commit over an existing manifest) must also be
+atomic: the FileSystem API's rename refuses to clobber, and a
+delete-then-rename would open a window where a concurrent reader finds NO
+manifest — append/search would raise "no index" and a resume-gated build
+would start rebuilding over a live index. Scheme paths therefore replace
+via ``FileContext.rename(src, dst, Options.Rename.OVERWRITE)``, a single
+atomic metadata operation on HDFS and local FS. Where no AbstractFileSystem
+binding exists for the scheme (some object stores), we fall back to
+delete+rename — on S3-like stores the final PUT is per-object atomic and
+the practical exposure is the copy latency, but the window exists; pair
+such stores with a retry in the reader if manifests are replaced live.
 """
 
 from __future__ import annotations
@@ -93,6 +105,37 @@ def write_text_atomic(path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    if not fs.exists(p):
+        # first write: plain rename (atomic everywhere rename exists; on
+        # S3A copy+delete, safe because the final name appears whole)
+        if not fs.rename(tmp, p):
+            # lost a create race — fall through to the overwrite path
+            _rename_overwrite(path, tmp, p, fs, jvm)
+        return
+    _rename_overwrite(path, tmp, p, fs, jvm)
+
+
+def _rename_overwrite(path: str, tmp, p, fs, jvm) -> None:
+    """Atomically replace ``p`` with ``tmp`` (see module docstring)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    fc = None
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark.sparkContext._jsc.hadoopConfiguration())
+    except Exception:
+        pass  # no AbstractFileSystem binding for this scheme
+    if fc is not None:
+        # genuine rename failures (missing tmp, permissions) propagate —
+        # only the missing-binding case above degrades
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(tmp, p, opts)
+        return
+    # degraded path (module docstring): a reader between the two calls
+    # sees no manifest; acceptable only on stores without FileContext
     if fs.exists(p):
         fs.delete(p, False)  # HDFS rename refuses to clobber
     if not fs.rename(tmp, p):

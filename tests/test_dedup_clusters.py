@@ -34,6 +34,18 @@ class TestConnectedComponents:
         got = {r["node"]: r["comp"] for r in cc.collect()}
         assert set(got.values()) == {1}
 
+    def test_string_ids_chain_converges(self, spark):
+        # regression: convergence was tested via F.sum(comp), which casts
+        # string labels to double -> NULL, and NULL==NULL exited after
+        # round 1 with the chain half-merged (d labeled 'b'). Node ids in
+        # real corpora ARE strings (the index schema is `id string`).
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+            "id_a string, id_b string")
+        cc = connected_components(pairs)
+        got = {r["node"]: r["comp"] for r in cc.collect()}
+        assert got == {n: "a" for n in "abcdef"}
+
     def test_empty_pairs(self, spark):
         assert connected_components(_pairs(spark, [])).count() == 0
 

@@ -63,6 +63,14 @@ class TestParseErrors:
         with pytest.raises(ParseError, match="fielded"):
             parse_query("q", "title:stream", mode="boolean")
 
+    def test_glued_range_raises(self):
+        # regression: 'foo[a TO b]' tokenized into LITERAL fragments
+        # ('foo[a', 'TO', 'b]') and silently matched nothing — brackets
+        # inside a term token must refuse loudly like ':' and '~'
+        for q in ("foo[a TO b]", "foo{a TO b}", "weird]term", "x[y"):
+            with pytest.raises(ParseError, match="range brackets"):
+                parse_query("q", q, mode="boolean")
+
     def test_range_parses_fielded_range_raises(self):
         # round 5: bare term ranges are now SCORED; fielded ranges still
         # raise (single-field index), and malformed brackets raise loudly

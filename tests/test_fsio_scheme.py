@@ -50,6 +50,25 @@ class TestFsioPrimitives:
         fsio.write_text_atomic(uri, '{"ok": 2}')
         assert fsio.read_text(uri) == '{"ok": 2}'
 
+    def test_overwrite_uses_atomic_filecontext_not_delete_window(
+            self, spark, tmp_path):
+        # regression: replacement used to be fs.delete(p) THEN rename —
+        # a concurrent reader in between saw NO manifest and a resume-
+        # gated build would start rebuilding over a live index. The
+        # scheme route must take FileContext.rename(OVERWRITE) (one
+        # atomic metadata op); pin that the binding exists for this
+        # scheme so the degraded fallback is not silently in use.
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"file:{tmp_path}/m.json")
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark.sparkContext._jsc.hadoopConfiguration())
+        assert fc is not None
+        # and the full write path replaces content without error
+        uri = f"file:{tmp_path}/m.json"
+        fsio.write_text_atomic(uri, "gen1")
+        fsio.write_text_atomic(uri, "gen2")
+        assert fsio.read_text(uri) == "gen2"
+
     def test_partition_dir_listing(self, spark, tmp_path):
         for s in (0, 1, 3):
             (tmp_path / f"shard={s}").mkdir()

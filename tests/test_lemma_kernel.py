@@ -33,6 +33,16 @@ class TestLemmaRules:
         assert lemma_lite("movies") == "movie"
         assert lemma_lite("shoes") == "shoe"
 
+    def test_possessive_strip_survives_fallthrough(self):
+        # regression: "table's" matched no suffix rule after the 's strip
+        # and the fall-through returned the ORIGINAL token, so whether a
+        # possessive was stripped depended arbitrarily on the stem's shape
+        assert lemma_lite("table's") == "table"
+        assert lemma_lite("company's") == "company"
+        assert lemma_lite("bob's") == "bob"          # short-stem early path
+        assert lemma_lite("children's") == "child"   # strip, then irregular
+        assert lemma_lite("women's") == "woman"
+
     def test_plural_detachment(self):
         assert lemma_lite("studies") == "study"
         assert lemma_lite("classes") == "class"

@@ -134,6 +134,28 @@ class TestBpeTokenCounts:
         assert got[4] == (3, 1, 3.0)
 
 
+class TestNullTextRows:
+    def test_null_text_counts_are_zero_not_negative(self, spark):
+        # regression: size(regexp_extract_all(NULL)) / size(split(NULL))
+        # is -1 under legacy sizeOfNull — NULL-text docs published -1
+        # counts into funnels/filters instead of 0
+        from patapsco_spark.operators.textstats import (bpe_token_counts,
+                                                        pii_scrub)
+        from patapsco_spark.operators.dedup import line_dedup
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a@b.co mail")], "doc_id long, text string")
+        pii = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        assert (pii[1]["n_emails"], pii[1]["n_ips"], pii[1]["n_phones"]) \
+            == (0, 0, 0)
+        assert pii[1]["clean_text"] == ""
+        assert pii[2]["n_emails"] == 1
+        bpe = {r["doc_id"]: r for r in bpe_token_counts(docs).collect()}
+        assert bpe[1]["n_pieces"] == 0 and bpe[1]["n_words"] == 0
+        ld = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+        assert ld[1]["n_lines"] == 1 and ld[1]["n_removed"] == 0
+        assert ld[1]["clean_text"] == ""
+
+
 class TestPiiScrub:
     def test_counts_and_redaction_pinned(self, spark):
         from patapsco_spark.operators.textstats import pii_scrub
