@@ -312,6 +312,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scrub(injected)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rule battery (round 5, late): per-doc
+    booleans for the published A1.1 filters. The flat corpus has no lines
+    or symbols, so bullet/ellipsis/symbol structure is injected by doc_id
+    arithmetic (bullet header on every 5th doc, trailing-... teaser on
+    every 7th, # spam on every 11th); the oracle replays the injection
+    and the identical rule expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- top stories")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit("### trending #tags "), F.col("text")))
+             .otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit("read the full story..."))).alias("text"))
+    return textstats.gopher_rules(injected)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance log-weights (round 5, late): score
+    every doc against a deterministic target slice (doc_id % 7 == 0 — a
+    stand-in for 'wiki-like' curation targets). Bucketing uses the same
+    engine-portable md5-prefix hash as the indexer, so the DuckDB oracle
+    replays bucket counts exactly; the per-doc sum of per-bucket doubles
+    is rounded to 6 places on both sides."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    return textstats.dsir_logweights(docs, target)
+
+
 def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self unigram-LM perplexity per doc (round 5): the CCNet-style
     LM quality filter shape with a dependency-free LM. Exact SQL replay —
@@ -738,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_multi": q_language_id_multi,
         "bpe_token_stats": q_bpe_token_stats,
         "ulm_perplexity": q_ulm_perplexity,
+        "gopher_rules": q_gopher_rules,
+        "dsir_weights": q_dsir_weights,
         "line_dedup": q_line_dedup,
         "clean_funnel": q_clean_funnel,
         "pii_scrub": q_pii_scrub,
@@ -1796,6 +1831,108 @@ FROM per
 """,
         "language_id_multi": _lang_multi_sql(),
         "bpe_token_stats": _bpe_token_stats_sql(),
+        "gopher_rules": r"""
+WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 5 = 0 THEN '- top stories' END,
+           CASE WHEN doc_id % 11 = 0 THEN '### trending #tags ' || text
+                ELSE text END,
+           CASE WHEN doc_id % 7 = 0 THEN 'read the full story...' END) AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM src
+),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+ts AS (
+  SELECT s.doc_id,
+         count(t.term)::BIGINT AS n_words,
+         ROUND(COALESCE(SUM(length(t.term)), 0)::DOUBLE
+               / GREATEST(count(t.term), 1), 6) AS mean_word_len,
+         ROUND(CAST(count(*) FILTER (WHERE regexp_matches(t.term, '[A-Za-z]'))
+               AS DOUBLE) / GREATEST(count(t.term), 1), 6) AS alpha_word_frac,
+         count(DISTINCT CASE WHEN lower(t.term) IN
+               ('the','be','to','of','and','that','have','with')
+               THEN lower(t.term) END)::BIGINT AS stop_hits
+  FROM src s LEFT JOIN t ON t.doc_id = s.doc_id
+  GROUP BY s.doc_id
+),
+ls AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '')) AS nl,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(trim(l), '^[-•*]'))) AS nb,
+         len(list_filter(string_split(text, chr(10)),
+                         l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ne,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym
+  FROM src
+),
+feat AS (
+  SELECT ts.doc_id, ts.n_words, ts.mean_word_len,
+         ROUND(CAST(ls.n_sym AS DOUBLE) / GREATEST(ts.n_words, 1), 6)
+           AS symbol_ratio,
+         ROUND(CAST(ls.nb AS DOUBLE) / GREATEST(ls.nl, 1), 6) AS bullet_frac,
+         ROUND(CAST(ls.ne AS DOUBLE) / GREATEST(ls.nl, 1), 6)
+           AS ellipsis_frac,
+         ts.alpha_word_frac, ts.stop_hits
+  FROM ts JOIN ls USING (doc_id)
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000) AS words_ok,
+  (mean_word_len >= 3 AND mean_word_len <= 10) AS wordlen_ok,
+  (symbol_ratio <= 0.1) AS symbol_ok,
+  (bullet_frac < 0.9) AS bullet_ok,
+  (ellipsis_frac < 0.3) AS ellipsis_ok,
+  (alpha_word_frac >= 0.8) AS alpha_ok,
+  (stop_hits >= 2) AS stops_ok,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3 AND mean_word_len <= 10
+   AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS pass_all
+FROM feat
+""",
+        "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i+1])) AS bg
+  FROM toks WHERE len(ts) >= 2
+),
+h AS (
+  -- the indexer's engine-portable 60-bit md5-prefix hash, mod 4096 buckets
+  SELECT doc_id, ('0x' || substring(md5(bg), 1, 15))::BIGINT % 4096 AS h
+  FROM big
+),
+raw_cnt AS (SELECT h, count(*)::DOUBLE AS cr FROM h GROUP BY h),
+tgt_cnt AS (SELECT h, count(*)::DOUBLE AS ct FROM h
+            WHERE doc_id % 7 = 0 GROUP BY h),
+tot AS (SELECT (SELECT SUM(cr) FROM raw_cnt) AS nr,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt_cnt) AS nt),
+ratio AS (
+  SELECT r.h,
+         ln((COALESCE(t.ct, 0) + 1.0) / (tot.nt + 4096.0))
+       - ln((r.cr + 1.0) / (tot.nr + 4096.0)) AS lr
+  FROM raw_cnt r LEFT JOIN tgt_cnt t USING (h) CROSS JOIN tot
+),
+per AS (
+  SELECT h.doc_id, count(*)::BIGINT AS n_bigrams, SUM(ratio.lr) AS lw
+  FROM h JOIN ratio USING (h)
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       ROUND(COALESCE(p.lw, 0.0), 6) AS log_weight
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
         "line_dedup": r"""
 WITH src AS (
   SELECT doc_id,

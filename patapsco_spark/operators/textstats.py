@@ -394,3 +394,149 @@ def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
         pieces.cast("long").alias("n_pieces"),
         words.cast("long").alias("n_words"),
         F.round(pieces / F.greatest(words, F.lit(1)), 6).alias("fertility"))
+
+
+# Gopher/MassiveText document-quality rules (Rae et al. 2021, Appendix A1.1).
+# The eight English-prose stop words of the "must contain >= 2" rule:
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *, min_words: int = 50,
+                 max_words: int = 100_000, min_mean_wl: float = 3.0,
+                 max_mean_wl: float = 10.0, max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The full Gopher/MassiveText quality rule set as per-doc booleans —
+    the published filter battery every web-scale curation pipeline starts
+    from (Rae et al. 2021 A1.1; reused by RefinedWeb, Dolma, FineWeb):
+
+    - ``words_ok``     50 <= word count <= 100,000
+    - ``wordlen_ok``   3 <= mean word length <= 10
+    - ``symbol_ok``    (# + '...') occurrences / words <= 0.1
+    - ``bullet_ok``    < 90% of nonblank lines start with a bullet (- • *)
+    - ``ellipsis_ok``  < 30% of nonblank lines end with ... or …
+    - ``alpha_ok``     >= 80% of words contain an alphabetic char (A-Za-z;
+                       the paper's filter is English-targeted)
+    - ``stops_ok``     contains >= 2 distinct of the 8 Gopher stop words
+    - ``pass_all``     conjunction of the above
+
+    Emitting booleans rather than a filtered frame keeps the funnel
+    auditable (per-rule kill counts) and lets callers compose their own
+    subset. Pure per-row Catalyst — fuses into the scan, no shuffle; at
+    100 TB this runs at I/O speed. Non-overlapping regexp_extract_all
+    semantics agree between Spark (Java regex) and the DuckDB oracle."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = _TOKENS(text_col)
+    n_tok = F.size(toks)
+    words_div = F.greatest(n_tok, F.lit(1))
+    mean_wl = (F.aggregate(toks, F.lit(0).cast("long"),
+                           lambda acc, t: acc + F.length(t))
+               .cast("double") / words_div)
+    n_sym = (F.size(F.regexp_extract_all(txt, F.lit("#"), F.lit(0)))
+             + F.size(F.regexp_extract_all(txt, F.lit(r"\.\.\."), F.lit(0))))
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"^[-•*]"))) / n_lines)
+    ellipsis_frac = (F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))) / n_lines)
+    alpha_frac = (F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+                  / words_div)
+    stop_hits = F.size(F.array_intersect(
+        F.transform(toks, lambda t: F.lower(t)),
+        F.array(*[F.lit(w) for w in GOPHER_STOPS])))
+    out = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_sym / words_div, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"))
+    rules = {
+        "words_ok": (F.col("n_words") >= min_words)
+                    & (F.col("n_words") <= max_words),
+        "wordlen_ok": (F.col("mean_word_len") >= min_mean_wl)
+                      & (F.col("mean_word_len") <= max_mean_wl),
+        "symbol_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+        "bullet_ok": F.col("bullet_frac") < max_bullet_frac,
+        "ellipsis_ok": F.col("ellipsis_frac") < max_ellipsis_frac,
+        "alpha_ok": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "stops_ok": F.col("stop_hits") >= min_stop_hits,
+    }
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    return out.withColumn(
+        "pass_all",
+        F.aggregate(F.array(*[F.col(n) for n in rules]),
+                    F.lit(True), lambda acc, b: acc & b))
+
+
+def _bigrams(text_col: str):
+    """Word-bigram array ('a b', 'b c', ...) via two shifted slices —
+    per-row Catalyst, no explode until the caller needs one."""
+    toks = _TOKENS(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+                      lambda a, b: F.concat(a, F.lit(" "), b))
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text", *,
+                    n_buckets: int = 4096,
+                    smoothing: float = 1.0) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023 "Data
+    Selection for Language Models via Importance Resampling"): score every
+    raw doc by how target-like it is under bag-of-hashed-bigrams unigram
+    LMs — log w(x) = sum over x's bigrams of
+    log p_target(bucket) - log p_raw(bucket), with add-``smoothing``
+    estimates over ``n_buckets`` hash buckets. Sampling raw docs
+    proportionally to exp(log_weight) reproduces the target distribution;
+    the weight itself is the standard training-mix curation score.
+
+    The bucket hash is the engine-portable 60-bit md5 prefix used by the
+    indexer (conv(substring(md5(bg),1,15),16,10) % B), so a DuckDB oracle
+    replays bucketing exactly.
+
+    Scale shape: two explode + groupBy(bucket) aggs (B keys, map-side
+    partial agg collapses each partition to <= B rows — the shuffle is
+    bounded by B * partitions regardless of corpus size), one broadcast
+    join of the B-row log-ratio table back onto the raw bigram stream, one
+    groupBy(doc) sum. All Catalyst; docs with < 2 tokens get weight 0.0
+    (empty product)."""
+    def buckets(frame: DataFrame) -> DataFrame:
+        return (frame
+                .select(F.col(id_col),
+                        F.explode(_bigrams(text_col)).alias("bg"))
+                .select(F.col(id_col),
+                        (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10)
+                         .cast("long") % n_buckets).alias("h")))
+
+    raw_h = buckets(docs)
+    tgt_cnt = (buckets(target).groupBy("h")
+               .agg(F.count("*").alias("ct")))
+    raw_cnt = raw_h.groupBy("h").agg(F.count("*").alias("cr"))
+    tot = (raw_cnt.agg(F.sum("cr").alias("nr"))
+           .crossJoin(tgt_cnt.agg(F.sum("ct").alias("nt"))))
+    a, b = float(smoothing), float(n_buckets)
+    ratio = (raw_cnt.join(tgt_cnt, "h", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("h",
+                     (F.log((F.coalesce("ct", F.lit(0)) + a)
+                            / (F.coalesce("nt", F.lit(0)) + a * b))
+                      - F.log((F.col("cr") + a) / (F.col("nr") + a * b)))
+                     .alias("lr")))
+    per = (raw_h.join(F.broadcast(ratio), "h")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_bigrams"),
+                F.sum("lr").alias("lw")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.round(F.coalesce("lw", F.lit(0.0)), 6)
+                    .alias("log_weight")))

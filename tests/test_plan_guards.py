@@ -162,7 +162,9 @@ def test_round5_text_ops_are_pure_catalyst(spark):
                                  "doc_id long, text string")
     frames = [textstats.pii_scrub(docs), textstats.bpe_token_counts(docs),
               textstats.ulm_perplexity(docs), dedup.line_dedup(docs),
-              recipes.clean_corpus_funnel(docs)]
+              recipes.clean_corpus_funnel(docs),
+              textstats.gopher_rules(docs),
+              textstats.dsir_logweights(docs, docs.where("doc_id = 1"))]
     # match the UDF execution nodes specifically — a bare "Python"
     # substring also hits the PythonRDD input scan that createDataFrame
     # produces in an Arrow-less session, which is input plumbing, not a

@@ -176,3 +176,53 @@ class TestPiiScrub:
         assert (r3["n_emails"], r3["n_ips"], r3["n_phones"]) == (0, 0, 0)
         assert r3["clean_text"] == docs.collect()[2]["text"]
         assert got[4]["clean_text"] == ""
+
+
+class TestGopherRules:
+    def test_rule_battery_pinned(self, spark):
+        from patapsco_spark.operators.textstats import gopher_rules
+        good = "the cat and dog have fun with that mat now " * 6  # 60 words
+        docs = spark.createDataFrame([
+            (1, good),
+            (2, "- one\n- two\n- three"),          # all-bullet lines
+            (3, "wait for it...\nmore soon..."),    # all-ellipsis lines
+            (4, "# # # # spam word here ok"),       # symbol soup
+            (5, "short doc only"),                  # under min words
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+        g = got[1]
+        assert g["n_words"] == 60
+        assert abs(g["mean_word_len"] - 3.3) < 1e-9
+        assert g["stop_hits"] == 5 and g["alpha_word_frac"] == 1.0
+        assert g["pass_all"]
+        assert not got[2]["bullet_ok"] and got[2]["bullet_frac"] == 1.0
+        assert not got[3]["ellipsis_ok"] and got[3]["ellipsis_frac"] == 1.0
+        assert not got[4]["symbol_ok"] and got[4]["symbol_ratio"] > 0.1
+        assert not got[5]["words_ok"] and not got[5]["pass_all"]
+
+    def test_thresholds_are_parameters(self, spark):
+        from patapsco_spark.operators.textstats import gopher_rules
+        docs = spark.createDataFrame([(1, "tiny text with the and")],
+                                     "doc_id long, text string")
+        relaxed = gopher_rules(docs, min_words=3).collect()[0]
+        assert relaxed["words_ok"]
+
+
+class TestDsirLogweights:
+    def test_target_like_scores_higher(self, spark):
+        from patapsco_spark.operators.textstats import dsir_logweights
+        docs = spark.createDataFrame([
+            (1, "spark query engine spark query plan"),
+            (2, "cooking pasta with tomato sauce tonight"),
+            (3, "spark query engine optimization notes"),
+            (4, "x"),                # one token -> zero bigrams
+        ], "doc_id long, text string")
+        target = docs.where("doc_id = 1")
+        got = {r["doc_id"]: r for r in dsir_logweights(docs, target,
+                                                       n_buckets=64)
+               .collect()}
+        # docs sharing the target's bigrams outweigh disjoint ones
+        assert got[1]["log_weight"] > got[2]["log_weight"]
+        assert got[3]["log_weight"] > got[2]["log_weight"]
+        assert got[4]["n_bigrams"] == 0 and got[4]["log_weight"] == 0.0
+        assert got[1]["n_bigrams"] == 5
