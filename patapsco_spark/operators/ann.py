@@ -22,6 +22,16 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cos(num, den):
+    """cosine = num/den with zero-norm vectors scored 0.0: a zero embedding
+    (padding row, failed encoder output) would otherwise raise
+    DIVIDE_BY_ZERO under ANSI mode (Spark 4's default) — or, with ANSI off,
+    produce NaN, which sorts ABOVE every real score and ghost-fills the
+    top-k. 'Orthogonal to everything' is the standard convention and
+    matches the numpy paths, which zero the same rows."""
+    return F.coalesce(F.try_divide(num, den), F.lit(0.0))
+
+
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine similarity to one query vector.
@@ -35,7 +45,7 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     scored = embeddings.select(
         F.col(id_col),
-        (_dot(vec, q) / (_norm(vec) * F.lit(qn))).alias("cosine"))
+        _cos(_dot(vec, q), _norm(vec) * F.lit(qn)).alias("cosine"))
     return (scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
             .select(id_col, F.round("cosine", 6).alias("cosine")))
 
@@ -50,7 +60,7 @@ def cosine_topk_many(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     qvec = F.transform(F.col(qvec_col), lambda v: v.cast("double"))
     scored = pairs.select(
         F.col(qid_col), F.col(id_col),
-        (_dot(vec, qvec) / (_norm(vec) * _norm(qvec))).alias("cosine"))
+        _cos(_dot(vec, qvec), _norm(vec) * _norm(qvec)).alias("cosine"))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k)
@@ -141,7 +151,9 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
         B = max(2, min(256, int(np.ceil(approx_count / 2000))))
     chunked = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        (F.abs(F.hash(F.col(id_col))) % B).alias("chunk"))
+        # pmod, not abs(hash) % B: abs(Integer.MIN_VALUE) overflows and
+        # raises under ANSI mode — expected once per ~4B rows
+        F.pmod(F.hash(F.col(id_col)), F.lit(B)).alias("chunk"))
     packed = (chunked.groupBy("chunk")
               .agg(F.collect_list(F.struct("_id", "_v")).alias("items")))
     a, b = packed.alias("a"), packed.alias("b")
@@ -157,13 +169,17 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
             for ca, ia, cb, ib in zip(pdf["ca"], pdf["ia"], pdf["cb"], pdf["ib"]):
                 ids_a = np.array([r["_id"] for r in ia])
                 X = np.array([r["_v"] for r in ia], dtype=np.float64)
-                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                # zero-norm rows: divide by 1 (cosine 0 = never a pair),
+                # matching the Catalyst _cos convention, no NaN warnings
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                X /= np.where(xn > 0, xn, 1.0)
                 if ca == cb:
                     ids_b, Y = ids_a, X
                 else:
                     ids_b = np.array([r["_id"] for r in ib])
                     Y = np.array([r["_v"] for r in ib], dtype=np.float64)
-                    Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+                    yn = np.linalg.norm(Y, axis=1, keepdims=True)
+                    Y /= np.where(yn > 0, yn, 1.0)
                 S = X @ Y.T
                 ii, jj = np.nonzero(S >= thr)
                 if ca == cb:
@@ -171,9 +187,13 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
                     keep = ii < jj
                     ii, jj = ii[keep], jj[keep]
                 # each unordered chunk pair is processed exactly once, so
-                # cross-chunk pairs all survive; orient ids as (lo, hi)
-                lo = np.minimum(ids_a[ii], ids_b[jj])
-                hi = np.maximum(ids_a[ii], ids_b[jj])
+                # cross-chunk pairs all survive; orient ids as (lo, hi).
+                # np.where, not np.minimum: minimum has no ufunc loop for
+                # unicode dtypes, and STRING ids are this engine's norm
+                a_sel, b_sel = ids_a[ii], ids_b[jj]
+                swap = a_sel > b_sel
+                lo = np.where(swap, b_sel, a_sel)
+                hi = np.where(swap, a_sel, b_sel)
                 out_a.append(lo)
                 out_b.append(hi)
                 out_c.append(S[ii, jj])
@@ -183,7 +203,11 @@ def cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
                     "id_b": np.concatenate(out_b),
                     "cosine": np.round(np.concatenate(out_c), 6)})
 
-    return cart.mapInPandas(gemm, schema="id_a long, id_b long, cosine double")
+    # pair ids inherit the input id type (string ids crash a hardcoded
+    # long schema at the Arrow boundary)
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    return cart.mapInPandas(
+        gemm, schema=f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
 def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
@@ -221,7 +245,7 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.9,
     vb = F.transform(F.col("vb"), lambda v: v.cast("double"))
     return (cand.join(ea, "id_a").join(eb, "id_b")
             .select("id_a", "id_b",
-                    (_dot(va, vb) / (_norm(va) * _norm(vb))).alias("cosine"))
+                    _cos(_dot(va, vb), _norm(va) * _norm(vb)).alias("cosine"))
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
 
@@ -288,15 +312,24 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
     return cents, assign(embeddings, cents)
 
 
+def _probe_cells(assigned: DataFrame, cents: np.ndarray,
+                 query_vec: list[float], nprobe: int) -> DataFrame:
+    """Prune to the nprobe cells nearest the query (L2 over centroids) —
+    the ONE definition of IVF candidate selection, shared by the exact
+    (ivf_topk) and quantized (ivf_sq8_topk) query paths so a probing fix
+    can never apply to only one of them."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((cents - qv) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    return assigned.where(F.col("cell").isin(probe)).drop("cell")
+
+
 def ivf_topk(assigned: DataFrame, cents: np.ndarray, query_vec: list[float],
              k: int = 10, nprobe: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k scanning only the nprobe nearest cells — the IVF
     query path (cell pruning = partition pruning at scale)."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((cents - qv) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
-    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    cand = _probe_cells(assigned, cents, query_vec, nprobe)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
@@ -388,7 +421,7 @@ def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                       lambda c: c.cast("double") * F.col("scale"))
     scored = enc.select(
         F.col(id_col),
-        (_dot(deq, q) / (_norm(deq) * F.lit(qn))).alias("cosine"))
+        _cos(_dot(deq, q), _norm(deq) * F.lit(qn)).alias("cosine"))
     return (scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
             .select(id_col, F.round("cosine", 6).alias("cosine")))
 
@@ -402,8 +435,5 @@ def ivf_sq8_topk(assigned: DataFrame, cents: np.ndarray,
     vector touched, and the full-precision query scores against the
     dequantized candidates. Composition of the two audited paths — no new
     shuffle, no new kernel."""
-    qv = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((cents - qv) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
-    cand = assigned.where(F.col("cell").isin(probe)).drop("cell")
+    cand = _probe_cells(assigned, cents, query_vec, nprobe)
     return sq8_topk(cand, query_vec, k, id_col, vec_col)

@@ -34,9 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# whitespace token count — the textstats convention (textstats.py:_TOKENS)
-_NTOK = lambda c: F.size(F.filter(F.split(F.trim(F.col(c)), r"\s+"),
-                                  lambda t: t != ""))
+from .textstats import _TOKENS
+
+# whitespace token count — sharing textstats._TOKENS keeps the NULL-text
+# guard: without the coalesce, a NULL text row got NULL n_tokens, was
+# ignored by every sum, and silently shifted all downstream offsets
+_NTOK = lambda c: F.size(_TOKENS(c))
 
 
 def pack_sequences(docs: DataFrame, seq_len: int, order_col: str = "doc_id",

@@ -251,14 +251,18 @@ def search_query_frame(spark: SparkSession, index_path: str,
     text_cfg = text_cfg or TextConfig()
     run_doc = {"retrieve": vars(cfg), "text": vars(text_cfg), "lang": lang,
                "mode": mode, "chunk_size": chunk_size, "index": index_path}
-    # bit_xor, not sum: order-independent like sum but cannot overflow a
-    # long under ANSI mode (100k hashes summed overflow int64)
+    # decimal SUM of row hashes, not bit_xor: both are order-independent,
+    # but xor cancels pairwise — replacing a DUPLICATED row pair with a
+    # different duplicated pair leaves n and the xor unchanged (x^x = 0)
+    # and a stale resume would silently serve the old chunks. A sum only
+    # cancels on engineered collisions; decimal(38,0) cannot overflow
+    # under ANSI (10^5 rows × 2^63 ≪ 10^38).
     fp = (queries_df.select(
         F.xxhash64(F.col("query_id").cast("string"),
-                   F.col("text")).alias("_h"))
+                   F.col("text")).cast("decimal(38,0)").alias("_h"))
         .agg(F.count("*").alias("n"),
-             F.expr("bit_xor(_h)").alias("h")).first())
-    content_fp = {"n": int(fp["n"] or 0), "h": int(fp["h"] or 0)}
+             F.sum("_h").alias("h")).first())
+    content_fp = {"n": int(fp["n"] or 0), "h": str(fp["h"] or 0)}
 
     staged = f"{out_path}/_topics"
     man = mf.read_manifest(out_path) if resume else None
@@ -775,9 +779,16 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
         out_q, out_d, out_s = [], [], []
         for qid, clauses in plans_payload:
             # fast path: pure disjunctive single-term BM25 (plain/RM3/
-            # weighted-OR queries) goes through the block-max pruner
+            # weighted-OR queries) goes through the block-max pruner.
+            # ts[0][1] == 1.0 excludes PSQ-probability terms: the dense
+            # kernel scores those with EXPECTED statistics (idf(p·df),
+            # p·tf), which the pruner's multiplicative weight cannot
+            # reproduce — results must not depend on the pruning heuristic
+            # (RM3/boosted terms carry their weight in the clause boost
+            # with p = 1.0, so they keep the fast path)
             if bmw is not None and all(
-                    occ == SHOULD and len(ts) == 1 and not kids
+                    occ == SHOULD and len(ts) == 1 and ts[0][1] == 1.0
+                    and not kids
                     for occ, _, ts, kids in clauses):
                 terms_w = [(ts[0][0], boost * ts[0][1])
                            for _, boost, ts, _kids in clauses]
@@ -1006,8 +1017,13 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
             spark, index_path, [plan], int(meta["num_shards"]),
             shard_base=int(meta.get("shard_base", 0)))[0]
 
+    # live-shard gating, same as search(): without it an uncommitted or
+    # superseded generation on disk (crashed compaction/append) maps a doc
+    # id to TWO docids and explain() doubles every component row
+    from .indexer import live_shard_pred
+    live = live_shard_pred(meta)
     norms = (spark.read.parquet(f"{index_path}/norms")
-             .where(F.col("id").isin(list(doc_ids)))
+             .where(live & F.col("id").isin(list(doc_ids)))
              .select("docid", "id", "dl"))
     want = {int(r["docid"]): (r["id"], int(r["dl"]))
             for r in norms.collect()}
@@ -1020,7 +1036,7 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
                              num_shards=int(meta["num_shards"]))
              .where(F.col("term").isin(terms)).collect()}
     posts = (spark.read.parquet(f"{index_path}/postings")
-             .where(F.col("term").isin(terms)).collect())
+             .where(live & F.col("term").isin(terms)).collect())
 
     docs_per_shard = int(meta["docs_per_shard"])
     tf_by = {}
@@ -1056,7 +1072,7 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     if phrase_leaves and meta.get("positions"):
         words_all = sorted({t for _, c in phrase_leaves for t, _ in c.terms})
         prows = (spark.read.parquet(f"{index_path}/positions")
-                 .where(F.col("term").isin(words_all) &
+                 .where(live & F.col("term").isin(words_all) &
                         F.col("docid").isin(list(want))).collect())
         pos_by = {(r["term"], int(r["docid"])): list(r["positions"])
                   for r in prows}
@@ -1142,13 +1158,22 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
                 term, p = c.terms[0]
                 df_t = stats.get(term, 0)
                 tf = tf_by.get((term, docid), 0)
+                # expected statistics, matching the kernel: for p == 1 this
+                # is exactly idf(df)·tf/(tf+kpart); for a PSQ probability p
+                # the kernel scores idf(p·df)·(p·tf)/((p·tf)+kpart) — NOT
+                # p·score, which a multiplicative shortcut here used to
+                # report, breaking "components sum to the search score"
+                # for single-term PSQ clauses
+                etf, edf = p * tf, p * df_t
                 clause_total = 0.0
                 crows = []
                 if df_t > 0 and tf > 0:
-                    idf = idf_of(df_t)
-                    clause_total = c.boost * p * idf * tf / (tf + kpart)
-                    crows = [(plan.qid, ext_id, label, term, tf, dl, dlq,
-                              df_t, idf, scale * clause_total)]
+                    idf = idf_of(edf)
+                    clause_total = c.boost * idf * etf / (etf + kpart)
+                    name = term if p == 1.0 else f"{term}^{p:g}"
+                    crows = [(plan.qid, ext_id, label, name, int(round(etf)),
+                              dl, dlq, int(round(edf)), idf,
+                              scale * clause_total)]
                 mask = tf > 0
             if c.occur == MUST_NOT:
                 forbidden |= mask

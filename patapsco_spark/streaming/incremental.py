@@ -81,8 +81,19 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
             f"{meta.get('postings_format')} (< 4); rebuild it (resume=False "
             "or delete the index) before streaming appends")
     docs_per_shard = int(meta["docs_per_shard"])
-    seen = set(meta.get("epochs", []))
-    if epoch_id is not None and epoch_id in seen:
+    # exactly-once via the MAX committed epoch, not an ever-growing list:
+    # foreachBatch epoch ids are monotonic and only the last uncommitted
+    # batch can replay, so `epoch_id <= last_epoch` admits exactly the
+    # replays — and the manifest stays O(1) over 10^4+ micro-batches
+    # instead of being rewritten and re-parsed in full on every batch.
+    # (Manual callers must pass monotonically increasing epoch ids; an
+    # out-of-order smaller id is treated as already applied.)
+    # Back-compat: pre-round-5 manifests carried the full "epochs" list.
+    last_epoch = meta.get("last_epoch")
+    if last_epoch is None and meta.get("epochs"):
+        last_epoch = max(meta["epochs"])
+    if (epoch_id is not None and last_epoch is not None
+            and epoch_id <= last_epoch):
         return meta  # replayed micro-batch: already applied
 
     # docid base at the next shard boundary — the shard function stays
@@ -126,9 +137,13 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
           .parquet(f"{index_path}/norms"))
 
     # pack the NEW shards' norm bytes (query path reads norms_packed);
-    # shard >= first_shard prunes the scan to this epoch's partitions
+    # bound the scan to exactly THIS epoch's shard range — a lower bound
+    # alone would also sweep in orphan shards above our range left by a
+    # LARGER append/compaction that crashed before its manifest commit
+    this_epoch = ((F.col("shard") >= first_shard)
+                  & (F.col("shard") < first_shard + new_shard_count))
     new_norms = (spark.read.parquet(f"{index_path}/norms")
-                 .where(F.col("shard") >= first_shard))
+                 .where(this_epoch))
     (new_norms.groupBy("shard")
      .applyInPandas(_pack_norms(docs_per_shard),
                     schema="shard int, base long, n long, codes binary")
@@ -162,8 +177,12 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     # term-stats DELTA from the new shards only — an additive seg partition,
     # aggregated with the base at read time (indexer.read_term_stats); no
     # full-postings rescan per micro-batch
+    # same exact-range bound as the norms pack: an orphan shard above this
+    # epoch's range (crashed larger run, no manifest) must not inflate the
+    # COMMITTED delta's df/cf — postings reads are shard-gated at query
+    # time, but a poisoned stats segment would skew idf for every query
     delta = (spark.read.parquet(f"{index_path}/postings")
-             .where(F.col("shard") >= first_shard)
+             .where(this_epoch)
              .groupBy("term").agg(F.sum("df").alias("df"),
                                   F.sum("cf").alias("cf"))
              .withColumn("seg", F.lit(first_shard)))
@@ -186,8 +205,9 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
         "avgdl": float(np.float32(total_tf / num_docs)) if num_docs else 0.0,
         "num_docs_ceil": (last_docid // docs_per_shard + 1) * docs_per_shard,
         "num_shards": last_docid // docs_per_shard + 1,
-        "epochs": sorted(seen | ({epoch_id} if epoch_id is not None else set())),
+        "last_epoch": (epoch_id if epoch_id is not None else last_epoch),
     })
+    new_meta.pop("epochs", None)  # legacy unbounded list, superseded
     # the manifest commit is the LAST write: until it lands, readers ignore
     # the new shards (shard < num_shards filter) and a replay overwrites them
     mf.write_manifest(index_path, "index", new_meta,

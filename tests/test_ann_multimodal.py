@@ -152,6 +152,34 @@ class TestAnnScalePaths:
         assert hinted == probed
 
 
+class TestZeroNormVectors:
+    def test_zero_vector_never_crashes_or_tops(self, spark):
+        # regression: under ANSI mode (Spark 4 default) a zero embedding
+        # made every cosine path raise DIVIDE_BY_ZERO; with ANSI off it
+        # produced NaN, which sorts above all real scores and ghost-fills
+        # the top-k. Zero vectors must score 0.0 ("orthogonal to all").
+        rows = [("z0", [0.0, 0.0, 0.0]),
+                ("a1", [1.0, 0.0, 0.0]),
+                ("b2", [0.9, 0.1, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        got = ann.cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in got][:2] == ["a1", "b2"]
+        z = [r for r in got if r["vec_id"] == "z0"]
+        assert z and z[0]["cosine"] == 0.0
+        # batch path
+        qs = spark.createDataFrame([("q", [1.0, 0.0, 0.0])],
+                                   "qid string, qvec array<double>")
+        many = ann.cosine_topk_many(df, qs, k=3).collect()
+        assert many[0]["vec_id"] == "a1"
+        # pair path (numpy GEMM): zero row emits no pairs, no crash
+        pairs = ann.cosine_pairs(df, threshold=0.5, n_chunks=2).collect()
+        assert all("z0" not in (r["id_a"], r["id_b"]) for r in pairs)
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a1", "b2")}
+        # sq8 path
+        sq = ann.sq8_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+        assert sq[0]["vec_id"] == "a1"
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def media(self, spark):

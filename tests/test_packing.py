@@ -23,6 +23,19 @@ class TestPackSequences:
         assert (out[3]["first_seq"], out[3]["last_seq"]) == (2, 2)
         assert (out[4]["first_seq"], out[4]["last_seq"]) == (2, 4)
 
+    def test_null_text_advances_like_empty(self, spark):
+        # regression: a NULL text row got NULL n_tokens (size(split(NULL))),
+        # every sum ignored it, and all downstream offsets shifted by its
+        # missing separator — NULL must behave exactly like an empty doc
+        docs = spark.createDataFrame([
+            (1, "a b c"), (2, None), (3, "d e"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               pack_sequences(docs, seq_len=4).collect()}
+        assert out[2]["n_tokens"] == 0
+        assert [out[i]["offset"] for i in (1, 2, 3)] == [0, 4, 5]
+        assert out[2]["last_seq"] is not None
+
     def test_exact_boundary_does_not_claim_next(self, spark):
         # doc of 4 tokens at offset 0 with seq_len 4: last own token is
         # index 3 -> last_seq 0, not 1

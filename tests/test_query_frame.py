@@ -121,6 +121,31 @@ def test_content_change_invalidates_chunks(spark, idx, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_duplicated_pair_swap_invalidates_chunks(spark, idx, tmp_path):
+    """Regression: the content fingerprint was bit_xor of row hashes, and
+    xor cancels pairwise — swapping one DUPLICATED row pair for another
+    (same row count) left the fingerprint unchanged, so resume served the
+    previous content's chunks. The decimal-sum fingerprint must refresh."""
+    out = str(tmp_path / "runout5")
+    q1 = spark.createDataFrame([("qa", "term1"), ("qa", "term1")],
+                               "query_id string, text string")
+    search_query_frame(spark, idx, q1, out, RetrieveConfig(k=3),
+                       text_cfg=RAW, chunk_size=10)
+    q2 = spark.createDataFrame([("qa", "term2 alpha"), ("qa", "term2 alpha")],
+                               "query_id string, text string")
+    r2 = search_query_frame(spark, idx, q2, out, RetrieveConfig(k=3),
+                            text_cfg=RAW, chunk_size=10)
+    # compare against a FRESH run of the same duplicated frame (duplicate
+    # qids have their own rank semantics — the check is purely that the
+    # resumed path recomputed rather than serving term1's chunks)
+    expect = search_query_frame(spark, idx, q2, str(tmp_path / "fresh5"),
+                                RetrieveConfig(k=3), text_cfg=RAW,
+                                chunk_size=10)
+    got = {(r["query_id"], r["doc_id"]) for r in r2.collect()}
+    want = {(r["query_id"], r["doc_id"]) for r in expect.collect()}
+    assert got == want and len(want) > 0
+
+
 def test_parallel_chunks_identical_and_not_slower(spark, idx, queries_df,
                                                   tmp_path):
     """parallel=4 must produce results identical to the sequential path and

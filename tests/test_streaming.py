@@ -100,6 +100,37 @@ class TestAppendBatch:
         assert [(r.doc_id, r.score) for r in before] == \
                [(r.doc_id, r.score) for r in after]
 
+    def test_orphan_shards_above_range_not_folded_into_delta(
+            self, spark, tmp_path):
+        """A LARGER append that crashes pre-manifest leaves orphan postings
+        shards ABOVE a later smaller append's range; the smaller append's
+        committed seg delta must not sweep them in (regression: the delta
+        scan had only a lower shard bound, so the orphan's df/cf poisoned
+        the committed stats and skewed idf for every query)."""
+        import shutil
+        idx = str(tmp_path / "idx5")
+        build_index(spark, _docs(spark, [
+            ("a1", "alpha beta", "eng"), ("a2", "beta gamma", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=1), resume=False)
+        pre = tmp_path / "manifest_pre5.json"
+        shutil.copy(f"{idx}/_manifest.json", pre)
+        # crashed larger run: 3 docs at docs_per_shard=2 -> shards 1 AND 2
+        append_batch(spark, _docs(spark, [
+            ("b1", "alpha one", "eng"), ("b2", "alpha two", "eng"),
+            ("b3", "orphanterm only", "eng")]), idx,
+            IndexConfig(text=CFG), epoch_id=1)
+        shutil.copy(pre, f"{idx}/_manifest.json")  # crash: no commit
+        # smaller committed append: 1 doc -> shard 1 only; orphan shard 2
+        # (carrying 'orphanterm') is still on disk above the range
+        meta = append_batch(spark, _docs(spark, [
+            ("c1", "alpha delta", "eng")]), idx,
+            IndexConfig(text=CFG), epoch_id=2)
+        assert meta["num_docs"] == 3
+        from patapsco_spark.operators.indexer import read_term_stats
+        stats = {r.term: r.df for r in read_term_stats(spark, idx).collect()}
+        assert "orphanterm" not in stats
+        assert stats["alpha"] == 2  # a1 + c1, NOT the crashed b1/b2
+
     def test_docids_do_not_collide(self, spark, tmp_path):
         idx = str(tmp_path / "idx3")
         build_index(spark, _docs(spark, [("a1", "x", "eng"), ("a2", "y", "eng")]),
