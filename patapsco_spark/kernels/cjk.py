@@ -61,7 +61,6 @@ DEFAULT_LEXICON = frozenset({
     "搜索", "引擎", "搜索引擎", "信息", "检索", "信息检索",
     "分布式", "数据库", "索引", "查询", "文档", "语言", "模型",
 })
-_MAX_WORD = 4  # longest built-in entry; recomputed per effective lexicon
 
 
 def _segment_run(run: str, lexicon: frozenset[str], max_word: int) -> list[str]:

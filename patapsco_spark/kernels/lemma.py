@@ -18,7 +18,8 @@ instead:
    words a suffix rule would mangle (news, series, during, morning, …);
 2. plural detachment with orthographic guards — ies→y, sses→ss,
    ses/zes→+e (houses→house, sizes→size), ches/shes/xes→strip es,
-   oes→o (len≥6, so shoes falls through to the plain s-rule), ves→f,
+   oes→o (len≥6, so shoes falls through to the plain s-rule), ves→ve
+   (moves→move; f/fe plurals like wolves/knives are exceptions),
    men→man, then final s (len≥4, never after ss/us/is);
 3. verbal ed/ing detachment with Porter's published step-1b restoration
    (hoping→hope via CVC e-restore, running→run via de-doubling,
@@ -82,6 +83,9 @@ _EXCEPTIONS = {
     "wives": "wife", "knives": "knife", "lives": "life",
     "leaves": "leaf", "selves": "self", "halves": "half",
     "loaves": "loaf", "thieves": "thief", "scarves": "scarf",
+    "wolves": "wolf", "calves": "calf", "shelves": "shelf",
+    "hooves": "hoof", "elves": "elf", "dwarves": "dwarf",
+    "wharves": "wharf", "sheaves": "sheaf",
     # Greco-Latin plurals
     "criteria": "criterion", "phenomena": "phenomenon",
     "analyses": "analysis", "crises": "crisis", "theses": "thesis",
@@ -169,7 +173,11 @@ def lemma_lite(token: str) -> str:
     if w.endswith("oes") and len(w) >= 6:
         return w[:-2]                       # heroes→hero; shoes → s-rule
     if w.endswith("ves") and len(w) >= 5:
-        return w[:-3] + "f"                 # wolves→wolf
+        # ves→ve, NOT ves→f: the -ve VERB class (moves, gives, serves,
+        # believes…) vastly outnumbers f-plurals, and a blanket f-rule
+        # mangled all of them (moves→mof) — f/fe plurals (wolves, knives,
+        # shelves…) are enumerated in _EXCEPTIONS instead
+        return w[:-1]                       # moves→move, gives→give
     if w.endswith("men"):
         return w[:-2] + "an"                # women→woman
     # --- verbal detachment with Porter step-1b restoration ---

@@ -30,6 +30,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     md5 is computed JVM-side (whole-stage codegen), no Python.
     """
     return (docs
+            # md5(NULL) is NULL and groupBy collects NULLs together —
+            # without this filter every NULL-text doc lands in ONE fake
+            # "byte-identical" group and a keep-one policy deletes them
+            .where(F.col(text_col).isNotNull())
             .select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
             .groupBy("text_hash")
             .agg(F.count("*").alias("n_dups"),
@@ -189,9 +193,19 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     dfreq = terms.groupBy("term").agg(F.count("*").alias("dfreq"))
     ranked = terms.join(dfreq, "term")
     w = Window.partitionBy("_id").orderBy("dfreq", "term")
+    # every PPJoin ceil is RELAXED by a small epsilon before rounding:
+    # the float product can land one ulp above the exact rational (e.g.
+    # t/(1+t)·(sza+szb) overshoots the true ceiling at 133 (t=0.8, size)
+    # points below 4000), which would silently DROP pairs with Jaccard
+    # exactly == threshold. Relaxing only admits extra candidates — the
+    # exact-Jaccard verification below restores precision — while the
+    # bound stays a true lower bound at every boundary.
+    def rceil(x):
+        return F.ceil(x - F.lit(1e-6))
+
     prefix = (ranked.withColumn("pos", F.row_number().over(w))
               .where(F.col("pos") <=
-                     F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1))
+                     F.col("sz") - rceil(F.lit(threshold) * F.col("sz")) + 1))
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: Jaccard ≥ t ⟺ overlap ≥ ceil(t/(1+t)·(sza+szb))
     # =: α. For the pair's FIRST shared prefix token (both docs order tokens
@@ -199,14 +213,14 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     # match row failing this bound can be dropped — the first-match row of
     # any truly-similar pair always passes, and extra surviving rows only
     # add candidates (then distinct'd), so results are unchanged.
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) *
-                   (F.col("a.sz") + F.col("b.sz")))
+    alpha = rceil(F.lit(threshold / (1.0 + threshold)) *
+                  (F.col("a.sz") + F.col("b.sz")))
     pos_ok = (F.lit(1) + F.least(F.col("a.sz") - F.col("a.pos"),
                                  F.col("b.sz") - F.col("b.pos"))) >= alpha
     cand = (a.join(b, (F.col("a.term") == F.col("b.term")) &
                       (F.col("a._id") < F.col("b._id")) &
                       (F.least("a.sz", "b.sz") >=
-                       F.ceil(F.lit(threshold) * F.greatest("a.sz", "b.sz"))) &
+                       rceil(F.lit(threshold) * F.greatest("a.sz", "b.sz"))) &
                       pos_ok)
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
             .distinct())
@@ -305,8 +319,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     """
     docs = _widen(docs)
     tf = (docs.select(F.col(id_col).alias("_id"),
-                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
-          .where(F.col("term") != "")
+                      F.explode(_tokens_arr(text_col)).alias("term"))
           .groupBy("_id", "term").agg(F.count("*").alias("tf"))
           .withColumn("h", F.conv(F.substring(F.md5("term"), 1, 15), 16, 10)
                       .cast("long")))  # 60 bits to stay in signed-long range
@@ -326,9 +339,19 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    """Near-dup pairs by SimHash Hamming distance, blocked on 15-bit chunks
     (a pair within Hamming ≤3 of 60 bits agrees exactly on ≥1 of 4 chunks —
-    pigeonhole — so the join is chunk-blocked, not all-pairs)."""
+    pigeonhole — so the join is chunk-blocked, not all-pairs).
+
+    The 4-chunk blocking is complete ONLY for max_hamming ≤ 3: at 4+, a
+    pair with one flipped bit in every chunk matches no block and would be
+    silently missed while same-chunk-concentrated pairs are found —
+    inconsistent recall, so larger values are refused loudly."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk blocking "
+            "guarantee (complete only for hamming <= 3); increase the "
+            "chunk count before relaxing this")
     sig = simhash64(docs, id_col, text_col)
     chunks = []
     for c in range(4):

@@ -158,8 +158,13 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
             F.max(F.when((F.col("rel") > 0) & (F.col("trec_rank") <= k), 1)
                   .otherwise(0)).alias(f"success_at_{k}"))
     agg_main = per_doc.groupBy("query_id").agg(*main_aggs)
-    agg_prime = judged_ranked.groupBy("query_id").agg(
-        _dcg("rel", "jrank").alias("dcg_prime"))
+    # gated like Rprec/bpref: the judged-only semi-join + window + agg +
+    # join is a full extra shuffle chain, and must not run when ndcg_prime
+    # was not requested
+    agg_prime = None
+    if "ndcg_prime" in metrics:
+        agg_prime = judged_ranked.groupBy("query_id").agg(
+            _dcg("rel", "jrank").alias("dcg_prime"))
 
     # Rprec: relevant hits within the top num_rel ranks / num_rel — needs
     # the per-query R alongside each row, so its own (tiny) agg + join
@@ -234,8 +239,9 @@ def evaluate_run(run: DataFrame, qrels: DataFrame,
     per_q = (ideal
              # trec_eval: topics with no positive judgment are NOT evaluated
              .where(F.col("num_rel") > 0)
-             .join(agg_main, "query_id", "left")
-             .join(agg_prime, "query_id", "left"))
+             .join(agg_main, "query_id", "left"))
+    if agg_prime is not None:
+        per_q = per_q.join(agg_prime, "query_id", "left")
     if agg_rprec is not None:
         per_q = per_q.join(agg_rprec, "query_id", "left")
     if agg_bpref is not None:

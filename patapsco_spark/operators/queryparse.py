@@ -224,7 +224,10 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
     # +/- occur prefixes and ^boost suffixes stay attached like phrases
     toks = re.findall(
         r'[+-]?[\[\{][^\]\}]*[\]\}](?:\^[\d.eE-]+)?'
-        r'|"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
+        # [+-]? on the phrase alternative: without it, '-"a b"' fell to the
+        # bare-term branch and tokenized into literal junk ('-"a', 'b"') —
+        # a valid Lucene prefixed phrase silently matching the wrong thing
+        r'|[+-]?"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
         query)
     pos = 0
 

@@ -44,8 +44,12 @@ def _threshold_hex(fraction: float) -> str:
 
 
 def _keep(key: Column, fraction: float, salt: str) -> Column:
+    # NULL keys coalesce to '' so they get a real (shared) hash decision:
+    # md5(concat(salt, NULL)) is NULL and NULL < threshold filters FALSE,
+    # which silently dropped NULL-key rows even at fraction=1.0
     return (F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
-                                       key.cast("string"))), 1, 8)
+                                       F.coalesce(key.cast("string"),
+                                                  F.lit("")))), 1, 8)
             < F.lit(_threshold_hex(fraction)))
 
 

@@ -85,6 +85,22 @@ class TestDedupClusters:
         assert all(r["cluster_size"] == 3 for r in out)
 
 
+class TestJaccardBoundary:
+    def test_pair_at_exact_threshold_is_kept(self, spark):
+        # regression: PPJoin's alpha bound used float ceil, which overshoots
+        # the exact rational ceiling at some (threshold, size) points —
+        # ceil(0.8/1.8 * 63) read 29 instead of 28 — silently dropping
+        # pairs whose Jaccard equals the threshold exactly (28/35 = 0.8)
+        shared = " ".join(f"w{i:02d}" for i in range(28))
+        extra = " ".join(f"x{i}" for i in range(7))
+        docs = spark.createDataFrame(
+            [(1, shared), (2, shared + " " + extra)],
+            "doc_id long, text string")
+        pairs = token_jaccard_pairs(docs, threshold=0.8, shingle=1).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert abs(pairs[0]["jaccard"] - 0.8) < 1e-9
+
+
 class TestLineDedup:
     def test_boilerplate_removed_structure_kept(self, spark):
         from patapsco_spark.operators.dedup import line_dedup
@@ -114,3 +130,22 @@ class TestLineDedup:
         for r in got.values():
             assert (r["n_lines"], r["n_removed"], r["clean_text"]) \
                 == (1, 1, "")
+
+
+class TestSimhashAndExactEdges:
+    def test_simhash_max_hamming_validated(self, spark):
+        from patapsco_spark.operators.dedup import simhash_near_pairs
+        docs = spark.createDataFrame([(1, "a b"), (2, "a c")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError, match="4-chunk blocking"):
+            simhash_near_pairs(docs, max_hamming=4)
+
+    def test_exact_duplicates_ignore_null_text(self, spark):
+        # regression: md5(NULL) grouped ALL null-text docs into one fake
+        # byte-identical group; a keep-one policy would delete them
+        from patapsco_spark.operators.dedup import exact_duplicates
+        docs = spark.createDataFrame(
+            [(1, None), (2, None), (3, "same"), (4, "same")],
+            "doc_id long, text string")
+        got = exact_duplicates(docs).collect()
+        assert len(got) == 1 and got[0]["canonical_id"] == 3

@@ -63,6 +63,20 @@ class TestParseErrors:
         with pytest.raises(ParseError, match="fielded"):
             parse_query("q", "title:stream", mode="boolean")
 
+    def test_prefixed_phrases_parse(self):
+        # regression: the tokenizer's phrase alternative had no [+-]?
+        # prefix, so '-"a b"' fell through to the bare-term branch and
+        # became literal junk terms ('-"a', 'b"') — valid Lucene syntax
+        # silently matching the wrong thing
+        p = parse_query("q", '-"cookie banner" keep', mode="boolean")
+        assert p.clauses[0].occur == MUST_NOT and p.clauses[0].phrase
+        assert [t for t, _ in p.clauses[0].terms] == ["cookie", "banner"]
+        p = parse_query("q", '+"exact phrase"^2 other', mode="boolean")
+        assert (p.clauses[0].occur == MUST and p.clauses[0].phrase
+                and p.clauses[0].boost == 2.0)
+        p = parse_query("q", '-"a b"~2 c', mode="boolean")
+        assert p.clauses[0].occur == MUST_NOT and p.clauses[0].slop == 2
+
     def test_glued_range_raises(self):
         # regression: 'foo[a TO b]' tokenized into LITERAL fragments
         # ('foo[a', 'TO', 'b]') and silently matched nothing — brackets

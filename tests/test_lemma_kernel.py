@@ -53,6 +53,12 @@ class TestLemmaRules:
         assert lemma_lite("boxes") == "box"
         assert lemma_lite("heroes") == "hero"
         assert lemma_lite("wolves") == "wolf"
+        # regression: blanket ves->f mangled the -ve verb class
+        assert lemma_lite("moves") == "move"
+        assert lemma_lite("gives") == "give"
+        assert lemma_lite("believes") == "believe"
+        assert lemma_lite("shelves") == "shelf"
+        assert lemma_lite("knives") == "knife"
         assert lemma_lite("women") == "woman"
         assert lemma_lite("dogs") == "dog"
         assert lemma_lite("toes") == "toe"          # len<6 skips oes→o

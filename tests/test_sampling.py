@@ -76,3 +76,17 @@ class TestStratifiedSample:
                for r in deterministic_sample(
                    docs.where("lang = 'de'"), 0.3, "doc_id").collect()}
         assert strat == uni
+
+
+class TestNullKeys:
+    def test_null_key_rows_not_silently_dropped(self, spark):
+        # regression: md5(concat(salt, NULL)) is NULL and NULL < threshold
+        # filters false, so NULL-key rows vanished even at fraction=1.0
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b"), (1, "c")],
+            "doc_id long, text string")
+        assert deterministic_sample(df, 1.0, "doc_id").count() == 3
+        # all NULL keys share one decision (documented: they hash as '')
+        kept = deterministic_sample(df, 0.5, "doc_id") \
+            .where("doc_id IS NULL").count()
+        assert kept in (0, 2)
