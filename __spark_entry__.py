@@ -262,6 +262,25 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(injected, min_docs=50)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicated-substring removal (Lee et al. 2021, round 5):
+    any 40-char span occurring verbatim >= 2 times corpus-wide is cut from
+    every occurrence. A deterministic 52-char boilerplate tail is appended
+    to every 7th doc so the hot-gram set is guaranteed non-empty at any SF;
+    natural repeats in the synthetic text are removed identically by the
+    Spark plan and the DuckDB oracle, so the injection only ensures the
+    operator is exercised, not what it may match."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(SUBSTR_BOILERPLATE)))
+        .otherwise(F.col("text")).alias("text"))
+    return dedup.substring_dedup(injected, k=40, min_count=2)
+
+
+SUBSTR_BOILERPLATE = " SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES NOW"
+
 CLEAN_DUP_BODY = "shared landing page body with enough distinct tokens"
 
 
@@ -774,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dsir_weights": q_dsir_weights,
         "line_dedup": q_line_dedup,
+        "substring_dedup": q_substring_dedup,
         "clean_funnel": q_clean_funnel,
         "pii_scrub": q_pii_scrub,
         "fingerprints": q_fingerprints,
@@ -1975,6 +1995,68 @@ SELECT b.doc_id, b.n_lines,
        (b.n_lines - COALESCE(c.n_kept, 0))::BIGINT AS n_removed,
        COALESCE(c.clean_text, '') AS clean_text
 FROM base b LEFT JOIN clean c USING (doc_id)
+""",
+        "substring_dedup": rf"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || '{SUBSTR_BOILERPLATE}' ELSE text END AS t
+  FROM documents
+),
+b2 AS (
+  SELECT doc_id, COALESCE(t, '') AS t,
+         len(COALESCE(t, ''))::BIGINT AS n_chars
+  FROM base
+),
+grams AS (
+  SELECT doc_id, unnest(range(1, len(t) - 40 + 2)) AS p
+  FROM b2 WHERE len(t) >= 40
+),
+g2 AS (
+  SELECT g.doc_id, g.p::INT AS p, substr(b.t, g.p::INT, 40) AS gram
+  FROM grams g JOIN b2 b USING (doc_id)
+),
+hot AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+marks AS (SELECT doc_id, p FROM g2 WHERE gram IN (SELECT gram FROM hot)),
+flags AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL
+                OR p - lag(p) OVER w > 40 THEN 1 ELSE 0 END AS newisl
+  FROM marks WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+),
+isl AS (
+  SELECT doc_id, p,
+         SUM(newisl) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags
+),
+spans AS (
+  SELECT doc_id, island, min(p) AS s, max(p) + 40 AS e
+  FROM isl GROUP BY doc_id, island
+),
+rem AS (
+  SELECT doc_id, SUM(e - s)::BIGINT AS n_removed FROM spans GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id, s, e,
+         lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM spans
+),
+pieces AS (
+  SELECT sg.doc_id,
+         string_agg(substr(b.t, sg.prev_e, sg.s - sg.prev_e), ''
+                    ORDER BY sg.s) AS head,
+         max(sg.e) AS last_e
+  FROM segs sg JOIN b2 b USING (doc_id)
+  GROUP BY sg.doc_id
+)
+SELECT b.doc_id, b.n_chars,
+       COALESCE(r.n_removed, 0)::BIGINT AS n_removed,
+       CASE WHEN p.doc_id IS NULL THEN b.t
+            ELSE COALESCE(p.head, '')
+                 || substr(b.t, p.last_e, b.n_chars - p.last_e + 1)
+       END AS clean_text
+FROM b2 b LEFT JOIN rem r USING (doc_id) LEFT JOIN pieces p USING (doc_id)
 """,
         "pii_scrub": _pii_scrub_sql(),
         "clean_funnel": rf"""
