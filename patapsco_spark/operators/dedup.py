@@ -528,17 +528,21 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
 
     Instead of the paper's single giant suffix array (a sequential
     machine-sized build), the plan streams the same information through
-    Spark's shuffle: every stride-1 k-gram becomes one (md5, docid, pos)
+    Spark's shuffle: every stride-1 k-gram becomes one (hash, docid, pos)
     row — O(total chars) rows, the same asymptotics as the suffix array's
     O(n) entries but built embarrassingly parallel. One hash-partitioned
     count finds grams with ≥ min_count occurrences; the (small) hot set
     semi-joins back (AQE broadcast-converts it when tiny), and each doc
     merges its own marked positions into spans with an ``aggregate`` HOF —
     no window over the gram stream, no driver collect, no Python: the
-    entire plan is whole-stage-codegen Catalyst. md5 (not xxhash64) keeps
-    the plan byte-replayable in any engine; at 100 TB swap the gram key to
-    ``xxhash64(substring(...))`` to shrink the shuffle 4× — the plan shape
-    is unchanged.
+    entire plan is whole-stage-codegen Catalyst. The gram key is a pair of
+    independently-seeded ``xxhash64`` longs (128 bits total): 16 bytes per
+    shuffle row vs 48+ for an md5 hex string, and xxhash64 is ~10× cheaper
+    per gram than md5 — the hash never leaves the plan (the final output
+    is reconstructed from raw text), so cross-engine hash portability is
+    irrelevant here, unlike the md5-keyed dedup ops above whose oracles
+    replay the hash in SQL. A 128-bit key makes an accidental collision
+    (which would over-remove one span) negligible even at 10^12 grams.
 
     Docs shorter than ``k`` contribute no grams and are kept verbatim.
     NULL text is treated as '' (kept, 0 removed) rather than silently
@@ -560,13 +564,17 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
         F.explode(F.expr(
             f"CASE WHEN length(_t) >= {k} THEN "
             f"transform(sequence(1, length(_t) - {k} + 1), "
-            f"i -> named_struct('p', i, 'h', md5(substring(_t, i, {k})))) "
-            "ELSE cast(array() as array<struct<p: int, h: string>>) END"
+            f"i -> named_struct('p', i, "
+            f"                  'h1', xxhash64(substring(_t, i, {k})), "
+            f"                  'h2', xxhash64(1, substring(_t, i, {k})))) "
+            "ELSE cast(array() as "
+            "array<struct<p: int, h1: bigint, h2: bigint>>) END"
         )).alias("g")).select(F.col(id_col), F.col("g.p").alias("p"),
-                              F.col("g.h").alias("h"))
-    hot = (grams.groupBy("h").agg(F.count("*").alias("n"))
-           .where(F.col("n") >= min_count).select("h"))
-    marks = (grams.join(hot, "h", "left_semi")
+                              F.col("g.h1").alias("h1"),
+                              F.col("g.h2").alias("h2"))
+    hot = (grams.groupBy("h1", "h2").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= min_count).select("h1", "h2"))
+    marks = (grams.join(hot, ["h1", "h2"], "left_semi")
              .groupBy(id_col)
              .agg(F.sort_array(F.collect_list("p")).alias("ps")))
     # ps is sorted, so each new window's end p+k strictly exceeds the
