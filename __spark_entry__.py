@@ -578,6 +578,93 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEBPAGES_N = 300
 WEBPAGES_QUERIES = [("q1", "crawl web index"), ("q2", "stream window")]
 
+WARC_N, WARC_FILES = 240, 4
+
+
+def _stage_warc_shards() -> str:
+    """Synthesize WARC_FILES .warc.gz crawl shards (one gzip member per
+    record, Common-Crawl layout) from the deterministic page corpus,
+    driver-side, cached like _stage_webpages_oracle: keyed by an md5 of the
+    generating functions' source so a serializer/synthesis change rebuilds
+    instead of silently reusing stale shards; staged to tmp + atomic rename
+    (the loser of a concurrent race just discards its copy)."""
+    import inspect
+    import shutil
+
+    import numpy as np
+
+    from patapsco_spark.sources import warc as _warc
+    from patapsco_spark.sources.webpages import _synth_batch
+
+    src = "".join(inspect.getsource(f) for f in (
+        _warc.records_to_warc_bytes, _warc.record_bytes, _synth_batch))
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pspark_warc_{WARC_N}_{key}")
+    if not os.path.exists(os.path.join(d, "_STAGED")):
+        tmp = f"{d}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        per = WARC_N // WARC_FILES
+        for i in range(WARC_FILES):
+            pdf = _synth_batch(np.arange(i * per, (i + 1) * per))
+            with open(os.path.join(tmp, f"shard-{i:05d}.warc.gz"),
+                      "wb") as f:
+                f.write(_warc.records_to_warc_bytes(pdf))
+        open(os.path.join(tmp, "_STAGED"), "w").close()
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent stager won the rename
+            shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed crawl-format ingestion: .warc.gz shards → streamed record
+    parse → HTTP-200/html filter → byte-identity text extraction. Emits
+    (url, warc_iso, n_bytes, text_md5); the oracle recomputes all four
+    driver-side from the same deterministic corpus WITHOUT the WARC layer,
+    so any framing/decode/extraction drift in the distributed path breaks
+    the match."""
+    from patapsco_spark.sources.warc import read_warc, warc_to_pages
+
+    d = _stage_warc_shards()
+    pages = warc_to_pages(read_warc(spark, os.path.join(d, "*.warc.gz")))
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_iso"),
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("text").alias("text_md5"))
+
+
+def _stage_warc_expected() -> str:
+    """Expected warc_ingest output, computed driver-side in pure pandas
+    straight from the synthesized corpus (no WARC serialize/parse in the
+    loop), parqueted for DuckDB."""
+    import inspect
+
+    import numpy as np
+    import pandas as pd
+
+    from patapsco_spark.sources.webpages import _synth_batch
+
+    src = inspect.getsource(_synth_batch)
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pspark_warcexp_{WARC_N}_{key}.parquet")
+    if not os.path.exists(path):
+        pdf = _synth_batch(np.arange(WARC_N))
+        out = pd.DataFrame({
+            "url": pdf["url"],
+            "warc_iso": pdf["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S"),
+            "n_bytes": [len(bytes(h)) for h in pdf["html"]],
+            "text_md5": [hashlib.md5(t.encode()).hexdigest()
+                         for t in pdf["text"]],
+        })
+        out["n_bytes"] = out["n_bytes"].astype("int64")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
 
 def q_webpages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end north-star pipeline on the synthetic Common-Crawl-style
@@ -817,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "webpages_pipeline": q_webpages_pipeline,
+        "warc_ingest": q_warc_ingest,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
@@ -1816,6 +1904,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,
         "webpages_pipeline": _webpages_bm25_sql(WEBPAGES_QUERIES, 0.9, 0.4, 10),
+        "warc_ingest": (
+            "SELECT url, warc_iso, n_bytes, text_md5 "
+            f"FROM read_parquet('{_stage_warc_expected()}')"),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

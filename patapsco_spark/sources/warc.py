@@ -1,0 +1,362 @@
+"""WARC (Web ARChive, ISO 28500) source — Common Crawl's native layout.
+
+The north-star input is an Iceberg/parquet table of Common-Crawl-style
+pages, but the crawl itself ships as ``.warc.gz`` shards (one gzip member
+per record, ~1 GB per file, ~64k files per monthly crawl). This module
+turns that raw layout into the engine's page table
+(:data:`~patapsco_spark.sources.webpages.PAGES_SCHEMA`) without any
+external WARC library:
+
+- :func:`records_to_warc_bytes` — deterministic serializer (one gzip member
+  per record, Common-Crawl-style), used by tests and the oracle-checked
+  ``warc_ingest`` entry query to synthesize crawl files from the
+  deterministic page corpus.
+- :func:`parse_warc_stream` — incremental record parser over any readable
+  byte stream; handles plain and multi-member-gzip input, ``warcinfo`` /
+  ``request`` / ``metadata`` / ``response`` record types, and HTTP response
+  framing inside ``response`` blocks. Malformed framing raises — a
+  truncated crawl shard is data loss, never a silent short read.
+- :func:`read_warc` — the distributed reader.
+
+Scale design: a ``.warc.gz`` cannot be byte-range split (the gzip members
+carry no index; Common Crawl's CDX index is a separate dataset), so the
+parallel unit is the FILE — exactly how the crawl is sharded for
+consumption. ``mode="stream"`` distributes the path list and each task
+streams its files through the parser with bounded memory (an Arrow batch
+is emitted every :data:`BATCH_RECORDS` records / :data:`BATCH_BYTES`
+payload bytes, so a 1 GB shard never materializes at once).
+``mode="binary"`` routes through Spark's ``binaryFile`` source instead —
+whole-file rows, any Hadoop-supported scheme (s3a://, hdfs://) — for
+object stores where task-side ``open()`` cannot reach the data. Each
+output row carries (warc_file, warc_offset) lineage — the CDX-style
+pointer that makes any record re-fetchable and any partition resumable.
+
+Reference parity: patapsco ingests pre-extracted jsonl
+(/root/reference/patapsco/docs.py:62-99) and has no crawl-format stage;
+this source exists for the north star's Common-Crawl framing.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WARC_SCHEMA = ("url string, warc_ts timestamp, warc_type string, "
+               "http_status int, content_type string, html binary, "
+               "warc_file string, warc_offset long")
+
+# Arrow batch bounds for the streaming reader (records OR payload bytes,
+# whichever trips first — keeps executor memory flat on huge-page shards)
+BATCH_RECORDS = 2048
+BATCH_BYTES = 32 << 20
+
+_CRLF = b"\r\n"
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+# ---------------------------------------------------------------------------
+# Serializer (deterministic; one gzip member per record like Common Crawl)
+# ---------------------------------------------------------------------------
+
+def _warc_date(ts) -> str:
+    """pandas/py datetime → WARC-Date (ISO8601 Z, second precision)."""
+    t = pd.Timestamp(ts)
+    if t.tzinfo is not None:
+        t = t.tz_convert("UTC").tz_localize(None)
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def record_bytes(url: str, ts, html: bytes, http_status: int = 200,
+                 content_type: str = "text/html; charset=UTF-8") -> bytes:
+    """One WARC response record (uncompressed): WARC headers + an HTTP/1.1
+    response block, framed per ISO 28500 (Content-Length counts the block;
+    two CRLFs terminate the record)."""
+    http = (f"HTTP/1.1 {http_status} OK\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
+    import hashlib
+    rid = hashlib.md5(url.encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+    return head + http + b"\r\n\r\n"
+
+
+def records_to_warc_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
+    """Rows (url, warc_ts, html[, http_status, content_type]) → one WARC
+    file's bytes. ``compress=True`` emits one gzip member PER RECORD
+    (mtime pinned to 0 so the bytes are deterministic), the Common-Crawl
+    layout that lets a CDX offset seek straight to a record."""
+    out = io.BytesIO()
+    has_status = "http_status" in pdf.columns
+    has_ct = "content_type" in pdf.columns
+    for row in pdf.itertuples(index=False):
+        raw = record_bytes(
+            row.url, row.warc_ts,
+            bytes(row.html) if row.html is not None else b"",
+            http_status=int(row.http_status) if has_status else 200,
+            content_type=(row.content_type if has_ct
+                          else "text/html; charset=UTF-8"))
+        if compress:
+            out.write(gzip.compress(raw, mtime=0))
+        else:
+            out.write(raw)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def _read_exact(stream, n: int, what: str) -> bytes:
+    buf = stream.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"truncated WARC: expected {n} bytes for {what}, got {len(buf)}")
+    return buf
+
+
+def _parse_http_block(block: bytes) -> tuple[int | None, str | None, bytes]:
+    """HTTP response block → (status, content-type, body). A block that
+    doesn't start with HTTP/ is returned whole as the body (some archives
+    store raw payloads in response records)."""
+    if not block.startswith(b"HTTP/"):
+        return None, None, block
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("malformed HTTP block in WARC response record: "
+                         "no header/body separator")
+    head, body = block[:sep], block[sep + 4:]
+    lines = head.split(_CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError) as e:
+        raise ValueError(
+            f"malformed HTTP status line in WARC record: {lines[0]!r}") from e
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+            break
+    return status, ctype, body
+
+
+def parse_warc_stream(stream, source: str = "<stream>",
+                      types: tuple[str, ...] = ("response",)
+                      ) -> Iterator[dict]:
+    """Incremental WARC record iterator over a readable binary stream of
+    UNCOMPRESSED warc bytes. Yields dicts matching :data:`WARC_SCHEMA`
+    (warc_offset = record start offset in this stream). Records whose
+    WARC-Type is not in ``types`` are skipped (their payload is still
+    length-framed, so skipping is an O(Content-Length) read, no scan).
+    Raises ValueError on framing violations instead of resyncing — a
+    corrupt crawl shard must surface, not shrink."""
+    if not hasattr(stream, "readline"):
+        stream = io.BufferedReader(stream)
+    offset = 0
+    while True:
+        pos = offset
+        line = stream.readline()
+        if not line:
+            return
+        offset += len(line)
+        # tolerate extra record-separator CRLFs before the version line
+        if line in (_CRLF, b"\n"):
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"{source}: expected WARC/ version line at offset {pos}, "
+                f"got {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            ln = stream.readline()
+            if not ln:
+                raise ValueError(f"{source}: truncated WARC header block")
+            offset += len(ln)
+            if ln in (_CRLF, b"\n"):
+                break
+            k, sep, v = ln.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"{source}: malformed WARC header line {ln[:60]!r}")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1"))
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(
+                f"{source}: WARC record at {pos} has no valid "
+                "Content-Length") from e
+        block = _read_exact(stream, clen, f"record block at {pos}")
+        offset += clen
+        # consume the two separator CRLFs (lenient about a missing final one
+        # at EOF — some writers drop it on the last record)
+        tail = stream.read(4)
+        offset += len(tail)
+        if tail not in (b"\r\n\r\n", b"", b"\r\n"):
+            raise ValueError(
+                f"{source}: bad record separator after offset {pos}: "
+                f"{tail!r}")
+        wtype = headers.get("warc-type", "")
+        if wtype not in types:
+            continue
+        ts = None
+        if "warc-date" in headers:
+            ts = datetime.strptime(
+                headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+        status, ctype, body = (None, None, block)
+        if headers.get("content-type", "").startswith("application/http"):
+            status, ctype, body = _parse_http_block(block)
+        yield {
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": ts,
+            "warc_type": wtype,
+            "http_status": status,
+            "content_type": ctype,
+            "html": body,
+            "warc_file": source,
+            "warc_offset": pos,
+        }
+
+
+def _open_maybe_gzip(raw) -> io.BufferedReader:
+    """Wrap a binary stream, transparently decoding multi-member gzip
+    (Python's GzipFile reads across concatenated members)."""
+    head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
+    if head == _GZIP_MAGIC:
+        return io.BufferedReader(gzip.GzipFile(fileobj=raw))
+    return raw if isinstance(raw, io.BufferedReader) else io.BufferedReader(raw)
+
+
+def parse_warc_bytes(buf: bytes, source: str = "<bytes>",
+                     types: tuple[str, ...] = ("response",)
+                     ) -> Iterator[dict]:
+    """Parse a whole WARC file held in memory (plain or gzip)."""
+    if buf[:2] == _GZIP_MAGIC:
+        # one-shot multi-member inflate: faster than GzipFile's readline
+        # loop and the buffer is already resident anyway (binaryFile mode)
+        out, pos = [], 0
+        d = zlib.decompressobj(wbits=31)
+        while pos < len(buf):
+            out.append(d.decompress(buf[pos:]))
+            if not d.eof:
+                raise ValueError(f"{source}: truncated gzip member")
+            pos = len(buf) - len(d.unused_data)
+            d = zlib.decompressobj(wbits=31)
+        buf = b"".join(out)
+    yield from parse_warc_stream(io.BufferedReader(io.BytesIO(buf)),
+                                 source=source, types=types)
+
+
+# ---------------------------------------------------------------------------
+# Distributed reader
+# ---------------------------------------------------------------------------
+
+def _batched(recs: Iterator[dict]) -> Iterator[pd.DataFrame]:
+    rows, nbytes = [], 0
+    for r in recs:
+        rows.append(r)
+        nbytes += len(r["html"] or b"")
+        if len(rows) >= BATCH_RECORDS or nbytes >= BATCH_BYTES:
+            yield pd.DataFrame(rows)
+            rows, nbytes = [], 0
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def read_warc(spark: SparkSession, paths, mode: str = "stream",
+              types: tuple[str, ...] = ("response",),
+              partitions: int | None = None) -> DataFrame:
+    """Distributed WARC read → DataFrame(:data:`WARC_SCHEMA`).
+
+    ``paths``: a glob / list of globs. ``mode="stream"`` (default)
+    distributes the expanded path list and each task streams its files —
+    constant memory, POSIX-reachable paths (local disk, NFS, fuse mounts).
+    ``mode="binary"`` uses Spark's ``binaryFile`` source — any Hadoop
+    scheme, whole file per row (Spark caps binaryFile rows at
+    ``spark.sql.sources.binaryFile.maxLength``; Common-Crawl-sized 1 GB
+    shards need stream mode or a raised cap).
+
+    Empty expansion raises — a crawl read that silently matches zero files
+    is the fail-on-empty contract every other source here follows
+    (/root/reference/patapsco/docs.py glob validation parity).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    if mode == "binary":
+        df = spark.read.format("binaryFile").load(list(paths))
+
+        def from_content(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    yield from _batched(
+                        parse_warc_bytes(bytes(content), source=path,
+                                         types=types))
+
+        return df.select("path", "content").mapInPandas(
+            from_content, schema=WARC_SCHEMA)
+    if mode != "stream":
+        raise ValueError(f"mode must be 'stream' or 'binary', got {mode!r}")
+    files: list[str] = []
+    for p in paths:
+        files.extend(sorted(_glob.glob(p)))
+    if not files:
+        raise ValueError(f"no WARC files match {paths!r}")
+    parts = partitions or min(len(files),
+                              spark.sparkContext.defaultParallelism)
+    pdf = spark.createDataFrame(pd.DataFrame({"path": files}))
+
+    def from_paths(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path in b["path"]:
+                with open(path, "rb") as raw:
+                    yield from _batched(
+                        parse_warc_stream(_open_maybe_gzip(raw),
+                                          source=path, types=types))
+
+    return (pdf.repartition(parts, "path")
+            .mapInPandas(from_paths, schema=WARC_SCHEMA))
+
+
+def warc_to_pages(warc_df: DataFrame, extract: bool = True) -> DataFrame:
+    """WARC rows → the engine's page table
+    (url, warc_ts, html, text, lang). Keeps only HTTP-200 responses with an
+    html/text content type (the Common-Crawl WET-generation filter shape).
+    ``extract=True`` fills ``text`` via the byte-identity extractor;
+    ``lang`` is left NULL for the language_id operator downstream."""
+    from .webpages import extract_text_series
+
+    ok = warc_df.where(
+        (F.col("http_status") == 200) &
+        (F.coalesce(F.col("content_type"), F.lit(""))
+         .rlike("^(text/html|text/plain|application/xhtml)")))
+    base = ok.select("url", "warc_ts", "html",
+                     F.lit(None).cast("string").alias("lang"))
+    if not extract:
+        return base.select("url", "warc_ts", "html",
+                           F.lit(None).cast("string").alias("text"), "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.assign(text=extract_text_series(pdf["html"]))
+            yield pdf[["url", "warc_ts", "html", "text", "lang"]]
+
+    return base.mapInPandas(
+        run, schema=("url string, warc_ts timestamp, html binary, "
+                     "text string, lang string"))

@@ -1,0 +1,133 @@
+"""WARC source: serializer/parser roundtrip, distributed read (stream and
+binaryFile modes), malformed-input refusal, and the page-table bridge."""
+
+import gzip
+import io
+import os
+
+import pandas as pd
+import pytest
+
+from patapsco_spark.sources.warc import (
+    parse_warc_bytes, parse_warc_stream, read_warc, record_bytes,
+    records_to_warc_bytes, warc_to_pages)
+from patapsco_spark.sources.webpages import _synth_batch, extract_text_series
+
+
+def _pages(n):
+    import numpy as np
+    return _synth_batch(np.arange(n))
+
+
+def test_roundtrip_plain_and_gzip():
+    pdf = _pages(6)
+    for compress in (False, True):
+        buf = records_to_warc_bytes(pdf, compress=compress)
+        recs = list(parse_warc_bytes(buf, source="t"))
+        assert len(recs) == 6
+        assert [r["url"] for r in recs] == list(pdf["url"])
+        assert [bytes(r["html"]) for r in recs] == [
+            bytes(h) for h in pdf["html"]]
+        assert all(r["http_status"] == 200 for r in recs)
+        assert all(r["content_type"].startswith("text/html") for r in recs)
+        # WARC-Date is second-precision; synthesis timestamps already are
+        assert [r["warc_ts"] for r in recs] == [
+            t.to_pydatetime() for t in pdf["warc_ts"]]
+
+
+def test_serializer_deterministic():
+    pdf = _pages(3)
+    assert records_to_warc_bytes(pdf) == records_to_warc_bytes(pdf)
+
+
+def test_offsets_are_record_starts():
+    pdf = _pages(4)
+    buf = records_to_warc_bytes(pdf, compress=False)
+    recs = list(parse_warc_bytes(buf, source="t"))
+    for r in recs:
+        assert buf[r["warc_offset"]:r["warc_offset"] + 5] == b"WARC/"
+
+
+def test_non_response_records_skipped():
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+            b"\r\nabcd\r\n\r\n")
+    buf = info + records_to_warc_bytes(_pages(2), compress=False)
+    recs = list(parse_warc_bytes(buf, source="t"))
+    assert len(recs) == 2
+    both = list(parse_warc_bytes(buf, source="t",
+                                 types=("warcinfo", "response")))
+    assert len(both) == 3 and both[0]["warc_type"] == "warcinfo"
+
+
+@pytest.mark.parametrize("mutate, msg", [
+    (lambda b: b[:-20], "truncated"),
+    (lambda b: b.replace(b"WARC/1.0", b"HARC/1.0", 1), "version line"),
+    (lambda b: b.replace(b"Content-Length:", b"Content-Hength:", 1),
+     "Content-Length"),
+])
+def test_malformed_raises(mutate, msg):
+    buf = mutate(records_to_warc_bytes(_pages(2), compress=False))
+    with pytest.raises(ValueError, match=msg):
+        list(parse_warc_bytes(buf, source="t"))
+
+
+def test_http_block_parse_failures():
+    bad = record_bytes("http://x/", pd.Timestamp("2020-01-01"), b"ok")
+    bad = bad.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 XX")
+    with pytest.raises(ValueError, match="status line"):
+        list(parse_warc_bytes(bad, source="t"))
+
+
+def _write_shards(tmp_path, n_files=3, per_file=5):
+    paths = []
+    for i in range(n_files):
+        import numpy as np
+        pdf = _synth_batch(np.arange(i * per_file, (i + 1) * per_file))
+        p = os.path.join(str(tmp_path), f"shard-{i:05d}.warc.gz")
+        with open(p, "wb") as f:
+            f.write(records_to_warc_bytes(pdf))
+        paths.append(p)
+    return paths
+
+
+@pytest.mark.parametrize("mode", ["stream", "binary"])
+def test_distributed_read(spark, tmp_path, mode):
+    _write_shards(tmp_path)
+    df = read_warc(spark, os.path.join(str(tmp_path), "*.warc.gz"),
+                   mode=mode)
+    rows = df.orderBy("url").collect()
+    assert len(rows) == 15
+    exp = _pages(15).sort_values("url").reset_index(drop=True)
+    assert [r.url for r in rows] == list(exp["url"])
+    assert [bytes(r.html) for r in rows] == [bytes(h) for h in exp["html"]]
+    assert all(os.path.basename(r.warc_file).startswith("shard-")
+               for r in rows)
+
+
+def test_read_empty_glob_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no WARC files"):
+        read_warc(spark, os.path.join(str(tmp_path), "nope-*.warc.gz"))
+
+
+def test_warc_to_pages_extraction_identity(spark, tmp_path):
+    """warc → pages → text must equal the synthesized text byte-for-byte
+    (the north-star per-url invariant, through the crawl format)."""
+    _write_shards(tmp_path, n_files=2, per_file=4)
+    pages = warc_to_pages(
+        read_warc(spark, os.path.join(str(tmp_path), "*.warc.gz")))
+    got = {r.url: r.text for r in pages.collect()}
+    exp = _pages(8)
+    exp_text = dict(zip(exp["url"], exp["text"]))
+    assert got == exp_text
+
+
+def test_warc_to_pages_filters_non_html(spark, tmp_path):
+    pdf = _pages(3).assign(
+        content_type=["text/html; charset=UTF-8", "image/png",
+                      "text/plain"],
+        http_status=[200, 200, 404])
+    p = os.path.join(str(tmp_path), "mixed.warc.gz")
+    with open(p, "wb") as f:
+        f.write(records_to_warc_bytes(pdf))
+    pages = warc_to_pages(read_warc(spark, p))
+    assert pages.count() == 1  # png dropped by type, 404 by status
