@@ -635,6 +635,133 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"))
 
 
+LINK_N, LINK_MAXDEG, PR_ITERS, PR_DAMP = 200, 4, 5, 0.85
+
+
+def _link_pages(spark: SparkSession) -> DataFrame:
+    """LINK_N synthesized pages with deterministic md5-derived <a> anchors
+    injected before </body>: page i gets deg_i = hex(md5('deg-i')[:2]) %
+    LINK_MAXDEG links, the k-th targeting page hex(md5('link-i-k')[:8]) %
+    LINK_N. Every quantity is DuckDB-replayable (md5 over the same
+    strings), so the oracle rebuilds the edge set without parsing html."""
+    from patapsco_spark.sources.webpages import synthesize_pages
+
+    pages = synthesize_pages(spark, LINK_N, partitions=8)
+
+    def inject(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def page_url(j: int) -> str:
+            return (f"https://example.org/"
+                    f"{hashlib.md5(f'page-{j}'.encode()).hexdigest()[:8]}/{j}")
+
+        for pdf in batches:
+            out_html = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                i = int(url.rsplit("/", 1)[1])
+                deg = int(hashlib.md5(f"deg-{i}".encode())
+                          .hexdigest()[:2], 16) % LINK_MAXDEG
+                anchors = "".join(
+                    f'<a href="{page_url(int(hashlib.md5(f"link-{i}-{k}".encode()).hexdigest()[:8], 16) % LINK_N)}">l{k}</a>'
+                    for k in range(deg))
+                html = bytes(blob).decode("utf-8")
+                out_html.append(
+                    html.replace("</body>", anchors + "</body>")
+                    .encode("utf-8"))
+            yield pd.DataFrame({"url": pdf["url"], "html": out_html})
+
+    return pages.select("url", "html").mapInPandas(
+        inject, schema="url string, html binary")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction → distinct (src, dst) edges over the injected-link
+    corpus. The oracle derives the same edges from the md5 link rule alone
+    — any extraction/resolution drift breaks the match."""
+    from patapsco_spark.operators.linkgraph import link_edges
+
+    return link_edges(_link_pages(spark))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ITERS damped PageRank iterations over the injected-link graph,
+    all LINK_N pages as the vertex set (isolated pages hold rank). Ranks
+    rounded to 7dp to absorb float summation order across engines; the
+    oracle unrolls the same iterations as SQL CTEs."""
+    from patapsco_spark.operators.linkgraph import link_edges, pagerank
+
+    pages = _link_pages(spark)
+    edges = link_edges(pages)
+    ranks = pagerank(edges, nodes=pages.select("url"),
+                     iterations=PR_ITERS, damping=PR_DAMP)
+    return ranks.select("node", F.round("rank", 7).alias("rank"))
+
+
+def _link_edges_sql() -> str:
+    """The md5 link rule as DuckDB SQL (edge set only — no html)."""
+    return f"""
+idx AS (SELECT unnest(range(0, {LINK_N})) AS i),
+urls AS (
+  SELECT i, 'https://example.org/' || substr(md5('page-' || i), 1, 8)
+            || '/' || i AS url
+  FROM idx
+),
+deg AS (
+  SELECT i, ('0x' || substr(md5('deg-' || i), 1, 2))::BIGINT
+            % {LINK_MAXDEG} AS d
+  FROM idx
+),
+tgt AS (
+  SELECT deg.i,
+         ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 1, 8))::BIGINT
+         % {LINK_N} AS j
+  FROM deg JOIN (SELECT unnest(range(0, {LINK_MAXDEG - 1})) AS k) k
+       ON k.k < deg.d
+),
+edges AS (
+  SELECT DISTINCT us.url AS src, ut.url AS dst
+  FROM tgt JOIN urls us ON us.i = tgt.i
+           JOIN urls ut ON ut.i = tgt.j
+  WHERE tgt.i <> tgt.j
+)"""
+
+
+def _pagerank_sql() -> str:
+    """PR_ITERS PageRank iterations unrolled as CTEs (same semantics as
+    operators.linkgraph.pagerank: damped, uniform dangling redistribution,
+    vertex set = all LINK_N pages)."""
+    n, d = LINK_N, PR_DAMP
+    parts = [_link_edges_sql().lstrip(), f"""
+nodes AS (SELECT url AS node FROM urls),
+outdeg AS (SELECT src AS node, count(*)::DOUBLE AS od
+           FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0/{n} AS rank FROM nodes)"""]
+    for it in range(1, PR_ITERS + 1):
+        p = f"r{it - 1}"
+        parts.append(f"""
+c{it} AS (
+  SELECT e.dst AS node, sum(r.rank / o.od) AS s
+  FROM {p} r JOIN outdeg o ON o.node = r.node
+             JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+),
+d{it} AS (
+  SELECT COALESCE(sum(r.rank), 0) AS dang
+  FROM {p} r LEFT JOIN outdeg o ON o.node = r.node
+  WHERE o.node IS NULL
+),
+r{it} AS (
+  SELECT n.node,
+         {(1 - d) / n} + {d} * (COALESCE(c.s, 0)
+                                + (SELECT dang FROM d{it}) / {n}) AS rank
+  FROM nodes n LEFT JOIN c{it} c ON c.node = n.node
+)""")
+    return ("WITH " + ",".join(parts) +
+            f"\nSELECT node, round(rank, 7) AS rank FROM r{PR_ITERS}")
+
+
 def _stage_warc_expected() -> str:
     """Expected warc_ingest output, computed driver-side in pure pandas
     straight from the synthesized corpus (no WARC serialize/parse in the
@@ -905,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "webpages_pipeline": q_webpages_pipeline,
         "warc_ingest": q_warc_ingest,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
@@ -1907,6 +2036,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": (
             "SELECT url, warc_iso, n_bytes, text_md5 "
             f"FROM read_parquet('{_stage_warc_expected()}')"),
+        "link_graph": ("WITH " + _link_edges_sql().lstrip() +
+                       "\nSELECT src, dst FROM edges"),
+        "pagerank": _pagerank_sql(),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

@@ -1,0 +1,158 @@
+"""Web link graph + PageRank — the Common-Crawl host-graph workload.
+
+Common Crawl publishes a host- and domain-level web graph (nodes = hosts,
+edges = hyperlinks) and its PageRank/harmonic-centrality rankings as a
+first-class dataset alongside the WARC shards; a crawl-scale engine needs
+the same pipeline: extract anchors from raw html, canonicalize, roll up to
+host/domain edges, and run an iterative centrality. All stages here are
+DataFrame-native:
+
+- :func:`extract_links_series` — vectorized anchor extraction (pandas over
+  Arrow batches; regex once-compiled, relative hrefs resolved against the
+  page url with ``urljoin``).
+- :func:`link_edges` — pages → distinct (src, dst) edge table. One explode
+  + one distinct (a single shuffle on the edge pair).
+- :func:`domain_edges` — edge rollup to registered domains with counts
+  (the CC domain-graph shape), reusing the weburl registered-domain rules.
+- :func:`pagerank` — damped PageRank with uniform dangling-mass
+  redistribution, the textbook semantics:
+
+      r'(u) = (1-d)/N + d * (Σ_{v→u} r(v)/outdeg(v) + dangling/N)
+
+  Each iteration is one join (contributions) + one groupBy (fan-in sum);
+  the dangling mass is a 1-row aggregate CROSS-JOINED back in (broadcast —
+  never a driver collect inside the loop). Iterative lineage is truncated
+  with ``localCheckpoint`` every ``truncate_every`` iterations, the
+  standard Spark pattern for fixed-point loops (without it the plan tree
+  doubles per iteration and the optimizer, not the data, becomes the
+  bottleneck). Scale notes: edges are hash-partitioned on ``src`` once and
+  the per-iteration join reuses that partitioning for the rank side;
+  celebrity in-degree skew lands in the fan-in groupBy, which is
+  map-side-combinable (a sum), so skew costs network, not correctness —
+  AQE's skew-join split covers the contribution join.
+
+No reference analogue (patapsco has no graph stage); this exists for the
+north star's Common-Crawl framing, next to sources/warc.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_RE_HREF = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I)
+
+
+def extract_links_series(html: pd.Series, base_urls: pd.Series) -> pd.Series:
+    """Series[bytes html], Series[str url] → Series[list[str]] absolute
+    http(s) link targets, document order, within-page duplicates kept
+    (edge weighting happens downstream)."""
+    def links(args) -> list[str]:
+        blob, base = args
+        if blob is None:
+            return []
+        out = []
+        for m in _RE_HREF.finditer(bytes(blob)):
+            href = m.group(1).decode("utf-8", errors="replace")
+            if href.startswith(("javascript:", "mailto:", "#")):
+                continue
+            absu = urljoin(base or "", href)
+            if absu.startswith(("http://", "https://")):
+                out.append(absu)
+        return out
+    return pd.Series(map(links, zip(html, base_urls)), index=html.index)
+
+
+def link_edges(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html", keep_self: bool = False) -> DataFrame:
+    """Pages → distinct (src, dst) hyperlink edges. Anchor extraction is
+    one Arrow pass; distinct is the single shuffle (keyed on the pair, so
+    it also co-locates for any following src-keyed join)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "src": pdf[url_col],
+                "dsts": extract_links_series(pdf[html_col], pdf[url_col]),
+            })
+
+    edges = (pages.select(url_col, html_col)
+             .mapInPandas(run, schema="src string, dsts array<string>")
+             .select("src", F.explode("dsts").alias("dst")))
+    if not keep_self:
+        edges = edges.where(F.col("src") != F.col("dst"))
+    return edges.distinct()
+
+
+def domain_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst) page edges → (src_domain, dst_domain, n_links) registered-
+    domain rollup (the Common-Crawl domain-graph shape). Self-edges after
+    rollup (intra-domain links) are kept — CC's graph drops them only at
+    ranking time."""
+    from .weburl import host_of, registered_domain
+
+    return (edges
+            .select(registered_domain(host_of(F.col("src")))
+                    .alias("src_domain"),
+                    registered_domain(host_of(F.col("dst")))
+                    .alias("dst_domain"))
+            .groupBy("src_domain", "dst_domain")
+            .agg(F.count("*").alias("n_links")))
+
+
+def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
+             iterations: int = 10, damping: float = 0.85,
+             truncate_every: int = 4) -> DataFrame:
+    """Damped PageRank over a (src, dst) edge table → (node, rank).
+
+    ``nodes``: 1-column frame of the full vertex set; defaults to the union
+    of edge endpoints (pass it explicitly when isolated pages must hold
+    rank — e.g. every url in the crawl). Rank mass is conserved at 1.0
+    every iteration (uniform dangling redistribution), so Σrank is a free
+    invariant check. Deterministic up to float summation order; callers
+    comparing across engines should round (see the entry query).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    edges = edges.select("src", "dst")
+    if nodes is None:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .union(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+    else:
+        nodes = nodes.toDF("node")
+    # one shuffle up front; the per-iteration contribution join then reuses
+    # this partitioning on the edge side (no edge re-shuffle in the loop)
+    nodes = nodes.repartition("node").localCheckpoint(eager=False)
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count("*").alias("outdeg"))
+              .localCheckpoint(eager=False))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank over an empty graph")
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    base = (1.0 - damping) / n_nodes
+    for it in range(iterations):
+        rk = ranks.join(outdeg, "node", "left")
+        contribs = (rk.where(F.col("outdeg").isNotNull())
+                    .join(edges, rk["node"] == edges["src"])
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s")))
+        dang = (rk.where(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang")))
+        ranks = (nodes.join(contribs, "node", "left")
+                 .crossJoin(F.broadcast(dang))
+                 .select("node",
+                         (F.lit(base) + F.lit(damping) *
+                          (F.coalesce(F.col("s"), F.lit(0.0)) +
+                           F.col("dang") / F.lit(float(n_nodes))))
+                         .alias("rank")))
+        if (it + 1) % truncate_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

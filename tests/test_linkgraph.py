@@ -1,0 +1,136 @@
+"""Link-graph extraction + PageRank: anchor parsing, edge building, domain
+rollup, and iteration-exact agreement with a dense numpy reference."""
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from patapsco_spark.operators.linkgraph import (
+    domain_edges, extract_links_series, link_edges, pagerank)
+
+
+def test_extract_links_resolution_and_filters():
+    html = pd.Series([
+        (b'<a href="https://a.example/x">A</a> '
+         b"<a href='/rel'>r</a> "
+         b'<a href="sub/page.html">s</a> '
+         b'<a href="javascript:void(0)">j</a> '
+         b'<a href="mailto:x@y">m</a> '
+         b'<a href="#frag">f</a> '
+         b'<a class="z" href="ftp://no">p</a>'),
+        None,
+        b"no links here",
+    ])
+    base = pd.Series(["https://host.example/dir/page", "https://b/", "https://c/"])
+    got = extract_links_series(html, base)
+    assert got[0] == ["https://a.example/x",
+                      "https://host.example/rel",
+                      "https://host.example/dir/sub/page.html"]
+    assert got[1] == [] and got[2] == []
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode()) for u, h in rows], "url string, html binary")
+
+
+def test_link_edges_distinct_and_self_drop(spark):
+    pages = _pages(spark, [
+        ("https://a/", '<a href="https://b/">1</a><a href="https://b/">2</a>'
+                       '<a href="https://a/">self</a>'),
+        ("https://b/", '<a href="https://a/">x</a>'),
+    ])
+    got = {(r.src, r.dst) for r in link_edges(pages).collect()}
+    assert got == {("https://a/", "https://b/"), ("https://b/", "https://a/")}
+    with_self = {(r.src, r.dst)
+                 for r in link_edges(pages, keep_self=True).collect()}
+    assert ("https://a/", "https://a/") in with_self
+
+
+def test_domain_edges_rollup(spark):
+    edges = spark.createDataFrame(
+        [("https://x.foo.com/1", "https://bar.co.uk/p"),
+         ("https://y.foo.com/2", "https://z.bar.co.uk/q"),
+         ("https://foo.com/3", "https://foo.com/4")],
+        "src string, dst string")
+    got = {(r.src_domain, r.dst_domain): r.n_links
+           for r in domain_edges(edges).collect()}
+    assert got == {("foo.com", "bar.co.uk"): 2, ("foo.com", "foo.com"): 1}
+
+
+def _ref_pagerank(edges, nodes, iterations, d):
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[idx[s]].append(idx[t])
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nr = np.full(n, (1.0 - d) / n)
+        dang = sum(r[i] for i in range(n) if not adj[i])
+        nr += d * dang / n
+        for i, ts in adj.items():
+            for t in ts:
+                nr[t] += d * r[i] / len(ts)
+        r = nr
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _hash_graph(n_nodes=24, seed="pr"):
+    """Deterministic digraph with dangling + isolated nodes + in-degree skew
+    (node 0 is a celebrity target)."""
+    import hashlib
+    nodes = [f"n{i}" for i in range(n_nodes)]
+    edges = []
+    for i in range(n_nodes - 4):  # last 4 nodes: dangling or isolated
+        h = hashlib.md5(f"{seed}-{i}".encode()).digest()
+        for k in range(1 + h[0] % 3):
+            j = h[k + 1] % n_nodes
+            if h[k + 4] % 3 == 0:
+                j = 0
+            if j != i:
+                edges.append((f"n{i}", f"n{j}"))
+    return nodes, sorted(set(edges))
+
+
+@pytest.mark.parametrize("iterations", [1, 7])
+def test_pagerank_matches_dense_reference(spark, iterations):
+    nodes, edges = _hash_graph()
+    e = spark.createDataFrame(edges, "src string, dst string")
+    nd = spark.createDataFrame([(n,) for n in nodes], "node string")
+    got = {r.node: r.rank
+           for r in pagerank(e, nodes=nd, iterations=iterations,
+                             truncate_every=3).collect()}
+    exp = _ref_pagerank(edges, nodes, iterations, 0.85)
+    assert set(got) == set(exp)
+    for n in nodes:
+        assert got[n] == pytest.approx(exp[n], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_two_node_cycle(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(e, iterations=20).collect()}
+    assert got["a"] == pytest.approx(0.5, abs=1e-12)
+    assert got["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_default_nodes_from_edges(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(e, iterations=3).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["b"] > got["a"]
+
+
+def test_pagerank_validations(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.5)
+    empty = e.where("1=0")
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(empty)
