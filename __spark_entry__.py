@@ -762,6 +762,74 @@ r{it} AS (
             f"\nSELECT node, round(rank, 7) AS rank FROM r{PR_ITERS}")
 
 
+HB_T = 4
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall over the injected-link graph: HLL-approximate in-ball
+    sizes and radius-HB_T-truncated harmonic centrality for every page.
+    4dp rounding absorbs float summation order; the register protocol
+    itself (md5 low-60 hash, m=64, rho over the 54-bit window) is integer-
+    exact in both engines, so the oracle replays the ENTIRE algorithm —
+    init, HB_T union rounds, estimator, harmonic accumulation — in SQL."""
+    from patapsco_spark.operators.linkgraph import hyperball, link_edges
+
+    pages = _link_pages(spark)
+    out = hyperball(link_edges(pages), nodes=pages.select("url"), t=HB_T)
+    return out.select("node",
+                      F.round("reach_est", 4).alias("reach_est"),
+                      F.round("harmonic", 4).alias("harmonic"))
+
+
+def _hyperball_sql() -> str:
+    """HyperBall unrolled as CTEs: sparse (node, j, r) register rows,
+    register-wise max per round = HLL union, same literal constants as
+    operators.linkgraph (alpha_64*m^2 = 2904.064, small-range threshold
+    160, rho_max 55)."""
+    est = """
+SELECT node, {t} AS t,
+       CASE WHEN 2904.064 / ((64.0 - count(*)) + sum(pow(2.0, -r))) <= 160.0
+             AND count(*) < 64
+            THEN 64.0 * ln(64.0 / (64 - count(*)))
+            ELSE 2904.064 / ((64.0 - count(*)) + sum(pow(2.0, -r))) END AS est
+FROM {src} GROUP BY node"""
+    parts = [_link_edges_sql().lstrip(), """
+nodes AS (SELECT url AS node FROM urls),
+h0 AS (SELECT node, ('0x' || substr(md5(node), 1, 15))::BIGINT AS h
+       FROM nodes),
+g0 AS (SELECT node, (h % 64)::INT AS j,
+              (CASE WHEN h // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(h // 64)) END)::INT AS r
+       FROM h0)""",
+             "e0 AS (" + est.format(t=0, src="g0") + ")"]
+    for k in range(1, HB_T + 1):
+        p = f"g{k - 1}"
+        parts.append(f"""
+g{k} AS (
+  SELECT node, j, max(r) AS r FROM (
+    SELECT e.dst AS node, c.j, c.r
+    FROM {p} c JOIN edges e ON e.src = c.node
+    UNION ALL SELECT node, j, r FROM {p}
+  ) GROUP BY node, j
+)""")
+        parts.append(f"e{k} AS (" + est.format(t=k, src=f"g{k}") + ")")
+    union = " UNION ALL ".join(f"SELECT * FROM e{k}"
+                               for k in range(HB_T + 1))
+    return ("WITH " + ",".join(parts) + f""",
+allest AS ({union}),
+deltas AS (
+  SELECT node, t, est,
+         lag(est) OVER (PARTITION BY node ORDER BY t) AS prev
+  FROM allest
+)
+SELECT node,
+       round(max(CASE WHEN t = {HB_T} THEN est END), 4) AS reach_est,
+       round(sum(CASE WHEN t >= 1
+                      THEN greatest(0.0, est - prev) / t END), 4)
+       AS harmonic
+FROM deltas GROUP BY node""")
+
+
 def _stage_warc_expected() -> str:
     """Expected warc_ingest output, computed driver-side in pure pandas
     straight from the synthesized corpus (no WARC serialize/parse in the
@@ -1034,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
+        "harmonic_centrality": q_harmonic_centrality,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
@@ -2039,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": ("WITH " + _link_edges_sql().lstrip() +
                        "\nSELECT src, dst FROM edges"),
         "pagerank": _pagerank_sql(),
+        "harmonic_centrality": _hyperball_sql(),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

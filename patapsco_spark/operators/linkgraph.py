@@ -42,7 +42,7 @@ from typing import Iterator
 from urllib.parse import urljoin
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _RE_HREF = re.compile(
     rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I)
@@ -104,6 +104,14 @@ def domain_edges(edges: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_links")))
 
 
+def _vertex_set(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    if nodes is None:
+        return (edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst").alias("node")))
+                .distinct())
+    return nodes.toDF("node")
+
+
 def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
              iterations: int = 10, damping: float = 0.85,
              truncate_every: int = 4) -> DataFrame:
@@ -120,13 +128,11 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 <= damping <= 1.0:
         raise ValueError(f"damping must be in [0, 1], got {damping}")
-    edges = edges.select("src", "dst")
-    if nodes is None:
-        nodes = (edges.select(F.col("src").alias("node"))
-                 .union(edges.select(F.col("dst").alias("node")))
-                 .distinct())
-    else:
-        nodes = nodes.toDF("node")
+    # pin the edge table once — without this, an expensive upstream lineage
+    # (e.g. anchor extraction) would re-execute inside EVERY iteration's
+    # contribution join
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = _vertex_set(edges, nodes)
     # one shuffle up front; the per-iteration contribution join then reuses
     # this partitioning on the edge side (no edge re-shuffle in the loop)
     nodes = nodes.repartition("node").localCheckpoint(eager=False)
@@ -156,3 +162,118 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
         if (it + 1) % truncate_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (Boldi & Vigna 2013): neighborhood function + harmonic centrality
+# ---------------------------------------------------------------------------
+
+# Fixed HLL layout shared with the SQL oracle: m=64 registers (b=6), node
+# hash = low 60 bits of md5 (15 hex chars — engine-portable, unlike
+# xxhash64 which DuckDB lacks), register index = h mod 64, rank rho =
+# leading-zero count of the remaining 54-bit window + 1 (so rho in
+# [1, 55]). alpha_64 * m^2 = 0.709 * 4096, written as the literal both
+# engines parse to the same double.
+HB_M = 64
+HB_ALPHA_M2 = 2904.064
+HB_RHO_MAX = 55
+
+
+def _hb_init(nodes: DataFrame) -> DataFrame:
+    """One (node, j, r) register row per node — the HLL counter of {node}.
+    Absent (node, j) pairs mean register value 0 (sparse representation:
+    early-iteration counters hold few registers, so the per-iteration
+    shuffle carries only live registers, never m * |V| rows)."""
+    h = F.conv(F.substring(F.md5("node"), 1, 15), 16, 10).cast("long")
+    return (nodes
+            .select("node", h.alias("h"))
+            .select("node",
+                    (F.col("h") % HB_M).cast("int").alias("j"),
+                    F.when(F.expr(f"h div {HB_M}") == 0,
+                           F.lit(HB_RHO_MAX))
+                    .otherwise(F.lit(HB_RHO_MAX) -
+                               F.length(F.bin(F.expr(f"h div {HB_M}"))))
+                    .cast("int").alias("r")))
+
+
+def _hb_estimate(regs: DataFrame, t: int) -> DataFrame:
+    """Sparse registers → per-node HLL cardinality estimate at radius t
+    (raw estimator with the standard linear-counting small-range
+    correction; identical literal constants in the SQL oracle)."""
+    agg = regs.groupBy("node").agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sumpow"))
+    z = (F.lit(float(HB_M)) - F.col("cnt")) + F.col("sumpow")
+    raw = F.lit(HB_ALPHA_M2) / z
+    small = F.lit(float(HB_M)) * F.log(
+        F.lit(float(HB_M)) / (F.lit(float(HB_M)) - F.col("cnt")))
+    est = F.when((raw <= F.lit(2.5 * HB_M)) & (F.col("cnt") < HB_M),
+                 small).otherwise(raw)
+    return agg.select("node", F.lit(t).alias("t"), est.alias("est"))
+
+
+def hyperball(edges: DataFrame, nodes: DataFrame | None = None,
+              t: int = 4, direction: str = "in") -> DataFrame:
+    """HyperBall: HLL-approximate neighborhood function and t-truncated
+    harmonic centrality for every node — the algorithm behind Common
+    Crawl's published host rankings (Boldi & Vigna, "In-Core Computation
+    of Geometric Centralities with HyperBall", 2013).
+
+    ``direction="in"`` grows balls along REVERSED edges, so after round
+    k a node's counter holds {u : d(u→node) <= k} and
+
+        harmonic(v) = sum_{k=1..t} max(0, |B(v,k)| - |B(v,k-1)|) / k
+
+    is the harmonic centrality truncated at radius t (the full sum once t
+    reaches the graph diameter). ``direction="out"`` gives forward
+    reachability counts instead.
+
+    Scale shape: counters are sparse (node, j, r) register rows; one
+    iteration = one join (counters flow along edges) + one
+    map-side-combinable (node, j) max — register-wise max IS the HLL
+    union, so no counter ever materializes as a blob, and in-degree skew
+    is absorbed by partial aggregation exactly like a word count. Registers
+    are eagerly localCheckpoint-ed per round (the fixed-point-loop lineage
+    rule). Unlike exact distributed BFS the state is O(|V| * m) bounded —
+    the property that lets the real HyperBall rank 10^12-node graphs.
+
+    Returns (node, reach_est, harmonic): the |B(v,t)| estimate and the
+    truncated harmonic centrality. Estimates are deterministic functions
+    of the register protocol (md5-derived, partitioning-independent) —
+    pinned against a pure-Python reference in tests and replayed in SQL
+    by the harmonic_centrality oracle.
+    """
+    if t < 1:
+        raise ValueError(f"t must be >= 1, got {t}")
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction must be 'in' or 'out', got {direction!r}")
+    edges = edges.select("src", "dst")
+    # counters flow src→dst below, so with ORIGINAL edges a node's counter
+    # accumulates exactly the nodes that can REACH it — the in-ball. The
+    # out-ball (forward reachability) needs the transpose.
+    if direction == "out":
+        edges = edges.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
+    # counters flow src -> dst each round; pin the edge lineage once
+    edges = edges.localCheckpoint(eager=False)
+    nodes = _vertex_set(edges, nodes)
+    regs = _hb_init(nodes).localCheckpoint(eager=True)
+    ests = [_hb_estimate(regs, 0)]
+    for k in range(1, t + 1):
+        inc = (edges.join(regs.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"), "j", "r"))
+        regs = (regs.unionByName(inc)
+                .groupBy("node", "j").agg(F.max("r").alias("r"))
+                .localCheckpoint(eager=True))
+        ests.append(_hb_estimate(regs, k))
+    allest = ests[0]
+    for e in ests[1:]:
+        allest = allest.unionByName(e)
+    w = Window.partitionBy("node").orderBy("t")
+    deltas = allest.withColumn("prev", F.lag("est").over(w))
+    return (deltas.groupBy("node").agg(
+        F.max(F.when(F.col("t") == t, F.col("est"))).alias("reach_est"),
+        F.sum(F.when(F.col("t") >= 1,
+                     F.greatest(F.lit(0.0),
+                                F.col("est") - F.col("prev")) /
+                     F.col("t"))).alias("harmonic")))

@@ -134,3 +134,107 @@ def test_pagerank_validations(spark):
     empty = e.where("1=0")
     with pytest.raises(ValueError, match="empty graph"):
         pagerank(empty)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall
+# ---------------------------------------------------------------------------
+
+import hashlib
+import math
+
+from patapsco_spark.operators.linkgraph import hyperball
+
+
+def _ref_hyperball(edges, nodes, t, direction="in"):
+    """Pure-Python replay of the exact register protocol (m=64, md5 low-60
+    hash, rho over the 54-bit window) — NOT an exact set count; estimates
+    must match the Spark output to float precision."""
+    if direction == "out":
+        edges = [(d, s) for s, d in edges]
+    succ = {}
+    for s, d in edges:
+        succ.setdefault(s, set()).add(d)
+
+    def init_regs(n):
+        h = int(hashlib.md5(n.encode()).hexdigest()[:15], 16)
+        j, w = h % 64, h // 64
+        return {j: 55 if w == 0 else 55 - w.bit_length()}
+
+    def estimate(regs):
+        cnt = len(regs)
+        z = (64.0 - cnt) + sum(2.0 ** -r for r in sorted(regs))
+        raw = 2904.064 / z
+        if raw <= 160.0 and cnt < 64:
+            return 64.0 * math.log(64.0 / (64 - cnt))
+        return raw
+
+    regs = {n: init_regs(n) for n in nodes}
+    ests = {n: [estimate(regs[n])] for n in nodes}
+    for _ in range(t):
+        new = {n: dict(regs[n]) for n in nodes}
+        for s, ds in succ.items():
+            if s not in regs:
+                continue
+            for d in ds:
+                tgt = new.setdefault(d, {})
+                for j, r in regs[s].items():
+                    tgt[j] = max(tgt.get(j, 0), r)
+        regs = new
+        for n in nodes:
+            ests[n].append(estimate(regs[n]))
+    out = {}
+    for n in nodes:
+        hc = sum(max(0.0, ests[n][k] - ests[n][k - 1]) / k
+                 for k in range(1, t + 1))
+        out[n] = (ests[n][t], hc)
+    return out
+
+
+@pytest.mark.parametrize("direction", ["in", "out"])
+def test_hyperball_matches_protocol_reference(spark, direction):
+    nodes, edges = _hash_graph()
+    e = spark.createDataFrame(edges, "src string, dst string")
+    nd = spark.createDataFrame([(n,) for n in nodes], "node string")
+    got = {r.node: (r.reach_est, r.harmonic)
+           for r in hyperball(e, nodes=nd, t=3,
+                              direction=direction).collect()}
+    exp = _ref_hyperball(edges, nodes, 3, direction=direction)
+    assert set(got) == set(exp)
+    for n in nodes:
+        assert got[n][0] == pytest.approx(exp[n][0], rel=1e-9)
+        assert got[n][1] == pytest.approx(exp[n][1], rel=1e-9)
+
+
+def test_hyperball_partitioning_independent(spark):
+    nodes, edges = _hash_graph(n_nodes=16)
+    nd = spark.createDataFrame([(n,) for n in nodes], "node string")
+    outs = []
+    for parts in (1, 7):
+        e = spark.createDataFrame(edges, "src string, dst string") \
+                 .repartition(parts)
+        outs.append({r.node: (round(r.reach_est, 9), round(r.harmonic, 9))
+                     for r in hyperball(e, nodes=nd, t=3).collect()})
+    assert outs[0] == outs[1]
+
+
+def test_hyperball_chain_growth(spark):
+    """a→b→c→d: the in-ball of d grows by one node per round and the
+    estimate tracks true cardinality closely in the linear-counting
+    regime (tiny sets, m=64)."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    got = {r.node: r for r in hyperball(e, t=3).collect()}
+    assert got["d"].reach_est == pytest.approx(4.0, rel=0.15)
+    assert got["a"].reach_est == pytest.approx(1.0, rel=0.10)
+    # harmonic(d) ~ 1/1 + 1/2 + 1/3; HLL noise stays well inside 25%
+    assert got["d"].harmonic == pytest.approx(1.8333, rel=0.25)
+    assert got["a"].harmonic == pytest.approx(0.0, abs=0.2)
+
+
+def test_hyperball_validations(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="t must be"):
+        hyperball(e, t=0)
+    with pytest.raises(ValueError, match="direction"):
+        hyperball(e, direction="sideways")
