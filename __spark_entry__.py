@@ -762,6 +762,92 @@ r{it} AS (
             f"\nSELECT node, round(rank, 7) AS rank FROM r{PR_ITERS}")
 
 
+def _stage_cdx_expected() -> str:
+    """Expected cdx_index rows (minus the surt key, which the oracle SQL
+    derives from the url — the rule under test), computed driver-side:
+    offsets by serializer arithmetic (cumulative record lengths per shard),
+    never by parsing. Keyed by the serializer+synthesis source."""
+    import inspect
+
+    import numpy as np
+    import pandas as pd
+
+    from patapsco_spark.sources import warc as _warc
+    from patapsco_spark.sources.webpages import _synth_batch
+
+    src = "".join(inspect.getsource(f) for f in (
+        _warc.record_bytes, _warc.records_to_warc_bytes, _synth_batch))
+    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"pspark_cdxexp_{WARC_N}_{key}.parquet")
+    if not os.path.exists(path):
+        shard_dir = _stage_warc_shards()
+        rows = []
+        per = WARC_N // WARC_FILES
+        for i in range(WARC_FILES):
+            pdf = _synth_batch(np.arange(i * per, (i + 1) * per))
+            fname = os.path.join(shard_dir, f"shard-{i:05d}.warc.gz")
+            off = 0
+            for r in pdf.itertuples(index=False):
+                rows.append({
+                    "url": r.url,
+                    "warc_iso": r.warc_ts.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "http_status": 200,
+                    "n_bytes": len(bytes(r.html)),
+                    "warc_file": fname,
+                    "warc_offset": off,
+                })
+                off += len(_warc.record_bytes(r.url, r.warc_ts,
+                                              bytes(r.html)))
+        out = pd.DataFrame(rows)
+        out["http_status"] = out["http_status"].astype("int32")
+        out["n_bytes"] = out["n_bytes"].astype("int64")
+        out["warc_offset"] = out["warc_offset"].astype("int64")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        out.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX lookup index over the staged crawl shards: distributed parse →
+    SURT keys → range-sorted (surt, warc_ts) rows with (file, offset)
+    record pointers. The oracle derives surt in SQL from the url and takes
+    offsets from serializer arithmetic, so both the key rule and the
+    parser's stream accounting are pinned."""
+    from patapsco_spark.operators.weburl import build_cdx
+    from patapsco_spark.sources.warc import read_warc
+
+    d = _stage_warc_shards()
+    cdx = build_cdx(read_warc(spark, os.path.join(d, "*.warc.gz")))
+    return cdx.select(
+        "surt",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("warc_iso"),
+        "url", "http_status", "n_bytes", "warc_file", "warc_offset")
+
+
+def _cdx_sql() -> str:
+    """SURT derived from the url with DuckDB string/list functions (the
+    synthesized urls exercise host reversal + path lowering; the query-
+    param and port policies are pinned by tests/test_weburl.py directly)."""
+    return f"""
+WITH exp AS (SELECT * FROM read_parquet('{_stage_cdx_expected()}')),
+surted AS (
+  SELECT array_to_string(
+           list_reverse(string_split(
+             regexp_replace(lower(regexp_extract(
+               url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)),
+               '^www\\.', ''), '.')), ',')
+         || ')' ||
+         lower(regexp_replace(regexp_extract(
+           url, '://[^/?#]*([^?#]*)', 1), '/+$', '')) AS surt,
+         warc_iso, url, http_status, n_bytes, warc_file, warc_offset
+  FROM exp
+)
+SELECT * FROM surted
+"""
+
+
 HB_T = 4
 
 
@@ -1103,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
+        "cdx_index": q_cdx_index,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
@@ -2109,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
                        "\nSELECT src, dst FROM edges"),
         "pagerank": _pagerank_sql(),
         "harmonic_centrality": _hyperball_sql(),
+        "cdx_index": _cdx_sql(),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

@@ -120,3 +120,40 @@ def dedup_by_canonical_url(pages: DataFrame, url_col: str = "url",
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn", "__canonical"))
+
+
+def surt(url: Column | str) -> Column:
+    """URL → SURT key (Sort-friendly URI Reordering Transform), the sort/
+    lookup key of CDX crawl indexes: host labels reversed and comma-joined,
+    then ``)`` and the lowercased path+query, e.g.
+    ``https://www.Example.com:443/A/b?q=1#f`` → ``com,example)/a/b?q=1``.
+
+    Policy (heritrix/pywb "massaged" SURT, the form Common Crawl's index
+    files sort by): scheme dropped, default AND explicit ports dropped,
+    ONE leading ``www.`` stripped (unlike canonicalize_url above — the
+    CDX key merges www/apex on purpose; the canonical URL does not),
+    fragment dropped, tracking params dropped + rest sorted (same query
+    policy as canonicalize_url), whole key lowercased. Pure Catalyst."""
+    canon = canonicalize_url(url)
+    host = F.regexp_replace(host_of(canon), r"^www\.", "")
+    pathq = F.lower(
+        F.regexp_extract(canon, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, F.lit(")"), pathq)
+
+
+def build_cdx(warc_df: DataFrame) -> DataFrame:
+    """WARC records (read_warc output) → the CDX lookup index: one row per
+    record keyed by (surt, warc_ts) with the (warc_file, warc_offset)
+    pointer that seeks straight back to the record. Globally range-sorted
+    on the key — ``repartitionByRange`` samples the key distribution so
+    hot domains spread across partitions instead of hashing into one, and
+    each output file is internally sorted: exactly the layout a binary-
+    search CDX reader (or a min/max-pruned parquet scan) needs."""
+    idx = warc_df.select(
+        surt(F.col("url")).alias("surt"),
+        "warc_ts", "url", "http_status", "content_type",
+        F.length("html").cast("long").alias("n_bytes"),
+        "warc_file", "warc_offset")
+    return (idx.repartitionByRange("surt", "warc_ts")
+            .sortWithinPartitions("surt", "warc_ts"))

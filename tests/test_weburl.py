@@ -128,3 +128,52 @@ class TestContamination:
         plan = ngram_contamination(docs, ev, n=3)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestSurtCdx:
+    def test_surt_rules(self, spark):
+        cases = [
+            ("https://www.Example.com:443/A/b?q=1#f", "com,example)/a/b?q=1"),
+            ("http://sub.Host.co.uk:80/", "uk,co,host,sub)"),
+            ("https://example.org/Path/?b=2&a=1&utm_source=x",
+             "org,example)/path?a=1&b=2"),
+            ("http://www.www.x.com/p", "com,x,www)/p"),  # ONE www stripped
+            ("https://example.org", "org,example)"),
+        ]
+        from patapsco_spark.operators.weburl import surt
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r[0] for r in df.select(surt("url")).collect()]
+        assert got == [e for _, e in cases]
+
+    def test_surt_is_pure_catalyst(self, spark):
+        from patapsco_spark.operators.weburl import surt
+        df = spark.createDataFrame([("https://a.b/c",)], "url string")
+        plan = df.select(surt("url"))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_build_cdx_sorted_with_pointers(self, spark, tmp_path):
+        import os
+        from patapsco_spark.operators.weburl import build_cdx
+        from patapsco_spark.sources.warc import read_warc, records_to_warc_bytes
+        from patapsco_spark.sources.webpages import _synth_batch
+        import numpy as np
+        pdf = _synth_batch(np.arange(12))
+        p = os.path.join(str(tmp_path), "s.warc.gz")
+        with open(p, "wb") as f:
+            f.write(records_to_warc_bytes(pdf))
+        cdx = build_cdx(read_warc(spark, p))
+        rows = cdx.collect()
+        assert len(rows) == 12
+        # pointer arithmetic: offsets are the cumulative record lengths
+        from patapsco_spark.sources.warc import record_bytes
+        offs, acc = {}, 0
+        for r in pdf.itertuples(index=False):
+            offs[r.url] = acc
+            acc += len(record_bytes(r.url, r.warc_ts, bytes(r.html)))
+        assert {r.url: r.warc_offset for r in rows} == offs
+        # each partition is internally sorted by the key
+        parts = cdx.rdd.glom().collect()
+        for part in parts:
+            keys = [(r.surt, r.warc_ts) for r in part]
+            assert keys == sorted(keys)
