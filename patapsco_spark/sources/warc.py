@@ -278,6 +278,44 @@ def _batched(recs: Iterator[dict]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+def _content_kernel(types: tuple[str, ...]):
+    """mapInPandas kernel over (path, content) whole-file rows."""
+    def from_content(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield from _batched(
+                    parse_warc_bytes(bytes(content), source=path,
+                                     types=types))
+    return from_content
+
+
+# binaryFile's fixed schema (streaming sources must state it up front)
+_BINARYFILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
+def read_warc_stream(spark: SparkSession, path_glob: str,
+                     types: tuple[str, ...] = ("response",)) -> DataFrame:
+    """Streaming WARC reader: a Structured Streaming DataFrame of records
+    from crawl shards as they LAND in a directory — the continuous-
+    ingestion front end for ``streaming.incremental.stream_index`` (new
+    .warc.gz file → parsed records → appended index shards, exactly-once
+    via the stream checkpoint + epoch manifests).
+
+    Built on the ``binaryFile`` file-stream source, so each discovered
+    shard arrives as one whole-file row (the streaming analogue of
+    ``mode="binary"``; 1 GB-class shards need the binaryFile maxLength cap
+    raised, same caveat as the batch path). File discovery, offset
+    tracking, and replay-on-failure are the source's checkpoint contract —
+    a shard is parsed exactly once per query lifetime."""
+    raw = (spark.readStream.format("binaryFile")
+           .schema(_BINARYFILE_SCHEMA)
+           .load(path_glob))
+    return raw.select("path", "content").mapInPandas(
+        _content_kernel(types), schema=WARC_SCHEMA)
+
+
 def read_warc(spark: SparkSession, paths, mode: str = "stream",
               types: tuple[str, ...] = ("response",),
               partitions: int | None = None) -> DataFrame:
@@ -299,17 +337,8 @@ def read_warc(spark: SparkSession, paths, mode: str = "stream",
         paths = [paths]
     if mode == "binary":
         df = spark.read.format("binaryFile").load(list(paths))
-
-        def from_content(batches: Iterator[pd.DataFrame]
-                         ) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                for path, content in zip(pdf["path"], pdf["content"]):
-                    yield from _batched(
-                        parse_warc_bytes(bytes(content), source=path,
-                                         types=types))
-
         return df.select("path", "content").mapInPandas(
-            from_content, schema=WARC_SCHEMA)
+            _content_kernel(types), schema=WARC_SCHEMA)
     if mode != "stream":
         raise ValueError(f"mode must be 'stream' or 'binary', got {mode!r}")
     files: list[str] = []

@@ -131,3 +131,62 @@ def test_warc_to_pages_filters_non_html(spark, tmp_path):
         f.write(records_to_warc_bytes(pdf))
     pages = warc_to_pages(read_warc(spark, p))
     assert pages.count() == 1  # png dropped by type, 404 by status
+
+
+def test_streaming_warc_ingestion(spark, tmp_path):
+    """Crawl shards landing in a directory → streaming parse →
+    incremental index appends, exactly once across restarts: the second
+    query run (same checkpoint) must index ONLY the newly-landed shard."""
+    from pyspark.sql import functions as F
+
+    from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
+    from patapsco_spark.operators.retrieve import search_texts
+    from patapsco_spark.plans import manifest as mf
+    from patapsco_spark.sources.warc import read_warc_stream, warc_to_pages
+    from patapsco_spark.streaming.incremental import stream_index
+
+    from patapsco_spark.operators.indexer import build_index
+
+    cfg = IndexConfig(text=TextConfig(stem=None, stopwords=None,
+                                      lowercase=True))
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    idx = str(tmp_path / "warcidx")
+    ckpt = str(tmp_path / "ckpt")
+    import numpy as np
+
+    # appends extend an existing index (a Lucene segment flush needs a
+    # directory); seed it with one doc
+    seed = spark.createDataFrame([("seed://0", "crawl seed page", "eng")],
+                                 "url string, text string, lang string")
+    build_index(spark, seed, idx, cfg, id_col="url", resume=False)
+
+    def land(shard_i, lo, hi):
+        pdf = _synth_batch(np.arange(lo, hi))
+        with open(feed / f"crawl-{shard_i:05d}.warc.gz", "wb") as f:
+            f.write(records_to_warc_bytes(pdf))
+        return pdf
+
+    def ingest():
+        stream = read_warc_stream(spark, str(feed) + "/*.warc.gz")
+        pages = warc_to_pages(stream).withColumn("lang", F.lit("eng"))
+        q = stream_index(spark, pages, idx, checkpoint=ckpt, cfg=cfg,
+                         id_col="url", text_col="text")
+        q.awaitTermination(180)
+
+    land(0, 0, 5)
+    ingest()
+    man1 = mf.read_manifest(idx)["config"]
+    assert man1["num_docs"] == 6
+
+    pdf2 = land(1, 5, 10)
+    ingest()
+    man2 = mf.read_manifest(idx)["config"]
+    assert man2["num_docs"] == 11  # exactly once: 11, not 6 + 10
+
+    # a shard-2 page is retrievable by a word from its own text
+    target = pdf2.iloc[2]
+    word = target["text"].split("\n")[1].split()[0]
+    res = search_texts(spark, idx, [("q", word)], RetrieveConfig(k=10),
+                       text_cfg=cfg.text)
+    assert target["url"] in {r.doc_id for r in res.collect()}
