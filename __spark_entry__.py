@@ -580,6 +580,16 @@ WEBPAGES_QUERIES = [("q1", "crawl web index"), ("q2", "stream window")]
 
 WARC_N, WARC_FILES = 240, 4
 
+def _stage_key(extra: str, *fns) -> str:
+    """Cache key for driver-side staged fixtures: md5 over the generating
+    functions' SOURCE plus every layout constant in ``extra`` — changing
+    either the code or the constants rebuilds instead of silently reusing
+    stale data."""
+    import inspect
+
+    src = "".join(inspect.getsource(f) for f in fns) + "|" + extra
+    return hashlib.md5(src.encode()).hexdigest()[:10]
+
 
 def _stage_warc_shards() -> str:
     """Synthesize WARC_FILES .warc.gz crawl shards (one gzip member per
@@ -588,7 +598,6 @@ def _stage_warc_shards() -> str:
     generating functions' source so a serializer/synthesis change rebuilds
     instead of silently reusing stale shards; staged to tmp + atomic rename
     (the loser of a concurrent race just discards its copy)."""
-    import inspect
     import shutil
 
     import numpy as np
@@ -596,9 +605,8 @@ def _stage_warc_shards() -> str:
     from patapsco_spark.sources import warc as _warc
     from patapsco_spark.sources.webpages import _synth_batch
 
-    src = "".join(inspect.getsource(f) for f in (
-        _warc.records_to_warc_bytes, _warc.record_bytes, _synth_batch))
-    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    key = _stage_key(f"{WARC_N}/{WARC_FILES}", _warc.records_to_warc_bytes,
+                     _warc.record_bytes, _synth_batch)
     d = os.path.join(tempfile.gettempdir(), f"pspark_warc_{WARC_N}_{key}")
     if not os.path.exists(os.path.join(d, "_STAGED")):
         tmp = f"{d}.tmp-{os.getpid()}"
@@ -767,17 +775,15 @@ def _stage_cdx_expected() -> str:
     derives from the url — the rule under test), computed driver-side:
     offsets by serializer arithmetic (cumulative record lengths per shard),
     never by parsing. Keyed by the serializer+synthesis source."""
-    import inspect
-
     import numpy as np
     import pandas as pd
 
     from patapsco_spark.sources import warc as _warc
     from patapsco_spark.sources.webpages import _synth_batch
 
-    src = "".join(inspect.getsource(f) for f in (
-        _warc.record_bytes, _warc.records_to_warc_bytes, _synth_batch))
-    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    key = _stage_key(f"{WARC_N}/{WARC_FILES}", _stage_cdx_expected,
+                     _warc.record_bytes, _warc.records_to_warc_bytes,
+                     _synth_batch)
     path = os.path.join(tempfile.gettempdir(),
                         f"pspark_cdxexp_{WARC_N}_{key}.parquet")
     if not os.path.exists(path):
@@ -797,8 +803,13 @@ def _stage_cdx_expected() -> str:
                     "warc_file": fname,
                     "warc_offset": off,
                 })
-                off += len(_warc.record_bytes(r.url, r.warc_ts,
-                                              bytes(r.html)))
+                # gzip shards: pointers are COMPRESSED member offsets (the
+                # CDX contract — seek there and inflate); one member per
+                # record in this layout, so cumulative member lengths
+                import gzip as _gzip
+                off += len(_gzip.compress(
+                    _warc.record_bytes(r.url, r.warc_ts, bytes(r.html)),
+                    mtime=0))
         out = pd.DataFrame(rows)
         out["http_status"] = out["http_status"].astype("int32")
         out["n_bytes"] = out["n_bytes"].astype("int64")
@@ -920,15 +931,12 @@ def _stage_warc_expected() -> str:
     """Expected warc_ingest output, computed driver-side in pure pandas
     straight from the synthesized corpus (no WARC serialize/parse in the
     loop), parqueted for DuckDB."""
-    import inspect
-
     import numpy as np
     import pandas as pd
 
     from patapsco_spark.sources.webpages import _synth_batch
 
-    src = inspect.getsource(_synth_batch)
-    key = hashlib.md5(src.encode()).hexdigest()[:10]
+    key = _stage_key(f"{WARC_N}/{WARC_FILES}", _synth_batch)
     path = os.path.join(tempfile.gettempdir(),
                         f"pspark_warcexp_{WARC_N}_{key}.parquet")
     if not os.path.exists(path):

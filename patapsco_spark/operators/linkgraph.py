@@ -104,17 +104,34 @@ def domain_edges(edges: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("n_links")))
 
 
-def _vertex_set(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
+def _vertex_set(edges: DataFrame, nodes: DataFrame | None,
+                validate: bool = True) -> DataFrame:
+    """Vertex frame; an EXPLICIT nodes set must cover every edge endpoint —
+    a silently-smaller set would drop rank mass / leak registers to
+    uninitialized nodes, so it is an error, not a filter. ``validate=False``
+    skips the one-off anti-join check when the caller guarantees coverage."""
     if nodes is None:
         return (edges.select(F.col("src").alias("node"))
                 .union(edges.select(F.col("dst").alias("node")))
                 .distinct())
-    return nodes.toDF("node")
+    nodes = nodes.toDF("node")
+    if validate:
+        endpoints = (edges.select(F.col("src").alias("node"))
+                     .union(edges.select(F.col("dst").alias("node"))))
+        missing = (endpoints.join(nodes, "node", "left_anti")
+                   .limit(1).collect())
+        if missing:
+            raise ValueError(
+                f"nodes set does not cover edge endpoint "
+                f"{missing[0].node!r}; pass the full vertex set (or "
+                f"validate=False only when coverage is guaranteed)")
+    return nodes
 
 
 def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
              iterations: int = 10, damping: float = 0.85,
-             truncate_every: int = 4) -> DataFrame:
+             truncate_every: int = 4,
+             validate_nodes: bool = True) -> DataFrame:
     """Damped PageRank over a (src, dst) edge table → (node, rank).
 
     ``nodes``: 1-column frame of the full vertex set; defaults to the union
@@ -132,7 +149,7 @@ def pagerank(edges: DataFrame, nodes: DataFrame | None = None,
     # (e.g. anchor extraction) would re-execute inside EVERY iteration's
     # contribution join
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
-    nodes = _vertex_set(edges, nodes)
+    nodes = _vertex_set(edges, nodes, validate=validate_nodes)
     # one shuffle up front; the per-iteration contribution join then reuses
     # this partitioning on the edge side (no edge re-shuffle in the loop)
     nodes = nodes.repartition("node").localCheckpoint(eager=False)
@@ -213,7 +230,8 @@ def _hb_estimate(regs: DataFrame, t: int) -> DataFrame:
 
 
 def hyperball(edges: DataFrame, nodes: DataFrame | None = None,
-              t: int = 4, direction: str = "in") -> DataFrame:
+              t: int = 4, direction: str = "in",
+              validate_nodes: bool = True) -> DataFrame:
     """HyperBall: HLL-approximate neighborhood function and t-truncated
     harmonic centrality for every node — the algorithm behind Common
     Crawl's published host rankings (Boldi & Vigna, "In-Core Computation
@@ -256,7 +274,7 @@ def hyperball(edges: DataFrame, nodes: DataFrame | None = None,
                              F.col("src").alias("dst"))
     # counters flow src -> dst each round; pin the edge lineage once
     edges = edges.localCheckpoint(eager=False)
-    nodes = _vertex_set(edges, nodes)
+    nodes = _vertex_set(edges, nodes, validate=validate_nodes)
     regs = _hb_init(nodes).localCheckpoint(eager=True)
     ests = [_hb_estimate(regs, 0)]
     for k in range(1, t + 1):

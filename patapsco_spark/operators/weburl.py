@@ -133,11 +133,16 @@ def surt(url: Column | str) -> Column:
     ONE leading ``www.`` stripped (unlike canonicalize_url above — the
     CDX key merges www/apex on purpose; the canonical URL does not),
     fragment dropped, tracking params dropped + rest sorted (same query
-    policy as canonicalize_url), whole key lowercased. Pure Catalyst."""
-    canon = canonicalize_url(url)
+    policy as canonicalize_url), whole key lowercased. The lowering happens
+    BEFORE canonicalization so the query-param sort is case-insensitive —
+    otherwise '?B=2&a=1' and '?b=2&a=1' would sort differently and produce
+    two keys for captures the lowercased key exists to merge. Pure
+    Catalyst."""
+    u = F.col(url) if isinstance(url, str) else url
+    canon = canonicalize_url(F.lower(u))
     host = F.regexp_replace(host_of(canon), r"^www\.", "")
-    pathq = F.lower(
-        F.regexp_extract(canon, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1))
+    pathq = F.regexp_extract(
+        canon, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*(.*)$", 1)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.concat(rev, F.lit(")"), pathq)
 

@@ -78,7 +78,8 @@ def record_bytes(url: str, ts, html: bytes, http_status: int = 200,
                  content_type: str = "text/html; charset=UTF-8") -> bytes:
     """One WARC response record (uncompressed): WARC headers + an HTTP/1.1
     response block, framed per ISO 28500 (Content-Length counts the block;
-    two CRLFs terminate the record)."""
+    two CRLFs terminate the record). Headers are utf-8 — the spec's
+    encoding — so IRI target urls serialize instead of crashing."""
     http = (f"HTTP/1.1 {http_status} OK\r\n"
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
@@ -91,7 +92,7 @@ def record_bytes(url: str, ts, html: bytes, http_status: int = 200,
         f"WARC-Date: {_warc_date(ts)}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
-        f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+        f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
     return head + http + b"\r\n\r\n"
 
 
@@ -193,8 +194,10 @@ def parse_warc_stream(stream, source: str = "<stream>",
             if not sep:
                 raise ValueError(
                     f"{source}: malformed WARC header line {ln[:60]!r}")
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1"))
+            # WARC headers are utf-8 (ISO 28500 §4); replace, don't crash,
+            # on stray bytes
+            headers[k.strip().decode("utf-8", errors="replace").lower()] = (
+                v.strip().decode("utf-8", errors="replace"))
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as e:
@@ -216,8 +219,13 @@ def parse_warc_stream(stream, source: str = "<stream>",
             continue
         ts = None
         if "warc-date" in headers:
-            ts = datetime.strptime(
-                headers["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+            # WARC/1.0 second precision and WARC/1.1 fractional/offset
+            # forms are all valid — fromisoformat covers both; normalize
+            # to naive UTC
+            ts = datetime.fromisoformat(
+                headers["warc-date"].replace("Z", "+00:00"))
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
         status, ctype, body = (None, None, block)
         if headers.get("content-type", "").startswith("application/http"):
             status, ctype, body = _parse_http_block(block)
@@ -233,33 +241,64 @@ def parse_warc_stream(stream, source: str = "<stream>",
         }
 
 
-def _open_maybe_gzip(raw) -> io.BufferedReader:
-    """Wrap a binary stream, transparently decoding multi-member gzip
-    (Python's GzipFile reads across concatenated members)."""
-    head = raw.peek(2)[:2] if hasattr(raw, "peek") else b""
-    if head == _GZIP_MAGIC:
-        return io.BufferedReader(gzip.GzipFile(fileobj=raw))
-    return raw if isinstance(raw, io.BufferedReader) else io.BufferedReader(raw)
+def _iter_gzip_members(stream, chunk_size: int = 1 << 20
+                       ) -> Iterator[tuple[int, bytes]]:
+    """Multi-member gzip → (member_start_raw_offset, decompressed_bytes)
+    per member. Incremental (``chunk_size`` raw bytes in flight), O(total
+    bytes) — and it yields the COMPRESSED offset of each member, which is
+    what a CDX pointer must store for a range read to work."""
+    raw_pos = 0
+    buf = b""
+    while True:
+        if not buf:
+            buf = stream.read(chunk_size)
+            if not buf:
+                return
+        start = raw_pos
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        while True:
+            out.append(d.decompress(buf))
+            if d.eof:
+                raw_pos += len(buf) - len(d.unused_data)
+                buf = d.unused_data
+                yield start, b"".join(out)
+                break
+            raw_pos += len(buf)
+            buf = stream.read(chunk_size)
+            if not buf:
+                raise ValueError("truncated gzip member")
+
+
+def parse_warc_auto(stream, source: str = "<stream>",
+                    types: tuple[str, ...] = ("response",)
+                    ) -> Iterator[dict]:
+    """Sniff plain vs gzip and parse. For gzip input, ``warc_offset`` is
+    the RAW (compressed) offset of the record's gzip member — seek there
+    and inflate to re-read the record, the CDX contract; with Common
+    Crawl's one-member-per-record layout every record gets its own
+    offset (records sharing a member share its start). Plain input keeps
+    byte offsets per record."""
+    if not hasattr(stream, "peek"):
+        stream = io.BufferedReader(stream)
+    if stream.peek(2)[:2] == _GZIP_MAGIC:
+        for start, data in _iter_gzip_members(stream):
+            for rec in parse_warc_stream(
+                    io.BufferedReader(io.BytesIO(data)),
+                    source=source, types=types):
+                rec["warc_offset"] = start
+                yield rec
+    else:
+        yield from parse_warc_stream(stream, source=source, types=types)
 
 
 def parse_warc_bytes(buf: bytes, source: str = "<bytes>",
                      types: tuple[str, ...] = ("response",)
                      ) -> Iterator[dict]:
-    """Parse a whole WARC file held in memory (plain or gzip)."""
-    if buf[:2] == _GZIP_MAGIC:
-        # one-shot multi-member inflate: faster than GzipFile's readline
-        # loop and the buffer is already resident anyway (binaryFile mode)
-        out, pos = [], 0
-        d = zlib.decompressobj(wbits=31)
-        while pos < len(buf):
-            out.append(d.decompress(buf[pos:]))
-            if not d.eof:
-                raise ValueError(f"{source}: truncated gzip member")
-            pos = len(buf) - len(d.unused_data)
-            d = zlib.decompressobj(wbits=31)
-        buf = b"".join(out)
-    yield from parse_warc_stream(io.BufferedReader(io.BytesIO(buf)),
-                                 source=source, types=types)
+    """Parse a whole WARC file held in memory (plain or gzip); same
+    offset semantics as :func:`parse_warc_auto`."""
+    yield from parse_warc_auto(io.BufferedReader(io.BytesIO(buf)),
+                               source=source, types=types)
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +317,16 @@ def _batched(recs: Iterator[dict]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+def _lineage_path(p: str) -> str:
+    """Normalize binaryFile's 'file:...' URIs to plain paths so warc_file
+    lineage is identical across stream/binary/streaming modes (and
+    directly open()-able); non-local schemes keep their URI."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+        return unquote(urlparse(p).path)
+    return p
+
+
 def _content_kernel(types: tuple[str, ...]):
     """mapInPandas kernel over (path, content) whole-file rows."""
     def from_content(batches: Iterator[pd.DataFrame]
@@ -285,7 +334,8 @@ def _content_kernel(types: tuple[str, ...]):
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 yield from _batched(
-                    parse_warc_bytes(bytes(content), source=path,
+                    parse_warc_bytes(bytes(content),
+                                     source=_lineage_path(path),
                                      types=types))
     return from_content
 
@@ -356,10 +406,12 @@ def read_warc(spark: SparkSession, paths, mode: str = "stream",
             for path in b["path"]:
                 with open(path, "rb") as raw:
                     yield from _batched(
-                        parse_warc_stream(_open_maybe_gzip(raw),
-                                          source=path, types=types))
+                        parse_warc_auto(raw, source=path, types=types))
 
-    return (pdf.repartition(parts, "path")
+    # round-robin, NOT hash-on-path: with ~as many files as partitions,
+    # hashing leaves ~1/e of tasks empty and stacks multiple 1 GB shards
+    # on others (balls into bins); round-robin deals one-ish file per task
+    return (pdf.repartition(parts)
             .mapInPandas(from_paths, schema=WARC_SCHEMA))
 
 

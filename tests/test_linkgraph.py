@@ -238,3 +238,12 @@ def test_hyperball_validations(spark):
         hyperball(e, t=0)
     with pytest.raises(ValueError, match="direction"):
         hyperball(e, direction="sideways")
+
+
+def test_nodes_must_cover_endpoints(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    partial = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="does not cover"):
+        pagerank(e, nodes=partial, iterations=1)
+    with pytest.raises(ValueError, match="does not cover"):
+        hyperball(e, nodes=partial, t=1)

@@ -190,3 +190,59 @@ def test_streaming_warc_ingestion(spark, tmp_path):
     res = search_texts(spark, idx, [("q", word)], RetrieveConfig(k=10),
                        text_cfg=cfg.text)
     assert target["url"] in {r.doc_id for r in res.collect()}
+
+
+def test_gzip_offsets_are_seekable_member_starts(tmp_path):
+    """A CDX-style consumer must be able to seek to warc_offset in the
+    RAW .warc.gz and inflate exactly that record."""
+    pdf = _pages(5)
+    buf = records_to_warc_bytes(pdf, compress=True)
+    recs = list(parse_warc_bytes(buf, source="t"))
+    assert len(recs) == 5
+    for r in recs:
+        member = buf[r["warc_offset"]:]
+        raw = gzip.decompress(member[:member.find(b"\x1f\x8b", 2)]
+                              if b"\x1f\x8b" in member[2:] else member)
+        (got,) = list(parse_warc_bytes(raw, source="m"))
+        assert got["url"] == r["url"]
+
+
+def test_unicode_url_roundtrip():
+    ts = pd.Timestamp("2021-03-04 05:06:07")
+    buf = record_bytes("https://example.org/café/中文", ts,
+                       b"<p>x</p>")
+    (rec,) = list(parse_warc_bytes(buf, source="t"))
+    assert rec["url"] == "https://example.org/café/中文"
+
+
+def test_warc11_fractional_and_offset_dates():
+    import datetime
+    for raw_date, exp in [
+        (b"2024-05-01T12:00:00.123456Z",
+         datetime.datetime(2024, 5, 1, 12, 0, 0, 123456)),
+        (b"2024-05-01T14:00:00+02:00",
+         datetime.datetime(2024, 5, 1, 12, 0, 0)),
+    ]:
+        buf = record_bytes("http://x/", pd.Timestamp("2020-01-01"), b"ok")
+        buf = buf.replace(b"2020-01-01T00:00:00Z", raw_date)
+        # fix the framing: header length changed
+        # (recompute via serializer is simpler: build by hand)
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        old_len = int([ln for ln in head.split(b"\r\n")
+                       if ln.startswith(b"Content-Length")][0].split(b":")[1])
+        (rec,) = list(parse_warc_stream(io.BufferedReader(io.BytesIO(buf)),
+                                        source="t"))
+        assert rec["warc_ts"] == exp and old_len > 0
+
+
+def test_lineage_paths_consistent_across_modes(spark, tmp_path):
+    _write_shards(tmp_path, n_files=1, per_file=3)
+    glob = os.path.join(str(tmp_path), "*.warc.gz")
+    stream_files = {r.warc_file
+                    for r in read_warc(spark, glob, mode="stream").collect()}
+    binary_files = {r.warc_file
+                    for r in read_warc(spark, glob, mode="binary").collect()}
+    assert stream_files == binary_files
+    for p in binary_files:
+        assert not p.startswith("file:")
+        assert os.path.exists(p)

@@ -137,6 +137,8 @@ class TestSurtCdx:
             ("http://sub.Host.co.uk:80/", "uk,co,host,sub)"),
             ("https://example.org/Path/?b=2&a=1&utm_source=x",
              "org,example)/path?a=1&b=2"),
+            # param sort must be case-insensitive (lowering precedes sort)
+            ("https://example.org/p?B=2&a=1", "org,example)/p?a=1&b=2"),
             ("http://www.www.x.com/p", "com,x,www)/p"),  # ONE www stripped
             ("https://example.org", "org,example)"),
         ]
@@ -165,12 +167,15 @@ class TestSurtCdx:
         cdx = build_cdx(read_warc(spark, p))
         rows = cdx.collect()
         assert len(rows) == 12
-        # pointer arithmetic: offsets are the cumulative record lengths
+        # pointer arithmetic: offsets are cumulative COMPRESSED gzip-member
+        # lengths — the CDX contract (seek there + inflate = the record)
+        import gzip
         from patapsco_spark.sources.warc import record_bytes
         offs, acc = {}, 0
         for r in pdf.itertuples(index=False):
             offs[r.url] = acc
-            acc += len(record_bytes(r.url, r.warc_ts, bytes(r.html)))
+            acc += len(gzip.compress(
+                record_bytes(r.url, r.warc_ts, bytes(r.html)), mtime=0))
         assert {r.url: r.warc_offset for r in rows} == offs
         # each partition is internally sorted by the key
         parts = cdx.rdd.glom().collect()
