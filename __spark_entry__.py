@@ -862,6 +862,23 @@ SELECT * FROM surted
 HB_T = 4
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET product roundtrip: synthesize pages → distributed WET export
+    (one conversion-record shard per partition) → distributed parse back.
+    Oracle compares url + md5(text bytes) against the driver-side corpus
+    (no WET layer), pinning serializer, writer, and parser together."""
+    from patapsco_spark.sources.warc import read_warc, write_wet
+    from patapsco_spark.sources.webpages import synthesize_pages
+
+    pages = synthesize_pages(spark, WARC_N, partitions=WARC_FILES)
+    out = os.path.join(tempfile.gettempdir(), f"pspark_wet_{WARC_N}")
+    write_wet(pages.select("url", "warc_ts", "text"), out,
+              partitions=WARC_FILES)
+    back = read_warc(spark, os.path.join(out, "part-*.warc.wet.gz"),
+                     types=("conversion",))
+    return back.select("url", F.md5("html").alias("text_md5"))
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall over the injected-link graph: HLL-approximate in-ball
     sizes and radius-HB_T-truncated harmonic centrality for every page.
@@ -1198,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
         "cdx_index": q_cdx_index,
+        "wet_export": q_wet_export,
         "media_stats": q_media_stats,
         "frame_samples": q_frame_samples,
         "image_resize_meta": q_image_resize_meta,
@@ -2205,6 +2223,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(),
         "harmonic_centrality": _hyperball_sql(),
         "cdx_index": _cdx_sql(),
+        "wet_export": (
+            "SELECT url, text_md5 "
+            f"FROM read_parquet('{_stage_warc_expected()}')"),
         "token_stats": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents)
 SELECT d.doc_id,

@@ -441,3 +441,75 @@ def warc_to_pages(warc_df: DataFrame, extract: bool = True) -> DataFrame:
     return base.mapInPandas(
         run, schema=("url string, warc_ts timestamp, html binary, "
                      "text string, lang string"))
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the WARC-family text product
+# ---------------------------------------------------------------------------
+
+def conversion_record_bytes(url: str, ts, text: str) -> bytes:
+    """One WARC 'conversion' record (the WET layout): text/plain block
+    holding the extracted text, WARC-Refers-To the source response record
+    (derived from the url exactly like record_bytes' record id)."""
+    import hashlib
+    body = text.encode("utf-8")
+    rid = hashlib.md5(url.encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid[:16]}{rid[16:]}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def pages_to_wet_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
+    """Rows (url, warc_ts, text) → one WET file's bytes (one gzip member
+    per record when compressed, like the WARC serializer)."""
+    out = io.BytesIO()
+    for row in pdf.itertuples(index=False):
+        raw = conversion_record_bytes(row.url, row.warc_ts, row.text or "")
+        out.write(gzip.compress(raw, mtime=0) if compress else raw)
+    return out.getvalue()
+
+
+def write_wet(pages: DataFrame, out_dir: str,
+              partitions: int | None = None) -> list[dict]:
+    """Distributed WET export: one ``part-NNNNN.warc.wet.gz`` per partition
+    of (url, warc_ts, text) rows, written task-side with bounded memory.
+    Returns the per-file manifest [(path, n_records, n_bytes), ...] — the
+    action that materializes the write (collecting one row per FILE, not
+    per record). Local/POSIX-reachable out_dir (same reach contract as
+    read_warc's stream mode)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = pages.select("url", "warc_ts", "text")
+    if partitions:
+        df = df.repartition(partitions)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n_rec = n_bytes = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                buf = pages_to_wet_bytes(pdf)
+                f.write(buf)
+                n_rec += len(pdf)
+                n_bytes += len(buf)
+        if n_rec == 0:
+            _os.remove(path)  # no empty shards
+            return
+        yield pd.DataFrame([{"path": path, "n_records": n_rec,
+                             "n_bytes": n_bytes}])
+
+    man = df.mapInPandas(
+        dump, schema="path string, n_records long, n_bytes long").collect()
+    return [r.asDict() for r in man]

@@ -246,3 +246,28 @@ def test_lineage_paths_consistent_across_modes(spark, tmp_path):
     for p in binary_files:
         assert not p.startswith("file:")
         assert os.path.exists(p)
+
+
+def test_wet_roundtrip_and_distributed_write(spark, tmp_path):
+    """pages → WET conversion records → parse back: text byte-identical;
+    the distributed writer's manifest accounts for every record."""
+    from patapsco_spark.sources.warc import (pages_to_wet_bytes, write_wet)
+
+    pdf = _pages(6)
+    buf = pages_to_wet_bytes(pdf[["url", "warc_ts", "text"]])
+    recs = list(parse_warc_bytes(buf, source="t", types=("conversion",)))
+    assert [r["url"] for r in recs] == list(pdf["url"])
+    assert [bytes(r["html"]).decode() for r in recs] == list(pdf["text"])
+
+    pages = spark.createDataFrame(pdf[["url", "warc_ts", "text"]])
+    out = str(tmp_path / "wet")
+    man = write_wet(pages, out, partitions=3)
+    assert sum(m["n_records"] for m in man) == 6
+    assert all(m["path"].endswith(".warc.wet.gz") for m in man)
+    got = {}
+    for m in man:
+        with open(m["path"], "rb") as f:
+            for r in parse_warc_bytes(f.read(), source=m["path"],
+                                      types=("conversion",)):
+                got[r["url"]] = bytes(r["html"]).decode()
+    assert got == dict(zip(pdf["url"], pdf["text"]))
