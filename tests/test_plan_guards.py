@@ -175,3 +175,56 @@ def test_round5_text_ops_are_pure_catalyst(spark):
     for frame in frames:
         plan = _plan(frame)
         assert not any(n in plan for n in udf_nodes), plan
+
+
+def test_cdx_index_is_range_partitioned(spark):
+    """build_cdx must sample-range-partition on the key (hot domains spread
+    across partitions), never hash — and sort within partitions."""
+    from patapsco_spark.operators.weburl import build_cdx
+    warcish = spark.createDataFrame(
+        [("https://a/x", None, "response", 200, "text/html", b"x", "f", 0)],
+        ("url string, warc_ts timestamp, warc_type string, http_status int,"
+         " content_type string, html binary, warc_file string,"
+         " warc_offset long"))
+    plan = _plan(build_cdx(warcish))
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+
+
+def test_surt_and_domain_rollup_stay_jvm_side(spark):
+    from patapsco_spark.operators.linkgraph import domain_edges
+    from patapsco_spark.operators.weburl import surt
+    edges = spark.createDataFrame([("https://a/x", "https://b/y")],
+                                  "src string, dst string")
+    for df in (edges.select(surt("src")), domain_edges(edges)):
+        assert "EvalPython" not in _plan(df)
+
+
+def test_pagerank_iteration_has_no_driver_collect_jobs(spark):
+    """The dangling-mass fold must be a broadcast cross join inside the
+    plan: building 3 iterations must launch only the vertex-count and
+    validation jobs, never one job per iteration."""
+    from patapsco_spark.operators.linkgraph import pagerank
+    e = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                              "src string, dst string")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ranks = pagerank(e, iterations=3, truncate_every=10)  # no checkpoints
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # localCheckpoint(lazy) defers; n_nodes count() is the only required
+    # action while BUILDING the plan (plus the lazy checkpoint jobs Spark
+    # may run on first use) — allow a small constant, not one per iteration
+    assert after - before <= 4
+    plan = _plan(ranks)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hyperball_round_is_partial_aggregated(spark):
+    """The register-wise max per round must run as partial+final
+    HashAggregate (map-side combine absorbs in-degree skew)."""
+    from patapsco_spark.operators.linkgraph import hyperball
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    plan = _plan(hyperball(e, t=1))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan or "partial" in plan.lower()
