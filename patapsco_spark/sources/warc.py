@@ -476,18 +476,18 @@ def pages_to_wet_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
     return out.getvalue()
 
 
-def write_wet(pages: DataFrame, out_dir: str,
-              partitions: int | None = None) -> list[dict]:
-    """Distributed WET export: one ``part-NNNNN.warc.wet.gz`` per partition
-    of (url, warc_ts, text) rows, written task-side with bounded memory.
-    Returns the per-file manifest [(path, n_records, n_bytes), ...] — the
-    action that materializes the write (collecting one row per FILE, not
-    per record). Local/POSIX-reachable out_dir (same reach contract as
-    read_warc's stream mode)."""
+def _write_record_shards(df: DataFrame, out_dir: str, suffix: str,
+                         to_bytes, partitions: int | None) -> list[dict]:
+    """Shared distributed shard writer: one ``part-NNNNN.{suffix}`` per
+    partition, written task-side with bounded memory (each Arrow batch is
+    serialized and flushed, never the whole partition). Returns the
+    per-file manifest [(path, n_records, n_bytes), ...] — the action that
+    materializes the write (one collected row per FILE, not per record).
+    Local/POSIX-reachable out_dir (same reach contract as read_warc's
+    stream mode)."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    df = pages.select("url", "warc_ts", "text")
     if partitions:
         df = df.repartition(partitions)
 
@@ -496,11 +496,11 @@ def write_wet(pages: DataFrame, out_dir: str,
 
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        path = _os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        path = _os.path.join(out_dir, f"part-{pid:05d}.{suffix}")
         n_rec = n_bytes = 0
         with open(path, "wb") as f:
             for pdf in batches:
-                buf = pages_to_wet_bytes(pdf)
+                buf = to_bytes(pdf)
                 f.write(buf)
                 n_rec += len(pdf)
                 n_bytes += len(buf)
@@ -513,3 +513,67 @@ def write_wet(pages: DataFrame, out_dir: str,
     man = df.mapInPandas(
         dump, schema="path string, n_records long, n_bytes long").collect()
     return [r.asDict() for r in man]
+
+
+def write_wet(pages: DataFrame, out_dir: str,
+              partitions: int | None = None) -> list[dict]:
+    """Distributed WET export: conversion-record shards from
+    (url, warc_ts, text) rows. See :func:`_write_record_shards`."""
+    return _write_record_shards(pages.select("url", "warc_ts", "text"),
+                                out_dir, "warc.wet.gz", pages_to_wet_bytes,
+                                partitions)
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata records: per-page links + title as JSON) — the third
+# member of Common Crawl's WARC/WAT/WET product family
+# ---------------------------------------------------------------------------
+
+def metadata_record_bytes(url: str, ts, meta: dict) -> bytes:
+    """One WARC 'metadata' record: a canonical-JSON block (sorted keys,
+    minimal separators — deterministic bytes) describing the page."""
+    import hashlib
+    import json
+    body = json.dumps(meta, sort_keys=True,
+                      separators=(",", ":")).encode("utf-8")
+    rid = hashlib.md5(url.encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid[::-1]}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def pages_to_wat_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
+    """Rows (url, warc_ts, html) → one WAT file's bytes: per page, the
+    extracted outlinks (same anchor rules as the link-graph operator) and
+    <title> as a JSON metadata record."""
+    import re as _re
+
+    from ..operators.linkgraph import extract_links_series
+    links = extract_links_series(pdf["html"], pdf["url"])
+    title_re = _re.compile(rb"<title[^>]*>(.*?)</title>", _re.S | _re.I)
+    out = io.BytesIO()
+    for row, ls in zip(pdf.itertuples(index=False), links):
+        blob = bytes(row.html) if row.html is not None else b""
+        m = title_re.search(blob)
+        title = (m.group(1).decode("utf-8", errors="replace").strip()
+                 if m else "")
+        raw = metadata_record_bytes(
+            row.url, row.warc_ts, {"links": ls, "title": title, "url": row.url})
+        out.write(gzip.compress(raw, mtime=0) if compress else raw)
+    return out.getvalue()
+
+
+def write_wat(pages: DataFrame, out_dir: str,
+              partitions: int | None = None) -> list[dict]:
+    """Distributed WAT export: metadata-record shards from
+    (url, warc_ts, html) rows. See :func:`_write_record_shards`."""
+    return _write_record_shards(pages.select("url", "warc_ts", "html"),
+                                out_dir, "warc.wat.gz", pages_to_wat_bytes,
+                                partitions)

@@ -271,3 +271,34 @@ def test_wet_roundtrip_and_distributed_write(spark, tmp_path):
                                       types=("conversion",)):
                 got[r["url"]] = bytes(r["html"]).decode()
     assert got == dict(zip(pdf["url"], pdf["text"]))
+
+
+def test_wat_roundtrip(spark, tmp_path):
+    """pages → WAT metadata records → parse: links match the anchor
+    extractor, title matches the <title> block, JSON bytes deterministic."""
+    import json
+
+    from patapsco_spark.operators.linkgraph import extract_links_series
+    from patapsco_spark.sources.warc import pages_to_wat_bytes, write_wat
+
+    pdf = _pages(4)
+    # inject anchors so links are non-trivial
+    pdf = pdf.assign(html=[
+        h.replace(b"</body>",
+                  f'<a href="https://t{i}.example/p">x</a></body>'.encode())
+        for i, h in enumerate(pdf["html"])])
+    buf = pages_to_wat_bytes(pdf)
+    assert buf == pages_to_wat_bytes(pdf)  # deterministic
+    recs = list(parse_warc_bytes(buf, source="t", types=("metadata",)))
+    assert [r["url"] for r in recs] == list(pdf["url"])
+    exp_links = extract_links_series(pdf["html"], pdf["url"])
+    for i, r in enumerate(recs):
+        meta = json.loads(bytes(r["html"]))
+        assert meta["links"] == exp_links[i]
+        assert meta["links"][-1] == f"https://t{i}.example/p"
+        assert meta["title"].startswith("Page ")
+
+    pages = spark.createDataFrame(pdf[["url", "warc_ts", "html"]])
+    man = write_wat(pages, str(tmp_path / "wat"), partitions=2)
+    assert sum(m["n_records"] for m in man) == 4
+    assert all(m["path"].endswith(".warc.wat.gz") for m in man)
