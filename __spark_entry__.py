@@ -702,8 +702,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _link_pages(spark)
     edges = link_edges(pages)
+    # coverage is guaranteed by construction (targets are pages), so skip
+    # the defensive endpoint anti-join — it would cost ~an extra iteration
     ranks = pagerank(edges, nodes=pages.select("url"),
-                     iterations=PR_ITERS, damping=PR_DAMP)
+                     iterations=PR_ITERS, damping=PR_DAMP,
+                     validate_nodes=False)
     return ranks.select("node", F.round("rank", 7).alias("rank"))
 
 
@@ -871,7 +874,12 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.sources.webpages import synthesize_pages
 
     pages = synthesize_pages(spark, WARC_N, partitions=WARC_FILES)
-    out = os.path.join(tempfile.gettempdir(), f"pspark_wet_{WARC_N}")
+    # per-call private dir: concurrent bench/oracle processes can never
+    # interleave into each other's shards, and a WARC_FILES change can't
+    # leave stale part files for the glob to pick up. The few-hundred-KB
+    # dir must outlive the returned (lazy) DataFrame, so it is not cleaned
+    # here — it dies with /tmp.
+    out = tempfile.mkdtemp(prefix=f"pspark_wet_{WARC_N}_")
     write_wet(pages.select("url", "warc_ts", "text"), out,
               partitions=WARC_FILES)
     back = read_warc(spark, os.path.join(out, "part-*.warc.wet.gz"),
@@ -889,7 +897,8 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.linkgraph import hyperball, link_edges
 
     pages = _link_pages(spark)
-    out = hyperball(link_edges(pages), nodes=pages.select("url"), t=HB_T)
+    out = hyperball(link_edges(pages), nodes=pages.select("url"), t=HB_T,
+                    validate_nodes=False)  # coverage by construction
     return out.select("node",
                       F.round("reach_est", 4).alias("reach_est"),
                       F.round("harmonic", 4).alias("harmonic"))

@@ -74,26 +74,43 @@ def _warc_date(ts) -> str:
     return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _record_id(url: str, wtype: str = "response") -> str:
+    """Deterministic per-(record-type, url) id — ISO 28500 requires record
+    ids be unique, so derived records (conversion/metadata) MUST NOT reuse
+    the response record's id they refer to."""
+    import hashlib
+    salt = "" if wtype == "response" else f"{wtype}:"
+    return hashlib.md5((salt + url).encode()).hexdigest()
+
+
+def _record(wtype: str, url: str, ts, ctype: str, block: bytes,
+            refers_to: str | None = None) -> bytes:
+    """One framed WARC record (uncompressed): shared header block + body +
+    the two terminating CRLFs. Headers are utf-8 — the spec's encoding —
+    so IRI target urls serialize instead of crashing."""
+    refers = (f"WARC-Refers-To: <urn:uuid:{refers_to}>\r\n"
+              if refers_to else "")
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{_record_id(url, wtype)}>\r\n"
+        f"{refers}"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n").encode("utf-8")
+    return head + block + b"\r\n\r\n"
+
+
 def record_bytes(url: str, ts, html: bytes, http_status: int = 200,
                  content_type: str = "text/html; charset=UTF-8") -> bytes:
-    """One WARC response record (uncompressed): WARC headers + an HTTP/1.1
-    response block, framed per ISO 28500 (Content-Length counts the block;
-    two CRLFs terminate the record). Headers are utf-8 — the spec's
-    encoding — so IRI target urls serialize instead of crashing."""
+    """One WARC response record: WARC headers + an HTTP/1.1 response block,
+    framed per ISO 28500 (Content-Length counts the block)."""
     http = (f"HTTP/1.1 {http_status} OK\r\n"
             f"Content-Type: {content_type}\r\n"
             f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
-    import hashlib
-    rid = hashlib.md5(url.encode()).hexdigest()
-    head = (
-        "WARC/1.0\r\n"
-        "WARC-Type: response\r\n"
-        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
-        f"WARC-Date: {_warc_date(ts)}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        "Content-Type: application/http; msgtype=response\r\n"
-        f"Content-Length: {len(http)}\r\n\r\n").encode("utf-8")
-    return head + http + b"\r\n\r\n"
+    return _record("response", url, ts,
+                   "application/http; msgtype=response", http)
 
 
 def records_to_warc_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
@@ -241,7 +258,8 @@ def parse_warc_stream(stream, source: str = "<stream>",
         }
 
 
-def _iter_gzip_members(stream, chunk_size: int = 1 << 20
+def _iter_gzip_members(stream, chunk_size: int = 1 << 20,
+                       source: str = "<stream>"
                        ) -> Iterator[tuple[int, bytes]]:
     """Multi-member gzip → (member_start_raw_offset, decompressed_bytes)
     per member. Incremental (``chunk_size`` raw bytes in flight), O(total
@@ -267,7 +285,7 @@ def _iter_gzip_members(stream, chunk_size: int = 1 << 20
             raw_pos += len(buf)
             buf = stream.read(chunk_size)
             if not buf:
-                raise ValueError("truncated gzip member")
+                raise ValueError(f"{source}: truncated gzip member")
 
 
 def parse_warc_auto(stream, source: str = "<stream>",
@@ -282,7 +300,7 @@ def parse_warc_auto(stream, source: str = "<stream>",
     if not hasattr(stream, "peek"):
         stream = io.BufferedReader(stream)
     if stream.peek(2)[:2] == _GZIP_MAGIC:
-        for start, data in _iter_gzip_members(stream):
+        for start, data in _iter_gzip_members(stream, source=source):
             for rec in parse_warc_stream(
                     io.BufferedReader(io.BytesIO(data)),
                     source=source, types=types):
@@ -449,21 +467,11 @@ def warc_to_pages(warc_df: DataFrame, extract: bool = True) -> DataFrame:
 
 def conversion_record_bytes(url: str, ts, text: str) -> bytes:
     """One WARC 'conversion' record (the WET layout): text/plain block
-    holding the extracted text, WARC-Refers-To the source response record
-    (derived from the url exactly like record_bytes' record id)."""
-    import hashlib
-    body = text.encode("utf-8")
-    rid = hashlib.md5(url.encode()).hexdigest()
-    head = (
-        "WARC/1.0\r\n"
-        "WARC-Type: conversion\r\n"
-        f"WARC-Record-ID: <urn:uuid:{rid[:16]}{rid[16:]}>\r\n"
-        f"WARC-Refers-To: <urn:uuid:{rid}>\r\n"
-        f"WARC-Date: {_warc_date(ts)}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        "Content-Type: text/plain\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
-    return head + body + b"\r\n\r\n"
+    holding the extracted text, WARC-Refers-To the source response record.
+    Its own record id is salted by type (_record_id) — a WET record must
+    never collide with the response record it refers to."""
+    return _record("conversion", url, ts, "text/plain",
+                   text.encode("utf-8"), refers_to=_record_id(url))
 
 
 def pages_to_wet_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
@@ -495,18 +503,24 @@ def _write_record_shards(df: DataFrame, out_dir: str, suffix: str,
         import os as _os
 
         from pyspark import TaskContext
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = _os.path.join(out_dir, f"part-{pid:05d}.{suffix}")
+        # write to an attempt-unique tmp and rename: a speculative or
+        # retried attempt can never interleave bytes into the final shard,
+        # and the last completed attempt wins atomically
+        tmp = f"{path}.tmp-{ctx.taskAttemptId()}"
         n_rec = n_bytes = 0
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             for pdf in batches:
                 buf = to_bytes(pdf)
                 f.write(buf)
                 n_rec += len(pdf)
                 n_bytes += len(buf)
         if n_rec == 0:
-            _os.remove(path)  # no empty shards
+            _os.remove(tmp)  # no empty shards
             return
+        _os.replace(tmp, path)
         yield pd.DataFrame([{"path": path, "n_records": n_rec,
                              "n_bytes": n_bytes}])
 
@@ -532,21 +546,11 @@ def write_wet(pages: DataFrame, out_dir: str,
 def metadata_record_bytes(url: str, ts, meta: dict) -> bytes:
     """One WARC 'metadata' record: a canonical-JSON block (sorted keys,
     minimal separators — deterministic bytes) describing the page."""
-    import hashlib
     import json
     body = json.dumps(meta, sort_keys=True,
                       separators=(",", ":")).encode("utf-8")
-    rid = hashlib.md5(url.encode()).hexdigest()
-    head = (
-        "WARC/1.0\r\n"
-        "WARC-Type: metadata\r\n"
-        f"WARC-Record-ID: <urn:uuid:{rid[::-1]}>\r\n"
-        f"WARC-Refers-To: <urn:uuid:{rid}>\r\n"
-        f"WARC-Date: {_warc_date(ts)}\r\n"
-        f"WARC-Target-URI: {url}\r\n"
-        "Content-Type: application/json\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n").encode("utf-8")
-    return head + body + b"\r\n\r\n"
+    return _record("metadata", url, ts, "application/json", body,
+                   refers_to=_record_id(url))
 
 
 def pages_to_wat_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:

@@ -200,11 +200,12 @@ def test_gzip_offsets_are_seekable_member_starts(tmp_path):
     recs = list(parse_warc_bytes(buf, source="t"))
     assert len(recs) == 5
     for r in recs:
-        member = buf[r["warc_offset"]:]
-        raw = gzip.decompress(member[:member.find(b"\x1f\x8b", 2)]
-                              if b"\x1f\x8b" in member[2:] else member)
-        (got,) = list(parse_warc_bytes(raw, source="m"))
-        assert got["url"] == r["url"]
+        # seek to the pointer and inflate: the FIRST record there must be
+        # this one (gzip.decompress inflates all remaining members, so we
+        # just check the head — no fragile member-boundary scanning)
+        raw = gzip.decompress(buf[r["warc_offset"]:])
+        first = next(iter(parse_warc_bytes(raw, source="m")))
+        assert first["url"] == r["url"]
 
 
 def test_unicode_url_roundtrip():
