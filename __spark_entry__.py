@@ -887,6 +887,101 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("url", F.md5("html").alias("text_md5"))
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-TEXT aggregation over the injected-link corpus: per target
+    page, (n_anchors, n_srcs, top_anchor) — the "anchor document" a web
+    index attaches to a page from what OTHER pages call it. The injected
+    anchors carry deterministic text l{k}, so the oracle replays the md5
+    link rule WITH k and rolls up in SQL — any drift in the <a>…</a> pair
+    extraction, tag stripping, or the frequency/tie-break rollup breaks
+    the match."""
+    from patapsco_spark.operators.linkgraph import (anchor_edges,
+                                                    anchor_summaries)
+
+    return anchor_summaries(anchor_edges(_link_pages(spark)))
+
+
+def _anchor_sql() -> str:
+    """anchor_texts oracle: the link rule with k kept (anchor text 'l'||k),
+    self-links dropped like the operator default, duplicates kept (each
+    (i,k) is one anchor row), then the same two-level rollup."""
+    return ("WITH " + _link_edges_sql().lstrip() + f""",
+tgtk AS (
+  SELECT deg.i, k.k,
+         ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 1, 8))::BIGINT
+         % {LINK_N} AS j
+  FROM deg JOIN (SELECT unnest(range(0, {LINK_MAXDEG - 1})) AS k) k
+       ON k.k < deg.d
+),
+anch AS (
+  SELECT us.url AS src, ut.url AS dst, 'l' || tk.k AS anchor
+  FROM tgtk tk JOIN urls us ON us.i = tk.i
+               JOIN urls ut ON ut.i = tk.j
+  WHERE tk.i <> tk.j
+),
+pair AS (SELECT dst, anchor, count(*) AS n FROM anch GROUP BY dst, anchor),
+top AS (
+  SELECT dst, anchor AS top_anchor FROM (
+    SELECT dst, anchor,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY n DESC, anchor ASC) AS rn
+    FROM pair) WHERE rn = 1
+),
+stats AS (
+  SELECT dst, count(*)::BIGINT AS n_anchors,
+         count(DISTINCT src)::BIGINT AS n_srcs
+  FROM anch GROUP BY dst
+)
+SELECT s.dst, s.n_anchors, s.n_srcs, t.top_anchor
+FROM stats s JOIN top t USING (dst)""")
+
+
+RECRAWL_N = 300
+
+
+def q_latest_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl re-capture collapse: RECRAWL_N synthesized pages plus
+    injected re-crawls — page i gains a NEWER capture (+1 day) when
+    md5-byte 8 % 4 == 0 and a STALE capture (-1 hour, which must lose)
+    when % 4 == 1. latest_revision keeps the newest capture per canonical
+    url; the output ships epoch seconds so the oracle replays the whole
+    thing in integer arithmetic (no timestamp/timezone surface)."""
+    from patapsco_spark.operators.weburl import latest_revision
+    from patapsco_spark.sources.webpages import synthesize_pages
+
+    pages = synthesize_pages(spark, RECRAWL_N, partitions=8)
+    i = F.element_at(F.split("url", "/"), -1).cast("int")
+    sel = (F.conv(F.substring(F.md5(F.concat(F.lit("page-"), i.cast("string"))),
+                              17, 2), 16, 10).cast("int") % 4)
+    newer = (pages.where(sel == 0)
+             .withColumn("warc_ts", F.col("warc_ts")
+                         + F.expr("INTERVAL 1 DAY")))
+    stale = (pages.where(sel == 1)
+             .withColumn("warc_ts", F.col("warc_ts")
+                         - F.expr("INTERVAL 1 HOUR")))
+    captures = pages.unionByName(newer).unionByName(stale)
+    return (latest_revision(captures)
+            .select("url", F.col("warc_ts").cast("long").alias("ts_epoch")))
+
+
+def _latest_revision_sql() -> str:
+    """latest_revision oracle: urls + warc_ts epoch replayed from the md5
+    synthesis bytes (webpages._synth_batch: ts = 1_600_000_000 + bytes
+    5..7 of md5('page-i')), winner = base + 86400 for the %4==0 cohort."""
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {RECRAWL_N})) AS i),
+b AS (
+  SELECT 'https://example.org/' || substr(md5('page-' || i), 1, 8)
+         || '/' || i AS url,
+         1600000000
+           + ('0x' || substr(md5('page-' || i), 11, 2))::BIGINT * 65536
+           + ('0x' || substr(md5('page-' || i), 13, 2))::BIGINT * 256
+           + ('0x' || substr(md5('page-' || i), 15, 2))::BIGINT AS ts,
+         ('0x' || substr(md5('page-' || i), 17, 2))::BIGINT % 4 AS s
+  FROM idx)
+SELECT url, CASE WHEN s = 0 THEN ts + 86400 ELSE ts END AS ts_epoch FROM b"""
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall over the injected-link graph: HLL-approximate in-ball
     sizes and radius-HB_T-truncated harmonic centrality for every page.
@@ -1221,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webpages_pipeline": q_webpages_pipeline,
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "latest_revision": q_latest_revision,
         "pagerank": q_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
         "cdx_index": q_cdx_index,
@@ -2229,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_stage_warc_expected()}')"),
         "link_graph": ("WITH " + _link_edges_sql().lstrip() +
                        "\nSELECT src, dst FROM edges"),
+        "anchor_texts": _anchor_sql(),
+        "latest_revision": _latest_revision_sql(),
         "pagerank": _pagerank_sql(),
         "harmonic_centrality": _hyperball_sql(),
         "cdx_index": _cdx_sql(),

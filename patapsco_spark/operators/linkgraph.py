@@ -12,6 +12,12 @@ DataFrame-native:
   page url with ``urljoin``).
 - :func:`link_edges` — pages → distinct (src, dst) edge table. One explode
   + one distinct (a single shuffle on the edge pair).
+- :func:`anchor_edges` / :func:`anchor_summaries` — the anchor-TEXT side
+  of the same extraction: (src, dst, anchor) rows for every well-formed
+  ``<a href>…</a>`` pair, rolled up per target into (n_anchors, n_srcs,
+  top_anchor). Anchor text is the classic external evidence a web index
+  attaches to a target page (what OTHER pages call it); Common Crawl's
+  WAT records carry the same ``text`` field per link.
 - :func:`domain_edges` — edge rollup to registered domains with counts
   (the CC domain-graph shape), reusing the weburl registered-domain rules.
 - :func:`pagerank` — damped PageRank with uniform dangling-mass
@@ -86,6 +92,96 @@ def link_edges(pages: DataFrame, url_col: str = "url",
     if not keep_self:
         edges = edges.where(F.col("src") != F.col("dst"))
     return edges.distinct()
+
+
+_RE_APAIR = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>""",
+    re.I | re.S)
+_RE_TAG = re.compile(rb"<[^>]*>")
+
+
+def extract_anchor_series(html: pd.Series, base_urls: pd.Series,
+                          max_text_len: int = 200) -> pd.Series:
+    """Series[bytes html], Series[str url] → Series[list[(dst, text)]] for
+    every WELL-FORMED ``<a href=…>…</a>`` pair, document order, duplicates
+    kept. Same href filtering/resolution as :func:`extract_links_series`
+    (javascript:/mailto:/# skipped, relative hrefs resolved, http(s) only).
+    Anchor text = inner bytes with nested tags stripped, whitespace
+    collapsed, truncated to ``max_text_len`` chars; HTML entities are left
+    as written (&amp; stays &amp;). Parser honesty: anchors with no closing
+    ``</a>`` contribute an edge via extract_links_series but NO text row
+    here — same class of bounded regex parsing as the href extractor."""
+    def anchors(args) -> list:
+        blob, base = args
+        if blob is None:
+            return []
+        out = []
+        for m in _RE_APAIR.finditer(bytes(blob)):
+            href = m.group(1).decode("utf-8", errors="replace")
+            if href.startswith(("javascript:", "mailto:", "#")):
+                continue
+            absu = urljoin(base or "", href)
+            if not absu.startswith(("http://", "https://")):
+                continue
+            text = " ".join(
+                _RE_TAG.sub(b"", m.group(2))
+                .decode("utf-8", errors="replace").split())[:max_text_len]
+            if text:
+                out.append((absu, text))
+        return out
+    return pd.Series(map(anchors, zip(html, base_urls)), index=html.index)
+
+
+def anchor_edges(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html", keep_self: bool = False,
+                 max_text_len: int = 200) -> DataFrame:
+    """Pages → (src, dst, anchor) rows, one per non-empty-text anchor,
+    within-page duplicates KEPT (each is an independent piece of anchor
+    evidence — frequency is the signal :func:`anchor_summaries` counts).
+    One Arrow pass, no shuffle here; aggregation happens downstream."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_src, rows_dst, rows_txt = [], [], []
+            for src, pairs in zip(
+                    pdf[url_col],
+                    extract_anchor_series(pdf[html_col], pdf[url_col],
+                                          max_text_len)):
+                for dst, text in pairs:
+                    rows_src.append(src)
+                    rows_dst.append(dst)
+                    rows_txt.append(text)
+            yield pd.DataFrame({"src": rows_src, "dst": rows_dst,
+                                "anchor": rows_txt})
+
+    edges = (pages.select(url_col, html_col)
+             .mapInPandas(run, schema="src string, dst string, anchor string"))
+    if not keep_self:
+        edges = edges.where(F.col("src") != F.col("dst"))
+    return edges
+
+
+def anchor_summaries(edges: DataFrame) -> DataFrame:
+    """(src, dst, anchor) rows → one row per target: (dst, n_anchors,
+    n_srcs, top_anchor) where top_anchor is the most frequent anchor text
+    pointing at dst (ties broken lexicographically — deterministic across
+    engines). This is the "anchor document" a web index attaches to a page.
+
+    Scale shape: the (dst, anchor) count is map-side combinable; the
+    top-anchor window runs over that ALREADY-AGGREGATED pair frame (one
+    row per distinct text per target — bounded), never the raw edge
+    stream, so a celebrity target costs a big fan-in sum, not a window
+    over 10^9 rows. n_srcs is a partial-distinct agg on (dst, src). All
+    Catalyst; two shuffles keyed on dst plus the pair agg."""
+    pair = edges.groupBy("dst", "anchor").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("dst").orderBy(F.col("_n").desc(),
+                                          F.col("anchor").asc())
+    top = (pair.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") == 1)
+           .select("dst", F.col("anchor").alias("top_anchor")))
+    stats = (edges.groupBy("dst")
+             .agg(F.count("*").alias("n_anchors"),
+                  F.count_distinct("src").alias("n_srcs")))
+    return stats.join(top, "dst")
 
 
 def domain_edges(edges: DataFrame) -> DataFrame:

@@ -122,6 +122,29 @@ def dedup_by_canonical_url(pages: DataFrame, url_col: str = "url",
             .drop("__rn", "__canonical"))
 
 
+def latest_revision(pages: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    content_col: str | None = None) -> DataFrame:
+    """Re-crawl collapse: keep the NEWEST capture per canonical URL — the
+    cross-crawl dedup every multi-snapshot corpus (Common Crawl monthly
+    dumps) runs before content dedup, so a page recrawled 12 times
+    contributes its latest revision once. Survivor order: ``ts_col``
+    descending, then raw URL ascending, then (when ``content_col`` is
+    given) md5 of the content ascending — a total order, so byte-identical
+    reruns keep the byte-identical row even when a crawler logged two
+    captures at the same second. Same single-shuffle shape as
+    :func:`dedup_by_canonical_url` (which keeps the MINIMUM order key —
+    use that for first-capture semantics)."""
+    keys = [F.col(ts_col).desc(), F.col(url_col).asc()]
+    if content_col is not None:
+        keys.append(F.md5(F.col(content_col)).asc())
+    w = Window.partitionBy("__canonical").orderBy(*keys)
+    return (pages.withColumn("__canonical", canonicalize_url(url_col))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__canonical"))
+
+
 def surt(url: Column | str) -> Column:
     """URL → SURT key (Sort-friendly URI Reordering Transform), the sort/
     lookup key of CDX crawl indexes: host labels reversed and comma-joined,

@@ -8,7 +8,8 @@ import pandas as pd
 import pytest
 
 from patapsco_spark.operators.linkgraph import (
-    domain_edges, extract_links_series, link_edges, pagerank)
+    anchor_edges, anchor_summaries, domain_edges, extract_links_series,
+    link_edges, pagerank)
 
 
 def test_extract_links_resolution_and_filters():
@@ -247,3 +248,49 @@ def test_nodes_must_cover_endpoints(spark):
         pagerank(e, nodes=partial, iterations=1)
     with pytest.raises(ValueError, match="does not cover"):
         hyperball(e, nodes=partial, t=1)
+
+
+def test_anchor_edges_text_extraction(spark):
+    pages = _pages(spark, [
+        ("https://a/",
+         '<a href="https://b/">  Go <b>HERE</b>\n now </a>'   # tags stripped, ws collapsed
+         '<a href="https://b/">Go HERE now</a>'               # duplicate text kept
+         '<a href="https://c/"><img src="x.png"></a>'          # empty text -> dropped
+         '<a href="https://a/">self</a>'                        # self edge dropped
+         '<a href="javascript:void(0)">skip</a>'
+         '<a href="/rel">relative</a>'
+         '<a href="https://d/">dangling'),                      # no </a> -> no text row
+        ("https://b/", '<a href="https://a/">Back</a>'),
+    ])
+    rows = anchor_edges(pages).collect()
+    got = sorted((r.src, r.dst, r.anchor) for r in rows)
+    assert got == [
+        ("https://a/", "https://a/rel", "relative"),
+        ("https://a/", "https://b/", "Go HERE now"),
+        ("https://a/", "https://b/", "Go HERE now"),
+        ("https://b/", "https://a/", "Back"),
+    ]
+    with_self = anchor_edges(pages, keep_self=True).collect()
+    assert ("https://a/", "https://a/", "self") in {
+        (r.src, r.dst, r.anchor) for r in with_self}
+
+
+def test_anchor_edges_truncation():
+    from patapsco_spark.operators.linkgraph import extract_anchor_series
+    html = pd.Series([('<a href="https://b/">' + "x" * 500 + "</a>").encode()])
+    got = extract_anchor_series(html, pd.Series(["https://a/"]),
+                                max_text_len=16)
+    assert got[0] == [("https://b/", "x" * 16)]
+
+
+def test_anchor_summaries(spark):
+    edges = spark.createDataFrame(
+        [("s1", "d1", "blue"), ("s1", "d1", "blue"), ("s2", "d1", "red"),
+         ("s2", "d1", "azul"),                       # tie red/azul at 1 -> azul? no: blue wins at 2
+         ("s3", "d2", "b"), ("s4", "d2", "a")],      # tie at 1 -> lexicographic "a"
+        "src string, dst string, anchor string")
+    got = {r.dst: r for r in anchor_summaries(edges).collect()}
+    assert got["d1"].n_anchors == 4 and got["d1"].n_srcs == 2
+    assert got["d1"].top_anchor == "blue"
+    assert got["d2"].n_anchors == 2 and got["d2"].n_srcs == 2
+    assert got["d2"].top_anchor == "a"

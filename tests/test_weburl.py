@@ -182,3 +182,32 @@ class TestSurtCdx:
         for part in parts:
             keys = [(r.surt, r.warc_ts) for r in part]
             assert keys == sorted(keys)
+
+
+class TestLatestRevision:
+    def test_newest_capture_wins(self, spark):
+        from patapsco_spark.operators.weburl import latest_revision
+        pages = spark.createDataFrame(
+            [("http://A.com/p?b=2&a=1", "2020-01-01 00:00:00", "old"),
+             ("http://a.com/p/?a=1&b=2", "2021-06-01 00:00:00", "new"),
+             ("http://a.com/q", "2019-01-01 00:00:00", "only")],
+            "url string, warc_ts string, text string")
+        pages = pages.withColumn("warc_ts", pages["warc_ts"].cast("timestamp"))
+        out = {r["text"] for r in latest_revision(pages).collect()}
+        assert out == {"new", "only"}
+        assert "__canonical" not in latest_revision(pages).columns
+
+    def test_tiebreaks_deterministic(self, spark):
+        from patapsco_spark.operators.weburl import latest_revision
+        # same canonical + same ts: raw-url asc breaks the tie; with
+        # identical raw urls, md5(content) asc does
+        pages = spark.createDataFrame(
+            [("http://a.com/p", "2020-01-01 00:00:00", "zz"),
+             ("http://a.com/p", "2020-01-01 00:00:00", "aa"),
+             ("http://A.com/p", "2020-01-01 00:00:00", "caps")],
+            "url string, warc_ts string, text string")
+        pages = pages.withColumn("warc_ts", pages["warc_ts"].cast("timestamp"))
+        out = latest_revision(pages, content_col="text").collect()
+        assert len(out) == 1
+        # raw "http://A.com/p" < "http://a.com/p" (ASCII), so caps wins
+        assert out[0]["text"] == "caps"
