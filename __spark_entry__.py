@@ -650,7 +650,9 @@ def _link_pages(spark: SparkSession) -> DataFrame:
     """LINK_N synthesized pages with deterministic md5-derived <a> anchors
     injected before </body>: page i gets deg_i = hex(md5('deg-i')[:2]) %
     LINK_MAXDEG links, the k-th targeting page hex(md5('link-i-k')[:8]) %
-    LINK_N. Every quantity is DuckDB-replayable (md5 over the same
+    LINK_N; md5 bytes 9-10 of the same hash pick a rel attribute (%5==0 →
+    rel="nofollow noopener", dropped from the graph; %5==1 → noopener,
+    kept). Every quantity is DuckDB-replayable (md5 over the same
     strings), so the oracle rebuilds the edge set without parsing html."""
     from patapsco_spark.sources.webpages import synthesize_pages
 
@@ -665,15 +667,27 @@ def _link_pages(spark: SparkSession) -> DataFrame:
             return (f"https://example.org/"
                     f"{hashlib.md5(f'page-{j}'.encode()).hexdigest()[:8]}/{j}")
 
+        def rel_attr(h: str) -> str:
+            # md5 bytes 9-10 of the link hash drive the rel attribute:
+            # %5==0 → nofollow (multi-token, DROPPED from the graph),
+            # %5==1 → noopener (kept — rel-aware ≠ rel-phobic), else none
+            sel = int(h[8:10], 16) % 5
+            if sel == 0:
+                return ' rel="nofollow noopener"'
+            return ' rel="noopener"' if sel == 1 else ""
+
         for pdf in batches:
             out_html = []
             for url, blob in zip(pdf["url"], pdf["html"]):
                 i = int(url.rsplit("/", 1)[1])
                 deg = int(hashlib.md5(f"deg-{i}".encode())
                           .hexdigest()[:2], 16) % LINK_MAXDEG
+                hashes = [hashlib.md5(f"link-{i}-{k}".encode()).hexdigest()
+                          for k in range(deg)]
                 anchors = "".join(
-                    f'<a href="{page_url(int(hashlib.md5(f"link-{i}-{k}".encode()).hexdigest()[:8], 16) % LINK_N)}">l{k}</a>'
-                    for k in range(deg))
+                    f'<a href="{page_url(int(h[:8], 16) % LINK_N)}"'
+                    f'{rel_attr(h)}>l{k}</a>'
+                    for k, h in enumerate(hashes))
                 html = bytes(blob).decode("utf-8")
                 out_html.append(
                     html.replace("</body>", anchors + "</body>")
@@ -727,7 +741,9 @@ deg AS (
 tgt AS (
   SELECT deg.i,
          ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 1, 8))::BIGINT
-         % {LINK_N} AS j
+         % {LINK_N} AS j,
+         ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 9, 2))::BIGINT
+         % 5 AS rel5
   FROM deg JOIN (SELECT unnest(range(0, {LINK_MAXDEG - 1})) AS k) k
        ON k.k < deg.d
 ),
@@ -735,7 +751,7 @@ edges AS (
   SELECT DISTINCT us.url AS src, ut.url AS dst
   FROM tgt JOIN urls us ON us.i = tgt.i
            JOIN urls ut ON ut.i = tgt.j
-  WHERE tgt.i <> tgt.j
+  WHERE tgt.i <> tgt.j AND tgt.rel5 <> 0
 )"""
 
 
@@ -903,13 +919,16 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _anchor_sql() -> str:
     """anchor_texts oracle: the link rule with k kept (anchor text 'l'||k),
-    self-links dropped like the operator default, duplicates kept (each
-    (i,k) is one anchor row), then the same two-level rollup."""
+    self-links and rel=nofollow links dropped like the operator default,
+    duplicates kept (each (i,k) is one anchor row), then the same
+    two-level rollup."""
     return ("WITH " + _link_edges_sql().lstrip() + f""",
 tgtk AS (
   SELECT deg.i, k.k,
          ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 1, 8))::BIGINT
-         % {LINK_N} AS j
+         % {LINK_N} AS j,
+         ('0x' || substr(md5('link-' || deg.i || '-' || k.k), 9, 2))::BIGINT
+         % 5 AS rel5
   FROM deg JOIN (SELECT unnest(range(0, {LINK_MAXDEG - 1})) AS k) k
        ON k.k < deg.d
 ),
@@ -917,7 +936,7 @@ anch AS (
   SELECT us.url AS src, ut.url AS dst, 'l' || tk.k AS anchor
   FROM tgtk tk JOIN urls us ON us.i = tk.i
                JOIN urls ut ON ut.i = tk.j
-  WHERE tk.i <> tk.j
+  WHERE tk.i <> tk.j AND tk.rel5 <> 0
 ),
 pair AS (SELECT dst, anchor, count(*) AS n FROM anch GROUP BY dst, anchor),
 top AS (
@@ -980,6 +999,66 @@ b AS (
          ('0x' || substr(md5('page-' || i), 17, 2))::BIGINT % 4 AS s
   FROM idx)
 SELECT url, CASE WHEN s = 0 THEN ts + 86400 ELSE ts END AS ts_epoch FROM b"""
+
+
+def q_revision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl change profile: the latest_revision capture corpus plus
+    a CONTENT-CHANGE cohort — page i (md5-byte 8 % 4): 0 → re-captured +1d
+    unchanged; 1 → stale re-capture -1h unchanged; 2 → re-captured +2d
+    with MODIFIED html (one change); 3 → re-captured twice (+1d modified,
+    +2d reverted to the original bytes) — the A→B→A oscillation where
+    n_changes (2) exceeds n_versions - 1 (1). The oracle derives every
+    count from the cohort selector alone — any drift in fingerprint
+    ordering, the lag-transition count, or canonicalization breaks it."""
+    from patapsco_spark.operators.weburl import revision_stats
+    from patapsco_spark.sources.webpages import synthesize_pages
+
+    pages = synthesize_pages(spark, RECRAWL_N, partitions=8)
+    i = F.element_at(F.split("url", "/"), -1).cast("int")
+    sel = (F.conv(F.substring(F.md5(F.concat(F.lit("page-"), i.cast("string"))),
+                              17, 2), 16, 10).cast("int") % 4)
+    marker = F.encode(F.lit("<!--rev2-->"), "utf-8")
+    mutate = F.concat(F.col("html"), marker)
+
+    def shifted(cond, interval: str, html_col):
+        return (pages.where(cond)
+                .withColumn("warc_ts", F.col("warc_ts") + F.expr(interval))
+                .withColumn("html", html_col))
+
+    captures = (pages
+                .unionByName(shifted(sel == 0, "INTERVAL 1 DAY", F.col("html")))
+                .unionByName(shifted(sel == 1, "INTERVAL -1 HOUR", F.col("html")))
+                .unionByName(shifted(sel == 2, "INTERVAL 2 DAY", mutate))
+                .unionByName(shifted(sel == 3, "INTERVAL 1 DAY", mutate))
+                .unionByName(shifted(sel == 3, "INTERVAL 2 DAY", F.col("html"))))
+    return (revision_stats(captures)
+            .select("url", "n_captures", "n_versions", "n_changes",
+                    F.col("first_ts").cast("long").alias("first_epoch"),
+                    F.col("last_ts").cast("long").alias("last_epoch")))
+
+
+def _revision_stats_sql() -> str:
+    """revision_stats oracle: cohort counts in pure integer arithmetic
+    (same synthesis replay as the latest_revision oracle)."""
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {RECRAWL_N})) AS i),
+b AS (
+  SELECT 'https://example.org/' || substr(md5('page-' || i), 1, 8)
+         || '/' || i AS url,
+         1600000000
+           + ('0x' || substr(md5('page-' || i), 11, 2))::BIGINT * 65536
+           + ('0x' || substr(md5('page-' || i), 13, 2))::BIGINT * 256
+           + ('0x' || substr(md5('page-' || i), 15, 2))::BIGINT AS ts,
+         ('0x' || substr(md5('page-' || i), 17, 2))::BIGINT % 4 AS s
+  FROM idx)
+SELECT url,
+       CASE WHEN s = 3 THEN 3 ELSE 2 END::BIGINT AS n_captures,
+       CASE WHEN s IN (2, 3) THEN 2 ELSE 1 END::BIGINT AS n_versions,
+       CASE s WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END::BIGINT AS n_changes,
+       CASE WHEN s = 1 THEN ts - 3600 ELSE ts END AS first_epoch,
+       CASE s WHEN 0 THEN ts + 86400 WHEN 2 THEN ts + 172800
+              WHEN 3 THEN ts + 172800 ELSE ts END AS last_epoch
+FROM b"""
 
 
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1318,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "anchor_texts": q_anchor_texts,
         "latest_revision": q_latest_revision,
+        "revision_stats": q_revision_stats,
         "pagerank": q_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
         "cdx_index": q_cdx_index,
@@ -2328,6 +2408,7 @@ def oracle_sql() -> dict[str, str]:
                        "\nSELECT src, dst FROM edges"),
         "anchor_texts": _anchor_sql(),
         "latest_revision": _latest_revision_sql(),
+        "revision_stats": _revision_stats_sql(),
         "pagerank": _pagerank_sql(),
         "harmonic_centrality": _hyperball_sql(),
         "cdx_index": _cdx_sql(),

@@ -50,21 +50,49 @@ from urllib.parse import urljoin
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-_RE_HREF = re.compile(
-    rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)""", re.I)
+_RE_ATAG = re.compile(rb"<a\s([^>]*)>", re.I)
+_RE_HREF_ATTR = re.compile(rb"""href\s*=\s*["']?([^"'\s>]+)""", re.I)
+_RE_REL_ATTR = re.compile(
+    rb"""rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+# graph semantics: rel tokens that mean "this link is not an endorsement"
+# — nofollow (classic), plus Google's 2019 refinements ugc and sponsored.
+# Web-graph builders drop these edges; WAT metadata keeps every link.
+NON_ENDORSING_REL = frozenset({"nofollow", "ugc", "sponsored"})
 
 
-def extract_links_series(html: pd.Series, base_urls: pd.Series) -> pd.Series:
+def _href_rel(attrs: bytes) -> tuple[str | None, frozenset[str]]:
+    """<a> attribute blob → (href or None, lowercase rel token set)."""
+    hm = _RE_HREF_ATTR.search(attrs)
+    if hm is None:
+        return None, frozenset()
+    href = hm.group(1).decode("utf-8", errors="replace")
+    rm = _RE_REL_ATTR.search(attrs)
+    if rm is None:
+        return href, frozenset()
+    raw = next(g for g in rm.groups() if g is not None)
+    return href, frozenset(
+        raw.decode("utf-8", errors="replace").lower().split())
+
+
+def extract_links_series(html: pd.Series, base_urls: pd.Series,
+                         drop_rel: frozenset[str] = NON_ENDORSING_REL
+                         ) -> pd.Series:
     """Series[bytes html], Series[str url] → Series[list[str]] absolute
     http(s) link targets, document order, within-page duplicates kept
-    (edge weighting happens downstream)."""
+    (edge weighting happens downstream). Links whose ``rel`` attribute
+    carries any token in ``drop_rel`` are skipped — the web-graph default
+    drops nofollow/ugc/sponsored (non-endorsing) links; pass
+    ``frozenset()`` to keep everything (the WAT-metadata semantics)."""
     def links(args) -> list[str]:
         blob, base = args
         if blob is None:
             return []
         out = []
-        for m in _RE_HREF.finditer(bytes(blob)):
-            href = m.group(1).decode("utf-8", errors="replace")
+        for m in _RE_ATAG.finditer(bytes(blob)):
+            href, rel = _href_rel(m.group(1))
+            if href is None or (rel & drop_rel):
+                continue
             if href.startswith(("javascript:", "mailto:", "#")):
                 continue
             absu = urljoin(base or "", href)
@@ -75,15 +103,18 @@ def extract_links_series(html: pd.Series, base_urls: pd.Series) -> pd.Series:
 
 
 def link_edges(pages: DataFrame, url_col: str = "url",
-               html_col: str = "html", keep_self: bool = False) -> DataFrame:
+               html_col: str = "html", keep_self: bool = False,
+               drop_rel: frozenset[str] = NON_ENDORSING_REL) -> DataFrame:
     """Pages → distinct (src, dst) hyperlink edges. Anchor extraction is
     one Arrow pass; distinct is the single shuffle (keyed on the pair, so
-    it also co-locates for any following src-keyed join)."""
+    it also co-locates for any following src-keyed join). ``drop_rel``
+    links (nofollow/ugc/sponsored by default) never become edges."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "src": pdf[url_col],
-                "dsts": extract_links_series(pdf[html_col], pdf[url_col]),
+                "dsts": extract_links_series(pdf[html_col], pdf[url_col],
+                                             drop_rel=drop_rel),
             })
 
     edges = (pages.select(url_col, html_col)
@@ -94,30 +125,34 @@ def link_edges(pages: DataFrame, url_col: str = "url",
     return edges.distinct()
 
 
-_RE_APAIR = re.compile(
-    rb"""<a\s[^>]*?href\s*=\s*["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>""",
-    re.I | re.S)
+_RE_APAIR = re.compile(rb"""<a\s([^>]*)>(.*?)</a\s*>""", re.I | re.S)
 _RE_TAG = re.compile(rb"<[^>]*>")
 
 
 def extract_anchor_series(html: pd.Series, base_urls: pd.Series,
-                          max_text_len: int = 200) -> pd.Series:
+                          max_text_len: int = 200,
+                          drop_rel: frozenset[str] = NON_ENDORSING_REL
+                          ) -> pd.Series:
     """Series[bytes html], Series[str url] → Series[list[(dst, text)]] for
     every WELL-FORMED ``<a href=…>…</a>`` pair, document order, duplicates
     kept. Same href filtering/resolution as :func:`extract_links_series`
     (javascript:/mailto:/# skipped, relative hrefs resolved, http(s) only).
     Anchor text = inner bytes with nested tags stripped, whitespace
     collapsed, truncated to ``max_text_len`` chars; HTML entities are left
-    as written (&amp; stays &amp;). Parser honesty: anchors with no closing
-    ``</a>`` contribute an edge via extract_links_series but NO text row
-    here — same class of bounded regex parsing as the href extractor."""
+    as written (&amp; stays &amp;). ``rel`` handling matches
+    :func:`extract_links_series` (nofollow/ugc/sponsored dropped by
+    default). Parser honesty: anchors with no closing ``</a>`` contribute
+    an edge via extract_links_series but NO text row here — same class of
+    bounded regex parsing as the href extractor."""
     def anchors(args) -> list:
         blob, base = args
         if blob is None:
             return []
         out = []
         for m in _RE_APAIR.finditer(bytes(blob)):
-            href = m.group(1).decode("utf-8", errors="replace")
+            href, rel = _href_rel(m.group(1))
+            if href is None or (rel & drop_rel):
+                continue
             if href.startswith(("javascript:", "mailto:", "#")):
                 continue
             absu = urljoin(base or "", href)
@@ -134,7 +169,8 @@ def extract_anchor_series(html: pd.Series, base_urls: pd.Series,
 
 def anchor_edges(pages: DataFrame, url_col: str = "url",
                  html_col: str = "html", keep_self: bool = False,
-                 max_text_len: int = 200) -> DataFrame:
+                 max_text_len: int = 200,
+                 drop_rel: frozenset[str] = NON_ENDORSING_REL) -> DataFrame:
     """Pages → (src, dst, anchor) rows, one per non-empty-text anchor,
     within-page duplicates KEPT (each is an independent piece of anchor
     evidence — frequency is the signal :func:`anchor_summaries` counts).
@@ -145,7 +181,7 @@ def anchor_edges(pages: DataFrame, url_col: str = "url",
             for src, pairs in zip(
                     pdf[url_col],
                     extract_anchor_series(pdf[html_col], pdf[url_col],
-                                          max_text_len)):
+                                          max_text_len, drop_rel=drop_rel)):
                 for dst, text in pairs:
                     rows_src.append(src)
                     rows_dst.append(dst)

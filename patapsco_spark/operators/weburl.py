@@ -145,6 +145,47 @@ def latest_revision(pages: DataFrame, url_col: str = "url",
             .drop("__rn", "__canonical"))
 
 
+def revision_stats(pages: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   content_col: str = "html") -> DataFrame:
+    """Cross-crawl change profile per canonical URL — the companion query
+    to :func:`latest_revision`: over a multi-snapshot corpus (Common Crawl
+    monthly dumps), how often was each page re-captured and how often did
+    its content actually change? Output one row per canonical url:
+
+    - ``n_captures`` — captures collapsing to this canonical url
+    - ``n_versions`` — distinct content fingerprints (md5 of content)
+    - ``n_changes``  — capture-to-capture transitions whose fingerprint
+      differs from the previous capture's, captures ordered by
+      (ts asc, raw url asc, fingerprint asc) — a total order, so reruns
+      count identically even with same-second captures
+    - ``first_ts`` / ``last_ts`` — capture time span
+
+    ``n_changes`` can be smaller than ``n_versions - 1`` only when content
+    oscillates A→B→A (2 versions, 2 changes) — both signals matter to a
+    recrawl scheduler (change_rate drives revisit priority à la Cho &
+    Garcia-Molina's freshness work).
+
+    Scale shape: the lag window and the groupBy share the canonical-url
+    key, so Catalyst reuses one hash exchange; per-key state is bounded by
+    captures-per-url (≤ hundreds of snapshots even for a 10-year archive).
+    """
+    w = (Window.partitionBy("__canonical")
+         .orderBy(F.col(ts_col).asc(), F.col(url_col).asc(),
+                  F.col("__fp").asc()))
+    df = (pages.withColumn("__canonical", canonicalize_url(url_col))
+          .withColumn("__fp", F.md5(F.col(content_col)))
+          .withColumn("__prev", F.lag("__fp").over(w)))
+    changed = (F.col("__prev").isNotNull()
+               & (F.col("__prev") != F.col("__fp"))).cast("long")
+    return (df.groupBy(F.col("__canonical").alias("url"))
+            .agg(F.count("*").alias("n_captures"),
+                 F.count_distinct("__fp").alias("n_versions"),
+                 F.sum(changed).alias("n_changes"),
+                 F.min(ts_col).alias("first_ts"),
+                 F.max(ts_col).alias("last_ts")))
+
+
 def surt(url: Column | str) -> Column:
     """URL → SURT key (Sort-friendly URI Reordering Transform), the sort/
     lookup key of CDX crawl indexes: host labels reversed and comma-joined,

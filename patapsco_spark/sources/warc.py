@@ -560,7 +560,10 @@ def pages_to_wat_bytes(pdf: pd.DataFrame, compress: bool = True) -> bytes:
     import re as _re
 
     from ..operators.linkgraph import extract_links_series
-    links = extract_links_series(pdf["html"], pdf["url"])
+    # WAT metadata lists EVERY outlink (Common Crawl keeps nofollow links
+    # in WAT records); only graph building drops non-endorsing rels
+    links = extract_links_series(pdf["html"], pdf["url"],
+                                 drop_rel=frozenset())
     title_re = _re.compile(rb"<title[^>]*>(.*?)</title>", _re.S | _re.I)
     out = io.BytesIO()
     for row, ls in zip(pdf.itertuples(index=False), links):

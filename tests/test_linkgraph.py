@@ -294,3 +294,24 @@ def test_anchor_summaries(spark):
     assert got["d1"].top_anchor == "blue"
     assert got["d2"].n_anchors == 2 and got["d2"].n_srcs == 2
     assert got["d2"].top_anchor == "a"
+
+
+def test_rel_nofollow_dropped(spark):
+    html = ('<a href="https://b/" rel="nofollow">no</a>'
+            '<a href="https://c/" rel="nofollow noopener">multi</a>'
+            '<a href="https://d/" rel=nofollow>bare</a>'
+            '<a href="https://e/" rel=\'ugc\'>ugc</a>'
+            '<a href="https://f/" rel="sponsored">sp</a>'
+            '<a href="https://g/" rel="noopener">kept</a>'
+            '<a href="https://h/">plain</a>')
+    pages = _pages(spark, [("https://a/", html)])
+    edges = {r.dst for r in link_edges(pages).collect()}
+    assert edges == {"https://g/", "https://h/"}
+    # anchor extraction applies the same rel policy
+    anchors = {r.dst for r in anchor_edges(pages).collect()}
+    assert anchors == {"https://g/", "https://h/"}
+    # WAT semantics: drop_rel=frozenset() keeps every link
+    all_links = extract_links_series(
+        pd.Series([html.encode()]), pd.Series(["https://a/"]),
+        drop_rel=frozenset())[0]
+    assert len(all_links) == 7

@@ -211,3 +211,30 @@ class TestLatestRevision:
         assert len(out) == 1
         # raw "http://A.com/p" < "http://a.com/p" (ASCII), so caps wins
         assert out[0]["text"] == "caps"
+
+
+class TestRevisionStats:
+    def test_counts_and_oscillation(self, spark):
+        from patapsco_spark.operators.weburl import revision_stats
+        rows = [
+            # p: A -> B -> A oscillation (3 captures, 2 versions, 2 changes)
+            ("http://a.com/p", "2020-01-01 00:00:00", b"A"),
+            ("http://A.com/p", "2020-02-01 00:00:00", b"B"),
+            ("http://a.com/p/", "2020-03-01 00:00:00", b"A"),
+            # q: never changed
+            ("http://a.com/q", "2020-01-01 00:00:00", b"X"),
+            ("http://a.com/q", "2020-06-01 00:00:00", b"X"),
+            # r: single capture
+            ("http://a.com/r", "2021-01-01 00:00:00", b"Y"),
+        ]
+        pages = spark.createDataFrame(
+            rows, "url string, warc_ts string, html binary")
+        pages = pages.withColumn("warc_ts", pages["warc_ts"].cast("timestamp"))
+        got = {r.url: r for r in revision_stats(pages).collect()}
+        p = got["http://a.com/p"]
+        assert (p.n_captures, p.n_versions, p.n_changes) == (3, 2, 2)
+        assert p.first_ts.month == 1 and p.last_ts.month == 3
+        q = got["http://a.com/q"]
+        assert (q.n_captures, q.n_versions, q.n_changes) == (2, 1, 0)
+        r = got["http://a.com/r"]
+        assert (r.n_captures, r.n_versions, r.n_changes) == (1, 1, 0)
