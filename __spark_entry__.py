@@ -1061,6 +1061,274 @@ SELECT url,
 FROM b"""
 
 
+BOILER_N = 150
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal over a deterministic corpus: page i carries
+    3 + md5%4 body paragraphs (paragraph b = word 'w'||(md5%10) repeated
+    5 + md5%20 times), one link-dense nav block (16 words of pure anchor
+    text — long enough that length alone would KEEP it; only the link-
+    density rule drops it), a 4-word footer, and a 2-word title. Expected
+    main text = newline-join of paragraphs with >= 10 words, which the
+    oracle rebuilds with repeat()/string_agg and md5s — any drift in
+    segmentation, link-density math, thresholds, or join order breaks the
+    match. See ``operators/boilerplate.py``."""
+    from patapsco_spark.operators.boilerplate import extract_main_content
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def b1(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+        nav = "<div>" + "".join(
+            f'<a href="/m{k}">menu item{k}</a> ' for k in range(8)) + "</div>"
+        for pdf in batches:
+            urls, htmls = [], []
+            for i in pdf["id"]:
+                n_body = 3 + b1(f"bpn-{i}") % 4
+                paras = []
+                for b in range(n_body):
+                    w = f"w{b1(f'bp-{i}-{b}') % 10}"
+                    n = 5 + b1(f"bpc-{i}-{b}") % 20
+                    paras.append("<p>" + " ".join([w] * n) + "</p>")
+                urls.append(f"https://bp.test/{i}")
+                htmls.append(
+                    (f"<html><head><title>Page {i}</title></head><body>"
+                     f"{nav}{''.join(paras)}"
+                     f"<p>© 2020 example corp</p></body></html>")
+                    .encode("utf-8"))
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    pages = spark.range(BOILER_N, numPartitions=8).mapInPandas(
+        gen, schema="url string, html binary")
+    return (extract_main_content(pages)
+            .select("url",
+                    F.md5(F.encode("main_text", "utf-8"))
+                    .alias("content_md5"),
+                    "n_blocks", "n_content_blocks"))
+
+
+def _main_content_sql() -> str:
+    """main_content oracle: rebuild each expected paragraph with repeat(),
+    aggregate kept ones in block order, md5 the join. Block census: title
+    + nav + footer + n_body paragraphs; content = paragraphs with n>=10
+    (nav fails density, title/footer fail length)."""
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {BOILER_N})) AS i),
+pages AS (
+  SELECT i, 3 + ('0x' || substr(md5('bpn-' || i), 1, 2))::BIGINT % 4
+         AS n_body
+  FROM idx),
+paras AS (
+  SELECT p.i, b.b,
+         'w' || (('0x' || substr(md5('bp-' || p.i || '-' || b.b), 1, 2))
+                 ::BIGINT % 10) AS w,
+         5 + ('0x' || substr(md5('bpc-' || p.i || '-' || b.b), 1, 2))
+             ::BIGINT % 20 AS n
+  FROM pages p JOIN (SELECT unnest(range(0, 6)) AS b) b ON b.b < p.n_body),
+kept AS (
+  SELECT i, string_agg(rtrim(repeat(w || ' ', n::INT)), chr(10)
+                       ORDER BY b) AS body,
+         count(*) AS n_kept
+  FROM paras WHERE n >= 10 GROUP BY i),
+census AS (
+  SELECT p.i, p.n_body, coalesce(k.body, '') AS body,
+         coalesce(k.n_kept, 0) AS n_kept
+  FROM pages p LEFT JOIN kept k ON k.i = p.i)
+SELECT 'https://bp.test/' || i AS url,
+       md5(body) AS content_md5,
+       (n_body + 3)::INT AS n_blocks,
+       n_kept::INT AS n_content_blocks
+FROM census"""
+
+
+SITEMAP_N = 18
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-XML parsing over a deterministic corpus: sitemap j carries
+    2 + md5%5 <url> entries; entry k has loc https://s{j}.test/p{k},
+    lastmod 2024-01-(1+md5%28), changefreq from {daily,weekly,monthly} by
+    md5%3, priority (md5%10)/10. The oracle restates every field from the
+    md5 rule — parser drift (field scoping, CDATA/whitespace handling,
+    float parse) breaks the match."""
+    from patapsco_spark.operators.crawl import parse_sitemaps
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def b1(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+        freqs = ["daily", "weekly", "monthly"]
+        for pdf in batches:
+            urls, bodies = [], []
+            for j in pdf["id"]:
+                n = 2 + b1(f"smn-{j}") % 5
+                ents = []
+                for k in range(n):
+                    h = b1(f"sm-{j}-{k}")
+                    ents.append(
+                        f"<url><loc> https://s{j}.test/p{k} </loc>"
+                        f"<lastmod>2024-01-{1 + h % 28:02d}</lastmod>"
+                        f"<changefreq>{freqs[h % 3]}</changefreq>"
+                        f"<priority>{(h % 10) / 10:.1f}</priority></url>")
+                urls.append(f"https://s{j}.test/sm.xml")
+                bodies.append('<?xml version="1.0"?><urlset>'
+                              + "".join(ents) + "</urlset>")
+            yield pd.DataFrame({"url": urls, "body": bodies})
+
+    sm = spark.range(SITEMAP_N, numPartitions=4).mapInPandas(
+        gen, schema="url string, body string")
+    return parse_sitemaps(sm)[0]
+
+
+def _sitemap_urls_sql() -> str:
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {SITEMAP_N})) AS j),
+n AS (SELECT j, 2 + ('0x' || substr(md5('smn-' || j), 1, 2))::BIGINT % 5
+             AS n FROM idx),
+ent AS (
+  SELECT n.j, k.k,
+         ('0x' || substr(md5('sm-' || n.j || '-' || k.k), 1, 2))::BIGINT AS h
+  FROM n JOIN (SELECT unnest(range(0, 6)) AS k) k ON k.k < n.n)
+SELECT 'https://s' || j || '.test/sm.xml' AS sitemap,
+       'https://s' || j || '.test/p' || k AS loc,
+       '2024-01-' || lpad((1 + h % 28)::VARCHAR, 2, '0') AS lastmod,
+       CASE h % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                  ELSE 'monthly' END AS changefreq,
+       (h % 10) / 10.0 AS priority
+FROM ent"""
+
+
+ROBOTS_HOSTS, ROBOTS_CANDS = 24, 12
+
+
+def _robots_corpus(spark: SparkSession):
+    """Deterministic robots.txt + candidate-URL corpus: host j gets one of
+    four policy shapes by md5('rb-j') byte 1 % 4 — (0) Disallow /private +
+    Allow /private/pub (longest-match override), (1) Disallow / + Allow
+    /public + Crawl-delay, (2) Disallow /tmp$ + /x*y (anchor + wildcard),
+    (3) a group for ANOTHER agent only (so '*' sees no rules). Candidate
+    i on host j picks one of eight paths by md5('cand-j-i') byte 1 % 8.
+    Everything is md5-replayable, so the oracle states the expected
+    verdict without parsing — parser/matcher drift breaks the match."""
+    import hashlib
+
+    from patapsco_spark.operators.crawl import parse_robots
+
+    bodies = {
+        0: "User-agent: *\nDisallow: /private\nAllow: /private/pub\n",
+        1: "User-agent: *\nDisallow: /\nAllow: /public\nCrawl-delay: 1\n",
+        2: "User-agent: *\nDisallow: /tmp$\nDisallow: /x*y\n",
+        3: "User-agent: otherbot\nDisallow: /\n",
+    }
+    robots_rows, cand_rows = [], []
+    for j in range(ROBOTS_HOSTS):
+        host = f"h{j}.crawl.test"
+        s = int(hashlib.md5(f"rb-{j}".encode()).hexdigest()[:2], 16) % 4
+        robots_rows.append((host, bodies[s]))
+        for i in range(ROBOTS_CANDS):
+            c = int(hashlib.md5(f"cand-{j}-{i}".encode())
+                    .hexdigest()[:2], 16) % 8
+            path = [f"/private/doc{i}", f"/private/pub/{i}", f"/public/{i}",
+                    f"/other/{i}", "/tmp", f"/tmp/{i}", f"/x{i}y",
+                    f"/zz{i}"][c]
+            cand_rows.append((f"https://{host}{path}",))
+    robots = spark.createDataFrame(robots_rows, "host string, body string")
+    cands = spark.createDataFrame(cand_rows, "url string").repartition(8)
+    rules, _, _ = parse_robots(robots)
+    return rules, cands
+
+
+_ROBOTS_EXPECT_SQL = f"""
+hosts AS (SELECT unnest(range(0, {ROBOTS_HOSTS})) AS j),
+hs AS (SELECT j, ('0x' || substr(md5('rb-' || j), 1, 2))::BIGINT % 4 AS s
+       FROM hosts),
+cand AS (
+  SELECT hs.j, hs.s, i.i,
+         ('0x' || substr(md5('cand-' || hs.j || '-' || i.i), 1, 2))::BIGINT
+         % 8 AS c
+  FROM hs CROSS JOIN (SELECT unnest(range(0, {ROBOTS_CANDS})) AS i) i),
+verdicts AS (
+  SELECT 'https://h' || j || '.crawl.test' ||
+         CASE c WHEN 0 THEN '/private/doc' || i
+                WHEN 1 THEN '/private/pub/' || i
+                WHEN 2 THEN '/public/' || i
+                WHEN 3 THEN '/other/' || i
+                WHEN 4 THEN '/tmp'
+                WHEN 5 THEN '/tmp/' || i
+                WHEN 6 THEN '/x' || i || 'y'
+                ELSE '/zz' || i END AS url,
+         'h' || j || '.crawl.test' AS host,
+         CASE WHEN s = 3 THEN true
+              WHEN s = 0 THEN c <> 0
+              WHEN s = 1 THEN c = 2
+              ELSE c NOT IN (4, 6) END AS allowed
+  FROM cand)"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots verdicts over the deterministic corpus: parse each
+    host's robots.txt, compile rules to LIKE patterns, and judge every
+    candidate URL (longest match wins, Allow beats Disallow on ties, no
+    rules ⇒ allowed) — zero shuffles on the URL stream (broadcast rules +
+    higher-order-function aggregate). See ``operators/crawl.py``."""
+    from patapsco_spark.operators.crawl import robots_filter
+
+    rules, cands = _robots_corpus(spark)
+    return robots_filter(cands, rules, keep_denied=True)
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-partitioned fetch schedule: distinct candidates minus an
+    md5-selected seen set, robots applied, then per-host slots by
+    (md5-priority desc, url asc) truncated at 5 — the per-origin fetch
+    queue a crawler drains one slot per politeness interval. The oracle
+    replays dedup, verdicts, seen rule, priority and window in SQL."""
+    from patapsco_spark.operators.crawl import crawl_frontier
+
+    rules, cands = _robots_corpus(spark)
+    cands = cands.distinct().withColumn(
+        "pri", F.conv(F.substring(F.md5(F.concat(F.lit("pri-"), F.col("url"))),
+                                  1, 4), 16, 10).cast("long"))
+    seen = cands.where(
+        F.conv(F.substring(F.md5(F.concat(F.lit("seen-"), F.col("url"))),
+                           1, 2), 16, 10).cast("int") % 5 == 0)
+    return crawl_frontier(cands, seen=seen, rules=rules,
+                          priority_col="pri", per_host_limit=5) \
+        .select("url", "host", "slot")
+
+
+def _robots_filter_sql() -> str:
+    return "WITH " + _ROBOTS_EXPECT_SQL.lstrip() + \
+        "\nSELECT url, allowed FROM verdicts"
+
+
+def _crawl_frontier_sql() -> str:
+    return "WITH " + _ROBOTS_EXPECT_SQL.lstrip() + f""",
+pool AS (
+  SELECT DISTINCT url, host, allowed FROM verdicts),
+live AS (
+  SELECT url, host,
+         ('0x' || substr(md5('pri-' || url), 1, 4))::BIGINT AS pri
+  FROM pool
+  WHERE allowed
+    AND ('0x' || substr(md5('seen-' || url), 1, 2))::BIGINT % 5 <> 0),
+slotted AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY pri DESC, url ASC) AS slot
+  FROM live)
+SELECT url, host, slot::INT AS slot FROM slotted WHERE slot <= 5"""
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall over the injected-link graph: HLL-approximate in-ball
     sizes and radius-HB_T-truncated harmonic centrality for every page.
@@ -1398,6 +1666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "latest_revision": q_latest_revision,
         "revision_stats": q_revision_stats,
+        "robots_filter": q_robots_filter,
+        "crawl_frontier": q_crawl_frontier,
+        "main_content": q_main_content,
+        "sitemap_urls": q_sitemap_urls,
         "pagerank": q_pagerank,
         "harmonic_centrality": q_harmonic_centrality,
         "cdx_index": q_cdx_index,
@@ -2409,6 +2681,10 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": _anchor_sql(),
         "latest_revision": _latest_revision_sql(),
         "revision_stats": _revision_stats_sql(),
+        "robots_filter": _robots_filter_sql(),
+        "crawl_frontier": _crawl_frontier_sql(),
+        "main_content": _main_content_sql(),
+        "sitemap_urls": _sitemap_urls_sql(),
         "pagerank": _pagerank_sql(),
         "harmonic_centrality": _hyperball_sql(),
         "cdx_index": _cdx_sql(),
