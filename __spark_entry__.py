@@ -83,6 +83,187 @@ def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+def q_suggest_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete over the live term dictionary: terms starting
+    's' ranked (cf desc, term asc), k=4 < the matching vocab size so the
+    cap is exercised. Oracle recomputes (df, cf) from the documents
+    tokenization and replays filter/rank/cap."""
+    from patapsco_spark.operators.suggest import suggest_completions
+
+    idx = _ensure_index(spark, sf_dir)
+    return suggest_completions(spark, idx, "s", k=4)
+
+
+def q_suggest_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion for the typo 'strean': dictionary terms within 2
+    edits, first letter locked, ranked (distance asc, cf desc, term asc).
+    Oracle replays the length band, prefix lock, min_cf screen, and
+    levenshtein ranking in SQL."""
+    from patapsco_spark.operators.suggest import suggest_spelling
+
+    idx = _ensure_index(spark, sf_dir)
+    return suggest_spelling(spark, idx, "strean", k=5)
+
+
+_DICT_CTE = """
+dict AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf GROUP BY term
+)"""
+
+
+def _suggest_completions_sql() -> str:
+    return f"""
+WITH {_TOK_CTES.strip()},
+{_DICT_CTE.strip()}
+SELECT term, df, cf FROM dict
+WHERE term LIKE 's%'
+ORDER BY cf DESC, term ASC LIMIT 4"""
+
+
+def _suggest_spelling_sql() -> str:
+    q, max_edits, min_cf, k = "strean", 2, 2, 5
+    return f"""
+WITH {_TOK_CTES.strip()},
+{_DICT_CTE.strip()}
+SELECT term, levenshtein(term, '{q}')::INT AS distance, df, cf FROM dict
+WHERE length(term) BETWEEN {len(q) - max_edits} AND {len(q) + max_edits}
+  AND term <> '{q}' AND cf >= {min_cf} AND term LIKE '{q[0]}%'
+  AND levenshtein(term, '{q}') <= {max_edits}
+ORDER BY distance ASC, cf DESC, term ASC LIMIT {k}"""
+
+
+SNIP_N, SNIP_LEN, SNIP_W = 120, 60, 10
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction over a deterministic corpus: doc i is SNIP_LEN
+    tokens, token p = 'hit' at the two md5-chosen positions (which may
+    collide), else the position-unique filler 'f{p}'. One query ('hit'),
+    every doc a result row. The oracle enumerates every width-SNIP_W
+    window in SQL, replays the (max occurrences, earliest start) choice,
+    and rebuilds the exact highlighted snippet text with ellipsis rules —
+    window scoring, tie-break, <em> wrapping, and both truncation marks
+    all pinned. See ``operators/snippets.py``."""
+    from patapsco_spark.operators.snippets import make_snippets
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def pos(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:2],
+                       16) % SNIP_LEN
+
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"]:
+                p1, p2 = pos(f"hit1-{i}"), pos(f"hit2-{i}")
+                toks = ["hit" if p in (p1, p2) else f"f{p}"
+                        for p in range(SNIP_LEN)]
+                ids.append(f"d{i}")
+                texts.append(" ".join(toks))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    store = spark.range(SNIP_N, numPartitions=8).mapInPandas(
+        gen, schema="doc_id string, text string")
+    results = store.select(F.lit("q1").alias("query_id"), "doc_id")
+    return make_snippets(results, store, {"q1": ["hit"]}, window=SNIP_W)
+
+
+def _snippets_sql() -> str:
+    n, ln, w = SNIP_N, SNIP_LEN, SNIP_W
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {n})) AS i),
+hp AS (
+  SELECT i,
+         ('0x' || substr(md5('hit1-' || i), 1, 2))::BIGINT % {ln} AS p1,
+         ('0x' || substr(md5('hit2-' || i), 1, 2))::BIGINT % {ln} AS p2
+  FROM idx),
+words AS (
+  SELECT hp.i, p.p,
+         CASE WHEN p.p IN (hp.p1, hp.p2) THEN 1 ELSE 0 END AS ishit,
+         CASE WHEN p.p IN (hp.p1, hp.p2) THEN 'hit' ELSE 'f' || p.p END AS w
+  FROM hp CROSS JOIN (SELECT unnest(range(0, {ln})) AS p) p),
+wins AS (
+  SELECT wd.i, s.s, sum(wd.ishit) AS sc
+  FROM words wd JOIN (SELECT unnest(range(0, {ln - w + 1})) AS s) s
+       ON wd.p >= s.s AND wd.p < s.s + {w}
+  GROUP BY wd.i, s.s),
+best AS (
+  SELECT i, s, sc FROM (
+    SELECT i, s, sc, row_number() OVER (PARTITION BY i
+                                        ORDER BY sc DESC, s ASC) AS rn
+    FROM wins) WHERE rn = 1),
+snip AS (
+  SELECT wd.i, b.s, b.sc,
+         string_agg(CASE WHEN wd.ishit = 1 THEN '<em>hit</em>' ELSE wd.w END,
+                    ' ' ORDER BY wd.p) AS body
+  FROM words wd JOIN best b ON b.i = wd.i
+       AND wd.p >= b.s AND wd.p < b.s + {w}
+  GROUP BY wd.i, b.s, b.sc)
+SELECT 'q1' AS query_id, 'd' || i AS doc_id,
+       (CASE WHEN s > 0 THEN '… ' ELSE '' END) || body
+       || (CASE WHEN s + {w} < {ln} THEN ' …' ELSE '' END) AS snippet,
+       sc::INT AS n_matches
+FROM snip"""
+
+
+PRIOR_DEPTH, PRIOR_W = 200, 1.0
+
+
+def q_bm25_prior_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage web ranking: BM25 text top-PRIOR_DEPTH, blended with a
+    per-document static prior (md5-derived stand-in for log-PageRank,
+    range [0, 3] — big enough to actually reorder), re-ranked to K. The
+    oracle replays BOTH stages: full-corpus BM25, the depth cut on the
+    text order, the additive blend, the final window — so depth
+    semantics, join direction, and null-prior handling are all pinned.
+    See :func:`patapsco_spark.operators.retrieve.search_with_prior`."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_with_prior)
+
+    idx = _ensure_index(spark, sf_dir)
+    priors = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select(F.col("doc_id").cast("string").alias("doc_id"),
+                      (F.conv(F.substring(
+                          F.md5(F.concat(F.lit("prior-"), F.col("doc_id")
+                                         .cast("string"))), 1, 4), 16, 10)
+                       .cast("double") / 65535.0 * 3.0).alias("prior")))
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    res = search_with_prior(spark, idx, plans, priors,
+                            RetrieveConfig(k=K), weight=PRIOR_W,
+                            rescore_depth=PRIOR_DEPTH)
+    return _as_result(res)
+
+
+def _bm25_prior_sql(query_terms: list[str], k1: float, b: float,
+                    k: int, depth: int, weight: float) -> str:
+    """Replay the cascade: _bm25_sql's scores CTE → text-order depth cut
+    → additive prior blend → final (blended desc, doc_id asc) top-k."""
+    base = _bm25_sql(query_terms, k1, b, depth)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    return head + f""",
+stage1 AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {depth}),
+blended AS (
+  SELECT doc_id,
+         score + {weight} * (('0x' || substr(md5('prior-' || doc_id), 1, 4))
+                             ::BIGINT::DOUBLE / 65535.0 * 3.0) AS score
+  FROM stage1)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM blended
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def q_psq_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     groups: dict[int, list[str]] = {}
@@ -955,6 +1136,33 @@ SELECT s.dst, s.n_anchors, s.n_srcs, t.top_anchor
 FROM stats s JOIN top t USING (dst)""")
 
 
+def q_anchor_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked per-target anchor documents over the injected-link corpus:
+    top-3 distinct anchor texts by (count desc, text asc), space-joined
+    in rank order — the indexable blob with_anchor_text appends to each
+    target's text field. top_k=3 (< the corpus' max distinct anchors per
+    target) so the oracle must replay the CAP, not just the rollup."""
+    from patapsco_spark.operators.linkgraph import anchor_blobs, anchor_edges
+
+    return anchor_blobs(anchor_edges(_link_pages(spark)), top_k=3)
+
+
+def _anchor_blobs_sql() -> str:
+    """anchor_blobs oracle: same anch CTE as anchor_texts, then the
+    rank/cap/string_agg pipeline in SQL."""
+    head = _anchor_sql().split("pair AS")[0]  # WITH ... anch AS (...),
+    return (head + """
+pair AS (SELECT dst, anchor, count(*) AS n FROM anch GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, n,
+         row_number() OVER (PARTITION BY dst
+                            ORDER BY n DESC, anchor ASC) AS rn
+  FROM pair)
+SELECT dst, string_agg(anchor, ' ' ORDER BY rn) AS anchor_blob,
+       count(*) AS n_anchor_terms
+FROM ranked WHERE rn <= 3 GROUP BY dst""")
+
+
 RECRAWL_N = 300
 
 
@@ -1618,6 +1826,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_prior_topk": q_bm25_prior_topk,
+        "suggest_completions": q_suggest_completions,
+        "suggest_spelling": q_suggest_spelling,
+        "snippets": q_snippets,
         "phrase_bm25": q_phrase_bm25,
         "sloppy_bm25": q_sloppy_bm25,
         "range_bm25": q_range_bm25,
@@ -1664,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "link_graph": q_link_graph,
         "anchor_texts": q_anchor_texts,
+        "anchor_blobs": q_anchor_blobs,
         "latest_revision": q_latest_revision,
         "revision_stats": q_revision_stats,
         "robots_filter": q_robots_filter,
@@ -2656,6 +2869,11 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in sorted(LUCENE_ENGLISH_STOPWORDS))
     return {
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                           K, PRIOR_DEPTH, PRIOR_W),
+        "suggest_completions": _suggest_completions_sql(),
+        "suggest_spelling": _suggest_spelling_sql(),
+        "snippets": _snippets_sql(),
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
         "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
@@ -2679,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": ("WITH " + _link_edges_sql().lstrip() +
                        "\nSELECT src, dst FROM edges"),
         "anchor_texts": _anchor_sql(),
+        "anchor_blobs": _anchor_blobs_sql(),
         "latest_revision": _latest_revision_sql(),
         "revision_stats": _revision_stats_sql(),
         "robots_filter": _robots_filter_sql(),

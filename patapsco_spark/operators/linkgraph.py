@@ -220,6 +220,61 @@ def anchor_summaries(edges: DataFrame) -> DataFrame:
     return stats.join(top, "dst")
 
 
+def anchor_blobs(edges: DataFrame, top_k: int = 20) -> DataFrame:
+    """(src, dst, anchor) rows → (dst, anchor_blob, n_anchor_terms): the
+    per-target "anchor document" as an indexable string — the top_k most
+    frequent distinct anchor texts pointing at dst (count desc, text asc),
+    space-joined in rank order.
+
+    top_k is the celebrity bound: a page with 10^7 in-links still yields
+    a ≤top_k-term blob, because ranking runs on the PRE-AGGREGATED
+    (dst, anchor) pair frame (one row per distinct text — map-side
+    combinable count), never the raw edge stream, and dedup-then-cap is
+    exactly what web indexes do with anchor spam (a million identical
+    "click here" anchors add one term, not a million)."""
+    pair = edges.groupBy("dst", "anchor").agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("dst").orderBy(F.col("_n").desc(),
+                                          F.col("anchor").asc())
+    ranked = (pair.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= top_k))
+    return (ranked.groupBy("dst")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "anchor"))),
+                    lambda s: s["anchor"]),
+                " ").alias("anchor_blob"),
+                F.count("*").alias("n_anchor_terms")))
+
+
+def with_anchor_text(pages: DataFrame, url_col: str = "url",
+                     text_col: str = "text", html_col: str = "html",
+                     top_k: int = 20, keep_self: bool = False,
+                     drop_rel: frozenset[str] = NON_ENDORSING_REL
+                     ) -> DataFrame:
+    """Append each page's anchor document to its ``text_col`` — the
+    web-index composition where a page is indexed under what OTHER pages
+    call it (the reason a homepage ranks for its brand name even when the
+    page itself never says it). Pages with no in-links pass through
+    unchanged; augmented pages gain a final line holding the ranked
+    anchor blob from :func:`anchor_blobs`.
+
+    Feed the RESULT to ``build_index(..., text_col=...)``: anchor terms
+    then share the page's BM25 field (tf adds, norms include the blob
+    words), the single-field analogue of BM25F's anchor field. Plan: one
+    Arrow extraction pass + the two bounded rollup shuffles, then one
+    url-keyed join (both sides hash-partition on the same key)."""
+    blobs = anchor_blobs(
+        anchor_edges(pages, url_col=url_col, html_col=html_col,
+                     keep_self=keep_self, drop_rel=drop_rel), top_k)
+    joined = pages.join(blobs, pages[url_col] == blobs["dst"], "left")
+    aug = F.when(F.col("anchor_blob").isNotNull(),
+                 F.concat(F.coalesce(F.col(text_col), F.lit("")),
+                          F.lit("\n"), F.col("anchor_blob"))) \
+        .otherwise(F.col(text_col))
+    return (joined.withColumn(text_col, aug)
+            .drop("dst", "anchor_blob", "n_anchor_terms"))
+
+
 def domain_edges(edges: DataFrame) -> DataFrame:
     """(src, dst) page edges → (src_domain, dst_domain, n_links) registered-
     domain rollup (the Common-Crawl domain-graph shape). Self-edges after

@@ -207,6 +207,57 @@ def search_texts(spark: SparkSession, index_path: str,
     return search(spark, index_path, plans, cfg)
 
 
+def search_with_prior(spark: SparkSession, index_path: str,
+                      plans: list[QueryPlan], priors: DataFrame,
+                      cfg: RetrieveConfig | None = None,
+                      weight: float = 1.0, rescore_depth: int | None = None,
+                      id_col: str = "doc_id", prior_col: str = "prior"
+                      ) -> DataFrame:
+    """Two-stage web ranking: text top-R, then blend a query-INDEPENDENT
+    document prior (PageRank, harmonic centrality, URL-depth, spam score)
+    and re-rank to k — the cascade every web engine runs, since "how good
+    is this page" is knowable offline while "how well does it match" is
+    not. ``score' = text_score + weight * prior``; callers pass priors
+    already on the scale they mean (log-PageRank etc. — this stage does
+    arithmetic, not policy). Missing priors count 0.
+
+    Rescoring semantics, stated honestly: stage 1 keeps the top
+    ``rescore_depth`` (default 10×k) by TEXT score; a document whose text
+    rank is below that depth cannot be promoted by its prior. That is the
+    standard cascade trade (depth bounds the error: only docs within
+    ``weight × max_prior`` of the depth boundary can be mis-cut) — not an
+    exact top-k under the blended score.
+
+    Scale shape: the priors table is corpus-sized (10^12 rows), so it is
+    never shuffled OR broadcast whole: a broadcast LEFT-SEMI join of the
+    ≤depth×|queries| candidate ids against it reduces it map-side in one
+    scan, and the surviving ≤candidate-count rows broadcast back onto the
+    candidate frame. Two broadcast joins, zero shuffles of the big side.
+    """
+    cfg = cfg or RetrieveConfig()
+    depth = rescore_depth if rescore_depth is not None else cfg.k * 10
+    if depth < cfg.k:
+        raise ValueError(f"rescore_depth {depth} < k {cfg.k}")
+    from dataclasses import replace
+    base = search(spark, index_path, plans, replace(cfg, k=depth))
+    pri = priors.select(F.col(id_col).alias("doc_id"),
+                        F.col(prior_col).cast("double").alias("__prior"))
+    cand_pri = pri.join(
+        F.broadcast(base.select("doc_id").distinct()), "doc_id", "leftsemi")
+    blended = (base.join(F.broadcast(cand_pri), "doc_id", "left")
+               .withColumn("score",
+                           F.col("score")
+                           + F.lit(float(weight))
+                           * F.coalesce(F.col("__prior"), F.lit(0.0))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (blended.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
 def search_query_frame(spark: SparkSession, index_path: str,
                        queries_df: DataFrame, out_path: str,
                        cfg: RetrieveConfig | None = None,

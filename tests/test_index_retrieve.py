@@ -155,3 +155,62 @@ class TestIndexStructure:
         sub = mf.read_manifest(f"{four_doc_index}/analyzed")
         assert sub["metrics"]["rows"] == 4
         assert all("rows" in r for r in sub["lineage"])
+
+
+class TestSearchWithPrior:
+    def _plans(self):
+        from patapsco_spark.operators.retrieve import process_queries
+        return process_queries([("q1", "gato")], RAW_TEXT, mode="plain")
+
+    def test_prior_reorders_text_ranking(self, spark, four_doc_index):
+        from patapsco_spark.operators.retrieve import (search,
+                                                       search_with_prior)
+        plans = self._plans()
+        base = search(spark, four_doc_index, plans, RetrieveConfig(k=4))
+        text_order = [r.doc_id for r in base.collect()]
+        # a big prior on the LAST text hit must promote it to rank 0
+        last = text_order[-1]
+        assert last != text_order[0]
+        priors = spark.createDataFrame([(last, 100.0)],
+                                       "doc_id string, prior double")
+        blended = search_with_prior(spark, four_doc_index, plans, priors,
+                                    RetrieveConfig(k=4), weight=1.0,
+                                    rescore_depth=4)
+        rows = blended.collect()
+        assert rows[0].doc_id == last
+        assert rows[0].rank == 0
+        # docs without a prior keep their text score (prior treated as 0)
+        base_scores = {r.doc_id: r.score for r in base.collect()}
+        for r in rows[1:]:
+            assert r.score == pytest.approx(base_scores[r.doc_id])
+
+    def test_zero_weight_is_text_ranking(self, spark, four_doc_index):
+        from patapsco_spark.operators.retrieve import (search,
+                                                       search_with_prior)
+        plans = self._plans()
+        priors = spark.createDataFrame([("1", 50.0)],
+                                       "doc_id string, prior double")
+        blended = search_with_prior(spark, four_doc_index, plans, priors,
+                                    RetrieveConfig(k=4), weight=0.0,
+                                    rescore_depth=4)
+        base = search(spark, four_doc_index, plans, RetrieveConfig(k=4))
+        assert [r.doc_id for r in blended.collect()] == \
+            [r.doc_id for r in base.collect()]
+
+    def test_depth_below_k_refused(self, spark, four_doc_index):
+        from patapsco_spark.operators.retrieve import search_with_prior
+        priors = spark.createDataFrame([("1", 1.0)],
+                                       "doc_id string, prior double")
+        with pytest.raises(ValueError, match="rescore_depth"):
+            search_with_prior(spark, four_doc_index, self._plans(), priors,
+                              RetrieveConfig(k=10), rescore_depth=5)
+
+    def test_priors_side_never_shuffled(self, spark, four_doc_index):
+        from patapsco_spark.operators.retrieve import search_with_prior
+        priors = spark.createDataFrame([("1", 1.0), ("2", 2.0)],
+                                       "doc_id string, prior double")
+        out = search_with_prior(spark, four_doc_index, self._plans(), priors,
+                                RetrieveConfig(k=4), rescore_depth=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both prior joins are broadcast: semi-reduce + blend-back
+        assert plan.count("BroadcastHashJoin") >= 2

@@ -7,9 +7,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from patapsco_spark.operators.linkgraph import (
-    anchor_edges, anchor_summaries, domain_edges, extract_links_series,
-    link_edges, pagerank)
+    anchor_blobs, anchor_edges, anchor_summaries, domain_edges,
+    extract_links_series, link_edges, pagerank, with_anchor_text)
 
 
 def test_extract_links_resolution_and_filters():
@@ -315,3 +317,43 @@ def test_rel_nofollow_dropped(spark):
         pd.Series([html.encode()]), pd.Series(["https://a/"]),
         drop_rel=frozenset())[0]
     assert len(all_links) == 7
+
+
+def test_anchor_blobs_rank_and_cap(spark):
+    edges = spark.createDataFrame(
+        [("s1", "d1", "blue"), ("s2", "d1", "blue"), ("s3", "d1", "red"),
+         ("s4", "d1", "apple"), ("s5", "d1", "red"), ("s6", "d1", "zed")],
+        "src string, dst string, anchor string")
+    got = {r.dst: r for r in anchor_blobs(edges, top_k=3).collect()}
+    # counts: blue 2, red 2, apple 1, zed 1 -> blue red apple (tie: asc)
+    assert got["d1"].anchor_blob == "blue red apple"
+    assert got["d1"].n_anchor_terms == 3
+
+
+def test_with_anchor_text_augments_target(spark):
+    pages = _pages(spark, [
+        ("https://a/", '<p>source page words</p>'
+                       '<a href="https://b/">zebra crossing</a>'),
+        ("https://b/", "<p>target page about nothing</p>"),
+    ]).withColumn("text", F.lit("base text"))
+    out = {r.url: r.text for r in with_anchor_text(pages).collect()}
+    assert out["https://b/"] == "base text\nzebra crossing"
+    assert out["https://a/"] == "base text"          # no in-links: unchanged
+
+
+def test_anchor_text_reaches_the_index(spark, tmp_path):
+    from patapsco_spark.config import IndexConfig
+    from patapsco_spark.operators.indexer import build_index
+    from patapsco_spark.operators.retrieve import search_texts
+    pages = _pages(spark, [
+        ("https://a/", '<p>alpha beta</p><a href="https://b/">zebra</a>'),
+        ("https://b/", "<p>gamma delta</p>"),
+    ]).withColumn("text", F.when(F.col("url") == "https://a/", "alpha beta")
+                  .otherwise("gamma delta")) \
+      .withColumn("lang", F.lit("eng"))
+    aug = with_anchor_text(pages)
+    idx = str(tmp_path / "idx")
+    build_index(spark, aug, idx, IndexConfig(num_shards=1),
+                id_col="url", text_col="text")
+    hits = search_texts(spark, idx, [("q1", "zebra")]).collect()
+    assert [h.doc_id for h in hits] == ["https://b/"]
