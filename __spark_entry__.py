@@ -61,6 +61,161 @@ def _ensure_pos_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+DEL_HEX = ("0", "1")  # md5('del-'||id)[0] ∈ {0,1} → ~1/8 of docs deleted
+
+
+def _ensure_del_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with Lucene-semantics tombstones: build (cached), then delete
+    the deterministic md5-chosen subset. delete_docs is idempotent — on a
+    warm cache the tombstones are already present and nothing is written."""
+    from patapsco_spark.operators.deletes import delete_docs
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_idxdel_{tag}")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
+    build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
+                resume=True)
+    del_ids = docs.select("id").where(
+        F.substring(F.md5(F.concat(F.lit("del-"), F.col("id"))), 1, 1)
+        .isin(*DEL_HEX))
+    delete_docs(spark, path, del_ids, id_col="id")
+    return path
+
+
+def q_delete_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over an index with ~1/8 of the docs tombstoned
+    (operators/deletes.py). Lucene pre-merge delete semantics, pinned by
+    the oracle: deleted docs are excluded from the results, but df / N /
+    avgdl stay at the FULL-corpus values — the oracle computes full-corpus
+    BM25 and filters the deleted ids out only at the final ranking, so a
+    wrong implementation that rebuilds stats (or one that leaks deleted
+    docs into top-k) both hash-mismatch."""
+    from patapsco_spark.operators.retrieve import process_queries, search
+
+    idx = _ensure_del_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    return _as_result(search(spark, idx, plans, RetrieveConfig(k=K)))
+
+
+def _delete_bm25_sql(query_terms: list[str], k1: float, b: float,
+                     k: int) -> str:
+    """Full-corpus BM25 stats, deleted ids filtered at ranking only."""
+    hexes = ", ".join(f"'{h}'" for h in DEL_HEX)
+    return _bm25_sql(query_terms, k1, b, k).replace(
+        "FROM scores\n",
+        "FROM scores\n"
+        f"WHERE substr(md5('del-' || CAST(doc_id AS VARCHAR)), 1, 1) "
+        f"NOT IN ({hexes})\n")
+
+
+UPD_HEX = ("0", "1", "2", "3")  # md5('upd-'||id)[0] → ~1/4 of docs re-crawled
+UPD_PREFIX = "refreshed crawl "
+
+
+def _ensure_upd_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index where ~1/4 of the docs were re-crawled through update_docs
+    (operators/deletes.py): the new version (text prefixed with two extra
+    tokens) appends as fresh shards, the old copy is tombstoned, and corpus
+    statistics count BOTH copies until a compaction — Lucene
+    updateDocument semantics. Idempotent on a warm cache: build_index
+    resumes, and update_docs' epoch replay guard skips the re-apply."""
+    from patapsco_spark.operators.deletes import update_docs
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_idxupd_{tag}")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
+    build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
+                resume=True)
+    upd = (docs.where(
+               F.substring(F.md5(F.concat(F.lit("upd-"), F.col("id"))), 1, 1)
+               .isin(*UPD_HEX))
+           .withColumn("text", F.concat(F.lit(UPD_PREFIX), F.col("text"))))
+    update_docs(spark, path, upd, IndexConfig(text=RAW_TEXT), epoch_id=1)
+    return path
+
+
+def q_upsert_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over an index where ~1/4 of the docs were upserted
+    (operators/deletes.py update_docs). The oracle pins the exact Lucene
+    pre-merge contract: N / df / avgdl count BOTH the old and new copy of
+    every updated doc, the new copy is rankable with its new tf/dl, and
+    the old copy can neither appear nor displace — an implementation that
+    rebuilds stats, drops the old copy from df, or leaks it into top-k all
+    hash-mismatch."""
+    from patapsco_spark.operators.retrieve import process_queries, search
+
+    idx = _ensure_upd_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    return _as_result(search(spark, idx, plans, RetrieveConfig(k=K)))
+
+
+def _upsert_bm25_sql(query_terms: list[str], k1: float, b: float,
+                     k: int) -> str:
+    """Versioned-corpus BM25: stats over original ∪ updated copies, the
+    original copy of an updated id excluded at ranking only."""
+    from patapsco_spark.functions.smallfloat import quantize_length_sql
+
+    hexes = ", ".join(f"'{h}'" for h in UPD_HEX)
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = quantize_length_sql("dl.dl")
+    return f"""
+WITH docs_v AS (
+  SELECT doc_id, text, 0 AS ver,
+         substr(md5('upd-' || CAST(doc_id AS VARCHAR)), 1, 1) IN ({hexes}) AS upd
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '{UPD_PREFIX}' || text, 1 AS ver, TRUE AS upd
+  FROM documents
+  WHERE substr(md5('upd-' || CAST(doc_id AS VARCHAR)), 1, 1) IN ({hexes})
+),
+tok AS (
+  SELECT doc_id, ver, upd, unnest(string_split(text, ' ')) AS term FROM docs_v
+),
+tf AS (
+  SELECT doc_id, ver, upd, term, count(*)::DOUBLE AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, ver, upd, term
+),
+dl AS (
+  SELECT doc_id, ver, count(*)::BIGINT AS dl FROM tok WHERE term <> ''
+  GROUP BY doc_id, ver
+),
+stats AS (
+  SELECT (SELECT count(*) FROM docs_v)::DOUBLE AS n,
+         CAST(CAST(sum(dl) AS DOUBLE) / (SELECT count(*) FROM docs_v) AS REAL)::DOUBLE AS avgdl
+  FROM dl
+),
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.ver = tf.ver
+  CROSS JOIN stats
+  WHERE NOT (tf.ver = 0 AND tf.upd)
+  GROUP BY tf.doc_id, tf.ver
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _as_result(df: DataFrame) -> DataFrame:
     return df.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1840,6 +1995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_nested": q_boolean_nested,
         "wildcard_bm25": q_wildcard_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
+        "delete_bm25": q_delete_bm25,
+        "upsert_bm25": q_upsert_bm25,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -2885,6 +3042,8 @@ def oracle_sql() -> dict[str, str]:
                                             0.9, 0.4, K),
         "fuzzy_bm25": _fuzzy_bm25_sql(FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS,
                                       0.9, 0.4, K),
+        "delete_bm25": _delete_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "upsert_bm25": _upsert_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
         "sloppy_bm25": _sloppy_bm25_sql(PHRASE_WORDS, SLOP, 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),

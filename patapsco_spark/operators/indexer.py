@@ -76,7 +76,9 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                "store_raw": bool(cfg.store_raw), "analyzed_format": 2}
 
     analyzed_path = f"{index_path}/analyzed"
+    built_any = False  # did THIS call write any stage? (root-manifest gate)
     if not (resume and mf.is_complete(analyzed_path, "analyzed", cfg_doc)):
+        built_any = True
         n_parts = _pick_partitions(spark, pages, cfg)
         # the analysis kernel parallelizes per input partition — a scan that
         # packed many small files into few partitions (maxPartitionBytes)
@@ -132,6 +134,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                      positions=bool(cfg.positions))
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
+        built_any = True
         analyzed_df = spark.read.parquet(analyzed_path)
         docided = _assign_docids(analyzed_df, offsets, docs_per_shard)
 
@@ -218,6 +221,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
             mf.write_manifest(f"{index_path}/positions", "positions", build_cfg)
 
     if not (resume and mf.is_complete(stats_path, "term_stats", build_cfg)):
+        built_any = True
         # term_stats is ADDITIVE-partitioned: seg=-1 holds the base build;
         # each streaming append adds a seg=<first new shard> delta computed
         # from its new shards only (no full-postings rescan per micro-batch).
@@ -230,6 +234,17 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
               .sortWithinPartitions("term")
               .write.mode("overwrite").partitionBy("seg").parquet(stats_path))
         mf.write_manifest(stats_path, "term_stats", build_cfg)
+
+    # a fully-skipped resume returns the EXISTING root manifest untouched:
+    # recomputing it here would (a) reset the generation/maintenance keys a
+    # later append/compaction/delete added (shard_base, dead_ranges, the
+    # tombstone window, last_epoch) to a pre-maintenance state while the
+    # data dirs still hold the maintained layout — a silently inconsistent
+    # index — and (b) pay a norms scan per warm call for nothing
+    if resume and not built_any:
+        existing = mf.read_manifest(index_path)
+        if existing is not None and existing.get("stage") == "index":
+            return existing["config"] | {"index_path": index_path}
 
     # global stats from norms (cheap columnar agg)
     norms_df = spark.read.parquet(norms_path)

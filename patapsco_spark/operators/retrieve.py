@@ -171,11 +171,18 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         cfg.pruning == "auto"
         and matched_postings >= cfg.pruning_min_postings)
 
+    # committed tombstones (operators/deletes.py): masked inside the kernel
+    # BEFORE the local top-k cut, with scoring statistics left at the
+    # manifest values — Lucene's exact semantics for an index with
+    # not-yet-merged deletes. None (the common case) costs nothing.
+    from .deletes import tombstone_arrays
+    deleted = tombstone_arrays(spark, index_path, meta)
+
     scorer = _make_shard_scorer(
         plans_payload, df_map, scorer=cfg.name, k=cfg.k, k1=cfg.k1, b=cfg.b,
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
-        idf_over=idf_over)
+        idf_over=idf_over, deleted=deleted)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
@@ -720,11 +727,20 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard,
-                       use_pruner=True, idf_over=None):
+                       use_pruner=True, idf_over=None, deleted=None):
     """Build the per-shard cogrouped kernel. Pure numpy inside.
 
     ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
-    the df-derived one — Lucene phrase scoring uses Σ member idfs."""
+    the df-derived one — Lucene phrase scoring uses Σ member idfs.
+
+    ``deleted`` maps shard → sorted local positions of tombstoned docs
+    (operators/deletes.py): those positions are masked out of the candidate
+    set before the local top-k, while df/cf/num_docs/avgdl stay at the
+    manifest values (Lucene pre-merge delete semantics). A tombstoned shard
+    takes the dense path — the block-max pruner's bounds would still be
+    valid upper bounds over a masked candidate set, but its seed pass could
+    pick deleted docs and under-seed the threshold; correctness over
+    cleverness until compaction clears the tombstones."""
     idf_over = idf_over or {}
 
     def kernel(key, posts_pdf: pd.DataFrame, packed_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -732,6 +748,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             return _empty_result()
         shard = int(key[0])
         base = shard * docs_per_shard
+        dead = None if deleted is None else deleted.get(shard)
 
         # dense per-shard dlq array from the packed norm-byte blob
         from ..functions.smallfloat import byte4_to_int
@@ -837,7 +854,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # reproduce — results must not depend on the pruning heuristic
             # (RM3/boosted terms carry their weight in the clause boost
             # with p = 1.0, so they keep the fast path)
-            if bmw is not None and all(
+            if bmw is not None and dead is None and all(
                     occ == SHOULD and len(ts) == 1 and ts[0][1] == 1.0
                     and not kids
                     for occ, _, ts, kids in clauses):
@@ -852,6 +869,9 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                         out_s.append(cscore)
                     continue
             total, cand, has_scoring_clause = eval_clauses(clauses)
+            if dead is not None and len(dead):
+                # local positions, clipped defensively against stale rows
+                cand[dead[dead < size]] = False
             if not has_scoring_clause or not cand.any():
                 continue
             cpos = np.flatnonzero(cand)

@@ -319,6 +319,26 @@ def compact_index(spark: SparkSession, index_path: str,
     merge_rows = [r for r in per_shard if int(r["shard"]) >= cutoff]
     kept_docs = sum(int(r["n"]) for r in kept_rows)
 
+    # committed tombstones (operators/deletes.py): the rewrite applies the
+    # ones falling in the merged range (their docs vanish and survivors
+    # renumber densely); tombstones in kept base shards are carried forward
+    # — exactly Lucene's .liv files on segments a merge didn't touch. The
+    # merged-range set is collected (bounded by deletes-since-last-compact,
+    # see the deletes module doc) to drive the survivor renumbering.
+    from ..operators.deletes import read_tombstones
+    dels_df = read_tombstones(spark, index_path, meta)
+    kept_dels = None
+    dels_by_shard: dict[int, np.ndarray] = {}
+    if dels_df is not None:
+        dels_df = dels_df.where(live_shard_pred(meta))
+        kept_dels = dels_df.where(F.col("shard") < cutoff)
+        by_shard: dict[int, list[int]] = {}
+        for r in (dels_df.where(F.col("shard") >= cutoff)
+                  .select("shard", "docid").collect()):
+            by_shard.setdefault(int(r["shard"]), []).append(int(r["docid"]))
+        dels_by_shard = {s: np.unique(np.asarray(v, dtype=np.int64))
+                         for s, v in by_shard.items()}
+
     remap: dict[int, tuple[int, int]] = {}
     off = 0
     for r in merge_rows:
@@ -328,11 +348,14 @@ def compact_index(spark: SparkSession, index_path: str,
             raise ValueError(f"shard {r['shard']} has docid gaps; "
                              "cannot compact with the affine remap")
         remap[int(r["shard"])] = (int(r["mn"]), base0 + off)
-        off += int(r["n"])
+        # bases advance by SURVIVORS: deleted docs leave no docid hole
+        off += int(r["n"]) - len(dels_by_shard.get(int(r["shard"]), ()))
     num_docs = kept_docs + off
     last_docid = base0 + off - 1
-    new_num_shards = last_docid // dps + 1
-    new_shard_count = new_num_shards - new_base_shard
+    new_num_shards = last_docid // dps + 1 if off else new_base_shard
+    # off == 0 (every merged doc tombstoned) writes an empty tail — clamp
+    # partition counts to 1 so the empty writes still plan
+    new_shard_count = max(1, new_num_shards - new_base_shard)
     merge = lambda df: df.where(live_shard_pred(meta) &
                                 (F.col("shard") >= cutoff))
     norms = merge(spark.read.parquet(f"{index_path}/norms"))
@@ -355,8 +378,32 @@ def compact_index(spark: SparkSession, index_path: str,
     stage = f"{index_path}/_compact_stage"
 
     # ---- norms + packed norms ------------------------------------------
-    (remapped(norms.select("shard", "docid", "id", "dl"))
-     .write.mode("overwrite").parquet(f"{stage}/norms"))
+    if dels_by_shard:
+        # delete-aware renumbering: survivors rank within their OLD shard
+        # (row_number over a shard-partitioned window — parallel per shard,
+        # never a global sort) and land at nb + rank - 1, which equals the
+        # decode kernel's nb + (docid - mn) - |dels < docid| exactly. The
+        # (old shard, old docid) → new docid map is persisted for the
+        # positions sidecar join below.
+        from pyspark.sql import Window
+        merge_dels = spark.createDataFrame(
+            [(int(s), int(d)) for s, a in dels_by_shard.items() for d in a],
+            "shard int, docid long")
+        wn = Window.partitionBy("shard").orderBy("docid")
+        renum = (norms.join(F.broadcast(merge_dels), ["shard", "docid"],
+                            "left_anti")
+                 .join(F.broadcast(mdf), "shard")
+                 .withColumn("new_docid",
+                             F.col("nb") + F.row_number().over(wn) - 1))
+        renum.select("shard", "docid", "new_docid", "id", "dl") \
+            .write.mode("overwrite").parquet(f"{stage}/remap_rows")
+        renum = spark.read.parquet(f"{stage}/remap_rows")
+        (renum.select(F.col("new_docid").alias("docid"), "id", "dl")
+         .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
+         .write.mode("overwrite").parquet(f"{stage}/norms"))
+    else:
+        (remapped(norms.select("shard", "docid", "id", "dl"))
+         .write.mode("overwrite").parquet(f"{stage}/norms"))
     (spark.read.parquet(f"{stage}/norms")
      .repartition(new_shard_count, "shard").sortWithinPartitions("docid")
      .write.mode("overwrite").options(**dyn).partitionBy("shard")
@@ -374,7 +421,7 @@ def compact_index(spark: SparkSession, index_path: str,
     old_packed = merge(spark.read.parquet(f"{index_path}/norms_packed"))
     tf_rows = (old_posts.groupBy("shard").cogroup(old_packed.groupBy("shard"))
                .applyInPandas(
-                   _make_decode_remap_kernel(dps, remap),
+                   _make_decode_remap_kernel(dps, remap, dels_by_shard),
                    schema="shard int, term string, docid long, tf int, dlq int"))
     (tf_rows.repartition(new_shard_count, "shard")
      .sortWithinPartitions("shard", "term", "docid")
@@ -388,7 +435,21 @@ def compact_index(spark: SparkSession, index_path: str,
     # ---- positions sidecar (plain rows: remap only) ----------------------
     if positions:
         pos = merge(spark.read.parquet(f"{index_path}/positions"))
-        (remapped(pos)
+        if dels_by_shard:
+            # inner join against the persisted survivor map: deleted docs'
+            # position rows drop out, survivors take their new docid. A
+            # doc-keyed shuffle of the MERGED range only — the delete path
+            # costs nothing when no tombstones are pending (branch above)
+            rmap = (spark.read.parquet(f"{stage}/remap_rows")
+                    .select("shard", "docid", "new_docid"))
+            pos = (pos.join(rmap, ["shard", "docid"])
+                   .drop("docid", "shard")
+                   .withColumnRenamed("new_docid", "docid")
+                   .withColumn("shard",
+                               (F.col("docid") / F.lit(dps)).cast("int")))
+        else:
+            pos = remapped(pos)
+        (pos
          .repartition(new_shard_count, "shard")
          .sortWithinPartitions("shard", "term", "docid")
          .write.mode("overwrite").parquet(f"{stage}/positions"))
@@ -431,10 +492,39 @@ def compact_index(spark: SparkSession, index_path: str,
      .write.mode("overwrite").options(**dyn).partitionBy("seg")
      .parquet(f"{index_path}/term_stats"))
 
+    if dels_by_shard:
+        # physical deletes change the collection statistics: num_docs
+        # already counts survivors (off above); total_tf re-derives from
+        # the collapsed stats segment just written (Σcf over live postings
+        # — vocab-sized scan), and avgdl follows with the indexer's own
+        # float32 quantization. In tiered mode kept shards' tombstoned
+        # docs remain counted everywhere — the carried-.liv contract.
+        row = (spark.read.parquet(f"{index_path}/term_stats")
+               .where(F.col("seg") == new_base_shard)
+               .agg(F.sum("cf").alias("cf")).first())
+        new_total_tf = int(row["cf"] or 0)
+        new_meta["total_tf"] = new_total_tf
+        new_meta["avgdl"] = (float(np.float32(new_total_tf / num_docs))
+                             if num_docs else 0.0)
+
+    # ---- tombstone window flip (crash-safe: the carried set lands at a
+    # FRESH batch number the old manifest window never reads; only the
+    # manifest commit below makes the new window visible) -----------------
+    old_dcount = int(meta.get("deletes_batches", 0))
+    carried = 0
+    if kept_dels is not None:
+        carried = kept_dels.count()
+        if carried:
+            (kept_dels.coalesce(1).write.mode("overwrite")
+             .parquet(f"{index_path}/deletes/batch={old_dcount}"))
+    new_meta["deletes_base"] = old_dcount
+    new_meta["deletes_batches"] = old_dcount + (1 if carried else 0)
+
     mf.write_manifest(index_path, "index", new_meta,
                       metrics={"num_docs": num_docs,
                                "compacted_shards": len(per_shard),
-                               "live_shards": new_shard_count})
+                               "live_shards": new_shard_count,
+                               "tombstone_count": carried})
 
     # ---- delete the superseded generation (post-commit, like Lucene
     # dropping merged segments; an in-flight reader on the OLD manifest
@@ -455,18 +545,27 @@ def compact_index(spark: SparkSession, index_path: str,
     for val, d in fsio.list_partition_dirs(f"{index_path}/term_stats", "seg"):
         if val < new_base_shard:
             _delete_path(spark, d)
+    for val, d in fsio.list_partition_dirs(f"{index_path}/deletes", "batch"):
+        if not (new_meta["deletes_base"] <= val < new_meta["deletes_batches"]):
+            _delete_path(spark, d)  # applied (or superseded) tombstones
     _delete_path(spark, stage)
     return new_meta
 
 
 def _make_decode_remap_kernel(docs_per_shard: int,
-                              remap: dict[int, tuple[int, int]]):
+                              remap: dict[int, tuple[int, int]],
+                              dels: dict[int, np.ndarray] | None = None):
     """Cogrouped (postings, packed norms) per OLD shard → decoded tf rows
     with REMAPPED docids/shards, ready for the batch postings kernel. The
     remap dict is one (min, new_base) pair per old shard — broadcast via
     closure; at 10^12 docs / 10^5 docs_per_shard that is 10^7 entries
     (~hundreds of MB driver-side): compact more often than never, or shard
-    the compaction by docid range."""
+    the compaction by docid range.
+
+    ``dels`` maps old shard → sorted ABSOLUTE tombstoned docids: their
+    rows are dropped and each survivor shifts down by the count of deleted
+    docids below it (one vectorized searchsorted per posting list), which
+    matches the norms renumbering — nb + (docid - mn) - |dels < docid|."""
     import pandas as pd
 
     from ..functions.codec import decode_blocks
@@ -493,6 +592,7 @@ def _make_decode_remap_kernel(docs_per_shard: int,
         old_shard = int(key[0])
         mn, nb = remap[old_shard]
         base = old_shard * docs_per_shard
+        dels_s = None if dels is None else dels.get(old_shard)
         codes = np.frombuffer(bytes(packed_pdf["codes"].iloc[0]),
                               dtype=np.uint8)
         terms, docids, tfs, dlqs = [], [], [], []
@@ -503,8 +603,18 @@ def _make_decode_remap_kernel(docs_per_shard: int,
                                   np.asarray(row.block_gap_len, dtype=np.int64),
                                   np.asarray(row.block_last, dtype=np.int64),
                                   base)
+            if dels_s is not None and len(dels_s):
+                at = np.searchsorted(dels_s, d)
+                hit = (at < len(dels_s)) & (dels_s[np.minimum(
+                    at, len(dels_s) - 1)] == d)
+                d, tf, at = d[~hit], tf[~hit], at[~hit]
+                if not len(d):
+                    continue
+                new_ids = d - mn + nb - at  # shift by |dels < docid|
+            else:
+                new_ids = d - mn + nb
             dlqs.append(byte4_to_int(codes[d - base]))
-            docids.append(d - mn + nb)
+            docids.append(new_ids)
             tfs.append(tf)
             terms.append(np.full(len(d), row.term, dtype=object))
         if not terms:
