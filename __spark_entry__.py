@@ -709,6 +709,27 @@ def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ulm_perplexity(docs)
 
 
+SB_LM_HEX = tuple("01234567")  # md5('lm-'||id)[0] → LM trained on ~half
+
+
+def q_sb_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM perplexity (Brants et al. 2007), CCNet
+    filter shape: the LM counts come from a deterministic ~half of the
+    corpus and EVERY doc is scored under them, so the held-out half
+    genuinely exercises the backoff chain (trigram → alpha·bigram →
+    alpha²·unigram, OOV hapax floor, doc-head positions at their own order
+    unpenalized). The oracle replays the whole chain in SQL from the same
+    split, so a wrong backoff weight, a missed doc-head case, OOV
+    mishandling, or context/continuation count confusion all
+    hash-mismatch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = docs.where(
+        F.substring(F.md5(F.concat(F.lit("lm-"),
+                                   F.col("doc_id").cast("string"))), 1, 1)
+        .isin(*SB_LM_HEX))
+    return textstats.sb_perplexity(docs, lm_docs=lm)
+
+
 def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """9-language heuristic language ID (round 5): script detection +
     per-language stopword occurrence rates over the shipped Lucene lists
@@ -2003,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_multi": q_language_id_multi,
         "bpe_token_stats": q_bpe_token_stats,
         "ulm_perplexity": q_ulm_perplexity,
+        "sb_perplexity": q_sb_perplexity,
         "gopher_rules": q_gopher_rules,
         "dsir_weights": q_dsir_weights,
         "line_dedup": q_line_dedup,
@@ -2065,6 +2087,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _quant_sql(col: str) -> str:
     from patapsco_spark.functions.smallfloat import quantize_length_sql
     return quantize_length_sql(col)
+
+
+def _sb_perplexity_sql(lm_hex: tuple[str, ...], alpha: float = 0.4) -> str:
+    """Stupid-backoff trigram chain replayed in SQL: counts from the
+    md5-chosen LM half, every doc scored, parenthesization mirroring the
+    Spark expression tree for bit-stable doubles."""
+    hexes = ", ".join(f"'{h}'" for h in lm_hex)
+    a = repr(float(alpha))
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         substr(md5('lm-' || CAST(doc_id AS VARCHAR)), 1, 1) IN ({hexes}) AS in_lm
+  FROM documents
+),
+t AS (
+  SELECT doc_id, in_lm, toks[i] AS w,
+         CASE WHEN i >= 2 THEN toks[i-1] END AS w1,
+         CASE WHEN i >= 3 THEN toks[i-2] END AS w2
+  FROM (SELECT doc_id, in_lm, toks, generate_subscripts(toks, 1) AS i FROM w)
+),
+c1 AS (SELECT w AS u_w, count(*)::DOUBLE AS c1 FROM t WHERE in_lm GROUP BY 1),
+tot AS (SELECT SUM(c1) AS tot FROM c1),
+c2 AS (SELECT w1 AS b_a, w AS b_b, count(*)::DOUBLE AS c2 FROM t
+       WHERE in_lm AND w1 IS NOT NULL GROUP BY 1, 2),
+c3 AS (SELECT w2 AS t_a, w1 AS t_b, w AS t_c, count(*)::DOUBLE AS c3 FROM t
+       WHERE in_lm AND w2 IS NOT NULL GROUP BY 1, 2, 3),
+scored AS (
+  SELECT t.doc_id,
+         -log2(CASE
+            WHEN t.w2 IS NOT NULL THEN
+              CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / cx.c2
+                   WHEN c2.c2 IS NOT NULL THEN {a} * (c2.c2 / c1x.c1)
+                   ELSE {a} * ({a} * (COALESCE(c1.c1, 1.0) / tot.tot)) END
+            WHEN t.w1 IS NOT NULL THEN
+              CASE WHEN c2.c2 IS NOT NULL THEN c2.c2 / c1x.c1
+                   ELSE {a} * (COALESCE(c1.c1, 1.0) / tot.tot) END
+            ELSE COALESCE(c1.c1, 1.0) / tot.tot END) AS nll
+  FROM t
+  LEFT JOIN c3 ON c3.t_a = t.w2 AND c3.t_b = t.w1 AND c3.t_c = t.w
+  LEFT JOIN c2 cx ON cx.b_a = t.w2 AND cx.b_b = t.w1
+  LEFT JOIN c2 ON c2.b_a = t.w1 AND c2.b_b = t.w
+  LEFT JOIN c1 c1x ON c1x.u_w = t.w1
+  LEFT JOIN c1 ON c1.u_w = t.w
+  CROSS JOIN tot
+),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, AVG(nll) AS ce
+        FROM scored GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       ROUND(p.ce, 6) AS sb_cross_entropy,
+       ROUND(POW(2.0, p.ce), 4) AS sb_perplexity
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
 
 
 _TOK_CTES = """
@@ -3394,6 +3469,7 @@ SELECT d.doc_id,
        ROUND(POW(2.0, p.ce), 4) AS perplexity
 FROM documents d LEFT JOIN per p USING (doc_id)
 """,
+        "sb_perplexity": _sb_perplexity_sql(SB_LM_HEX),
         "language_id": f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents

@@ -343,6 +343,102 @@ def ulm_perplexity(docs: DataFrame, id_col: str = "doc_id",
                     .alias("perplexity")))
 
 
+def _ngram_stream(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, w, w1, w2) token stream: one posexplode + one per-doc lag
+    window (shuffles on the doc id — partitions are doc-sized)."""
+    from pyspark.sql import Window
+
+    toks = frame.select(
+        F.col(id_col),
+        F.posexplode(_TOKENS(text_col)).alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    return (toks.withColumn("w1", F.lag("w", 1).over(win))
+                .withColumn("w2", F.lag("w", 2).over(win)))
+
+
+def sb_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
+                  alpha: float = 0.4, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc stupid-backoff TRIGRAM LM score — the distributed web-scale
+    LM of Brants et al. 2007 ("Large Language Models in Machine
+    Translation"): no normalization, no discounting, just relative
+    frequencies with a fixed backoff penalty. The CCNet filter shape
+    (Wenzek et al. 2020: score docs under a reference LM, keep the
+    low-perplexity head), n-gram upgrade of :func:`ulm_perplexity`.
+
+    ``lm_docs`` is the corpus the counts come from — typically a vetted
+    high-quality subset; pass None to score the corpus under itself (note
+    that then every doc's own n-grams are in the tables, so backoff only
+    fires on cross-doc sparsity and a hapax doc partly scores its own
+    echo — the external-LM form is the meaningful filter).
+
+    Scoring, exactly (and replayed verbatim by the SQL oracle):
+      pos 0:  S(w)      = c1(w)/total, unseen w → 1/total (hapax floor)
+      pos 1:  S(w|b)    = c2(b,w)/c1(b)  if c2>0 else alpha·S(w)
+      pos ≥2: S(w|a,b)  = c3(a,b,w)/c2(a,b) if c3>0
+                          else alpha·[c2(b,w)/c1(b) if c2>0 else alpha·S(w)]
+    A shorter context at the doc head is scored at its own order with NO
+    penalty (backoff is for missing counts, per the paper). S is a score,
+    not a probability (it doesn't sum to 1) — Brants' deliberate trade;
+    "perplexity" = 2^(-mean log2 S) is comparable across docs.
+
+    Scale shape: three groupBy counts over the LM stream build the
+    Zipf-bounded n-gram tables; scoring is hash joins of the token stream
+    against those tables — the distributed count-serving shape of the
+    paper (at 100 TB the tables are built once, stored, and reused across
+    scoring runs; AQE broadcast-converts the small tails). All Catalyst,
+    no Python."""
+    t = _ngram_stream(docs, id_col, text_col)
+    lm = t if lm_docs is None else _ngram_stream(lm_docs, id_col, text_col)
+
+    c1 = lm.groupBy(F.col("w").alias("u_w")) \
+           .agg(F.count("*").cast("double").alias("c1"))
+    c2 = (lm.where(F.col("w1").isNotNull())
+          .groupBy(F.col("w1").alias("b_a"), F.col("w").alias("b_b"))
+          .agg(F.count("*").cast("double").alias("c2")))
+    c3 = (lm.where(F.col("w2").isNotNull())
+          .groupBy(F.col("w2").alias("t_a"), F.col("w1").alias("t_b"),
+                   F.col("w").alias("t_c"))
+          .agg(F.count("*").cast("double").alias("c3")))
+    total = c1.agg(F.sum("c1").alias("tot"))
+
+    j = (t
+         .join(c3, (F.col("w2") == F.col("t_a")) & (F.col("w1") == F.col("t_b"))
+               & (F.col("w") == F.col("t_c")), "left")
+         .join(c2.select(F.col("b_a").alias("cx_a"), F.col("b_b").alias("cx_b"),
+                         F.col("c2").alias("c2ctx")),
+               (F.col("w2") == F.col("cx_a")) & (F.col("w1") == F.col("cx_b")),
+               "left")
+         .join(c2, (F.col("w1") == F.col("b_a")) & (F.col("w") == F.col("b_b")),
+               "left")
+         .join(c1.select(F.col("u_w").alias("c1x_w"),
+                         F.col("c1").alias("c1ctx")),
+               F.col("w1") == F.col("c1x_w"), "left")
+         .join(c1, F.col("w") == F.col("u_w"), "left")
+         .crossJoin(F.broadcast(total)))
+
+    # OOV floor: an unseen word scores like a hapax (count 1). c1ctx/c2ctx
+    # are never NULL where consumed: c2 seen ⇒ its context unigram is in
+    # c1; c3 seen ⇒ its context bigram is in c2.
+    uni = F.coalesce(F.col("c1"), F.lit(1.0)) / F.col("tot")
+    bi = F.when(F.col("c2").isNotNull(), F.col("c2") / F.col("c1ctx")) \
+          .otherwise(F.lit(alpha) * uni)
+    s = (F.when(F.col("w2").isNotNull(),
+                F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2ctx"))
+                 .otherwise(F.lit(alpha) * bi))
+          .when(F.col("w1").isNotNull(), bi)
+          .otherwise(uni))
+    per = (j.select(F.col(id_col), (-F.log2(s)).alias("nll"))
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"), F.avg("nll").alias("ce")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.round(F.col("ce"), 6).alias("sb_cross_entropy"),
+                    F.round(F.pow(F.lit(2.0), F.col("ce")), 4)
+                    .alias("sb_perplexity")))
+
+
 # PII patterns chosen for cross-engine parity: no lookarounds/backrefs, so
 # Java regex (Spark) and RE2 (DuckDB oracle) agree token-for-token. The
 # phone pattern is international-with-+ only — a bare digit-run pattern

@@ -117,6 +117,90 @@ class TestUlmPerplexity:
         assert got[9] > got[1]  # rare-token soup = high perplexity
 
 
+class TestSbPerplexity:
+    def test_pinned_self_lm(self, spark):
+        """Self-corpus form (lm_docs=None): hand-checked trigram hits and
+        doc-head positions at their own order unpenalized."""
+        import math
+
+        from patapsco_spark.operators.textstats import sb_perplexity
+        # corpus: "a b c a b d" / "c b"  → total 8 tokens
+        docs = spark.createDataFrame(
+            [(1, "a b c a b d"), (2, "c b"), (3, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in sb_perplexity(docs).collect()}
+        c1 = {"a": 2, "b": 3, "c": 2, "d": 1}
+        c2 = {("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1, ("b", "d"): 1,
+              ("c", "b"): 1}
+        c3 = {("a", "b", "c"): 1, ("b", "c", "a"): 1, ("c", "a", "b"): 1,
+              ("a", "b", "d"): 1}
+        tot, al = 8.0, 0.4
+        uni = lambda w: c1[w] / tot
+        bi = lambda a, b: (c2[(a, b)] / c1[a] if (a, b) in c2
+                           else al * uni(b))
+        tri = lambda a, b, c: (c3[(a, b, c)] / c2[(a, b)]
+                               if (a, b, c) in c3 else al * bi(b, c))
+        # doc 1: pos0 uni(a), pos1 bi(a,b), then trigram chain
+        s1 = [uni("a"), bi("a", "b"), tri("a", "b", "c"), tri("b", "c", "a"),
+              tri("c", "a", "b"), tri("a", "b", "d")]
+        ce1 = -sum(math.log2(x) for x in s1) / len(s1)
+        assert got[1]["n_tokens"] == 6
+        assert abs(got[1]["sb_cross_entropy"] - round(ce1, 6)) < 1e-9
+        # doc 2: uni(c), bi(c,b) — (c,b) seen, no penalty at doc head
+        s2 = [uni("c"), bi("c", "b")]
+        ce2 = -sum(math.log2(x) for x in s2) / 2
+        assert abs(got[2]["sb_cross_entropy"] - round(ce2, 6)) < 1e-9
+        assert abs(got[2]["sb_perplexity"] - round(2 ** ce2, 4)) < 1e-9
+        # NULL text keeps its row with NULL scores
+        assert got[3]["n_tokens"] == 0
+        assert got[3]["sb_cross_entropy"] is None
+
+    def test_pinned_external_lm_backoff_and_oov(self, spark):
+        """External-LM form: every backoff branch hit and hand-checked —
+        trigram miss→alpha·bigram, bigram miss→alpha²·unigram, OOV hapax
+        floor (unseen word scores 1/total)."""
+        import math
+
+        from patapsco_spark.operators.textstats import sb_perplexity
+        lm = spark.createDataFrame([(100, "a b c a b d")],
+                                   "doc_id long, text string")
+        # LM counts: c1 a2 b2 c1 d1 (tot 6); c2 (a,b)2 (b,c)1 (c,a)1 (b,d)1
+        # c3 (a,b,c)1 (b,c,a)1 (c,a,b)1 (a,b,d)1
+        docs = spark.createDataFrame(
+            [(1, "a b c"),     # uni(a), bi(a,b), tri(a,b,c) — all hits
+             (2, "b c d"),     # uni(b), bi(b,c), tri miss → α·bi(c,d) miss
+                               #   → α·(α·uni(d))
+             (3, "z a q")],    # OOV uni(z)=1/6; bi(z,a) miss → α·uni(a);
+                               #   tri(z,a,q) miss → bi(a,q) miss
+                               #   → α·(α·uni(q)) with q OOV
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               sb_perplexity(docs, lm_docs=lm).collect()}
+        tot, al = 6.0, 0.4
+        uni = {"a": 2 / tot, "b": 2 / tot, "c": 1 / tot, "d": 1 / tot,
+               "z": 1 / tot, "q": 1 / tot}  # z,q = OOV hapax floor
+        s1 = [uni["a"], 2 / 2, 1 / 2]
+        s2 = [uni["b"], 1 / 2, al * (al * uni["d"])]
+        s3 = [uni["z"], al * uni["a"], al * (al * uni["q"])]
+        for doc, s in ((1, s1), (2, s2), (3, s3)):
+            ce = -sum(math.log2(x) for x in s) / len(s)
+            assert got[doc]["n_tokens"] == 3
+            assert abs(got[doc]["sb_cross_entropy"] - round(ce, 6)) < 1e-9, doc
+
+    def test_backoff_penalizes_unseen_order(self, spark):
+        """A doc whose trigrams never occur in the corpus (shuffled words)
+        scores strictly higher than the doc that supplies the n-grams."""
+        from patapsco_spark.operators.textstats import sb_perplexity
+        flow = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [(i, flow) for i in range(1, 6)]
+            + [(6, "dog the over quick lazy jumps fox brown the")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["sb_perplexity"]
+               for r in sb_perplexity(docs).collect()}
+        assert got[6] > got[1]
+
+
 class TestBpeTokenCounts:
     def test_piece_counts_pinned(self, spark):
         from patapsco_spark.operators.textstats import bpe_token_counts
