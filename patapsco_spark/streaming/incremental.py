@@ -649,3 +649,61 @@ def stream_index(spark: SparkSession, pages_stream: DataFrame, index_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(**(trigger_kwargs or {"availableNow": True}))
             .start())
+
+
+def stream_upserts(spark: SparkSession, pages_stream: DataFrame,
+                   index_path: str, checkpoint: str,
+                   cfg: IndexConfig | None = None, id_col: str = "id",
+                   text_col: str = "text", lang_col: str | None = "lang",
+                   ts_col: str | None = None, **trigger_kwargs):
+    """CDC-style continuous ingestion of a RE-CRAWL stream: every
+    micro-batch is applied with updateDocument semantics
+    (:func:`~patapsco_spark.operators.deletes.update_docs`) — a page seen
+    again replaces its previous version (old copy tombstoned, stats frozen
+    until compaction), a new page is a plain add. This is what a live web
+    index does on refetch, vs :func:`stream_index` which treats every
+    record as a new document.
+
+    A micro-batch must carry ONE row per id — two revisions of the same
+    page in one batch would both be appended live (update_docs tombstones
+    only pre-existing copies). Pass ``ts_col`` to collapse each id to its
+    max-timestamp row inside the batch (ties resolved by preferring the
+    lexicographically LARGEST text for determinism); without it, uniqueness
+    is the caller's contract and is enforced with a loud failure.
+
+    Exactly-once under foreachBatch replays: the epoch guard skips the
+    already-applied append and the tombstone re-write is idempotent (see
+    update_docs). Pair with a periodic ``compact_index(mode='tiered')`` to
+    fold the tombstoned tail — ``tombstone_count`` in the manifest metrics
+    is the back-pressure signal. Returns the StreamingQuery."""
+    from pyspark.sql import Window
+
+    from ..operators.deletes import update_docs
+
+    cfg = cfg or IndexConfig()
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if ts_col is not None:
+            w = Window.partitionBy(id_col).orderBy(
+                F.col(ts_col).desc(), F.col(text_col).desc())
+            batch_df = (batch_df
+                        .withColumn("__rev_rn", F.row_number().over(w))
+                        .where(F.col("__rev_rn") == 1).drop("__rev_rn"))
+        else:
+            dup = (batch_df.groupBy(id_col).count()
+                   .where(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"stream_upserts batch {epoch_id} has multiple rows for "
+                    f"id {dup[0][0]!r}; pass ts_col= to collapse revisions "
+                    "or pre-deduplicate the stream")
+        update_docs(spark, index_path, batch_df, cfg, id_col=id_col,
+                    text_col=text_col, lang_col=lang_col, epoch_id=epoch_id)
+
+    return (pages_stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .start())

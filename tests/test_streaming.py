@@ -9,7 +9,8 @@ import pytest
 from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
 from patapsco_spark.operators.indexer import build_index
 from patapsco_spark.operators.retrieve import search_texts
-from patapsco_spark.streaming.incremental import append_batch, stream_index
+from patapsco_spark.streaming.incremental import (append_batch, stream_index,
+                                                  stream_upserts)
 
 CFG = TextConfig(stem=None, stopwords=None, lowercase=True)
 
@@ -234,6 +235,92 @@ class TestStreamIndex:
                            RetrieveConfig(k=10), text_cfg=CFG)
         ids = {r.doc_id for r in res.collect()}
         assert ids == {"seed", "s0"}
+
+
+class TestStreamUpserts:
+    def test_recrawl_replaces_previous_version(self, spark, tmp_path):
+        """CDC re-crawl: a page seen again stops matching its old text and
+        matches its new text; a fresh page is a plain add."""
+        src = tmp_path / "feed"
+        src.mkdir()
+        idx = str(tmp_path / "uidx")
+        build_index(spark, _docs(spark, [
+            ("p0", "stream window legacy", "eng"),
+            ("p1", "filter scan", "eng")]), idx,
+            IndexConfig(text=CFG, num_shards=1), resume=False)
+
+        with open(src / "b0.jsonl", "w") as f:
+            f.write(json.dumps({"id": "p0", "text": "stream refreshed copy",
+                                "lang": "eng"}) + "\n")
+            f.write(json.dumps({"id": "p2", "text": "legacy window probe",
+                                "lang": "eng"}) + "\n")
+        stream = (spark.readStream
+                  .schema("id string, text string, lang string")
+                  .json(str(src)))
+        q = stream_upserts(spark, stream, idx,
+                           checkpoint=str(tmp_path / "uckpt"),
+                           cfg=IndexConfig(text=CFG))
+        q.awaitTermination(120)
+
+        def ids(query):
+            res = search_texts(spark, idx, [("q", query)],
+                               RetrieveConfig(k=10), text_cfg=CFG)
+            return {r.doc_id for r in res.collect()}
+
+        assert ids("legacy") == {"p2"}          # old p0 version gone
+        assert ids("refreshed") == {"p0"}       # new p0 version live
+        assert ids("stream") == {"p0"}
+        assert ids("filter") == {"p1"}          # untouched doc intact
+
+    def test_ts_col_collapses_in_batch_revisions(self, spark, tmp_path):
+        """Two revisions of one id in a single micro-batch: ts_col keeps
+        only the newest; without ts_col the batch is refused loudly."""
+        idx = str(tmp_path / "uidx")
+        build_index(spark, _docs(spark, [("seed", "stream", "eng")]),
+                    idx, IndexConfig(text=CFG, num_shards=1), resume=False)
+        rows = [("r0", "first crawl text", "eng", 1),
+                ("r0", "second crawl text", "eng", 2)]
+
+        src = tmp_path / "feed2"
+        src.mkdir()
+        with open(src / "b0.jsonl", "w") as f:
+            for rid, text, lang, ts in rows:
+                f.write(json.dumps({"id": rid, "text": text, "lang": lang,
+                                    "ts": ts}) + "\n")
+        stream = (spark.readStream
+                  .schema("id string, text string, lang string, ts long")
+                  .json(str(src)))
+        q = stream_upserts(spark, stream, idx,
+                           checkpoint=str(tmp_path / "ckpt2"),
+                           cfg=IndexConfig(text=CFG), ts_col="ts")
+        q.awaitTermination(120)
+        res = search_texts(spark, idx, [("q", "crawl")],
+                           RetrieveConfig(k=10), text_cfg=CFG)
+        assert {r.doc_id for r in res.collect()} == {"r0"}
+        res2 = search_texts(spark, idx, [("q", "second")],
+                            RetrieveConfig(k=10), text_cfg=CFG)
+        assert {r.doc_id for r in res2.collect()} == {"r0"}
+        res3 = search_texts(spark, idx, [("q", "first")],
+                            RetrieveConfig(k=10), text_cfg=CFG)
+        assert {r.doc_id for r in res3.collect()} == set()
+
+        # without ts_col the duplicate batch must fail loudly, not index
+        # two live copies
+        src2 = tmp_path / "feed3"
+        src2.mkdir()
+        with open(src2 / "b0.jsonl", "w") as f:
+            for rid, text, lang, _ in rows:
+                f.write(json.dumps({"id": rid, "text": text,
+                                    "lang": lang}) + "\n")
+        stream2 = (spark.readStream
+                   .schema("id string, text string, lang string")
+                   .json(str(src2)))
+        q2 = stream_upserts(spark, stream2, idx,
+                            checkpoint=str(tmp_path / "ckpt3"),
+                            cfg=IndexConfig(text=CFG))
+        with pytest.raises(Exception, match="multiple rows"):
+            q2.awaitTermination(120)
+            q2.processAllAvailable()
 
 
 class TestCompaction:
