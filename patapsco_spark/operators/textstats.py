@@ -356,9 +356,68 @@ def _ngram_stream(frame: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 .withColumn("w2", F.lag("w", 2).over(win)))
 
 
+def _sb_tables(lm: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(c1, c2, c3) n-gram count tables from an (id, pos, w, w1, w2)
+    stream. Counts are DOUBLE so the scoring arithmetic (and its SQL
+    oracle) divides doubles end-to-end."""
+    c1 = lm.groupBy(F.col("w").alias("u_w")) \
+           .agg(F.count("*").cast("double").alias("c1"))
+    c2 = (lm.where(F.col("w1").isNotNull())
+          .groupBy(F.col("w1").alias("b_a"), F.col("w").alias("b_b"))
+          .agg(F.count("*").cast("double").alias("c2")))
+    c3 = (lm.where(F.col("w2").isNotNull())
+          .groupBy(F.col("w2").alias("t_a"), F.col("w1").alias("t_b"),
+                   F.col("w").alias("t_c"))
+          .agg(F.count("*").cast("double").alias("c3")))
+    return c1, c2, c3
+
+
+def sb_lm_write(spark, lm_docs: DataFrame, path: str,
+                id_col: str = "doc_id", text_col: str = "text",
+                resume: bool = True) -> None:
+    """Persist the stupid-backoff count tables as a reusable LM artifact —
+    the Brants deployment shape: the tables are built ONCE over the
+    reference corpus and served to every later scoring run, instead of
+    being recomputed per call. Same manifest/resume gates as the text and
+    IVF indexes: matching complete manifest → NO-OP (zero jobs); the
+    manifest commit is last, so a crashed build never passes is_complete."""
+    from ..plans import manifest as mf
+    from .indexer import _delete_path
+
+    cfg = {"op": "sb_lm", "n": 3, "id_col": id_col, "text_col": text_col}
+    if resume and mf.is_complete(path, "sb_lm", cfg):
+        return
+    _delete_path(spark, path)
+    c1, c2, c3 = _sb_tables(_ngram_stream(lm_docs, id_col, text_col))
+    parts = max(1, spark.sparkContext.defaultParallelism)
+    c1.repartition(max(1, parts // 8)).write.mode("overwrite") \
+      .parquet(f"{path}/c1")
+    c2.repartition(max(1, parts // 2)).write.mode("overwrite") \
+      .parquet(f"{path}/c2")
+    c3.repartition(parts).write.mode("overwrite").parquet(f"{path}/c3")
+    tot = spark.read.parquet(f"{path}/c1").agg(F.sum("c1")).first()[0]
+    mf.write_manifest(path, "sb_lm", cfg,
+                      metrics={"total_tokens": float(tot or 0.0)})
+
+
+def sb_lm_read(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame,
+                                          float]:
+    """Load a persisted LM artifact: (c1, c2, c3, total_tokens). Frames
+    are lazy parquet scans — scoring joins stream against them directly."""
+    from ..plans import manifest as mf
+
+    man = mf.read_manifest(path)
+    if man is None or man.get("stage") != "sb_lm":
+        raise FileNotFoundError(f"no stupid-backoff LM at {path}")
+    return (spark.read.parquet(f"{path}/c1"),
+            spark.read.parquet(f"{path}/c2"),
+            spark.read.parquet(f"{path}/c3"),
+            float(man["metrics"]["total_tokens"]))
+
+
 def sb_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
-                  alpha: float = 0.4, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  lm_path: str | None = None, alpha: float = 0.4,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc stupid-backoff TRIGRAM LM score — the distributed web-scale
     LM of Brants et al. 2007 ("Large Language Models in Machine
     Translation"): no normalization, no discounting, just relative
@@ -367,10 +426,12 @@ def sb_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     low-perplexity head), n-gram upgrade of :func:`ulm_perplexity`.
 
     ``lm_docs`` is the corpus the counts come from — typically a vetted
-    high-quality subset; pass None to score the corpus under itself (note
-    that then every doc's own n-grams are in the tables, so backoff only
-    fires on cross-doc sparsity and a hapax doc partly scores its own
-    echo — the external-LM form is the meaningful filter).
+    high-quality subset; ``lm_path`` scores against a PERSISTED artifact
+    (:func:`sb_lm_write`) instead, the build-once-serve-many deployment
+    shape. Pass neither to score the corpus under itself (note that then
+    every doc's own n-grams are in the tables, so backoff only fires on
+    cross-doc sparsity and a hapax doc partly scores its own echo — the
+    external-LM form is the meaningful filter).
 
     Scoring, exactly (and replayed verbatim by the SQL oracle):
       pos 0:  S(w)      = c1(w)/total, unseen w → 1/total (hapax floor)
@@ -388,19 +449,18 @@ def sb_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     paper (at 100 TB the tables are built once, stored, and reused across
     scoring runs; AQE broadcast-converts the small tails). All Catalyst,
     no Python."""
+    if lm_path is not None and lm_docs is not None:
+        raise ValueError("pass lm_docs or lm_path, not both")
     t = _ngram_stream(docs, id_col, text_col)
-    lm = t if lm_docs is None else _ngram_stream(lm_docs, id_col, text_col)
-
-    c1 = lm.groupBy(F.col("w").alias("u_w")) \
-           .agg(F.count("*").cast("double").alias("c1"))
-    c2 = (lm.where(F.col("w1").isNotNull())
-          .groupBy(F.col("w1").alias("b_a"), F.col("w").alias("b_b"))
-          .agg(F.count("*").cast("double").alias("c2")))
-    c3 = (lm.where(F.col("w2").isNotNull())
-          .groupBy(F.col("w2").alias("t_a"), F.col("w1").alias("t_b"),
-                   F.col("w").alias("t_c"))
-          .agg(F.count("*").cast("double").alias("c3")))
-    total = c1.agg(F.sum("c1").alias("tot"))
+    spark = docs.sparkSession
+    if lm_path is not None:
+        c1, c2, c3, tot = sb_lm_read(spark, lm_path)
+        total = spark.createDataFrame([(float(tot),)], "tot double")
+    else:
+        lm = t if lm_docs is None else _ngram_stream(lm_docs, id_col,
+                                                     text_col)
+        c1, c2, c3 = _sb_tables(lm)
+        total = c1.agg(F.sum("c1").alias("tot"))
 
     j = (t
          .join(c3, (F.col("w2") == F.col("t_a")) & (F.col("w1") == F.col("t_b"))

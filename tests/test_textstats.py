@@ -187,6 +187,37 @@ class TestSbPerplexity:
             assert got[doc]["n_tokens"] == 3
             assert abs(got[doc]["sb_cross_entropy"] - round(ce, 6)) < 1e-9, doc
 
+    def test_lm_artifact_round_trip(self, spark, tmp_path):
+        """Persisted LM artifact scores identically to the inline lm_docs
+        path, and a matching rebuild is a manifest-gated no-op."""
+        import os
+
+        from patapsco_spark.operators.textstats import (sb_lm_write,
+                                                        sb_perplexity)
+        from patapsco_spark.plans import manifest as mf
+        lm = spark.createDataFrame(
+            [(100, "a b c a b d"), (101, "c b a")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d"), (3, "z a q")],
+            "doc_id long, text string")
+        path = str(tmp_path / "sblm")
+        sb_lm_write(spark, lm, path)
+        assert mf.is_complete(path, "sb_lm",
+                              {"op": "sb_lm", "n": 3, "id_col": "doc_id",
+                               "text_col": "text"})
+        inline = sorted(map(tuple, sb_perplexity(docs, lm_docs=lm).collect()))
+        stored = sorted(map(tuple,
+                            sb_perplexity(docs, lm_path=path).collect()))
+        assert inline == stored
+        # warm rebuild: manifest-gated no-op (artifact files untouched)
+        before = {f: os.path.getmtime(os.path.join(r, f))
+                  for r, _, fs in os.walk(path) for f in fs}
+        sb_lm_write(spark, lm, path)
+        after = {f: os.path.getmtime(os.path.join(r, f))
+                 for r, _, fs in os.walk(path) for f in fs}
+        assert before == after
+
     def test_backoff_penalizes_unseen_order(self, spark):
         """A doc whose trigrams never occur in the corpus (shuffled words)
         scores strictly higher than the doc that supplies the n-grams."""
