@@ -630,6 +630,49 @@ def _make_decode_remap_kernel(docs_per_shard: int,
     return kernel
 
 
+def maybe_compact(spark: SparkSession, index_path: str, *,
+                  max_frag_shards: int = 8,
+                  max_tombstone_frac: float = 0.2,
+                  fill_threshold: float = 0.5) -> tuple[str | None, dict]:
+    """Merge policy — the IndexWriter/TieredMergePolicy analogue: decide
+    FROM THE MANIFEST ALONE (zero Spark jobs) whether maintenance is due,
+    and run the cheapest sufficient compaction. Call it at the ingestion
+    cadence (e.g. every N micro-batches or from a scheduler tick); it
+    no-ops instantly when the index is healthy.
+
+    Triggers, in precedence order:
+    - pending tombstones ≥ ``max_tombstone_frac`` × num_docs → ``full``
+      (deletes are only physically reclaimed — and scoring statistics only
+      corrected — by rewriting the shards that hold them; a tiered pass
+      would leave base-shard tombstones carried forward).
+    - fragmentation ≥ ``max_frag_shards`` → ``tiered``. Fragmentation is
+      exact, not sampled: every build/append assigns docids densely within
+      a shard, so live_shards − ceil(num_docs/docs_per_shard) is precisely
+      the shard-count overhead accumulated by append padding (each append
+      strands at most one underfilled shard).
+
+    Returns (mode_run | None, manifest config after any compaction)."""
+    root = mf.read_manifest(index_path)
+    if root is None:
+        raise FileNotFoundError(f"no index at {index_path}")
+    meta = root["config"]
+    dps = int(meta["docs_per_shard"])
+    num_docs = int(meta["num_docs"])
+    dead = sum(int(b) - int(a) for a, b in meta.get("dead_ranges", []) or [])
+    live_shards = int(meta["num_shards"]) - int(meta.get("shard_base", 0)) - dead
+    min_shards = math.ceil(num_docs / dps) if num_docs else 0
+    frag = live_shards - min_shards
+    tomb = int(root.get("metrics", {}).get("tombstone_count", 0))
+
+    if num_docs and tomb / num_docs >= max_tombstone_frac:
+        return "full", compact_index(spark, index_path, mode="full",
+                                     fill_threshold=fill_threshold)
+    if frag >= max_frag_shards:
+        return "tiered", compact_index(spark, index_path, mode="tiered",
+                                       fill_threshold=fill_threshold)
+    return None, meta
+
+
 def stream_index(spark: SparkSession, pages_stream: DataFrame, index_path: str,
                  checkpoint: str, cfg: IndexConfig | None = None,
                  id_col: str = "id", text_col: str = "text",

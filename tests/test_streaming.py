@@ -323,6 +323,57 @@ class TestStreamUpserts:
             q2.processAllAvailable()
 
 
+class TestMergePolicy:
+    def test_triggers_noop_tiered_full_in_order(self, spark, tmp_path):
+        """maybe_compact: healthy index no-ops; append padding trips the
+        tiered trigger exactly at the fragmentation bound; pending
+        tombstones trip the full trigger; results identical throughout."""
+        from patapsco_spark.operators.deletes import delete_docs
+        from patapsco_spark.streaming.incremental import maybe_compact
+
+        idx = str(tmp_path / "midx")
+        build_index(spark, _docs(spark, [
+            ("a1", "stream window", "eng"), ("a2", "filter scan", "eng"),
+            ("a3", "stream table", "eng"), ("a4", "window probe", "eng")]),
+            idx, IndexConfig(text=CFG, num_shards=2), resume=False)
+
+        def hits():
+            res = search_texts(spark, idx, [("q", "stream window")],
+                               RetrieveConfig(k=20), text_cfg=CFG)
+            return [(r.doc_id, round(r.score, 12)) for r in res.collect()]
+
+        # fresh dense build: no fragmentation, no tombstones → no-op
+        mode, _ = maybe_compact(spark, idx, max_frag_shards=2)
+        assert mode is None
+
+        # four 1-doc appends: each strands one underfilled shard (dps=2 →
+        # 4 extra docs pack into 2 shards; 4 stranded − 2 minimal = frag 2)
+        for e in range(4):
+            append_batch(spark, _docs(
+                spark, [(f"b{e}", f"stream extra{e}", "eng")]), idx,
+                IndexConfig(text=CFG), epoch_id=e)
+        before = hits()
+        mode, meta = maybe_compact(spark, idx, max_frag_shards=3)
+        assert mode is None  # frag 2 < 3: policy holds
+        mode, meta = maybe_compact(spark, idx, max_frag_shards=2)
+        assert mode == "tiered"
+        assert hits() == before
+        mode, _ = maybe_compact(spark, idx, max_frag_shards=2)
+        assert mode is None  # compacted: fragmentation cleared
+
+        # tombstone 2 of 8 docs = 25% ≥ 20% → full. The doc SET is
+        # preserved (scores legitimately change: full compaction rebuilds
+        # the statistics over the survivors — pinned in test_deletes)
+        delete_docs(spark, idx, ["a2", "b0"])
+        live_ids = {d for d, _ in hits()}
+        mode, meta = maybe_compact(spark, idx, max_tombstone_frac=0.2)
+        assert mode == "full"
+        assert meta["num_docs"] == 6
+        assert {d for d, _ in hits()} == live_ids
+        mode, _ = maybe_compact(spark, idx, max_tombstone_frac=0.2)
+        assert mode is None
+
+
 class TestCompaction:
     """compact_index (round-3 verdict #3): N appends → compact → identical
     retrieval results; shard dirs and stats segments collapse; appends keep
