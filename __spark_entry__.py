@@ -110,6 +110,77 @@ def _delete_bm25_sql(query_terms: list[str], k1: float, b: float,
         f"NOT IN ({hexes})\n")
 
 
+def q_page2_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the flagship BM25 ranking via search-after (Lucene
+    IndexSearcher.searchAfter): page 1's last (score, docid) is the
+    cursor, and the engine must return exactly ranks K..2K-1 of the full
+    ordering — the oracle replays it as OFFSET K, so an off-by-one at the
+    cursor boundary, a tie-break inversion, or a pruner that discards
+    below-cursor docs all hash-mismatch."""
+    from patapsco_spark.operators.retrieve import process_queries, search
+
+    idx = _ensure_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    p1 = search(spark, idx, plans, RetrieveConfig(k=K)) \
+        .orderBy("rank").collect()
+    cursor = (p1[-1]["score"], p1[-1]["docid"])
+    return _as_result(search(spark, idx, plans,
+                             RetrieveConfig(k=K, after=cursor)))
+
+
+def _page2_bm25_sql(query_terms: list[str], k1: float, b: float,
+                    k: int) -> str:
+    """Page 2 = the same full ranking with OFFSET k; rnk rebased to 0."""
+    return (_bm25_sql(query_terms, k1, b, k)
+            .replace("- 1)::BIGINT AS rnk", f"- 1 - {k})::BIGINT AS rnk")
+            .replace(f"LIMIT {k}\n", f"LIMIT {k} OFFSET {k}\n"))
+
+
+HIT_COUNT_QUERIES = [
+    ("q_or", "data query stream window"),
+    ("q_bool", "+window -stream"),
+    ("q_nested", "(data query) -window"),
+]
+
+
+def q_hit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hit-count collector (Lucene TotalHitCountCollector) for an OR
+    query, a +/- boolean, and a nested group: per-shard match counting in
+    the scoring kernel (one number per query×shard over Arrow), summed
+    JVM-side. The oracle recounts each query's match set in SQL."""
+    from patapsco_spark.operators.retrieve import process_queries, search
+
+    idx = _ensure_index(spark, sf_dir)
+    plans = process_queries(HIT_COUNT_QUERIES, RAW_TEXT, lang="eng",
+                            mode="boolean")
+    return (search(spark, idx, plans, RetrieveConfig(), count_only=True)
+            .select("query_id", F.col("total_hits").cast("long")
+                    .alias("total_hits")))
+
+
+def _hit_counts_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+m AS (SELECT doc_id,
+             bool_or(term = 'data') AS has_data,
+             bool_or(term = 'query') AS has_query,
+             bool_or(term = 'stream') AS has_stream,
+             bool_or(term = 'window') AS has_window
+      FROM t GROUP BY doc_id)
+SELECT 'q_or' AS query_id, count(*)::BIGINT AS total_hits FROM m
+WHERE has_data OR has_query OR has_stream OR has_window
+UNION ALL
+SELECT 'q_bool', count(*)::BIGINT FROM m WHERE has_window AND NOT has_stream
+UNION ALL
+SELECT 'q_nested', count(*)::BIGINT FROM m
+WHERE (has_data OR has_query) AND NOT has_window
+"""
+
+
 UPD_HEX = ("0", "1", "2", "3")  # md5('upd-'||id)[0] → ~1/4 of docs re-crawled
 UPD_PREFIX = "refreshed crawl "
 
@@ -2002,6 +2073,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "page2_bm25": q_page2_bm25,
+        "hit_counts": q_hit_counts,
         "bm25_prior_topk": q_bm25_prior_topk,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
@@ -3101,6 +3174,8 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in sorted(LUCENE_ENGLISH_STOPWORDS))
     return {
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "page2_bm25": _page2_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "hit_counts": _hit_counts_sql(),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),

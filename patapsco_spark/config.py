@@ -85,3 +85,12 @@ class RetrieveConfig:
     fb_terms: int = 10                    # schema.py:176-180
     fb_docs: int = 10
     original_query_weight: float = 0.5
+    # search-after paging (Lucene IndexSearcher.searchAfter): the
+    # (score, docid) of the LAST hit of the previous page, exactly as
+    # returned by search() — results strictly after it in (score desc,
+    # docid asc) order. A tuple applies to every query in the batch; a
+    # {qid: (score, docid)} dict pages queries independently. Paging
+    # disables the block-max pruner (its seed pass would set thresholds
+    # from already-returned docs); correctness over cleverness, and page
+    # N>1 is the rare path.
+    after: tuple | dict | None = None

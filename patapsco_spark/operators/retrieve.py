@@ -68,10 +68,16 @@ def process_queries(texts: Iterable[tuple[str, str]], text_cfg: TextConfig,
 
 
 def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
-           cfg: RetrieveConfig | None = None) -> DataFrame:
+           cfg: RetrieveConfig | None = None,
+           count_only: bool = False) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
-    (reference: enumerate(hits), retrieve.py:146)."""
+    (reference: enumerate(hits), retrieve.py:146).
+
+    ``count_only`` collects total hit counts instead of hits — Lucene's
+    TotalHitCountCollector: (query_id, total_hits), queries matching
+    nothing omitted. Per-shard counting in the same kernel (one number per
+    query×shard crosses the Arrow boundary), summed JVM-side."""
     cfg = cfg or RetrieveConfig()
     meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
@@ -170,6 +176,15 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     use_pruner = cfg.pruning == "always" or (
         cfg.pruning == "auto"
         and matched_postings >= cfg.pruning_min_postings)
+    after = cfg.after
+    if after is not None:
+        if not isinstance(after, dict):
+            after = {p.qid: tuple(after) for p in plans}
+        # the pruner's seed/threshold passes don't know the cursor and
+        # could prune docs the page must surface — dense path when paging
+        use_pruner = False
+    if count_only:
+        use_pruner = False  # counting needs the full candidate set
 
     # committed tombstones (operators/deletes.py): masked inside the kernel
     # BEFORE the local top-k cut, with scoring statistics left at the
@@ -182,10 +197,16 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         plans_payload, df_map, scorer=cfg.name, k=cfg.k, k1=cfg.k1, b=cfg.b,
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
-        idf_over=idf_over, deleted=deleted)
+        idf_over=idf_over, deleted=deleted, after=after,
+        count_only=count_only)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
+
+    if count_only:
+        return (local.groupBy("query_id")
+                .agg(F.sum("score").cast("long").alias("total_hits"))
+                .orderBy("query_id"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     topk = (local.withColumn("rn", F.row_number().over(w))
@@ -727,7 +748,8 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard,
-                       use_pruner=True, idf_over=None, deleted=None):
+                       use_pruner=True, idf_over=None, deleted=None,
+                       after=None, count_only=False):
     """Build the per-shard cogrouped kernel. Pure numpy inside.
 
     ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
@@ -740,8 +762,20 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
     takes the dense path — the block-max pruner's bounds would still be
     valid upper bounds over a masked candidate set, but its seed pass could
     pick deleted docs and under-seed the threshold; correctness over
-    cleverness until compaction clears the tombstones."""
+    cleverness until compaction clears the tombstones.
+
+    ``after`` maps qid → (score, docid) page cursor: only docs strictly
+    after it in (score desc, docid asc) order survive, applied BEFORE the
+    local top-k cut. Score recomputation is bit-deterministic (same kernel,
+    same doubles, same order), so equality against the previous page's
+    returned score is exact. Callers must not hand the pruner a cursored
+    query (search() forces the dense path when paging).
+
+    ``count_only`` turns the kernel into Lucene's TotalHitCountCollector:
+    one row per (query, shard) with score = number of matching docs (after
+    tombstone/cursor masking), no per-doc output and no top-k cut."""
     idf_over = idf_over or {}
+    after = after or {}
 
     def kernel(key, posts_pdf: pd.DataFrame, packed_pdf: pd.DataFrame) -> pd.DataFrame:
         if posts_pdf.empty or packed_pdf.empty:
@@ -854,7 +888,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # reproduce — results must not depend on the pruning heuristic
             # (RM3/boosted terms carry their weight in the clause boost
             # with p = 1.0, so they keep the fast path)
-            if bmw is not None and dead is None and all(
+            if bmw is not None and dead is None and not count_only \
+                    and qid not in after and all(
                     occ == SHOULD and len(ts) == 1 and ts[0][1] == 1.0
                     and not kids
                     for occ, _, ts, kids in clauses):
@@ -876,6 +911,19 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 continue
             cpos = np.flatnonzero(cand)
             cscore = total[cpos]
+            aft = after.get(qid)
+            if aft is not None:
+                a_s, a_d = float(aft[0]), int(aft[1])
+                keep = (cscore < a_s) | ((cscore == a_s)
+                                         & (cpos + base > a_d))
+                cpos, cscore = cpos[keep], cscore[keep]
+                if not len(cpos):
+                    continue
+            if count_only:
+                out_q.append(np.asarray([qid], dtype=object))
+                out_d.append(np.asarray([base], dtype=np.int64))
+                out_s.append(np.asarray([float(len(cpos))]))
+                continue
             if len(cpos) > k:
                 part = np.argpartition(-cscore, k - 1)[:k]
                 cpos, cscore = cpos[part], cscore[part]
