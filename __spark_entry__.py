@@ -137,6 +137,76 @@ def _page2_bm25_sql(query_terms: list[str], k1: float, b: float,
             .replace(f"LIMIT {k}\n", f"LIMIT {k} OFFSET {k}\n"))
 
 
+MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS = 2, 5, 25
+
+
+def q_mlt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis: the lowest-doc_id document's informative terms
+    (tf ≥ 2, df ≥ 5, top 25 by tf·idf with term-asc ties) run as an OR
+    query — operators/retrieve.more_like_this. The oracle replays term
+    selection AND the BM25 ranking in SQL, so a wrong selection gate, a
+    tie-break flip, or idf drift all hash-mismatch."""
+    from patapsco_spark.operators.retrieve import more_like_this
+
+    idx = _ensure_index(spark, sf_dir)
+    like = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id").select("text").first()[0])
+    return _as_result(more_like_this(
+        spark, idx, like, RAW_TEXT, min_tf=MLT_MIN_TF, min_df=MLT_MIN_DF,
+        max_terms=MLT_MAX_TERMS, cfg=RetrieveConfig(k=K)))
+
+
+def _mlt_bm25_sql(min_tf: int, min_df: int, max_terms: int, k1: float,
+                  b: float, k: int) -> str:
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+src AS (
+  SELECT text FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+),
+ltf AS (
+  SELECT term, count(*)::DOUBLE AS ltf FROM (
+    SELECT unnest(string_split((SELECT text FROM src), ' ')) AS term)
+  WHERE term <> '' GROUP BY term HAVING count(*) >= {min_tf}
+),
+alldf AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+qterms AS (
+  SELECT l.term
+  FROM ltf l JOIN alldf d USING (term) CROSS JOIN stats
+  WHERE d.df >= {min_df}
+  ORDER BY l.ltf * ln(1 + (stats.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+           l.term ASC
+  LIMIT {max_terms}
+),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 HIT_COUNT_QUERIES = [
     ("q_or", "data query stream window"),
     ("q_bool", "+window -stream"),
@@ -2075,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
+        "mlt_bm25": q_mlt_bm25,
         "bm25_prior_topk": q_bm25_prior_topk,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
@@ -3176,6 +3247,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "page2_bm25": _page2_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "hit_counts": _hit_counts_sql(),
+        "mlt_bm25": _mlt_bm25_sql(MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS,
+                                  0.9, 0.4, K),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),

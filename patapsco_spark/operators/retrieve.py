@@ -235,6 +235,64 @@ def search_texts(spark: SparkSession, index_path: str,
     return search(spark, index_path, plans, cfg)
 
 
+def more_like_this(spark: SparkSession, index_path: str, like_text: str,
+                   text_cfg: TextConfig | None = None, lang: str = "eng",
+                   min_tf: int = 2, min_df: int = 5, max_terms: int = 25,
+                   cfg: RetrieveConfig | None = None,
+                   qid: str = "mlt") -> DataFrame:
+    """Lucene MoreLikeThis (like-text form): select the informative terms
+    of ``like_text`` and run them as an OR query.
+
+    Term selection, exactly (replayed by the SQL oracle): analyze the text
+    through the SAME chain as documents; keep terms with like-text
+    tf ≥ ``min_tf`` and corpus df ≥ ``min_df`` (Lucene MLT's
+    minTermFreq/minDocFreq gates, same defaults); rank by tf·idf with the
+    engine's BM25 idf ln(1+(N−df+0.5)/(df+0.5)); keep the top
+    ``max_terms`` (ties by term asc). Documented departures from Lucene
+    MLT: its classic-similarity idf log(N/(df+1))+1 is replaced by the
+    engine's own BM25 idf (one idf definition engine-wide), and the source
+    document is NOT excluded from results (it simply ranks first; filter
+    by id downstream if unwanted — Lucene leaves it in too).
+
+    Cost shape: one pushed-In term_stats lookup for the like-text's
+    candidate terms (bounded by the doc's vocabulary), then a normal
+    sharded BM25 search over ≤ max_terms terms."""
+    from collections import Counter
+
+    from .indexer import read_term_stats
+    from .queryparse import Clause
+
+    cfg = cfg or RetrieveConfig()
+    text_cfg = text_cfg or TextConfig()
+    toks = list(analyze_tokens_batch(pd.Series([like_text]), text_cfg,
+                                     lang=lang)[0])
+    tf = Counter(toks)
+    cand = sorted(t for t, c in tf.items() if c >= min_tf)
+    if not cand:
+        raise ValueError(
+            f"MoreLikeThis: no term of the like-text reaches "
+            f"min_tf={min_tf}; nothing to query")
+    meta = load_index_meta(index_path)
+    stats = read_term_stats(
+        spark, index_path, num_shards=int(meta["num_shards"]),
+        shard_base=int(meta.get("stats_base", meta.get("shard_base", 0))))
+    rows = stats.where(F.col("term").isin(cand)).select("term", "df").collect()
+    n = float(meta["num_docs"])
+    ranked = sorted(
+        (-float(tf[r["term"]])
+         * math.log(1.0 + (n - float(r["df"]) + 0.5) / (float(r["df"]) + 0.5)),
+         r["term"])
+        for r in rows if float(r["df"]) >= min_df)
+    top = [t for _, t in ranked[:max_terms]]
+    if not top:
+        raise ValueError(
+            f"MoreLikeThis: no like-text term reaches min_df={min_df} "
+            "in the corpus; nothing to query")
+    plan = QueryPlan(qid, [Clause(occur=SHOULD, terms=[(t, 1.0)])
+                           for t in top], mode="plain")
+    return search(spark, index_path, [plan], cfg)
+
+
 def search_with_prior(spark: SparkSession, index_path: str,
                       plans: list[QueryPlan], priors: DataFrame,
                       cfg: RetrieveConfig | None = None,

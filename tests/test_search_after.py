@@ -81,6 +81,41 @@ class TestSearchAfter:
                 [(r["doc_id"], r["score"]) for r in rows[2:]]
 
 
+class TestMoreLikeThis:
+    def test_source_ranks_first_and_gates_apply(self, spark, tmp_path):
+        import pytest
+
+        from patapsco_spark.operators.retrieve import more_like_this
+
+        idx = _build(spark, tmp_path / "idx")
+        like = "stream stream window window filter"  # tf≥2: stream, window
+        res = more_like_this(spark, idx, like, CFG, min_tf=2, min_df=1,
+                             max_terms=25, cfg=RetrieveConfig(k=10)).collect()
+        assert res  # selected terms = {stream, window}
+        # every corpus doc contains stream or window except none → all 7
+        assert len(res) == 7
+        # doc most similar to the like-text tops the ranking
+        assert res[0]["doc_id"] in ("d1", "d5")
+        # min_df gate: demanding df ≥ 8 (corpus has 7 docs) empties the
+        # candidate set loudly
+        with pytest.raises(ValueError, match="min_df"):
+            more_like_this(spark, idx, like, CFG, min_tf=2, min_df=8)
+        with pytest.raises(ValueError, match="min_tf"):
+            more_like_this(spark, idx, "all distinct words here", CFG)
+
+    def test_max_terms_caps_selection(self, spark, tmp_path):
+        from patapsco_spark.operators.retrieve import more_like_this
+
+        idx = _build(spark, tmp_path / "idx")
+        like = "stream stream window window filter filter scan scan"
+        # cap at 1 informative term → ranking must equal a 1-term query
+        got = more_like_this(spark, idx, like, CFG, min_tf=2, min_df=1,
+                             max_terms=1, cfg=RetrieveConfig(k=10)).collect()
+        # highest tf·idf term wins the cap; all results match that term
+        assert got
+        assert len({r["doc_id"] for r in got}) == len(got)
+
+
 class TestTotalHitCount:
     def test_counts_match_unbounded_search(self, spark, tmp_path):
         idx = _build(spark, tmp_path / "idx")
