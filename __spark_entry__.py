@@ -182,8 +182,7 @@ qterms AS (
   LIMIT {max_terms}
 ),
 dfs AS (
-  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
-  GROUP BY tf.term
+  SELECT term, df FROM alldf JOIN qterms USING (term)
 ),
 scores AS (
   SELECT tf.doc_id,

@@ -83,17 +83,30 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
     report["manifest"] = {"ok": not missing and fmt_ok,
                           "missing_keys": missing,
                           "postings_format": meta.get("postings_format")}
+    if not report["manifest"]["ok"]:
+        # the remaining checks all consume the missing keys — stop here
+        # with a well-formed report instead of an uncaught KeyError
+        report["ok"] = False
+        if raise_on_error:
+            raise CorruptIndexError(
+                f"index at {index_path} failed checks: ['manifest'] "
+                f"(missing keys {missing}, postings_format="
+                f"{meta.get('postings_format')})")
+        return report
     dps = int(meta["docs_per_shard"])
     live = live_shard_pred(meta)
 
     norms = spark.read.parquet(f"{index_path}/norms").where(live)
 
     # ---- norms_dense + global_stats in ONE pass over norms --------------
+    # (cached: one row per shard feeds three downstream actions — without
+    # the persist each would re-aggregate the full norms table)
     per = (norms.groupBy("shard")
            .agg(F.count("*").alias("n"), F.min("docid").alias("mn"),
                 F.max("docid").alias("mx"),
                 F.countDistinct("docid").alias("nd"),
-                F.sum("dl").alias("tf")))
+                F.sum("dl").alias("tf"))
+           .persist())
     bad_dense = per.where((F.col("mn") != F.col("shard") * dps)
                           | (F.col("mx") - F.col("mn") + 1 != F.col("n"))
                           | (F.col("nd") != F.col("n")))
@@ -120,12 +133,17 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
                    F.first("n").alias("pn"),
                    F.first(F.length("codes")).alias("blen")))
     pj = per.join(packed, "shard", "full")
+    # null-safe: a shard missing from EITHER side must be flagged — plain
+    # != comparisons against the absent side's NULLs evaluate to NULL and
+    # would silently drop the row from the filter
     bad_packed = pj.where(
-        F.col("rows").isNull() | (F.col("rows") != 1)
+        F.col("n").isNull() | F.col("rows").isNull() | (F.col("rows") != 1)
         | (F.col("base") != F.col("shard") * dps)
-        | (F.col("pn") != F.col("n")) | (F.col("blen") != F.col("n")))
+        | ~F.col("pn").eqNullSafe(F.col("n"))
+        | ~F.col("blen").eqNullSafe(F.col("n")))
     bad_rows = _sample(bad_packed, ["shard", "rows", "base", "pn", "blen"])
     report["norms_packed"] = {"ok": not bad_rows, "bad_shards": bad_rows}
+    per.unpersist()
 
     # ---- term_stats vs postings ------------------------------------------
     posts = spark.read.parquet(f"{index_path}/postings").where(live)

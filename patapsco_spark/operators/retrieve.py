@@ -110,6 +110,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
                         for c in iter_term_clauses(p.clauses)
                         for t, _ in c.terms})
     if not all_terms or num_docs == 0:
+        if count_only:
+            return spark.createDataFrame([], "query_id string, total_hits long")
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
 

@@ -633,7 +633,8 @@ def _make_decode_remap_kernel(docs_per_shard: int,
 def maybe_compact(spark: SparkSession, index_path: str, *,
                   max_frag_shards: int = 8,
                   max_tombstone_frac: float = 0.2,
-                  fill_threshold: float = 0.5) -> tuple[str | None, dict]:
+                  fill_threshold: float | None = None
+                  ) -> tuple[str | None, dict]:
     """Merge policy — the IndexWriter/TieredMergePolicy analogue: decide
     FROM THE MANIFEST ALONE (zero Spark jobs) whether maintenance is due,
     and run the cheapest sufficient compaction. Call it at the ingestion
@@ -651,6 +652,15 @@ def maybe_compact(spark: SparkSession, index_path: str, *,
       the shard-count overhead accumulated by append padding (each append
       strands at most one underfilled shard).
 
+    ``fill_threshold`` defaults to (dps−1)/dps for the policy-triggered
+    tiered pass — "merge the suffix from the first NON-FULL shard" — so
+    the mechanism's cut matches the trigger's arithmetic: any fill the
+    fragmentation count charged is also one the compaction collapses. (A
+    manual fixed threshold like 0.5 could see frag ≥ bound while no shard
+    is under the cut, running a metadata-scan no-op.) If the tiered pass
+    nevertheless declines (no qualifying shard), this returns (None, meta)
+    — it reports modes that actually changed the index, never a no-op.
+
     Returns (mode_run | None, manifest config after any compaction)."""
     root = mf.read_manifest(index_path)
     if root is None:
@@ -664,12 +674,17 @@ def maybe_compact(spark: SparkSession, index_path: str, *,
     frag = live_shards - min_shards
     tomb = int(root.get("metrics", {}).get("tombstone_count", 0))
 
+    ft = (dps - 1) / dps if fill_threshold is None else fill_threshold
     if num_docs and tomb / num_docs >= max_tombstone_frac:
         return "full", compact_index(spark, index_path, mode="full",
-                                     fill_threshold=fill_threshold)
+                                     fill_threshold=ft)
     if frag >= max_frag_shards:
-        return "tiered", compact_index(spark, index_path, mode="tiered",
-                                       fill_threshold=fill_threshold)
+        new_meta = compact_index(spark, index_path, mode="tiered",
+                                 fill_threshold=ft)
+        changed = (new_meta.get("num_shards") != meta.get("num_shards")
+                   or new_meta.get("dead_ranges") != meta.get("dead_ranges")
+                   or new_meta.get("shard_base") != meta.get("shard_base"))
+        return ("tiered" if changed else None), new_meta
     return None, meta
 
 

@@ -99,3 +99,29 @@ class TestCorruption:
         rep = check_index(spark, idx)
         assert not rep["norms_packed"]["ok"]
         assert any(r[0] == 1 for r in rep["norms_packed"]["bad_shards"])
+
+    def test_missing_norms_shard_flagged(self, spark, tmp_path):
+        """Review fix: a shard with a packed blob but NO norms rows must be
+        flagged (null-safe full-join filter), not silently pass."""
+        import shutil
+
+        idx = _build(spark, tmp_path / "idx")
+        shutil.rmtree(f"{idx}/norms/shard=1")
+        rep = check_index(spark, idx)
+        assert not rep["norms_packed"]["ok"]
+        assert any(r[0] == 1 for r in rep["norms_packed"]["bad_shards"])
+
+    def test_manifest_missing_keys_reported_not_keyerror(self, spark,
+                                                         tmp_path):
+        """Review fix: a manifest lacking required keys yields a report
+        with manifest.ok=False (or CorruptIndexError), never a KeyError."""
+        idx = _build(spark, tmp_path / "idx")
+        root = mf.read_manifest(idx)
+        bad = {k: v for k, v in root["config"].items()
+               if k != "docs_per_shard"}
+        mf.write_manifest(idx, "index", bad, metrics=root.get("metrics"))
+        rep = check_index(spark, idx)
+        assert not rep["ok"] and not rep["manifest"]["ok"]
+        assert rep["manifest"]["missing_keys"] == ["docs_per_shard"]
+        with pytest.raises(CorruptIndexError, match="manifest"):
+            check_index(spark, idx, raise_on_error=True)

@@ -145,3 +145,12 @@ class TestTotalHitCount:
         got = search(spark, idx, plans, RetrieveConfig(),
                      count_only=True).collect()
         assert got == []  # the only match is tombstoned
+
+    def test_count_schema_on_empty_terms(self, spark, tmp_path):
+        """Review fix: the empty-terms early return must keep the count
+        contract's (query_id, total_hits) schema."""
+        idx = _build(spark, tmp_path / "idx")
+        plans = process_queries([("q", "")], CFG, mode="plain")
+        df = search(spark, idx, plans, RetrieveConfig(), count_only=True)
+        assert df.columns == ["query_id", "total_hits"]
+        assert df.collect() == []

@@ -373,6 +373,30 @@ class TestMergePolicy:
         mode, _ = maybe_compact(spark, idx, max_tombstone_frac=0.2)
         assert mode is None
 
+    def test_policy_collapses_more_than_half_full_strays(self, spark,
+                                                         tmp_path):
+        """Review fix: stranded shards filled ABOVE 50% (3 of 4 docs) must
+        still be collapsed by the policy — its default tiered cut is
+        'any non-full shard', matching the fragmentation arithmetic — and
+        the reported mode reflects an actual change."""
+        from patapsco_spark.operators.indexer import build_index as bi
+        from patapsco_spark.streaming.incremental import maybe_compact
+
+        idx = str(tmp_path / "m2")
+        rows = [(f"a{i}", f"stream word{i}", "eng") for i in range(4)]
+        bi(spark, _docs(spark, rows), idx,
+           IndexConfig(text=CFG, num_shards=1), resume=False)  # dps=4
+        for e in range(4):  # 3-doc appends: each shard 3/4 full
+            append_batch(spark, _docs(spark, [
+                (f"b{e}_{j}", f"stream extra{e} tok{j}", "eng")
+                for j in range(3)]), idx, IndexConfig(text=CFG), epoch_id=e)
+        # 16 docs over 5 live shards, minimal is 4 → frag 1
+        mode, meta = maybe_compact(spark, idx, max_frag_shards=1)
+        assert mode == "tiered"
+        assert meta["num_shards"] != 5 or meta.get("dead_ranges")
+        mode, _ = maybe_compact(spark, idx, max_frag_shards=1)
+        assert mode is None  # packed now; and never a reported no-op
+
 
 class TestCompaction:
     """compact_index (round-3 verdict #3): N appends → compact → identical
