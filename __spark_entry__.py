@@ -591,6 +591,23 @@ def q_boolean_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+MSM_TERMS, MSM_MIN = ["window", "stream", "data"], 2
+
+
+def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene BooleanQuery.setMinimumNumberShouldMatch (new r5): query
+    'window stream data' with min_should_match=2 — a doc qualifies only if
+    at least 2 of the 3 SHOULD terms match it; score is still Σ BM25 over
+    every matching query term (mm filters matching, never scores). Runs the
+    dense kernel (the block-max pruner's bounds assume any-of-terms
+    matching, so mm>1 disables it)."""
+    idx = _ensure_index(spark, sf_dir)
+    plan = parse_query("q1", " ".join(MSM_TERMS), mode="boolean")
+    res = search(spark, idx, [plan],
+                 RetrieveConfig(k=K, min_should_match=MSM_MIN))
+    return _as_result(res)
+
+
 WILDCARD_MUST, WILDCARD_PREFIX = "window", "s"
 
 
@@ -2157,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
+        "min_should_match": q_min_should_match,
         "wildcard_bm25": q_wildcard_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "delete_bm25": q_delete_bm25,
@@ -2804,6 +2822,45 @@ LIMIT {k}
 """
 
 
+def _min_should_match_sql(terms: list[str], mm: int, k1: float, b: float,
+                          k: int) -> str:
+    """All-SHOULD query with minimumNumberShouldMatch=mm: a doc qualifies
+    iff it contains at least mm distinct query terms; score = Σ BM25 over
+    the matching terms (identical to the plain-OR score on qualifying
+    docs)."""
+    vals = ", ".join(f"('{t}')" for t in terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+matched AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
+         count(DISTINCT tf.term) AS n_should
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM matched
+WHERE n_should >= {mm}
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _boolean_nested_sql(group_terms: list[str], must_term: str,
                         not_term: str, k1: float, b: float, k: int) -> str:
     """(g1 OR g2) AND must NOT not — Lucene BooleanQuery: match requires any
@@ -3260,6 +3317,8 @@ def oracle_sql() -> dict[str, str]:
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
         "boolean_nested": _boolean_nested_sql(["window", "stream"], "data",
                                               "batch", 0.9, 0.4, K),
+        "min_should_match": _min_should_match_sql(MSM_TERMS, MSM_MIN,
+                                                  0.9, 0.4, K),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST, WILDCARD_PREFIX,
                                             0.9, 0.4, K),
         "fuzzy_bm25": _fuzzy_bm25_sql(FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS,

@@ -94,3 +94,9 @@ class RetrieveConfig:
     # from already-returned docs); correctness over cleverness, and page
     # N>1 is the rare path.
     after: tuple | dict | None = None
+    # Lucene BooleanQuery.setMinimumNumberShouldMatch, applied to the TOP
+    # boolean level of every query in the batch: a doc qualifies only if
+    # at least this many SHOULD clauses individually match it. 0/1 are the
+    # plain OR semantics (any match); >1 forces the dense path (the
+    # block-max pruner's bounds assume any-of-terms matching).
+    min_should_match: int = 0

@@ -187,6 +187,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         use_pruner = False
     if count_only:
         use_pruner = False  # counting needs the full candidate set
+    if cfg.min_should_match > 1:
+        use_pruner = False  # pruner bounds assume any-of-terms matching
 
     # committed tombstones (operators/deletes.py): masked inside the kernel
     # BEFORE the local top-k cut, with scoring statistics left at the
@@ -200,7 +202,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
-        count_only=count_only)
+        count_only=count_only, min_should_match=cfg.min_should_match)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
@@ -809,7 +811,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
-                       after=None, count_only=False):
+                       after=None, count_only=False, min_should_match=0):
     """Build the per-shard cogrouped kernel. Pure numpy inside.
 
     ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
@@ -880,12 +882,17 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 got = decoded[term] = (d - base, t.astype(np.float64))
             return got
 
-        def eval_clauses(clauses):
+        def eval_clauses(clauses, mm=0):
             """Score one boolean level; nested groups recurse — Lucene's
             BooleanQuery: score = Σ matching scoring clauses, a sub-query
             clause matches iff its own constraints hold and contributes
-            boost × its score. Returns (total, cand_mask, has_scoring)."""
+            boost × its score. Returns (total, cand_mask, has_scoring).
+
+            ``mm`` (top level only) is Lucene's minimumNumberShouldMatch:
+            a doc qualifies only if at least mm of this level's SHOULD
+            clauses individually match it (MUST/MUST_NOT unaffected)."""
             total = np.zeros(size, dtype=np.float64)
+            should_cnt = np.zeros(size, dtype=np.int32) if mm > 0 else None
             matched_any = np.zeros(size, dtype=bool)
             must_ok = np.ones(size, dtype=bool)
             forbidden = np.zeros(size, dtype=bool)
@@ -899,6 +906,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     has_scoring_clause = has_scoring_clause or sub_has
                     if occur == MUST:
                         must_ok &= mask
+                    elif should_cnt is not None:
+                        should_cnt[mask] += 1
                     matched_any |= mask
                     total[mask] += boost * sub_total[mask]
                     continue
@@ -923,6 +932,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 has_scoring_clause = True
                 if occur == MUST:
                     must_ok &= mask
+                elif should_cnt is not None:
+                    should_cnt[mask] += 1
                 matched_any |= mask
                 if not present or not mask.any():
                     continue
@@ -936,7 +947,10 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     p_c = (ecf + 1.0) / (total_tf + 1.0)
                     s = np.log(1.0 + etf[mask] / (mu * p_c)) + len_comp[mask]
                     total[mask] += boost * np.maximum(s, 0.0)
-            return total, matched_any & must_ok & ~forbidden, has_scoring_clause
+            cand = matched_any & must_ok & ~forbidden
+            if should_cnt is not None:
+                cand &= should_cnt >= mm
+            return total, cand, has_scoring_clause
 
         out_q, out_d, out_s = [], [], []
         for qid, clauses in plans_payload:
@@ -963,7 +977,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                         out_d.append(cpos + base)
                         out_s.append(cscore)
                     continue
-            total, cand, has_scoring_clause = eval_clauses(clauses)
+            total, cand, has_scoring_clause = eval_clauses(
+                clauses, mm=min_should_match)
             if dead is not None and len(dead):
                 # local positions, clipped defensively against stale rows
                 cand[dead[dead < size]] = False
