@@ -624,6 +624,43 @@ def q_wildcard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+WILDGEN_MUST, WILDGEN_PATTERN = "window", "s?a*"
+
+
+def q_wildcard_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wildcard (new r5): 'window AND s?a*' — the pattern expands
+    against the index term dictionary (literal-prefix StringStartsWith
+    pushed to the term-sorted stats scan, full pattern as an anchored JVM
+    regex, limit-bounded collect) into a SHOULD-group
+    (SCORING_BOOLEAN_REWRITE); docs must contain 'window' AND ≥1 expanded
+    term, scoring BM25 over every matching query term. Completes classic-
+    QueryParser wildcard parity beyond trailing-* prefixes (leading
+    wildcards stay rejected, Lucene's allowLeadingWildcard=false)."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx,
+                       [("q1", f"{WILDGEN_MUST} AND {WILDGEN_PATTERN}")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
+REGEXP_MUST, REGEXP_PAT = "window", "s(can|tream|ort)"
+
+
+def q_regexp_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query (new r5): 'window AND /s(can|tream|ort)/' — Lucene
+    RegexpQuery via the classic parser's /regexp/ syntax. The ANCHORED
+    pattern expands against the index term dictionary (literal-opening
+    StringStartsWith pushed to the term-sorted stats scan, full pattern as
+    a JVM rlike, limit-bounded collect) into a SHOULD-group
+    (SCORING_BOOLEAN_REWRITE); docs must contain 'window' AND ≥1 expanded
+    term, scoring BM25 over every matching query term."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx,
+                       [("q1", f"{REGEXP_MUST} AND /{REGEXP_PAT}/")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT, mode="boolean")
+    return _as_result(res)
+
+
 FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS = "window", "lin", 2
 
 
@@ -2176,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_nested": q_boolean_nested,
         "min_should_match": q_min_should_match,
         "wildcard_bm25": q_wildcard_bm25,
+        "wildcard_general": q_wildcard_general,
+        "regexp_bm25": q_regexp_bm25,
         "fuzzy_bm25": q_fuzzy_bm25,
         "delete_bm25": q_delete_bm25,
         "upsert_bm25": q_upsert_bm25,
@@ -2356,19 +2395,21 @@ LIMIT {k}
 """
 
 
-def _wildcard_bm25_sql(must_term: str, prefix: str, k1: float, b: float,
+def _wildcard_bm25_sql(must_term: str, like: str, k1: float, b: float,
                        k: int) -> str:
-    """Oracle for 'must_term AND prefix*': the query term set is the must
-    term plus every corpus term LIKE 'prefix%' (exactly the engine's
-    term-dictionary expansion); a doc matches iff it contains the must term
-    and ≥1 expanded term, scoring Σ BM25 over its matching query terms."""
+    """Oracle for 'must_term AND <wildcard>': the query term set is the
+    must term plus every corpus term LIKE ``like`` — the engine's
+    term-dictionary expansion translated to SQL (engine '*' = LIKE '%',
+    engine '?' = LIKE '_'; a prefix wildcard 'te*' is LIKE 'te%'); a doc
+    matches iff it contains the must term and ≥1 expanded term, scoring
+    Σ BM25 over its matching query terms."""
     quant = _quant_sql("dl.dl")
     return f"""
 WITH {_TOK_CTES},
 qterms AS (
   SELECT '{must_term}' AS term
   UNION
-  SELECT DISTINCT term FROM tf WHERE term LIKE '{prefix}%'
+  SELECT DISTINCT term FROM tf WHERE term LIKE '{like}'
 ),
 dfs AS (
   SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
@@ -2393,6 +2434,49 @@ SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
        ROUND(score, 5) AS score
 FROM scores WHERE has_must = 1 AND has_wild = 1
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _regexp_bm25_sql(must_term: str, pat: str, k1: float, b: float,
+                     k: int) -> str:
+    """Oracle for 'must_term AND /pat/': the query term set is the must
+    term plus every corpus term whose WHOLE text matches ``pat`` (DuckDB
+    regexp_full_match = the engine's anchored rlike, identical on the
+    RE2/Java-regex common subset); a doc matches iff it contains the must
+    term and ≥1 expanded term, scoring Σ BM25 over its matching terms."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms AS (
+  SELECT '{must_term}' AS term
+  UNION
+  SELECT DISTINCT term FROM tf WHERE regexp_full_match(term, '{pat}')
+),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score,
+         MAX(CASE WHEN tf.term = '{must_term}' THEN 1 ELSE 0 END) AS has_must,
+         MAX(CASE WHEN tf.term <> '{must_term}' THEN 1 ELSE 0 END) AS has_rx
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores WHERE has_must = 1 AND has_rx = 1
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -3319,8 +3403,15 @@ def oracle_sql() -> dict[str, str]:
                                               "batch", 0.9, 0.4, K),
         "min_should_match": _min_should_match_sql(MSM_TERMS, MSM_MIN,
                                                   0.9, 0.4, K),
-        "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST, WILDCARD_PREFIX,
+        "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
+                                            WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),
+        "wildcard_general": _wildcard_bm25_sql(
+            WILDGEN_MUST,
+            WILDGEN_PATTERN.replace("*", "%").replace("?", "_"),
+            0.9, 0.4, K),
+        "regexp_bm25": _regexp_bm25_sql(REGEXP_MUST, REGEXP_PAT,
+                                        0.9, 0.4, K),
         "fuzzy_bm25": _fuzzy_bm25_sql(FUZZY_MUST, FUZZY_BASE, FUZZY_EDITS,
                                       0.9, 0.4, K),
         "delete_bm25": _delete_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),

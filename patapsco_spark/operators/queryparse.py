@@ -34,10 +34,12 @@ class ParseError(ValueError):
     """A Lucene QueryParser construct this engine cannot score. The
     reference's classic QueryParser (/root/reference/patapsco/retrieve.py:79-82)
     accepts wildcards, fuzzy, proximity, fielded and range queries; as of
-    round 5 we score trailing-* PREFIX wildcards, fuzzy ``term~N``, phrase
+    round 5 we score general wildcards (``te*``, ``te?t``, ``t*st`` — any
+    pattern with a literal first character), fuzzy ``term~N``, phrase
     proximity ``"a b"~N`` and term ranges ``[a TO b]`` (all expanded or
     rewritten against the index at search time) and refuse the rest —
-    fielded queries, leading/inner wildcards, bare ``~``/``*`` — LOUDLY.
+    fielded queries, LEADING wildcards (Lucene's allowLeadingWildcard=false
+    default raises too), bare ``~``/``*`` — LOUDLY.
     Round-3 verdict: treating ``title:foo`` etc. as literal terms was a
     silent-wrong-answer class (the literal just matches nothing)."""
 
@@ -97,6 +99,34 @@ class Clause:
     # constant-score rewrite. Bounds are matched RAW against indexed terms
     # (the classic parser does not analyze range bounds either).
     trange: tuple | None = None
+    # general wildcard pattern ('te?t', 't*st', 'te*t*' — round 5): the raw
+    # pattern; terms holds [(pattern, 1.0)] as a placeholder. Expanded at
+    # search time against the term dictionary (the literal prefix before the
+    # first wildcard char pushes StringStartsWith to the term-sorted stats
+    # scan; the full pattern filters JVM-side as an anchored regex) into a
+    # SHOULD-group — SCORING_BOOLEAN_REWRITE, same as prefix/fuzzy/range.
+    # The first character must be literal: Lucene's classic parser rejects
+    # leading wildcards by default (allowLeadingWildcard=false) and a
+    # leading-* scan could not prune anything at 10^8 terms. Pure trailing-*
+    # patterns take the dedicated prefix path (pushdown only, no regex).
+    wild: str | None = None
+    # regexp query ('/pat/', round 5 — Lucene RegexpQuery via the classic
+    # parser's /regexp/ syntax): the pattern between the slashes; terms
+    # holds [(pattern, 1.0)] as a placeholder. Expanded at search time
+    # against the term dictionary into a SHOULD-group
+    # (SCORING_BOOLEAN_REWRITE). The match is ANCHORED (the whole term must
+    # match, like Lucene RegexpQuery). Documented departure: the pattern
+    # language is Java regex (Spark ``rlike``), not Lucene's RegExp class —
+    # identical for the common subset (literals, ., [...], *, +, ?, |,
+    # grouping); Lucene's optional operators (~ complement, # empty, @
+    # any-string) are off by default there and unsupported here, and the
+    # pattern cannot contain '/' or whitespace (analyzed terms contain
+    # neither). When the
+    # pattern opens with literal characters they push StringStartsWith to
+    # the term-sorted stats scan; otherwise the expansion is one full
+    # dictionary scan per batch — the same cost class as Lucene's automaton
+    # walk over its terms index, and still never a postings scan.
+    regex: str | None = None
 
 
 @dataclass
@@ -190,12 +220,14 @@ def _check_term_token(tok: str) -> None:
         raise ParseError(
             f"fielded query {tok!r} is not supported (the index has a "
             "single 'contents' field, like the reference index)")
-    if "?" in tok or "*" in tok[:-1]:
-        raise ParseError(
-            f"wildcard {tok!r} is not supported: only trailing-* prefix "
-            "wildcards ('te*') are scored")
     if tok == "*":
         raise ParseError("bare '*' (match-all) is not supported")
+    if tok and tok[0] in "*?":
+        raise ParseError(
+            f"leading wildcard in {tok!r} is not supported (Lucene's "
+            "classic parser rejects it too — allowLeadingWildcard defaults "
+            "to false — and a leading-wildcard scan cannot prune the term "
+            "dictionary)")
     if any(b in tok for b in "[]{}"):
         # range syntax glued to adjacent text ('foo[a TO b]') tokenizes
         # into literal fragments ('foo[a', 'TO', 'b]') because the range
@@ -227,7 +259,10 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
         # [+-]? on the phrase alternative: without it, '-"a b"' fell to the
         # bare-term branch and tokenized into literal junk ('-"a', 'b"') —
         # a valid Lucene prefixed phrase silently matching the wrong thing
-        r'|[+-]?"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
+        r'|[+-]?"[^"]*"(?:~[\d.]+)?(?:\^[\d.eE-]+)?'
+        # /regexp/ tokens keep their parens ('/str(eam|ong)/' is ONE token,
+        # not four); the pattern itself cannot contain '/' or whitespace
+        r'|[+-]?/[^\s/]+/(?:\^[\d.eE-]+)?|\(|\)|[^\s()]+',
         query)
     pos = 0
 
@@ -310,6 +345,21 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                                               rm.group(4) == "]")))
                 pos += 1
                 continue
+            if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+                pat = tok[1:-1]
+                try:
+                    re.compile(pat)
+                except re.error as exc:
+                    raise ParseError(
+                        f"regexp query {tok!r} does not compile: {exc}")
+                clauses.append(Clause(occur, boost, [(pat, 1.0)], regex=pat))
+                pos += 1
+                continue
+            if tok.startswith("/") and len(tok) > 1:
+                raise ParseError(
+                    f"unterminated regexp query {tok!r}: expected /pattern/ "
+                    "(whitespace inside a regexp is not supported — analyzed "
+                    "terms cannot contain it either)")
             slop = 0
             sm = re.match(r'^("[^"]*")~([\d.]+)$', tok)
             if sm:
@@ -330,16 +380,21 @@ def plan_boolean(qid: str, query: str) -> QueryPlan:
                 if fz is not None:
                     base, edits = fz
                     _check_term_token(base)
-                    if base.endswith("*"):
+                    if "*" in base or "?" in base:
                         raise ParseError(
                             f"cannot combine wildcard and fuzzy in {tok!r}")
                     clauses.append(Clause(occur, boost, [(base, 1.0)],
                                           fuzzy=edits))
                 else:
                     _check_term_token(tok)
-                    if tok.endswith("*"):
+                    if tok.endswith("*") and "?" not in tok \
+                            and "*" not in tok[:-1]:
+                        # pure trailing-*: prefix path, pushdown only
                         clauses.append(Clause(occur, boost, [(tok[:-1], 1.0)],
                                               prefix=True))
+                    elif "*" in tok or "?" in tok:
+                        clauses.append(Clause(occur, boost, [(tok, 1.0)],
+                                              wild=tok))
                     else:
                         clauses.append(Clause(occur, boost, [(tok, 1.0)]))
             pos += 1

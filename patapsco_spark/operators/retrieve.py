@@ -27,6 +27,7 @@ files are sorted by term within shards → Parquet row-group pruning).
 from __future__ import annotations
 
 import math
+import re
 from typing import Iterable
 
 import numpy as np
@@ -102,6 +103,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # all patterns in the batch
     if any(c.prefix or c.fuzzy is not None
            or getattr(c, "trange", None) is not None
+           or getattr(c, "wild", None) is not None
+           or getattr(c, "regex", None) is not None
            for p in plans for c in iter_term_clauses(p.clauses)):
         plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
                                         shard_base=stats_base)
@@ -483,8 +486,10 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
                             plans: list[QueryPlan], num_shards: int,
                             max_expansions: int = MAX_PREFIX_EXPANSIONS,
                             shard_base: int = 0) -> list[QueryPlan]:
-    """Rewrite multi-term clauses — prefix wildcards ("te*"), fuzzy terms
-    ("term~N") and term ranges ("[a TO b]", round 5) — to SHOULD-groups
+    """Rewrite multi-term clauses — prefix wildcards ("te*"), general
+    wildcards ("te?t" / "t*st", round 5: literal-prefix pushdown + anchored
+    JVM regex), fuzzy terms ("term~N") and term ranges ("[a TO b]",
+    round 5) — to SHOULD-groups
     over the matching dictionary terms: Lucene's SCORING_BOOLEAN_REWRITE,
     the group matches any doc containing ≥1 expanded term and scores
     boost × Σ per-term BM25/QLD contributions. (For ranges that is a
@@ -524,6 +529,12 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
     fuzzies = sorted({(c.terms[0][0], c.fuzzy) for p in plans
                       for c in iter_term_clauses(p.clauses)
                       if c.fuzzy is not None})
+    wilds = sorted({c.wild for p in plans
+                    for c in iter_term_clauses(p.clauses)
+                    if getattr(c, "wild", None) is not None})
+    regexes = sorted({c.regex for p in plans
+                      for c in iter_term_clauses(p.clauses)
+                      if getattr(c, "regex", None) is not None})
     ranges = sorted({c.trange for p in plans
                      for c in iter_term_clauses(p.clauses)
                      if getattr(c, "trange", None) is not None},
@@ -535,6 +546,40 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
         branches.append(
             stats.where(F.col("term").startswith(p))
                  .select(F.lit("p:" + p).alias("key"), "term")
+                 .limit(max_expansions + 1))
+    for pat in wilds:
+        # general wildcard ('te?t', 't*st'): the literal prefix before the
+        # first wildcard char pushes StringStartsWith to the term-sorted
+        # scan (the parser guarantees it is non-empty — leading wildcards
+        # are rejected); the full pattern filters JVM-side as an anchored
+        # regex, so no pattern bytes ever cross to Python
+        lit = re.split(r"[*?]", pat, maxsplit=1)[0]
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pat) + "$"
+        branches.append(
+            stats.where(F.col("term").startswith(lit)
+                        & F.col("term").rlike(rx))
+                 .select(F.lit("w:" + pat).alias("key"), "term")
+                 .limit(max_expansions + 1))
+    _RX_META = set(".?*+()[]{}|\\^$")
+    for pat in regexes:
+        # Lucene RegexpQuery: anchored — the WHOLE term must match. A
+        # literal opening (chars before the first regex metachar) pushes
+        # StringStartsWith; a pattern with no literal opening scans the
+        # whole dictionary once per batch (Lucene's automaton walk over its
+        # terms index is the same cost class), never the postings
+        lit = ""
+        for ch in pat:
+            if ch in _RX_META:
+                break
+            lit += ch
+        cond = F.col("term").rlike("^(?:" + pat + ")$")
+        if lit:
+            cond = F.col("term").startswith(lit) & cond
+        branches.append(
+            stats.where(cond)
+                 .select(F.lit("x:" + pat).alias("key"), "term")
                  .limit(max_expansions + 1))
     for base, n in fuzzies:
         cond = (F.length("term").between(len(base) - n, len(base) + n)
@@ -563,6 +608,10 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
         if len(ts) > max_expansions:
             if key.startswith("p:"):
                 what = f"prefix wildcard '{key[2:]}*'"
+            elif key.startswith("w:"):
+                what = f"wildcard '{key[2:]}'"
+            elif key.startswith("x:"):
+                what = f"regexp '/{key[2:]}/'"
             elif key.startswith("f:"):
                 what = (f"fuzzy term '{key.split(':', 2)[2]}~"
                         f"{key.split(':', 2)[1]}'")
@@ -579,9 +628,15 @@ def _expand_multiterm_plans(spark: SparkSession, index_path: str,
             if c.group:
                 out.append(Clause(c.occur, c.boost, [], group=rw(c.group)))
             elif (c.prefix or c.fuzzy is not None
-                  or getattr(c, "trange", None) is not None):
+                  or getattr(c, "trange", None) is not None
+                  or getattr(c, "wild", None) is not None
+                  or getattr(c, "regex", None) is not None):
                 if c.trange is not None:
                     base, key, tag = str(c.trange), _range_key(c.trange), "range"
+                elif getattr(c, "wild", None) is not None:
+                    base, key, tag = c.wild, "w:" + c.wild, "wild"
+                elif getattr(c, "regex", None) is not None:
+                    base, key, tag = c.regex, "x:" + c.regex, "regex"
                 else:
                     base = c.terms[0][0]
                     key = ("p:" + base) if c.prefix else f"f:{c.fuzzy}:{base}"
@@ -1206,6 +1261,8 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     # as search — a literal 'te*' term would silently contribute nothing)
     if any(c.prefix or c.fuzzy is not None
            or getattr(c, "trange", None) is not None
+           or getattr(c, "wild", None) is not None
+           or getattr(c, "regex", None) is not None
            for c in iter_term_clauses(plan.clauses)):
         plan = _expand_multiterm_plans(
             spark, index_path, [plan], int(meta["num_shards"]),

@@ -97,15 +97,28 @@ class TestParseErrors:
         with pytest.raises(ParseError, match="malformed range"):
             parse_query("q", "[alpha gamma]", mode="boolean")
 
-    def test_non_prefix_wildcards_raise(self):
-        with pytest.raises(ParseError, match="wildcard"):
-            parse_query("q", "st?eam", mode="boolean")
-        with pytest.raises(ParseError, match="wildcard"):
+    def test_leading_wildcards_raise(self):
+        # round 5: general wildcards (st?eam, st*am) now PARSE; what still
+        # raises is a LEADING wildcard (Lucene allowLeadingWildcard=false
+        # default) and bare match-all
+        with pytest.raises(ParseError, match="leading wildcard"):
             parse_query("q", "*eam", mode="boolean")
-        with pytest.raises(ParseError, match="wildcard"):
-            parse_query("q", "st*am", mode="boolean")
+        with pytest.raises(ParseError, match="leading wildcard"):
+            parse_query("q", "?tream", mode="boolean")
         with pytest.raises(ParseError, match="match-all"):
             parse_query("q", "alpha OR *", mode="boolean")
+
+    def test_general_wildcards_parse(self):
+        plan = parse_query("q", "st?eam AND st*am", mode="boolean")
+        a, b = plan.clauses
+        assert a.wild == "st?eam" and not a.prefix and a.occur == MUST
+        assert b.wild == "st*am" and b.occur == MUST
+        # trailing-only * stays on the dedicated prefix path
+        plan2 = parse_query("q", "stre*", mode="boolean")
+        assert plan2.clauses[0].prefix and plan2.clauses[0].wild is None
+        # trailing * PLUS another wildcard char is a general pattern
+        plan3 = parse_query("q", "s?re*", mode="boolean")
+        assert plan3.clauses[0].wild == "s?re*" and not plan3.clauses[0].prefix
 
     def test_prefix_wildcard_parses(self):
         plan = parse_query("q", "stre* AND gamma", mode="boolean")
@@ -147,6 +160,99 @@ class TestPrefixScoring:
 
     def test_too_many_expansions_raises(self, spark, idx):
         plans = [parse_query("q", "g*", mode="boolean")]
+        with pytest.raises(ParseError, match="expands to more than"):
+            _expand_prefix_plans(spark, idx, plans, num_shards=2,
+                                 max_expansions=0)
+
+
+class TestGeneralWildcardScoring:
+    def test_inner_star_equals_explicit_or(self, spark, idx):
+        """'st*ng' must score exactly like the explicit disjunction of the
+        matching index terms (streaming, strong) — same
+        SCORING_BOOLEAN_REWRITE identity as the prefix path."""
+        got = _hits(spark, idx, "st*ng")
+        want = _hits(spark, idx, "(streaming OR strong)")
+        assert got == want and set(got) == {"w1", "w2"}
+
+    def test_question_mark_single_char(self, spark, idx):
+        # ? is exactly ONE character: s?ream matches stream only (not
+        # streams/streaming — the $-anchored regex), str?am likewise
+        got = _hits(spark, idx, "s?ream")
+        want = _hits(spark, idx, "stream")
+        assert got == want and set(got) == {"w1", "w2"}
+        assert _hits(spark, idx, "stream?") == _hits(spark, idx, "streams")
+
+    def test_mixed_pattern_and_must(self, spark, idx):
+        # s?r*gy -> strategy; as MUST it filters
+        got = _hits(spark, idx, "delta AND s?r*gy")
+        assert set(got) == {"w5"}
+
+    def test_regex_metachars_in_pattern_are_literal(self, spark, idx):
+        # a '.' in the pattern is a literal dot, not regex-any: 'strea.'
+        # would otherwise match 'stream'
+        assert _hits(spark, idx, "gamma AND strea.?") == {}
+
+    def test_no_match_is_empty_not_error(self, spark, idx):
+        assert _hits(spark, idx, "zz?q*") == {}
+        got = _hits(spark, idx, "delta OR zz?q*")
+        assert set(got) == {"w4", "w5"}
+
+    def test_wildcard_cap_raises(self, spark, idx):
+        plans = [parse_query("q", "g?mma*", mode="boolean")]
+        with pytest.raises(ParseError, match="expands to more than"):
+            _expand_prefix_plans(spark, idx, plans, num_shards=2,
+                                 max_expansions=0)
+
+
+class TestRegexpParsing:
+    def test_regexp_parses_with_occur_and_boost(self):
+        plan = parse_query("q", '-/gamma/ AND /str(eam|ong)/^2',
+                           mode="boolean")
+        n, r = plan.clauses
+        assert n.occur == MUST_NOT and n.regex == "gamma"
+        assert r.regex == "str(eam|ong)" and r.boost == 2.0 and r.occur == MUST
+
+    def test_bad_regexps_raise(self):
+        with pytest.raises(ParseError, match="does not compile"):
+            parse_query("q", "/st(/", mode="boolean")
+        with pytest.raises(ParseError, match="unterminated"):
+            parse_query("q", "/stream", mode="boolean")
+
+    def test_slash_inside_term_is_literal(self):
+        # only /.../-delimited tokens are regexps (Lucene classic parser
+        # semantics); a path-ish token stays a literal term
+        plan = parse_query("q", "a/b", mode="boolean")
+        assert plan.clauses[0].regex is None
+        assert plan.clauses[0].terms == [("a/b", 1.0)]
+
+
+class TestRegexpScoring:
+    def test_alternation_equals_explicit_or(self, spark, idx):
+        got = _hits(spark, idx, "/str(eam|ong)/")
+        want = _hits(spark, idx, "(stream OR strong)")
+        assert got == want and set(got) == {"w1", "w2"}
+
+    def test_regexp_is_anchored(self, spark, idx):
+        # Lucene RegexpQuery matches the WHOLE term: /tream/ matches
+        # nothing even though 'tream' is a substring of three terms
+        assert _hits(spark, idx, "/tream/") == {}
+        got = _hits(spark, idx, "/s.reams?/")
+        want = _hits(spark, idx, "(stream OR streams)")
+        assert got == want
+
+    def test_no_literal_prefix_full_scan_path(self, spark, idx):
+        # pattern opening with a metachar cannot push StringStartsWith —
+        # still correct via the anchored rlike over the dictionary
+        got = _hits(spark, idx, "/.*amma/")
+        assert got == _hits(spark, idx, "gamma")
+
+    def test_regexp_as_must_not(self, spark, idx):
+        # /str.*/ sweeps strategy too, so w5 is excluded along with w1-w3
+        got = _hits(spark, idx, "gamma NOT /str.*/")
+        assert set(got) == {"w4"}
+
+    def test_regexp_cap_raises(self, spark, idx):
+        plans = [parse_query("q", "/g.mma/", mode="boolean")]
         with pytest.raises(ParseError, match="expands to more than"):
             _expand_prefix_plans(spark, idx, plans, num_shards=2,
                                  max_expansions=0)
