@@ -1,0 +1,168 @@
+"""Match-set aggregations — sort-by-field, field stats, and histograms
+over the FULL set of documents matching a query (Lucene ``Sort`` /
+Elasticsearch ``sort`` + ``stats``/``histogram`` aggregations; the
+reference ranks by score only, retrieve.py:133-146 — at web scale
+sort-by-recency and aggregations over the match set are table stakes).
+
+Spark-first shape: the retrieval kernel runs once in ``matches_only``
+mode (no top-k cut — every matching (query, doc) survives, distributed),
+then everything downstream is plain Catalyst over that frame:
+
+- ``sort_by_field``: join the match set with a (id → field) frame, one
+  ``row_number`` window per query in (field, tie-break) order, cut to k.
+  The join shuffles on the id key (both sides can be huge); the window
+  input is still the full match set, but AQE + the k-cut keep the output
+  tiny. For repeated sorts over the same corpus, pre-bucket the field
+  frame on the id.
+- ``field_stats``: one map-side-combinable groupBy per query — count /
+  min / max / sum / avg, Elasticsearch ``stats`` semantics.
+- ``field_histogram``: fixed-interval value buckets
+  (floor(v / interval) * interval, Elasticsearch ``histogram``
+  semantics), count per (query, bucket).
+
+All three are SQL-replayable and oracle-checked in __spark_entry__
+(sort_by_field / match_stats / match_histogram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import RetrieveConfig, TextConfig
+from .queryparse import QueryPlan
+from .retrieve import search
+
+
+def match_set(spark: SparkSession, index_path: str, plans: list[QueryPlan],
+              cfg: RetrieveConfig | None = None) -> DataFrame:
+    """(query_id, doc_id, docid, score) for EVERY matching document —
+    ``search(..., matches_only=True)``, named for discoverability."""
+    return search(spark, index_path, plans, cfg, matches_only=True)
+
+
+def match_set_texts(spark: SparkSession, index_path: str,
+                    queries: list[tuple[str, str]],
+                    cfg: RetrieveConfig | None = None,
+                    text_cfg: TextConfig | None = None,
+                    mode: str = "plain") -> DataFrame:
+    from .retrieve import process_queries
+    plans = process_queries(queries, text_cfg or TextConfig(), mode=mode)
+    return match_set(spark, index_path, plans, cfg)
+
+
+def _with_field(matches: DataFrame, fields: DataFrame, field_col: str,
+                id_col: str) -> DataFrame:
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.col(field_col))
+    return matches.join(f, "doc_id")
+
+
+def sort_by_field(matches: DataFrame, fields: DataFrame, field_col: str,
+                  k: int = 10, ascending: bool = False,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Top-k of the match set ordered by a stored field instead of score
+    (Lucene Sort / ES ``sort``): (query_id, doc_id, rank, <field>, score).
+    Deterministic tie-break: doc_id (string) ascending — the engine's
+    docid order is an internal artifact, the external id is not."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    key = F.asc(field_col) if ascending else F.desc(field_col)
+    w = Window.partitionBy("query_id").orderBy(key, F.asc("doc_id"))
+    return (hit.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select("query_id", "doc_id", "rank", field_col, "score")
+            .orderBy("query_id", "rank"))
+
+
+def field_stats(matches: DataFrame, fields: DataFrame, field_col: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """ES ``stats`` aggregation over the match set: one row per query with
+    count / min / max / sum / avg of the field."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    return (hit.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(field_col).alias("min_v"),
+                 F.max(field_col).alias("max_v"),
+                 F.sum(field_col).alias("sum_v"),
+                 F.avg(field_col).alias("avg_v"))
+            .orderBy("query_id"))
+
+
+def significant_terms(spark: SparkSession, index_path: str,
+                      matches: DataFrame, doc_store: DataFrame,
+                      text_cfg: TextConfig | None = None, k: int = 10,
+                      min_doc_count: int = 3,
+                      id_col: str = "id", text_col: str = "text",
+                      lang_col: str | None = "lang") -> DataFrame:
+    """Elasticsearch ``significant_terms`` over the match set: terms that
+    appear in a disproportionate share of the MATCHING documents relative
+    to the whole corpus, scored with ES's JLH heuristic
+    (fg% − bg%) × (fg% / bg%), fg-rarer-than-bg terms dropped.
+
+    Scale shape: only the MATCHED documents are re-analyzed (one Arrow/
+    Catalyst pass bounded by the match set, each distinct doc once even
+    when several queries matched it); the background document frequencies
+    come from the index's term_stats segments — no corpus rescan. The
+    fg-term → stats join shuffles on term; fg totals broadcast (one row
+    per query).
+
+    ``min_doc_count`` is ES's shard_min_doc_count analogue applied to the
+    foreground count. Top-k per query orders by ROUND(score, 6) desc then
+    term asc — rounding first keeps the cut deterministic across summation
+    orders (and SQL-replayable; oracle: significant_terms entry)."""
+    from .indexer import read_term_stats
+    from .retrieve import load_index_meta
+
+    meta = load_index_meta(index_path)
+    num_docs = float(meta["num_docs"])
+    from ..functions.analyze import analyze_documents
+
+    mdocs = matches.select("doc_id").distinct()
+    fgtext = doc_store.join(
+        mdocs, doc_store[id_col].cast("string") == mdocs["doc_id"]
+    ).select(doc_store[id_col].alias("id"),
+             F.col(text_col),
+             *( [F.col(lang_col)] if lang_col else [] ))
+    analyzed = analyze_documents(fgtext, text_cfg or TextConfig(),
+                                 id_col="id", text_col=text_col,
+                                 lang_col=lang_col, store_raw=False)
+    dterm = analyzed.select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.explode(F.array_distinct("terms")).alias("term"))
+    fg = (matches.select("query_id", "doc_id").join(dterm, "doc_id")
+          .groupBy("query_id", "term")
+          .agg(F.count(F.lit(1)).alias("fg_cnt")))
+    fgt = matches.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("fg_total"))
+    stats = (read_term_stats(spark, index_path)
+             .select("term", F.col("df").cast("double").alias("bg_df")))
+    fr = F.col("fg_cnt") / F.col("fg_total")
+    br = F.col("bg_df") / F.lit(num_docs)
+    scored = (fg.join(F.broadcast(fgt), "query_id")
+              .join(stats, "term")
+              .where(F.col("fg_cnt") >= min_doc_count)
+              .withColumn("score", (fr - br) * (fr / br))
+              .where(F.col("score") > 0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select("query_id", "term", "rank",
+                    F.col("fg_cnt").cast("long").alias("fg_cnt"),
+                    F.col("bg_df").cast("long").alias("bg_df"),
+                    F.round("score", 6).alias("score"))
+            .orderBy("query_id", "rank"))
+
+
+def field_histogram(matches: DataFrame, fields: DataFrame, field_col: str,
+                    interval: float, id_col: str = "doc_id") -> DataFrame:
+    """ES ``histogram`` aggregation: fixed-interval buckets keyed at
+    floor(v / interval) * interval, count per (query, bucket). Empty
+    buckets are omitted (min_doc_count=1 semantics) — dense bucket ranges
+    are a presentation concern, not a distributed-agg one."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    bucket = (F.floor(F.col(field_col) / F.lit(float(interval)))
+              * F.lit(float(interval)))
+    return (hit.groupBy("query_id", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("query_id", "bucket"))

@@ -70,7 +70,8 @@ def process_queries(texts: Iterable[tuple[str, str]], text_cfg: TextConfig,
 
 def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            cfg: RetrieveConfig | None = None,
-           count_only: bool = False) -> DataFrame:
+           count_only: bool = False,
+           matches_only: bool = False) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
@@ -78,7 +79,16 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     ``count_only`` collects total hit counts instead of hits — Lucene's
     TotalHitCountCollector: (query_id, total_hits), queries matching
     nothing omitted. Per-shard counting in the same kernel (one number per
-    query×shard crosses the Arrow boundary), summed JVM-side."""
+    query×shard crosses the Arrow boundary), summed JVM-side.
+
+    ``matches_only`` returns the FULL match set — (query_id, doc_id,
+    docid, score), no rank, no top-k cut — the collector behind
+    sort-by-field and match-set aggregations (operators/aggs.py). The
+    result stays distributed (it can be huge); external ids resolve via a
+    shuffle join against norms, NOT the broadcast the k-bounded path
+    uses."""
+    if count_only and matches_only:
+        raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
     meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
@@ -115,6 +125,9 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if not all_terms or num_docs == 0:
         if count_only:
             return spark.createDataFrame([], "query_id string, total_hits long")
+        if matches_only:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id string, docid long, score double")
         return spark.createDataFrame(
             [], "query_id string, doc_id string, docid long, rank int, score double")
 
@@ -188,8 +201,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         # the pruner's seed/threshold passes don't know the cursor and
         # could prune docs the page must surface — dense path when paging
         use_pruner = False
-    if count_only:
-        use_pruner = False  # counting needs the full candidate set
+    if count_only or matches_only:
+        use_pruner = False  # counting/collecting needs the full candidate set
     if cfg.min_should_match > 1:
         use_pruner = False  # pruner bounds assume any-of-terms matching
 
@@ -201,7 +214,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     deleted = tombstone_arrays(spark, index_path, meta)
 
     scorer = _make_shard_scorer(
-        plans_payload, df_map, scorer=cfg.name, k=cfg.k, k1=cfg.k1, b=cfg.b,
+        plans_payload, df_map, scorer=cfg.name,
+        k=None if matches_only else cfg.k, k1=cfg.k1, b=cfg.b,
         mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
@@ -214,6 +228,23 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         return (local.groupBy("query_id")
                 .agg(F.sum("score").cast("long").alias("total_hits"))
                 .orderBy("query_id"))
+
+    if matches_only:
+        # full match set: resolve external ids with a SHUFFLE join keyed on
+        # (shard, docid) — the match side is unbounded, so no broadcast;
+        # shard is norms' partition column, keeping the scan pruned to
+        # shards that produced matches (AQE handles the rest)
+        m = local.withColumn(
+            "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+        norms = (spark.read.parquet(f"{index_path}/norms")
+                 .where(live_pred)
+                 .select("shard", "docid", F.col("id").alias("doc_id")))
+        # MERGE hint: at plan time Catalyst only sees the (possibly tiny)
+        # norms file size and would broadcast it — at 100 TB norms IS the
+        # corpus, so pin sort-merge statically and let AQE downgrade to a
+        # broadcast from observed runtime sizes when genuinely small
+        return (norms.hint("merge").join(m, ["shard", "docid"])
+                .select("query_id", "doc_id", "docid", "score"))
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docid"))
     topk = (local.withColumn("rn", F.row_number().over(w))
@@ -1054,7 +1085,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 out_d.append(np.asarray([base], dtype=np.int64))
                 out_s.append(np.asarray([float(len(cpos))]))
                 continue
-            if len(cpos) > k:
+            if k is not None and len(cpos) > k:
                 part = np.argpartition(-cscore, k - 1)[:k]
                 cpos, cscore = cpos[part], cscore[part]
             out_q.append(np.full(len(cpos), qid, dtype=object))

@@ -1,0 +1,160 @@
+"""Match-set aggregations (operators/aggs.py): the matches_only collector
+must return EXACTLY the documents search() would rank (identity pinned
+against an exhaustive k), and sort/stats/histogram must equal brute-force
+Python over that set.
+"""
+
+import math
+
+import pytest
+
+from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
+from patapsco_spark.operators.aggs import (field_histogram, field_stats,
+                                           match_set_texts, sort_by_field)
+from patapsco_spark.operators.indexer import build_index
+from patapsco_spark.operators.retrieve import search_texts
+
+RAW = TextConfig(stem=None, stopwords=None, lowercase=True)
+
+DOCS = [
+    ("a1", "alpha beta pad pad pad", "eng", 11),
+    ("a2", "alpha pad pad pad pad", "eng", 37),
+    ("a3", "alpha beta gamma pad pad", "eng", 23),
+    ("a4", "beta pad pad pad pad", "eng", 37),
+    ("a5", "gamma pad pad pad pad", "eng", 5),
+    ("a6", "delta pad pad pad pad", "eng", 99),
+]
+QUERIES = [("q1", "alpha beta"), ("q2", "gamma")]
+# bag-of-words match sets
+WANT = {"q1": {"a1", "a2", "a3", "a4"}, "q2": {"a3", "a5"}}
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("aggs") / "idx")
+    df = spark.createDataFrame([d[:3] for d in DOCS],
+                               "id string, text string, lang string")
+    build_index(spark, df, path, IndexConfig(text=RAW, num_shards=2))
+    return path
+
+
+@pytest.fixture(scope="module")
+def fields(spark):
+    return spark.createDataFrame([(d[0], d[3]) for d in DOCS],
+                                 "doc_id string, n long")
+
+
+@pytest.fixture(scope="module")
+def matches(spark, idx):
+    m = match_set_texts(spark, idx, QUERIES, text_cfg=RAW)
+    m.cache().count()
+    return m
+
+
+def test_match_set_identity_with_search(spark, idx, matches):
+    """matches_only ≡ search with k ≥ corpus: same docs, same scores."""
+    exhaustive = search_texts(spark, idx, QUERIES, RetrieveConfig(k=100),
+                              text_cfg=RAW)
+    want = {(r["query_id"], r["doc_id"]): r["score"]
+            for r in exhaustive.collect()}
+    got = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in matches.collect()}
+    assert got.keys() == want.keys()
+    for key, s in got.items():
+        assert math.isclose(s, want[key], rel_tol=1e-12)
+    by_q = {}
+    for (q, d) in got:
+        by_q.setdefault(q, set()).add(d)
+    assert by_q == WANT
+
+
+def test_sort_by_field(spark, matches, fields):
+    out = sort_by_field(matches, fields, "n", k=3)
+    rows = [(r["query_id"], r["rank"], r["doc_id"], r["n"])
+            for r in out.collect()]
+    # q1 by n desc, doc_id asc tie-break: a2(37) < a4(37) lex; then a3(23)
+    assert rows == [
+        ("q1", 0, "a2", 37), ("q1", 1, "a4", 37), ("q1", 2, "a3", 23),
+        ("q2", 0, "a3", 23), ("q2", 1, "a5", 5),
+    ]
+    up = sort_by_field(matches, fields, "n", k=1, ascending=True)
+    assert [(r["query_id"], r["doc_id"]) for r in up.collect()] == [
+        ("q1", "a1"), ("q2", "a5")]
+
+
+def test_field_stats(spark, matches, fields):
+    out = {r["query_id"]: r for r in
+           field_stats(matches, fields, "n").collect()}
+    n = {d[0]: d[3] for d in DOCS}
+    for q, docs in WANT.items():
+        vals = sorted(n[d] for d in docs)
+        r = out[q]
+        assert (r["cnt"], r["min_v"], r["max_v"], r["sum_v"]) == \
+            (len(vals), vals[0], vals[-1], sum(vals))
+        assert math.isclose(r["avg_v"], sum(vals) / len(vals))
+
+
+def test_field_histogram(spark, matches, fields):
+    out = {(r["query_id"], r["bucket"]): r["cnt"] for r in
+           field_histogram(matches, fields, "n", interval=10).collect()}
+    # q1: 11→10, 37→30, 23→20, 37→30 ; q2: 23→20, 5→0
+    assert out == {("q1", 10.0): 1, ("q1", 30.0): 2, ("q1", 20.0): 1,
+                   ("q2", 20.0): 1, ("q2", 0.0): 1}
+
+
+def test_significant_terms(spark, idx, matches):
+    """JLH scores against brute-force Python over the same corpus."""
+    from patapsco_spark.operators.aggs import significant_terms
+
+    store = spark.createDataFrame([d[:2] for d in DOCS],
+                                  "id string, text string")
+    out = significant_terms(spark, idx, matches, store, text_cfg=RAW,
+                            k=5, min_doc_count=1, lang_col=None)
+    got = {(r["query_id"], r["term"]): (r["fg_cnt"], r["bg_df"], r["score"])
+           for r in out.collect()}
+
+    toks = {d[0]: set(d[1].split()) for d in DOCS}
+    n = float(len(DOCS))
+    for q, fg_docs in WANT.items():
+        fgt = float(len(fg_docs))
+        for term in {t for d in fg_docs for t in toks[d]}:
+            fg = sum(1 for d in fg_docs if term in toks[d])
+            bg = sum(1 for d in toks if term in toks[d])
+            fr, br = fg / fgt, bg / n
+            score = (fr - br) * (fr / br)
+            if score > 0 and (q, term) in got:
+                g = got[(q, term)]
+                assert g[0] == fg and g[1] == bg
+                assert math.isclose(g[2], score, abs_tol=5e-7)
+    # the query's own terms rank as significant for their own match set
+    assert any(t == "alpha" for (q, t) in got if q == "q1")
+    assert any(t == "gamma" for (q, t) in got if q == "q2")
+
+
+def test_matches_only_excludes_pruner_and_rank(spark, idx, matches):
+    assert set(matches.columns) == {"query_id", "doc_id", "docid", "score"}
+
+
+def test_matches_only_plan_has_no_broadcast_of_match_side(spark, idx):
+    """The matches_only id-resolution join must NOT broadcast the match
+    side (it is unbounded at scale) — the k-bounded search path does, this
+    path must stay a shuffle join. Guard: no BroadcastExchange/
+    BroadcastHashJoin in the pre-AQE optimized plan (AQE may still choose
+    one at runtime from observed sizes — that is the point of AQE)."""
+    import io
+    from contextlib import redirect_stdout
+
+    m = match_set_texts(spark, idx, QUERIES, text_cfg=RAW)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        m.explain("formatted")
+    assert "BroadcastExchange" not in buf.getvalue()
+
+
+def test_count_only_consistency(spark, idx, matches):
+    from patapsco_spark.operators.retrieve import process_queries, search
+    plans = process_queries(QUERIES, RAW)
+    counts = {r["query_id"]: r["total_hits"] for r in
+              search(spark, idx, plans, count_only=True).collect()}
+    sizes = {q: len(d) for q, d in WANT.items()}
+    assert counts == sizes
