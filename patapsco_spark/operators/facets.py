@@ -1,0 +1,279 @@
+"""Distributed facet counts — the Lucene facets-module / SortedSetDocValues
+analogue the reference never needed (its result sets are top-k only;
+reference surface ends at retrieve.py's run output). A web-scale engine
+does: "how many matching pages per site / language / crawl" over the FULL
+matching set of a query, not its top-k.
+
+Two pieces, mirroring Lucene's build-time doc values + query-time counting:
+
+- ``build_facet_sidecar``: dictionary-encode one document attribute into a
+  per-shard int32 code blob, docid-indexed from the shard base — the exact
+  ``norms_packed`` layout (indexer.py) that already gives the query path
+  O(shard-blob) reads instead of corpus scans. Build cost is one shuffle of
+  the id↔attribute join — the same one-time cost class as building Lucene
+  doc values. The code dictionary is collected and must stay bounded
+  (``max_cardinality``, loud raise): facets are for low-cardinality
+  attributes; a 10^8-cardinality "facet" is a join, not a facet.
+
+- ``facet_counts``: one cogrouped kernel pass (postings × facet blobs, the
+  same cogroup shape as search) computes each query's candidate mask per
+  shard and bincounts the facet codes under it. Per (query, shard) only
+  O(#distinct codes) rows cross the Arrow boundary — never per-doc output —
+  and the JVM side folds shards with one map-side-combinable sum.
+
+Matching semantics are the SEARCH semantics (same clause payload:
+MUST/SHOULD/MUST_NOT, nested groups, weighted/PSQ terms, min_should_match,
+tombstone masking; wildcard/fuzzy/range/regexp expanded by the same
+rewrite). Scores are never computed — faceting needs the match set only —
+so phrases count bag-of-words exactly like a positions-less search scores
+them. The mask evaluator here is the matching SUBSET of the scorer kernel's
+``eval_clauses`` (retrieve.py) and must stay in lockstep with its boolean
+semantics; scoring branches are deliberately absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import RetrieveConfig, TextConfig
+from ..plans import manifest as mf
+from .queryparse import MUST, MUST_NOT, QueryPlan, iter_term_clauses
+from .retrieve import _TermHandle, load_index_meta, process_queries
+
+_MISSING = -1  # code for docs without an attribute row — never counted
+
+
+def _pack_codes(docs_per_shard: int):
+    """(shard, docid, code) group → one row with the shard's int32 blob.
+    Same shape as indexer._pack_norms; docs the keys frame misses stay
+    ``_MISSING``."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        docids = pdf["docid"].to_numpy()
+        size = int(docids.max()) - base + 1
+        codes = np.full(size, _MISSING, dtype=np.int32)
+        codes[docids - base] = pdf["code"].to_numpy().astype(np.int32)
+        return pd.DataFrame({"shard": [shard], "base": [base],
+                             "n": [len(pdf)], "codes": [codes.tobytes()]})
+
+    return pack
+
+
+def build_facet_sidecar(spark: SparkSession, index_path: str,
+                        keys: DataFrame, name: str,
+                        id_col: str = "id", key_col: str = "key",
+                        max_cardinality: int = 1_000_000) -> DataFrame:
+    """Attach a facet dimension to an index: ``keys`` maps external doc id →
+    attribute value (site, lang, crawl, source …). Writes
+    ``facets/<name>/dict`` (code ↔ key, code order = key asc, deterministic)
+    and ``facets/<name>/packed`` (one int32 blob row per shard). Returns the
+    dict frame. Docs absent from ``keys`` (or with a NULL value) are
+    uncounted, like Lucene docs without the doc value."""
+    meta = load_index_meta(index_path)
+    docs_per_shard = int(meta["docs_per_shard"])
+    kdf = keys.select(F.col(id_col).cast("string").alias("id"),
+                      F.col(key_col).cast("string").alias("key"))
+    # the dictionary collect is the cardinality gate: limit(cap+1) bounds
+    # the driver cost of the failure path, like the wildcard expansion cap
+    vals = [r["key"] for r in kdf.select("key").where(F.col("key").isNotNull())
+            .distinct().orderBy("key").limit(max_cardinality + 1).collect()]
+    if len(vals) > max_cardinality:
+        raise ValueError(
+            f"facet '{name}' has more than {max_cardinality} distinct "
+            "values; a facet dictionary that size belongs in a join, not a "
+            "per-shard code blob (raise max_cardinality to override)")
+    dict_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "code int, key string")
+
+    # one shuffle of the id↔key join (build-time, doc-values cost class);
+    # the dictionary side broadcasts
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .select("shard", "docid", "id"))
+    coded = (norms.join(kdf, "id", "left")
+             .join(F.broadcast(dict_df), "key", "left")
+             .select("shard", "docid",
+                     F.coalesce("code", F.lit(_MISSING)).alias("code")))
+    packed = coded.groupBy("shard").applyInPandas(
+        _pack_codes(docs_per_shard),
+        schema="shard int, base long, n long, codes binary")
+    root = f"{index_path}/facets/{name}"
+    (packed.write.mode("overwrite").partitionBy("shard")
+           .parquet(f"{root}/packed"))
+    dict_df.write.mode("overwrite").parquet(f"{root}/dict")
+    mf.write_manifest(root, f"facet:{name}",
+                      {"cardinality": len(vals), "id_col": id_col,
+                       "key_col": key_col})
+    return dict_df
+
+
+def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
+                       min_should_match):
+    """Per-shard matcher: candidate mask per query (search semantics, no
+    scores), bincount of facet codes under it. Output rows are (query,
+    code, count) — O(#codes), never O(#docs)."""
+
+    def kernel(key, posts_pdf: pd.DataFrame,
+               packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=object),
+                              "code": pd.Series(dtype=np.int32),
+                              "cnt": pd.Series(dtype=np.int64)})
+        if packed_pdf.empty:
+            if not posts_pdf.empty:
+                # a live shard with postings but no facet blob would be
+                # silently uncounted (e.g. a streaming append AFTER the
+                # sidecar build) — refuse loudly, like compaction's
+                # invariant checks
+                raise ValueError(
+                    f"shard {int(key[0])} has postings but no facet blob; "
+                    "rebuild the facet sidecar after appends/compaction")
+            return empty
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        codes = np.frombuffer(bytes(packed_pdf["codes"].iloc[0]),
+                              dtype=np.int32)
+        size = len(codes)
+        dead = None if deleted is None else deleted.get(shard)
+
+        handles: dict[str, _TermHandle] = {}
+        for row in posts_pdf.itertuples(index=False):
+            handles[row.term] = _TermHandle(
+                bytes(row.postings),
+                np.asarray(row.block_last, dtype=np.int64),
+                np.asarray(row.block_max_tf, dtype=np.int64),
+                np.asarray(row.block_min_dlq, dtype=np.int64),
+                np.asarray(row.block_off, dtype=np.int64),
+                np.asarray(row.block_gap_len, dtype=np.int64),
+                base)
+        decoded: dict[str, np.ndarray] = {}
+
+        def positions(term):
+            got = decoded.get(term)
+            if got is None:
+                h = handles.get(term)
+                if h is None:
+                    got = decoded[term] = np.empty(0, dtype=np.int64)
+                else:
+                    d, _t = h.decode(np.arange(len(h.block_last)))
+                    got = decoded[term] = d - base
+            return got
+
+        def eval_match(clauses, mm=0):
+            # the matching subset of retrieve._make_shard_scorer's
+            # eval_clauses — same booleans, no scores
+            should_cnt = np.zeros(size, dtype=np.int32) if mm > 0 else None
+            matched_any = np.zeros(size, dtype=bool)
+            must_ok = np.ones(size, dtype=bool)
+            forbidden = np.zeros(size, dtype=bool)
+            for occur, _boost, terms, kids in clauses:
+                if kids:
+                    mask = eval_match(kids)
+                else:
+                    mask = np.zeros(size, dtype=bool)
+                    for term, _p in terms:
+                        mask[positions(term)] = True
+                if occur == MUST_NOT:
+                    forbidden |= mask
+                    continue
+                if occur == MUST:
+                    must_ok &= mask
+                elif should_cnt is not None:
+                    should_cnt[mask] += 1
+                matched_any |= mask
+            cand = matched_any & must_ok & ~forbidden
+            if should_cnt is not None:
+                cand &= should_cnt >= mm
+            return cand
+
+        out_q, out_c, out_n = [], [], []
+        for qid, clauses in plans_payload:
+            cand = eval_match(clauses, mm=min_should_match)
+            if dead is not None and len(dead):
+                cand[dead[dead < size]] = False
+            hit = codes[cand]
+            hit = hit[hit >= 0]
+            if not len(hit):
+                continue
+            counts = np.bincount(hit)
+            nz = np.flatnonzero(counts)
+            out_q.append(np.full(len(nz), qid, dtype=object))
+            out_c.append(nz.astype(np.int32))
+            out_n.append(counts[nz].astype(np.int64))
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "code": np.concatenate(out_c),
+                             "cnt": np.concatenate(out_n)})
+
+    return kernel
+
+
+def facet_counts(spark: SparkSession, index_path: str,
+                 plans: list[QueryPlan], name: str,
+                 cfg: RetrieveConfig | None = None) -> DataFrame:
+    """Counts of matching docs per facet value, per query — over the FULL
+    matching set (Lucene FacetsCollector, not a top-k sample). Returns
+    (query_id, key, count), count desc / key asc, keys with zero matches
+    omitted."""
+    from .deletes import tombstone_arrays
+    from .retrieve import _expand_multiterm_plans
+
+    cfg = cfg or RetrieveConfig()
+    meta = load_index_meta(index_path)
+    num_shards = int(meta["num_shards"])
+    docs_per_shard = int(meta["docs_per_shard"])
+    stats_base = int(meta.get("stats_base", meta.get("shard_base", 0)))
+    from .indexer import live_shard_pred
+    live_pred = live_shard_pred(meta)
+
+    if any(c.prefix or c.fuzzy is not None
+           or getattr(c, "trange", None) is not None
+           or getattr(c, "wild", None) is not None
+           or getattr(c, "regex", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
+                                        shard_base=stats_base)
+
+    all_terms = sorted({t for p in plans
+                        for c in iter_term_clauses(p.clauses)
+                        for t, _ in c.terms if not t.startswith("\x01")})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id string, key string, count long")
+
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(all_terms) & live_pred))
+    packed = (spark.read.parquet(f"{index_path}/facets/{name}/packed")
+              .where(live_pred))
+    dict_df = spark.read.parquet(f"{index_path}/facets/{name}/dict")
+
+    def _clause_payload(c):
+        return (c.occur, float(c.boost), list(c.terms),
+                [_clause_payload(k) for k in (c.group or [])])
+
+    plans_payload = [(p.qid, [_clause_payload(c) for c in p.clauses])
+                     for p in plans]
+    kernel = _make_facet_kernel(
+        plans_payload, docs_per_shard=docs_per_shard,
+        deleted=tombstone_arrays(spark, index_path, meta),
+        min_should_match=cfg.min_should_match)
+    local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
+             .applyInPandas(kernel,
+                            schema="query_id string, code int, cnt long"))
+    return (local.groupBy("query_id", "code").agg(F.sum("cnt").alias("count"))
+            .join(F.broadcast(dict_df), "code")
+            .select("query_id", "key", "count")
+            .orderBy("query_id", F.desc("count"), F.asc("key")))
+
+
+def facet_counts_texts(spark: SparkSession, index_path: str,
+                       queries: list[tuple[str, str]], name: str,
+                       cfg: RetrieveConfig | None = None,
+                       text_cfg: TextConfig | None = None,
+                       lang: str = "eng", mode: str = "plain") -> DataFrame:
+    plans = process_queries(queries, text_cfg or TextConfig(), lang=lang,
+                            mode=mode)
+    return facet_counts(spark, index_path, plans, name, cfg)
