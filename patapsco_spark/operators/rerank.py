@@ -47,6 +47,36 @@ def attach_doc_text(results: DataFrame, store: DataFrame) -> DataFrame:
     return results.join(docs, "doc_id", "left")
 
 
+def collapse_results(results: DataFrame, keys: DataFrame, key_col: str,
+                     id_col: str = "doc_id", per_key: int = 1,
+                     k: int | None = None) -> DataFrame:
+    """Field collapsing (Lucene grouping module / Elasticsearch
+    ``collapse`` analogue — the reference has no equivalent; at web scale
+    this is the standard one-result-per-site diversification): keep the
+    best ``per_key`` hits per (query, key) — e.g. one document per source
+    domain — then re-rank what survives and optionally cut to ``k``.
+
+    ``keys`` maps ``id_col`` → ``key_col`` (e.g. the documents table's
+    (doc_id, source), or weburl.registered_domain output). Plan shape for
+    100 TB: the hits side is ≤ |queries|·k rows by construction, so it
+    BROADCASTS against the big key table (one pruned scan of ``keys``, no
+    shuffle of it); the windows then run over the tiny joined frame.
+    Ranks are reassigned 0-based per query in (score desc, id asc) order —
+    collapsing changes which docs appear, never their scores."""
+    hits = keys.select(F.col(id_col), F.col(key_col)).join(
+        F.broadcast(results), id_col)
+    w = (Window.partitionBy("query_id", key_col)
+         .orderBy(F.desc("score"), F.asc(id_col)))
+    kept = (hits.withColumn("_kr", F.row_number().over(w))
+            .where(F.col("_kr") <= per_key).drop("_kr"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                F.asc(id_col))
+    out = kept.withColumn("rank", F.row_number().over(w2) - 1)
+    if k is not None:
+        out = out.where(F.col("rank") < k)
+    return out.orderBy("query_id", "rank")
+
+
 def mock_rerank(spark: SparkSession, index_path: str, results: DataFrame) -> DataFrame:
     """Identity rerank with doc lookup (E1): scores/ranks unchanged, text
     attached and dropped — validates the store wiring like the reference's
