@@ -607,3 +607,59 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
                    "                length(_t) - acc.prev + 1)))"),
                    F.col("_t")).alias("clean_text")))
     return out
+
+
+def semdedup(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
+             threshold: float = 0.95, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — k-means-cluster the embeddings, then inside each
+    cluster drop every vector whose cosine similarity to ANY lower-id
+    cluster-mate reaches ``threshold``. Returns (kept, removed):
+    ``kept`` = the surviving embedding rows, ``removed`` = (id, anchor id,
+    cosine) evidence rows for audit.
+
+    Clustering is the deterministic ``ann.ivf_build`` Lloyd (md5-ordered
+    sample init, argmin-projection assignment — SQL-replayable end to
+    end). The survivor rule is the reference implementation's index-order
+    rule (keep the lowest id of each similar pair; the anchor may itself
+    be removed by an even earlier near-dup) — a documented departure from
+    the paper's keep-farthest-from-centroid variant, chosen because id
+    order is deterministic under any partitioning while centroid distance
+    ties are not.
+
+    Scale shape: the pairwise similarity join is keyed on ``cell`` — ONE
+    shuffle, quadratic only WITHIN a cluster. That bound is the SemDeDup
+    design itself: n_cells must grow with the corpus (the paper uses 50k
+    clusters for LAION) so cluster sizes stay bounded; cell sizing is the
+    caller's knob, same as ivf_build."""
+    from .ann import _cos, _dot, _norm, ivf_build
+
+    _cents, assigned = ivf_build(embeddings, n_cells=n_cells, iters=iters,
+                                 seed=seed, id_col=id_col, vec_col=vec_col)
+    # norms are precomputed per ROW before the self-join (O(n) instead of
+    # O(pairs) HOF evaluations); the pair expression is bit-identical to
+    # cos(dot(a,b), norm(a)*norm(b)) because each factor is computed on the
+    # same casted values — only the evaluation site moves
+    side = assigned.select(
+        F.col(id_col), "cell",
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_v"))
+    side = side.withColumn("_n", _norm(F.col("_v")))
+    a = side.select(F.col(id_col).alias("_ia"), F.col("_v").alias("_va"),
+                    F.col("_n").alias("_na"), "cell")
+    b = side.select(F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"),
+                    F.col("_n").alias("_nb"), "cell")
+    pairs = (a.join(b, "cell")
+             .where(F.col("_ia") < F.col("_ib"))
+             .select("_ia", "_ib",
+                     _cos(_dot(F.col("_va"), F.col("_vb")),
+                          F.col("_na") * F.col("_nb")).alias("cos"))
+             .where(F.col("cos") >= threshold))
+    removed = (pairs.groupBy("_ib")
+               .agg(F.min(F.struct(F.col("_ia"), F.col("cos"))).alias("w"))
+               .select(F.col("_ib").alias(id_col),
+                       F.col("w._ia").alias("anchor_id"),
+                       F.col("w.cos").alias("cos")))
+    kept = embeddings.join(removed.select(id_col), id_col, "left_anti")
+    return kept, removed
