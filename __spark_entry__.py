@@ -371,6 +371,101 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+TITLE_TOKS = 4            # pseudo title field = the first 4 tokens of text
+BM25F_W = {"title": 2.0, "body": 1.0}
+BM25F_B = {"title": 0.4, "body": 0.4}
+
+
+def _ensure_field_indexes(spark: SparkSession, sf_dir: str) -> dict:
+    """One index per pseudo-field (title = first TITLE_TOKS tokens, body =
+    the rest — a deterministic, SQL-replayable field split of the single
+    text column), each cached/manifest-gated like _ensure_index. Per-field
+    indexes are how BM25F composes here: the core indexer is unchanged and
+    the field docid spaces align via the shared external-id total order."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
+    toks = F.split(F.col("text"), " ")
+    fields = {
+        "title": F.array_join(F.slice(toks, 1, TITLE_TOKS), " "),
+        "body": F.array_join(
+            F.expr(f"slice(split(text, ' '), {TITLE_TOKS + 1}, "
+                   f"greatest(size(split(text, ' ')) - {TITLE_TOKS}, 0))"),
+            " "),
+    }
+    paths = {}
+    for fld, expr in fields.items():
+        p = os.path.join(tempfile.gettempdir(), f"pspark_idxf_{fld}_{tag}")
+        build_index(spark, docs.select("id", expr.alias("text"), "lang"), p,
+                    IndexConfig(text=RAW_TEXT, num_shards=4), resume=True)
+        paths[fld] = p
+    return paths
+
+
+def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F fielded ranking (new r5; Robertson & Zaragoza 2009): title
+    weighted 2×, per-field length normalization, saturation AFTER the
+    field combine, document-level idf — composed over per-field indexes
+    (operators/bm25f.py). The oracle replays the entire pipeline from the
+    raw text: field split, per-field tf/dl/avgdl with the Lucene SmallFloat
+    dl quantization, fixed fold orders (field asc, term asc)."""
+    from patapsco_spark.operators.bm25f import search_bm25f
+
+    idxs = _ensure_field_indexes(spark, sf_dir)
+    res = search_bm25f(spark, idxs, [("q1", BM25_QUERY)], text_cfg=RAW_TEXT,
+                       weights=BM25F_W, field_b=BM25F_B, k1=0.9, k=K)
+    return _as_result(res)
+
+
+def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed facet counts (new r5; Lucene facets module): how many
+    docs matching 'data query stream window' (OR) per document source —
+    counted over the FULL matching set, not a top-k sample. Build-time
+    sidecar = per-shard int32 code blobs (the norms_packed layout, gated on
+    its manifest so repeat runs skip the build); query-time = one cogrouped
+    kernel pass emitting O(#codes) rows per query×shard."""
+    from patapsco_spark.operators.facets import (build_facet_sidecar,
+                                                 facet_counts_texts)
+    from patapsco_spark.plans import manifest as _mf
+
+    idx = _ensure_index(spark, sf_dir)
+    if _mf.read_manifest(f"{idx}/facets/source") is None:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            F.col("doc_id").cast("string").alias("id"), "source")
+        build_facet_sidecar(spark, idx, docs, "source",
+                            id_col="id", key_col="source")
+    res = facet_counts_texts(spark, idx, [("q1", BM25_QUERY)], "source",
+                             text_cfg=RAW_TEXT, mode="boolean")
+    return res.select(F.col("key").alias("src"),
+                      F.col("count").cast("long").alias("cnt"))
+
+
+COLLAPSE_DEPTH = 100
+
+
+def q_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (new r5; Lucene grouping / Elasticsearch collapse):
+    BM25 top-100, then keep only the best hit per document ``source`` and
+    re-rank the survivors — the standard one-result-per-site
+    diversification a web-scale engine needs. The hits side is ≤100 rows so
+    it broadcasts against the documents table; collapsing never changes
+    scores, only which docs appear (pinned by the oracle replay)."""
+    from patapsco_spark.operators.rerank import collapse_results
+
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(k=COLLAPSE_DEPTH), text_cfg=RAW_TEXT)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    out = collapse_results(res, docs, "source", per_key=1, k=K)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("rnk"),
+        F.round("score", 5).alias("score"),
+        F.col("source").alias("src"))
+
+
 def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     res = search_texts(spark, idx, [("q1", QLD_QUERY)],
@@ -606,6 +701,109 @@ def q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search(spark, idx, [plan],
                  RetrieveConfig(k=K, min_should_match=MSM_MIN))
     return _as_result(res)
+
+
+HIST_INTERVAL = 200
+
+
+def _bm25_match_set(spark: SparkSession, sf_dir: str):
+    """Shared helper for the match-set aggregation entries: the FULL set of
+    documents matching BM25_QUERY (OR semantics, matches_only kernel mode —
+    no top-k cut) plus the documents frame for field lookups."""
+    from patapsco_spark.operators.aggs import match_set_texts
+
+    idx = _ensure_index(spark, sf_dir)
+    matches = match_set_texts(spark, idx, [("q1", BM25_QUERY)],
+                              text_cfg=RAW_TEXT)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return matches, docs
+
+
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field (new r5; Lucene Sort / ES sort): top-K of the FULL
+    match set for BM25_QUERY ordered by n_chars desc (doc_id-string asc
+    tie-break) — recency/size ranking instead of score. The kernel runs in
+    matches_only mode (no top-k cut); the sort is one row_number window
+    over the distributed match set."""
+    from patapsco_spark.operators.aggs import sort_by_field
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = sort_by_field(matches, docs, "n_chars", k=K)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation (new r5) over the full BM25_QUERY match set:
+    count/min/max/sum/avg of n_chars — one map-side-combinable groupBy."""
+    from patapsco_spark.operators.aggs import field_stats
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = field_stats(matches, docs, "n_chars")
+    return out.select(F.col("cnt").cast("long").alias("cnt"),
+                      F.col("min_v").cast("long").alias("min_v"),
+                      F.col("max_v").cast("long").alias("max_v"),
+                      F.col("sum_v").cast("long").alias("sum_v"),
+                      F.round("avg_v", 6).alias("avg_v"))
+
+
+def q_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation (new r5) over the full BM25_QUERY match
+    set: fixed-interval n_chars buckets (floor(v/200)*200), count per
+    bucket, empty buckets omitted."""
+    from patapsco_spark.operators.aggs import field_histogram
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = field_histogram(matches, docs, "n_chars", interval=HIST_INTERVAL)
+    return out.select(F.col("bucket").cast("long").alias("bucket"),
+                      F.col("cnt").cast("long").alias("cnt"))
+
+
+SIGTERMS_MIN_DOC = 3
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation (new r5): terms disproportionately
+    frequent in the BM25_QUERY match set vs the corpus, JLH-scored
+    (fg%−bg%)×(fg%/bg%). Foreground re-analyzes ONLY matched docs (one
+    bounded pass); background df comes from the index's term_stats — no
+    corpus rescan."""
+    from patapsco_spark.operators.aggs import significant_terms
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    idx = _ensure_index(spark, sf_dir)
+    store = docs.select(F.col("doc_id").cast("string").alias("id"), "text")
+    out = significant_terms(spark, idx, matches, store, text_cfg=RAW_TEXT,
+                            k=K, min_doc_count=SIGTERMS_MIN_DOC,
+                            lang_col=None)
+    return out.select("term", F.col("rank").cast("long").alias("rnk"),
+                      "fg_cnt", "bg_df", "score")
+
+
+PERC_QUERIES = [
+    ("pq1", "data AND stream NOT window"),
+    ("pq2", "query window"),                 # OR
+    ("pq3", "stream NOT (data OR query)"),   # nested NOT group
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (new r5; Elasticsearch percolator analogue): match
+    incoming documents against STORED boolean queries — the alerting /
+    routing primitive of a live crawl. Every stored query compiles into a
+    Catalyst predicate over the analyzed token array, so the whole
+    percolation is ONE codegen projection per batch: no index, no shuffle,
+    no join (plan-guarded in tests/test_percolate.py)."""
+    from patapsco_spark.operators.percolate import percolate_texts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("id"), "text")
+    out = percolate_texts(docs, PERC_QUERIES, text_cfg=RAW_TEXT,
+                          lang_col=None)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "query_id")
+            .orderBy("doc_id", "query_id"))
 
 
 WILDCARD_MUST, WILDCARD_PREFIX = "window", "s"
@@ -2119,6 +2317,37 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+SEMDEDUP_T = 0.42  # synthetic embeddings are near-random; 0.42 yields a
+                   # non-trivial removal set (real corpora use 0.9+)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (new r5; Abbas et al. 2023): k-means-cluster the embeddings
+    (the deterministic ivf_build Lloyd), then inside each cluster remove
+    every vector with cosine ≥ threshold against a lower-id cluster-mate.
+    Returns the removal evidence rows (vec_id, anchor_id, cos) — the oracle
+    replays the whole pipeline: shared kmeans CTEs + within-cell pair join.
+    Quadratic only WITHIN a cluster (one shuffle keyed on cell) — the
+    SemDeDup scale design itself, so the cluster count GROWS with the
+    corpus (the paper uses 50k clusters for LAION): n_cells = max(base,
+    rows/250) keeps cells ~250 vectors wide at any scale. At the sf0.01
+    correctness gate (500 rows) this is exactly IVF_CELLS, which is what
+    the static oracle replays; the scaling only engages above ~2k rows
+    (caught live: fixed 8 cells at the 20k-row sf1 bench made the
+    within-cell pair join quadratic — 595 s)."""
+    from patapsco_spark.operators.dedup import semdedup
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") != 0))
+    n_cells = max(IVF_CELLS, emb.count() // 250)
+    _kept, removed = semdedup(emb, n_cells=n_cells, iters=IVF_ITERS,
+                              threshold=SEMDEDUP_T, seed=IVF_SEED)
+    return (removed.select(F.col("vec_id").cast("long").alias("vec_id"),
+                           F.col("anchor_id").cast("long").alias("anchor_id"),
+                           F.round("cos", 6).alias("cos"))
+            .orderBy("vec_id"))
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k: approximate w.r.t. brute force (recall pinned in pytest)
     but fully deterministic w.r.t. the algorithm — centroid init samples the
@@ -2196,6 +2425,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "collapse_by_source": q_collapse_by_source,
+        "percolate": q_percolate,
+        "sort_by_field": q_sort_by_field,
+        "match_stats": q_match_stats,
+        "match_histogram": q_match_histogram,
+        "significant_terms": q_significant_terms,
+        "facet_by_source": q_facet_by_source,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -2272,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semdedup": q_semdedup,
         "ann_ivfadc_topk": q_ann_ivfadc_topk,
         "topk_window": q_topk_window,
         "lineitem_agg": q_lineitem_agg,
@@ -2390,6 +2628,259 @@ SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
        ROUND(score, 5) AS score
 FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _bm25f_sql(query_terms: list[str], weights: dict, bs: dict,
+               k1: float, k: int, title_toks: int = 4) -> str:
+    """Full SQL replay of q_bm25f_topk: the field split from the raw text
+    (UNFILTERED token slices, '' dropped afterwards — Python split
+    semantics), per-field tf/dl, per-field avgdl with the float32
+    round-trip, SmallFloat dl quantization, the field combine folded in
+    field-name order, document-level idf, and the term fold in term order
+    — every float expression parenthesized exactly as the Spark plan."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("fdl.dl")
+    w_t, w_b = repr(float(weights["title"])), repr(float(weights["body"]))
+    ob_t, b_t = repr(1.0 - float(bs["title"])), repr(float(bs["title"]))
+    ob_b, b_b = repr(1.0 - float(bs["body"])), repr(float(bs["body"]))
+    return f"""
+WITH qterms(term) AS (VALUES {vals}),
+ftok AS (
+  SELECT doc_id, 'title' AS fld,
+         unnest(list_slice(string_split(text, ' '), 1, {title_toks})) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'body' AS fld,
+         unnest(list_slice(string_split(text, ' '), {title_toks + 1},
+                           len(string_split(text, ' ')))) AS term
+  FROM documents
+),
+ftf AS (
+  SELECT doc_id, fld, term, count(*)::DOUBLE AS tf FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld, term
+),
+fdl AS (
+  SELECT doc_id, fld, count(*)::BIGINT AS dl FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld
+),
+favg AS (
+  SELECT fld, CAST(CAST(sum(dl) AS DOUBLE)
+                   / (SELECT count(*) FROM documents) AS REAL)::DOUBLE AS avgdl
+  FROM fdl GROUP BY fld
+),
+fnorm AS (
+  SELECT ftf.doc_id, ftf.term, ftf.fld,
+         CASE ftf.fld
+           WHEN 'body' THEN {w_b} * ftf.tf / ({ob_b} + {b_b} * {quant} / fa.avgdl)
+           ELSE {w_t} * ftf.tf / ({ob_t} + {b_t} * {quant} / fa.avgdl)
+         END AS v
+  FROM ftf
+  JOIN qterms USING (term)
+  JOIN fdl ON fdl.doc_id = ftf.doc_id AND fdl.fld = ftf.fld
+  JOIN favg fa ON fa.fld = ftf.fld
+),
+tfn AS (
+  SELECT doc_id, term, list_aggregate(list(v ORDER BY fld), 'sum') AS tfn
+  FROM fnorm GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfn GROUP BY term
+),
+scores AS (
+  SELECT tfn.doc_id,
+         list_aggregate(list(
+             ln(1 + ((SELECT count(*) FROM documents)::DOUBLE - dfs.df + 0.5)
+                     / (dfs.df + 0.5))
+              * tfn.tfn / ({repr(float(k1))} + tfn.tfn)
+             ORDER BY tfn.term), 'sum') AS score
+  FROM tfn JOIN dfs ON dfs.term = tfn.term
+  GROUP BY tfn.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+_MATCHED_CTE = """
+matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
+
+
+def _matchset_prefix(query_terms: list[str]) -> str:
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _sort_by_field_sql(query_terms: list[str], k: int) -> str:
+    """Oracle for sort-by-field: the OR match set ordered by n_chars desc,
+    doc_id-string asc tie-break, cut to k."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT doc_id, rnk, n_chars FROM (
+  SELECT m.doc_id,
+         (row_number() OVER (ORDER BY d.n_chars DESC,
+                             CAST(m.doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+         d.n_chars::BIGINT AS n_chars
+  FROM matched m JOIN documents d USING (doc_id)
+) WHERE rnk < {k}
+ORDER BY rnk
+"""
+
+
+def _match_stats_sql(query_terms: list[str]) -> str:
+    """Oracle for the ES-stats aggregation over the OR match set. The sum
+    is integer-exact, so avg (= sum/count) is bit-deterministic."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT count(*)::BIGINT AS cnt,
+       min(d.n_chars)::BIGINT AS min_v,
+       max(d.n_chars)::BIGINT AS max_v,
+       sum(d.n_chars)::BIGINT AS sum_v,
+       ROUND(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_v
+FROM matched m JOIN documents d USING (doc_id)
+"""
+
+
+def _match_histogram_sql(query_terms: list[str], interval: int) -> str:
+    """Oracle for the fixed-interval histogram over the OR match set."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT (FLOOR(d.n_chars / {float(interval)}) * {interval})::BIGINT AS bucket,
+       count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def _significant_terms_sql(query_terms: list[str], k: int,
+                           min_doc: int) -> str:
+    """Oracle for significant_terms: fg counts from distinct (doc, term)
+    over the match set, bg df over the corpus, the same JLH expression tree
+    (all operands exact integers-in-doubles, so the doubles are
+    bit-identical), ROUND-first ordering."""
+    return f"""
+{_matchset_prefix(query_terms)},
+fgt AS (SELECT count(*)::DOUBLE AS fg_total FROM matched),
+dterm AS (SELECT DISTINCT doc_id, term FROM tf),
+fg AS (
+  SELECT d.term, count(*)::DOUBLE AS fg_cnt
+  FROM matched m JOIN dterm d USING (doc_id) GROUP BY d.term
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bg_df FROM dterm GROUP BY term),
+scored AS (
+  SELECT f.term, f.fg_cnt, b.bg_df,
+         (f.fg_cnt / fgt.fg_total - b.bg_df / stats.n)
+          * ((f.fg_cnt / fgt.fg_total) / (b.bg_df / stats.n)) AS score
+  FROM fg f JOIN bg b USING (term) CROSS JOIN fgt CROSS JOIN stats
+  WHERE f.fg_cnt >= {min_doc}
+)
+SELECT term, rnk, fg_cnt, bg_df, score FROM (
+  SELECT term,
+         (row_number() OVER (ORDER BY ROUND(score, 6) DESC, term ASC)
+          - 1)::BIGINT AS rnk,
+         fg_cnt::BIGINT AS fg_cnt, bg_df::BIGINT AS bg_df,
+         ROUND(score, 6) AS score
+  FROM scored WHERE score > 0
+) WHERE rnk < {k}
+ORDER BY rnk
+"""
+
+
+def _percolate_sql() -> str:
+    """Oracle for percolation: per-doc term-membership flags, then each
+    stored query's boolean tree replayed as a WHERE clause (PERC_QUERIES
+    pinned as literals — matched_any & must_ok & ~forbidden semantics)."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+m AS (
+  SELECT doc_id,
+         bool_or(term = 'data')   AS t_data,
+         bool_or(term = 'stream') AS t_stream,
+         bool_or(term = 'window') AS t_window,
+         bool_or(term = 'query')  AS t_query
+  FROM tok WHERE term <> '' GROUP BY doc_id
+)
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'pq1' AS query_id FROM m
+  WHERE t_data AND t_stream AND NOT t_window
+  UNION ALL
+  SELECT doc_id, 'pq2' FROM m WHERE t_query OR t_window
+  UNION ALL
+  SELECT doc_id, 'pq3' FROM m WHERE t_stream AND NOT (t_data OR t_query)
+)
+ORDER BY doc_id, query_id
+"""
+
+
+def _facet_by_source_sql(query_terms: list[str]) -> str:
+    """Oracle for facet counts: distinct docs containing ≥1 query term,
+    counted per source."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))
+SELECT d.source AS src, count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source
+ORDER BY cnt DESC, src ASC
+"""
+
+
+def _collapse_by_source_sql(query_terms: list[str], k1: float, b: float,
+                            depth: int, k: int) -> str:
+    """Oracle for BM25 top-``depth`` collapsed to the best hit per document
+    source, re-ranked, cut to ``k`` — replays the engine exactly: the same
+    BM25 ranking (score desc, doc_id-as-string asc tie-break) cut at depth,
+    one row_number window per source, then a re-rank window."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+  LIMIT {depth}
+),
+keyed AS (
+  SELECT t.doc_id, t.score, d.source AS src,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY t.score DESC,
+                                     CAST(t.doc_id AS VARCHAR) ASC) AS kr
+  FROM top t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score,
+       src
+FROM keyed WHERE kr = 1
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
@@ -3176,21 +3667,10 @@ dots AS (
 )"""
 
 
-def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
-                 nprobe: int = IVF_NPROBE, seed: int = IVF_SEED,
-                 quantized: bool = False) -> str:
-    """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
-    init indices into the md5-ordered 200-vector sample are embedded as
-    literals; Lloyd iterations, the final assignment, the nprobe probe and
-    the cosine re-rank are all recomputed in SQL. Matches the engine up to
-    last-ulp AVG summation order (scores rounded to 6, like every oracle).
-
-    Validity precondition: the base table must have ≥ ivf_sample_size
-    (=200) non-query vectors — the engine then draws rng.choice(200, …),
-    exactly the literals embedded here. Every driver sf dir satisfies this
-    (500-2000 embeddings); smaller ad-hoc corpora fall back to
-    rng.choice(len(sample)) in the engine, which this replay does not
-    model (covered by the pytest recall checks instead)."""
+def _ivf_kmeans_ctes(n_cells: int, iters: int, seed: int) -> list[str]:
+    """The shared kmeans-replay CTE chain (base/ex/ord/init → Lloyd rounds
+    → final assignment ``afin``) used by the IVF top-k AND semdedup
+    oracles — one replay of ann.ivf_build, two consumers."""
     import numpy as np
 
     from patapsco_spark.operators.ann import ivf_sample_size
@@ -3245,8 +3725,63 @@ afin AS (
     SELECT vec_id, cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM dfin) WHERE rn = 1
+)""")
+    return ctes
+
+
+def _semdedup_sql(threshold: float, n_cells: int = IVF_CELLS,
+                  iters: int = IVF_ITERS, seed: int = IVF_SEED) -> str:
+    """Exact SQL replay of dedup.semdedup's removal evidence: the shared
+    kmeans CTEs give the final cell assignment; inside each cell every
+    higher-id vector with cosine ≥ threshold against a lower-id mate is
+    removed, its reported anchor = the lowest such (anchor_id, cos) pair
+    (matching the engine's min-struct pick)."""
+    ctes = _ivf_kmeans_ctes(n_cells, iters, seed)
+    ctes.append("""nrm AS (
+  SELECT vec_id, SQRT(SUM(v * v)) AS n2 FROM ex GROUP BY vec_id
 ),
-qx AS (
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, SUM(xa.v * xb.v) AS dot
+  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN ex xa ON xa.vec_id = a.vec_id
+  JOIN ex xb ON xb.vec_id = b.vec_id AND xb.j = xa.j
+  GROUP BY a.vec_id, b.vec_id
+),
+sims AS (
+  SELECT ia, ib,
+         CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+              ELSE dot / (na.n2 * nb.n2) END AS cos
+  FROM pairs JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib
+)""")
+    return f"""
+WITH {", ".join(ctes)}
+SELECT vec_id, anchor_id, cos FROM (
+  SELECT ib::BIGINT AS vec_id, ia::BIGINT AS anchor_id, ROUND(cos, 6) AS cos,
+         row_number() OVER (PARTITION BY ib ORDER BY ia, cos) AS rn
+  FROM sims WHERE cos >= {threshold}
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
+                 nprobe: int = IVF_NPROBE, seed: int = IVF_SEED,
+                 quantized: bool = False) -> str:
+    """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
+    init indices into the md5-ordered 200-vector sample are embedded as
+    literals; Lloyd iterations, the final assignment, the nprobe probe and
+    the cosine re-rank are all recomputed in SQL. Matches the engine up to
+    last-ulp AVG summation order (scores rounded to 6, like every oracle).
+
+    Validity precondition: the base table must have ≥ ivf_sample_size
+    (=200) non-query vectors — the engine then draws rng.choice(200, …),
+    exactly the literals embedded here. Every driver sf dir satisfies this
+    (500-2000 embeddings); smaller ad-hoc corpora fall back to
+    rng.choice(len(sample)) in the engine, which this replay does not
+    model (covered by the pytest recall checks instead)."""
+    ctes = _ivf_kmeans_ctes(n_cells, iters, seed)
+    prev = f"cent{iters}"
+    ctes.append(f"""qx AS (
   SELECT CAST(unnest(e) AS DOUBLE) AS qv, generate_subscripts(e, 1) AS j
   FROM (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
 ),
@@ -3385,6 +3920,8 @@ def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in sorted(LUCENE_ENGLISH_STOPWORDS))
     return {
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "bm25f_topk": _bm25f_sql(BM25_QUERY.split(), BM25F_W, BM25F_B,
+                                 0.9, K, title_toks=TITLE_TOKS),
         "page2_bm25": _page2_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "hit_counts": _hit_counts_sql(),
         "mlt_bm25": _mlt_bm25_sql(MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS,
@@ -3403,6 +3940,16 @@ def oracle_sql() -> dict[str, str]:
                                               "batch", 0.9, 0.4, K),
         "min_should_match": _min_should_match_sql(MSM_TERMS, MSM_MIN,
                                                   0.9, 0.4, K),
+        "collapse_by_source": _collapse_by_source_sql(
+            BM25_QUERY.split(), 0.9, 0.4, COLLAPSE_DEPTH, K),
+        "percolate": _percolate_sql(),
+        "sort_by_field": _sort_by_field_sql(BM25_QUERY.split(), K),
+        "match_stats": _match_stats_sql(BM25_QUERY.split()),
+        "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
+                                                HIST_INTERVAL),
+        "significant_terms": _significant_terms_sql(
+            BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
+        "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),
@@ -4223,6 +4770,7 @@ FROM comp
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_ivfadc_topk": _ann_ivf_sql(quantized=True),
+        "semdedup": _semdedup_sql(SEMDEDUP_T),
         "minhash_lsh_pairs": """
 WITH w AS (
   SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
