@@ -71,7 +71,8 @@ def process_queries(texts: Iterable[tuple[str, str]], text_cfg: TextConfig,
 def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            cfg: RetrieveConfig | None = None,
            count_only: bool = False,
-           matches_only: bool = False) -> DataFrame:
+           matches_only: bool = False,
+           stats_override: dict | None = None) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
@@ -86,7 +87,16 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     sort-by-field and match-set aggregations (operators/aggs.py). The
     result stays distributed (it can be huge); external ids resolve via a
     shuffle join against norms, NOT the broadcast the k-bounded path
-    uses."""
+    uses.
+
+    ``stats_override`` replaces the scoring statistics with caller-supplied
+    GLOBAL ones — {"num_docs", "total_tf", "avgdl", "df_map": {term: (df,
+    cf)}} — the hook operators/federate.py uses to score one index of a
+    multi-index federation under the combined corpus statistics (Lucene
+    MultiReader semantics). The term-stats read is skipped entirely.
+    Multiterm expansion (wildcard/fuzzy/range/regexp) and phrase rewrites
+    derive terms from THIS index's dictionary, whose stats the override
+    cannot know — rejected loudly rather than silently scoring df=0."""
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
@@ -116,6 +126,12 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            or getattr(c, "wild", None) is not None
            or getattr(c, "regex", None) is not None
            for p in plans for c in iter_term_clauses(p.clauses)):
+        if stats_override is not None:
+            raise ValueError(
+                "stats_override cannot score multiterm queries "
+                "(wildcard/fuzzy/range/regexp): expansion is per-index and "
+                "the override's df_map cannot cover the expanded terms — "
+                "expand federation-side or use literal terms")
         plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
                                         shard_base=stats_base)
 
@@ -134,12 +150,22 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # global term stats for idf/cf — only the query's terms are read;
     # aggregated across additive COMMITTED segments (seg < num_shards gates
     # out a crashed append's uncommitted delta, like the shard filters below)
-    from .indexer import read_term_stats
-    stats_df = (read_term_stats(spark, index_path, num_shards=num_shards,
-                                shard_base=stats_base)
-                .where(F.col("term").isin(all_terms)))
-    df_map: dict[str, tuple[int, int]] = {
-        r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
+    if stats_override is not None:
+        num_docs = int(stats_override["num_docs"])
+        total_tf = int(stats_override["total_tf"])
+        avgdl = float(stats_override["avgdl"])
+        df_map: dict[str, tuple[int, int]] = dict(stats_override["df_map"])
+        if num_docs == 0:
+            return spark.createDataFrame(
+                [], "query_id string, doc_id string, docid long, rank int,"
+                    " score double")
+    else:
+        from .indexer import read_term_stats
+        stats_df = (read_term_stats(spark, index_path, num_shards=num_shards,
+                                    shard_base=stats_base)
+                    .where(F.col("term").isin(all_terms)))
+        df_map = {
+            r["term"]: (int(r["df"]), int(r["cf"])) for r in stats_df.collect()}
 
     # exact phrase scoring (positions sidecar): rewrite each phrase clause to
     # a single pseudo-term whose postings are built from positional joins.
@@ -153,6 +179,13 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if cfg.name in ("bm25", "qld") and meta.get("positions") and any(
             c.phrase and len(c.terms) > 1
             for p in plans for c in iter_term_clauses(p.clauses)):
+        if stats_override is not None and cfg.name == "qld":
+            # bm25 phrases are federation-safe (idf = Σ member idfs from the
+            # GLOBAL df_map via idf_over); qld phrases score p(t|C) from the
+            # pseudo-term's PER-INDEX cf, which the override cannot globalize
+            raise ValueError(
+                "stats_override cannot score qld phrases: the phrase "
+                "pseudo-term's collection frequency is per-index")
         plans, phrase_posts = _rewrite_phrase_plans(
             spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
             num_shards=num_shards, docs_per_shard=docs_per_shard,
