@@ -166,3 +166,60 @@ def field_histogram(matches: DataFrame, fields: DataFrame, field_col: str,
     return (hit.groupBy("query_id", bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy("query_id", "bucket"))
+
+
+def field_percentiles(matches: DataFrame, fields: DataFrame, field_col: str,
+                      percentiles: list[float],
+                      id_col: str = "doc_id") -> DataFrame:
+    """ES ``percentiles`` aggregation over the match set, EXACT — one row
+    per (query, p) with the discrete percentile (percentile_disc: the
+    smallest field value whose cumulative distribution reaches p; always
+    an actual data value, so it is engine-replayable bit-for-bit, unlike
+    interpolating estimators).
+
+    Scale shape: percentile_disc is a sort-based aggregate the planner
+    runs as partial sorts + a final merge per (query, p) group — no
+    single-partition global window. ES itself degrades to t-digest
+    APPROXIMATION at scale; this stays exact and pays the sort, the right
+    default until profiling says otherwise (swap point: percentile_approx
+    on the same frame, same shape)."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    aggs = [F.expr(f"percentile_disc({repr(float(p))}) WITHIN GROUP "
+                   f"(ORDER BY {field_col})").alias(f"_p{i}")
+            for i, p in enumerate(percentiles)]
+    wide = hit.groupBy("query_id").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(float(p)).alias("p"), F.col(f"_p{i}").alias("v"))
+        for i, p in enumerate(percentiles)])
+    return (wide.select("query_id", F.explode(pairs).alias("pv"))
+            .select("query_id", F.col("pv.p").alias("p"),
+                    F.col("pv.v").alias("value"))
+            .orderBy("query_id", "p"))
+
+
+def field_cardinality(matches: DataFrame, fields: DataFrame, field_col: str,
+                      k: int = 256, id_col: str = "doc_id") -> DataFrame:
+    """ES ``cardinality`` aggregation over the match set: distinct count
+    of a field's values per query, via a K-Minimum-Values sketch (Bar-
+    Yossef et al. 2002) instead of ES's HyperLogLog++ — KMV over md5 is
+    DETERMINISTIC and SQL-replayable (HLL++ is neither across engines),
+    with the same bounded-memory/mergeable contract: only the k smallest
+    hashes per query survive the shuffle (a TakeOrdered per group), never
+    the distinct value set. Estimate = (k−1)/h_(k) on the unit interval
+    when ≥k distinct hashes exist, else the exact distinct count; the
+    15-hex-digit prefix (60 bits) keeps the hash exactly representable in
+    a double. Output: (query_id, est, is_exact)."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    h = (F.conv(F.substring(F.md5(F.col(field_col).cast("string")), 1, 15),
+                16, 10).cast("double") / F.lit(float(16 ** 15)))
+    dh = (hit.select("query_id", h.alias("h")).distinct())
+    w = Window.partitionBy("query_id").orderBy("h")
+    topk = dh.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (topk.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk"))
+            .select("query_id",
+                    F.when(F.col("n") < k, F.col("n").cast("double"))
+                     .otherwise(F.lit(float(k - 1)) / F.col("hk"))
+                     .alias("est"),
+                    (F.col("n") < k).alias("is_exact"))
+            .orderBy("query_id"))

@@ -158,3 +158,31 @@ def test_count_only_consistency(spark, idx, matches):
               search(spark, idx, plans, count_only=True).collect()}
     sizes = {q: len(d) for q, d in WANT.items()}
     assert counts == sizes
+
+
+def test_field_percentiles(spark, matches, fields):
+    from patapsco_spark.operators.aggs import field_percentiles
+    rows = field_percentiles(matches, fields, "n", [0.25, 0.5, 1.0]).collect()
+    got = {(r["query_id"], r["p"]): r["value"] for r in rows}
+    # q1 matches a1..a4 → n ∈ {11, 37, 23, 37} sorted [11,23,37,37]
+    # percentile_disc = smallest v with cume_dist ≥ p
+    assert got == {("q1", 0.25): 11.0, ("q1", 0.5): 23.0, ("q1", 1.0): 37.0,
+                   ("q2", 0.25): 5.0, ("q2", 0.5): 5.0, ("q2", 1.0): 23.0}
+
+
+def test_field_cardinality_exact_and_sketch(spark, matches, fields):
+    import hashlib
+
+    from patapsco_spark.operators.aggs import field_cardinality
+    # exact path: fewer distinct values than k
+    rows = field_cardinality(matches, fields, "n", k=16).collect()
+    got = {r["query_id"]: (r["est"], r["is_exact"]) for r in rows}
+    assert got == {"q1": (3.0, True), "q2": (2.0, True)}  # {11,23,37}, {5,23}
+    # sketch path: k=2 < distinct → est = (k-1)/h_(k) over md5-unit hashes
+    rows = field_cardinality(matches, fields, "n", k=2).collect()
+    hs = sorted(int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                / float(16 ** 15) for v in (11, 23, 37))
+    want_q1 = 1.0 / hs[1]
+    got = {r["query_id"]: (r["est"], r["is_exact"]) for r in rows}
+    assert got["q1"][1] is False
+    assert abs(got["q1"][0] - want_q1) < 1e-12
