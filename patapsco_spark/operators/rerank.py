@@ -193,3 +193,42 @@ def _shell_rerank_distributed(spark: SparkSession, index_path: str,
                                     "rank int, score double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return out_df.withColumn("rank", F.row_number().over(w) - 1)
+
+
+def rrf_fuse(runs: list, k: int = 10, c: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    the standard hybrid-search merge, e.g. BM25 × dense retrieval):
+    rrf(d) = Σ_runs 1/(c + rank_d + 1), summed over the runs that ranked
+    d, then top-k per query. Rank-based, so incomparable score scales
+    (BM25 vs cosine vs QLD) fuse without calibration; c=60 is the paper's
+    constant. Runs are (query_id, doc_id, rank, ...) frames — search(),
+    ann top-k joined to ids, anything rank-shaped.
+
+    Determinism: the fused sum is folded in run-ordinal order (fixed
+    array_sort fold, one addend per run — the oracle replays it exactly);
+    ties break on doc_id asc. Plan shape: runs are k-bounded by
+    construction, so the union/groupBy move only |queries|·k·|runs| rows —
+    fusion is never the scale problem; the runs are."""
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    parts = [r.select("query_id", F.col(id_col),
+                      F.lit(i).alias("_run"),
+                      (F.lit(1.0) / (F.lit(float(c)) + F.col("rank")
+                                     + F.lit(1.0))).alias("_rr"))
+             for i, r in enumerate(runs)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy("query_id", id_col)
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("_run").alias("k"),
+                              F.col("_rr").alias("v")))),
+                 F.lit(0.0), lambda acc, x: acc + x["v"]).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select("query_id", id_col, "rank", "score")
+            .orderBy("query_id", "rank"))
