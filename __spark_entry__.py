@@ -371,6 +371,44 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+FED_HEX = tuple("01234567")  # md5('fed-'||id)[0] splits the corpus in two
+
+
+def _ensure_fed_indexes(spark: SparkSession, sf_dir: str) -> list:
+    """Two independent index artifacts over a deterministic md5 split of
+    the corpus — the multi-index federation fixture (crawl/tenant/time
+    slices in production), cached/manifest-gated like _ensure_index."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
+    in_a = (F.substring(F.md5(F.concat(F.lit("fed-"), F.col("id"))), 1, 1)
+            .isin(*FED_HEX))
+    paths = []
+    for half, part in (("a", docs.where(in_a)), ("b", docs.where(~in_a))):
+        p = os.path.join(tempfile.gettempdir(), f"pspark_idxfed{half}_{tag}")
+        build_index(spark, part, p, IndexConfig(text=RAW_TEXT, num_shards=2),
+                    resume=True)
+        paths.append(p)
+    return paths
+
+
+def q_federated_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-index BM25 (new r5; Lucene MultiReader / ES
+    multi-index semantics, operators/federate.py): the corpus is split
+    into two independent index artifacts, term statistics are combined
+    BEFORE scoring (df/cf summed, N/avgdl recomputed), each index cuts
+    top-k under the global stats, and the k-bounded union is re-ranked.
+    The oracle is the SINGLE-CORPUS BM25 SQL — federation must reproduce
+    it exactly, which is the whole semantic claim; a local-idf
+    implementation hash-mismatches."""
+    from patapsco_spark.operators.federate import search_federated_texts
+
+    idxs = _ensure_fed_indexes(spark, sf_dir)
+    res = search_federated_texts(spark, idxs, [("q1", BM25_QUERY)],
+                                 RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
 TITLE_TOKS = 4            # pseudo title field = the first 4 tokens of text
 BM25F_W = {"title": 2.0, "body": 1.0}
 BM25F_B = {"title": 0.4, "body": 0.4}
@@ -471,6 +509,28 @@ def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = search_texts(spark, idx, [("q1", QLD_QUERY)],
                        RetrieveConfig(name="qld", k=K), text_cfg=RAW_TEXT)
     return _as_result(res)
+
+
+RRF_C = 60
+
+
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (new r5; Cormack et al. 2009) of two runs
+    for the SAME query under incomparable score scales — BM25 and QLD —
+    the standard hybrid-retrieval merge (rerank.rrf_fuse). The oracle
+    recomputes BOTH runs (the existing full BM25 and QLD SQL replays as
+    subqueries) and fuses rank-for-rank."""
+    from patapsco_spark.operators.rerank import rrf_fuse
+
+    idx = _ensure_index(spark, sf_dir)
+    bm = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                      RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    ql = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                      RetrieveConfig(name="qld", k=K), text_cfg=RAW_TEXT)
+    fused = rrf_fuse([bm, ql], k=K, c=RRF_C)
+    return fused.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("rank").cast("long").alias("rnk"),
+                        F.round("score", 8).alias("score"))
 
 
 def q_suggest_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +818,35 @@ def q_match_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = field_histogram(matches, docs, "n_chars", interval=HIST_INTERVAL)
     return out.select(F.col("bucket").cast("long").alias("bucket"),
                       F.col("cnt").cast("long").alias("cnt"))
+
+
+PCTL_PS = (0.25, 0.5, 0.75, 0.95)
+KMV_K = 32
+
+
+def q_match_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (new r5) over the full BM25_QUERY match
+    set — EXACT percentile_disc (smallest value whose cume_dist reaches p,
+    always an actual data value), not ES's t-digest approximation, so the
+    oracle replays it verbatim."""
+    from patapsco_spark.operators.aggs import field_percentiles
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = field_percentiles(matches, docs, "n_chars", list(PCTL_PS))
+    return out.select("p", F.col("value").cast("double").alias("value"))
+
+
+def q_match_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (new r5): distinct n_chars values in the
+    BM25_QUERY match set via a deterministic K-Minimum-Values sketch over
+    md5 unit-interval hashes (mergeable + bounded-memory like ES's HLL++,
+    but bit-replayable in SQL). Exact when fewer than KMV_K distinct
+    values exist, (k−1)/h_(k) otherwise."""
+    from patapsco_spark.operators.aggs import field_cardinality
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = field_cardinality(matches, docs, "n_chars", k=KMV_K)
+    return out.select(F.round("est", 6).alias("est"), "is_exact")
 
 
 SIGTERMS_MIN_DOC = 3
@@ -2426,11 +2515,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25f_topk": q_bm25f_topk,
+        "federated_bm25": q_federated_bm25,
+        "rrf_hybrid": q_rrf_hybrid,
         "collapse_by_source": q_collapse_by_source,
         "percolate": q_percolate,
         "sort_by_field": q_sort_by_field,
         "match_stats": q_match_stats,
         "match_histogram": q_match_histogram,
+        "match_percentiles": q_match_percentiles,
+        "match_cardinality": q_match_cardinality,
         "significant_terms": q_significant_terms,
         "facet_by_source": q_facet_by_source,
         "page2_bm25": q_page2_bm25,
@@ -2744,6 +2837,72 @@ SELECT count(*)::BIGINT AS cnt,
        sum(d.n_chars)::BIGINT AS sum_v,
        ROUND(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_v
 FROM matched m JOIN documents d USING (doc_id)
+"""
+
+
+def _rrf_sql(query_terms: list[str], k1: float, b: float, mu: int,
+             k: int, c: int) -> str:
+    """Oracle for RRF hybrid: both runs replayed by the existing full BM25
+    and QLD SQL (as subqueries), fused 1/(c + rank + 1) in run-ordinal
+    fold order, doc_id-string asc tie-break — the exact rrf_fuse plan."""
+    bm = _bm25_sql(query_terms, k1, b, k).strip()
+    ql = _qld_sql(query_terms, mu, k).strip()
+    cc = repr(float(c))
+    return f"""
+WITH u AS (
+  SELECT doc_id, 0 AS runid, 1.0 / ({cc} + rnk + 1.0) AS rr
+  FROM ({bm}) bm_run
+  UNION ALL
+  SELECT doc_id, 1 AS runid, 1.0 / ({cc} + rnk + 1.0) AS rr
+  FROM ({ql}) ql_run
+),
+fused AS (
+  SELECT doc_id, list_aggregate(list(rr ORDER BY runid), 'sum') AS score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 8) AS score
+FROM fused
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _match_percentiles_sql(query_terms: list[str],
+                           ps: tuple[float, ...]) -> str:
+    """Oracle for the exact percentile_disc rows — standard-SQL semantics
+    (smallest value with cume_dist ≥ p) shared by Spark and DuckDB."""
+    selects = " UNION ALL ".join(
+        f"SELECT {repr(float(p))} AS p, percentile_disc({repr(float(p))}) "
+        f"WITHIN GROUP (ORDER BY d.n_chars)::DOUBLE AS value "
+        f"FROM matched m JOIN documents d USING (doc_id)"
+        for p in ps)
+    return f"""
+{_matchset_prefix(query_terms)}
+{selects}
+ORDER BY p
+"""
+
+
+def _match_cardinality_sql(query_terms: list[str], k: int) -> str:
+    """Oracle for the KMV cardinality sketch: the same md5 unit-interval
+    hashes (15 hex digits = 60 bits, exactly representable in a double),
+    k smallest, (k−1)/h_(k) — replayed value-for-value."""
+    denom = repr(float(16 ** 15))
+    return f"""
+{_matchset_prefix(query_terms)},
+dh AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(d.n_chars AS VARCHAR)), 1, 15))
+              AS UBIGINT)::DOUBLE / {denom} AS h
+  FROM matched m JOIN documents d USING (doc_id)
+),
+topk AS (SELECT h FROM dh ORDER BY h LIMIT {k})
+SELECT ROUND(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+             ELSE {repr(float(k - 1))} / max(h) END, 6) AS est,
+       (count(*) < {k}) AS is_exact
+FROM topk
 """
 
 
@@ -3922,6 +4081,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "bm25f_topk": _bm25f_sql(BM25_QUERY.split(), BM25F_W, BM25F_B,
                                  0.9, K, title_toks=TITLE_TOKS),
+        # federation must reproduce single-corpus scoring EXACTLY — the
+        # oracle is the plain BM25 replay over the unsplit documents
+        "federated_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "page2_bm25": _page2_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "hit_counts": _hit_counts_sql(),
         "mlt_bm25": _mlt_bm25_sql(MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS,
@@ -3932,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_spelling": _suggest_spelling_sql(),
         "snippets": _snippets_sql(),
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
+        "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
         "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
@@ -3947,6 +4110,10 @@ def oracle_sql() -> dict[str, str]:
         "match_stats": _match_stats_sql(BM25_QUERY.split()),
         "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
                                                 HIST_INTERVAL),
+        "match_percentiles": _match_percentiles_sql(BM25_QUERY.split(),
+                                                    PCTL_PS),
+        "match_cardinality": _match_cardinality_sql(BM25_QUERY.split(),
+                                                    KMV_K),
         "significant_terms": _significant_terms_sql(
             BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
         "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),
