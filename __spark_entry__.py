@@ -511,6 +511,23 @@ def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+SYN_TERM, SYN_EQUIVS = "query", ("scan", "filter")
+
+
+def q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms (new r5; Lucene SynonymQuery semantics): 'data
+    query' with query≡{scan,filter} — the synonym group scores as ONE term
+    (tf = Σ member tfs per doc, df = max member df), NOT an OR of
+    independently-idf'd terms. The pseudo-term's postings build through
+    the same blocked varbyte kernel as the index's own; the oracle replays
+    the grouped tf/df and the exact two-component fold."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", f"data {SYN_TERM}")],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT,
+                       synonyms={SYN_TERM: list(SYN_EQUIVS)})
+    return _as_result(res)
+
+
 RRF_C = 60
 
 
@@ -2517,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "federated_bm25": q_federated_bm25,
         "rrf_hybrid": q_rrf_hybrid,
+        "synonym_bm25": q_synonym_bm25,
         "collapse_by_source": q_collapse_by_source,
         "percolate": q_percolate,
         "sort_by_field": q_sort_by_field,
@@ -2837,6 +2855,52 @@ SELECT count(*)::BIGINT AS cnt,
        sum(d.n_chars)::BIGINT AS sum_v,
        ROUND(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_v
 FROM matched m JOIN documents d USING (doc_id)
+"""
+
+
+def _synonym_bm25_sql(plain_term: str, group: tuple[str, ...],
+                      k1: float, b: float, k: int) -> str:
+    """Oracle for SynonymQuery scoring: the group's per-doc tf is summed,
+    its df is the max member df, and the score folds (plain component +
+    group component) in clause order — each component the exact _bm25_sql
+    expression, NULL sides coalesced to 0 (adding 0.0 is exact)."""
+    vals = ", ".join(f"('{t}')" for t in sorted(group))
+    quant = _quant_sql("dl.dl")
+    kk1, bb = repr(float(k1)), repr(float(b))
+    return f"""
+WITH {_TOK_CTES},
+syn(term) AS (VALUES {vals}),
+gtf AS (
+  SELECT tf.doc_id, sum(tf.tf) AS tf FROM tf JOIN syn USING (term)
+  GROUP BY tf.doc_id
+),
+gdf AS (
+  SELECT max(df)::DOUBLE AS df FROM (
+    SELECT count(*) AS df FROM tf JOIN syn USING (term) GROUP BY tf.term)
+),
+dtf AS (SELECT doc_id, tf FROM tf WHERE term = '{plain_term}'),
+ddf AS (SELECT count(*)::DOUBLE AS df FROM dtf),
+sides AS (
+  SELECT COALESCE(d.doc_id, g.doc_id) AS doc_id, d.tf AS ptf, g.tf AS stf
+  FROM dtf d FULL OUTER JOIN gtf g ON d.doc_id = g.doc_id
+),
+scores AS (
+  SELECT s.doc_id,
+         COALESCE(ln(1 + (stats.n - ddf.df + 0.5) / (ddf.df + 0.5))
+                  * s.ptf / (s.ptf + {kk1} * (1 - {bb} + {bb} * {quant} / stats.avgdl)), 0)
+         + COALESCE(ln(1 + (stats.n - gdf.df + 0.5) / (gdf.df + 0.5))
+                    * s.stf / (s.stf + {kk1} * (1 - {bb} + {bb} * {quant} / stats.avgdl)), 0)
+         AS score
+  FROM sides s
+  JOIN dl ON dl.doc_id = s.doc_id
+  CROSS JOIN stats CROSS JOIN ddf CROSS JOIN gdf
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
 """
 
 
@@ -4095,6 +4159,8 @@ def oracle_sql() -> dict[str, str]:
         "snippets": _snippets_sql(),
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
+        "synonym_bm25": _synonym_bm25_sql("data", (SYN_TERM,) + SYN_EQUIVS,
+                                          0.9, 0.4, K),
         "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),

@@ -72,7 +72,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            cfg: RetrieveConfig | None = None,
            count_only: bool = False,
            matches_only: bool = False,
-           stats_override: dict | None = None) -> DataFrame:
+           stats_override: dict | None = None,
+           synonyms: dict | None = None) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
@@ -96,7 +97,13 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     MultiReader semantics). The term-stats read is skipped entirely.
     Multiterm expansion (wildcard/fuzzy/range/regexp) and phrase rewrites
     derive terms from THIS index's dictionary, whose stats the override
-    cannot know — rejected loudly rather than silently scoring df=0."""
+    cannot know — rejected loudly rather than silently scoring df=0.
+
+    ``synonyms`` maps an ANALYZED query term → its equivalents (also
+    analyzed): a bare term clause naming a mapped term scores with Lucene
+    SynonymQuery semantics — tf = Σ member tfs per doc, df = max member
+    df, cf = Σ member cf (see _rewrite_synonym_plans). Phrase members are
+    not expanded."""
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
@@ -135,9 +142,21 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
                                         shard_base=stats_base)
 
+    # synonym groups touching this batch's bare terms: members join the
+    # stats read below so the pseudo-terms' (max df, Σ cf) can be derived
+    syn_groups: dict[str, tuple[str, ...]] = {}
+    if synonyms:
+        plan_terms = {t for p in plans for c in iter_term_clauses(p.clauses)
+                      if not c.phrase and len(c.terms) == 1
+                      for t, _ in c.terms}
+        for term, syns in synonyms.items():
+            if term in plan_terms:
+                syn_groups[term] = tuple(sorted({term, *syns}))
+
     all_terms = sorted({t for p in plans
                         for c in iter_term_clauses(p.clauses)
-                        for t, _ in c.terms})
+                        for t, _ in c.terms}
+                       | {w for g in syn_groups.values() for w in g})
     if not all_terms or num_docs == 0:
         if count_only:
             return spark.createDataFrame([], "query_id string, total_hits long")
@@ -192,6 +211,17 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
             block_size=int(meta.get("block_size", 128)),
             shard_base=shard_base, live_pred=live_pred)
 
+    # synonym groups → SynonymQuery pseudo-terms (after the phrase rewrite
+    # so phrase members stay literal; before the postings read so replaced
+    # member terms drop out of it)
+    syn_posts = None
+    if syn_groups:
+        plans, syn_posts = _rewrite_synonym_plans(
+            spark, index_path, plans, syn_groups, df_map,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)),
+            live_pred=live_pred)
+
     # postings read is filtered on the POST-rewrite plans' real terms — a
     # word appearing only inside phrases is read from positions/, not here.
     # shard < manifest num_shards gives manifest-snapshot isolation: a
@@ -204,6 +234,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
              .where(F.col("term").isin(live_terms) & live_pred))
     if phrase_posts is not None:
         posts = posts.unionByName(phrase_posts)
+    if syn_posts is not None:
+        posts = posts.unionByName(syn_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
@@ -301,9 +333,10 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
 def search_texts(spark: SparkSession, index_path: str,
                  queries: list[tuple[str, str]], cfg: RetrieveConfig | None = None,
                  text_cfg: TextConfig | None = None, lang: str = "eng",
-                 mode: str = "plain") -> DataFrame:
+                 mode: str = "plain",
+                 synonyms: dict | None = None) -> DataFrame:
     plans = process_queries(queries, text_cfg or TextConfig(), lang=lang, mode=mode)
-    return search(spark, index_path, plans, cfg)
+    return search(spark, index_path, plans, cfg, synonyms=synonyms)
 
 
 def more_like_this(spark: SparkSession, index_path: str, like_text: str,
@@ -730,6 +763,100 @@ def _phrase_pseudo_term(words: list[str], slop: int = 0) -> str:
     if slop:
         return f"\x01near{slop}:" + " ".join(words)
     return "\x01phrase:" + " ".join(words)
+
+
+def _synonym_pseudo_term(group: tuple[str, ...]) -> str:
+    # \x01 namespace like phrases; the group is stored sorted so the same
+    # synonym set from different query spellings shares one pseudo-term
+    return "\x01syn:" + "|".join(group)
+
+
+def _rewrite_synonym_plans(spark, index_path, plans, syn_groups, df_map, *,
+                           num_shards, docs_per_shard, block_size,
+                           live_pred):
+    """Rewrite synonym-bearing term clauses to pseudo-terms with Lucene
+    SynonymQuery semantics (SynonymQuery.createWeight): per-document tf =
+    Σ member tfs, docFreq = MAX member df, totalTermFreq = Σ member cf —
+    the members score as ONE term, not an OR of independently-idf'd terms
+    (an OR overweights a concept that happens to have many surface forms).
+
+    ``syn_groups`` maps a query term → its full sorted member tuple. All
+    groups build in ONE pass: the members' postings decode through the
+    bm25f tf-frame kernel (pushed In filter, tombstones masked), one
+    groupBy (group, shard, docid) sums member tfs, and the pseudo postings
+    encode through the SAME blocked varbyte kernel as regular postings —
+    the scorer needs no synonym-specific path. Stats come from df_map (the
+    members were folded into the stats read), so the rewrite also works
+    under a federation stats_override — max/sum of GLOBAL member stats.
+
+    Scale shape: decode volume = the members' postings (the same rows an
+    OR query would score), one extra shuffle to regroup by (group, doc).
+    Synonyms inside phrases are not rewritten (Lucene expresses those as
+    graph/span queries; out of scope — members only replace bare terms)."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+
+    groups = sorted({g for g in syn_groups.values()})
+    gid_of = {g: i for i, g in enumerate(groups)}
+    # pseudo stats from df_map: max df / Σ cf over members present
+    live: dict[tuple[str, ...], str] = {}
+    for g in groups:
+        stats = [df_map[w] for w in g if w in df_map and df_map[w][0] > 0]
+        if not stats:
+            continue  # no member indexed: pseudo stays out of df_map
+        pseudo = _synonym_pseudo_term(g)
+        df_map[pseudo] = (max(s[0] for s in stats),
+                          sum(s[1] for s in stats))
+        live[g] = pseudo
+
+    def rw(clauses):
+        out = []
+        for c in clauses:
+            if c.group:
+                out.append(Clause(c.occur, c.boost, list(c.terms),
+                                  group=rw(c.group)))
+            elif (not c.phrase and len(c.terms) == 1
+                  and c.terms[0][0] in syn_groups):
+                g = syn_groups[c.terms[0][0]]
+                pseudo = live.get(g)
+                terms = ([(pseudo, c.terms[0][1])] if pseudo
+                         else list(c.terms))  # dead group: keep the literal
+                out.append(Clause(c.occur, c.boost, terms, phrase=c.phrase))
+            else:
+                out.append(c)
+        return out
+
+    plans = [QueryPlan(p.qid, rw(p.clauses), p.mode) for p in plans]
+    if not live:
+        return plans, None
+
+    from .bm25f import term_postings_frame
+    members = sorted({w for g in live for w in g})
+    decoded = term_postings_frame(spark, index_path, members)
+    memb = spark.createDataFrame(
+        [(gid_of[g], w) for g in live for w in g],
+        "gid int, term string")
+    name_df = spark.createDataFrame(
+        [(gid_of[g], live[g]) for g in live], "gid int, term string")
+    base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+    def encode(batches):
+        for b in batches:
+            if not b.empty:
+                yield from base_kernel(iter([b]))
+
+    union = (decoded.join(F.broadcast(memb), "term")
+             .withColumn("shard",
+                         (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+             .groupBy("gid", "shard", "docid")
+             .agg(F.sum("tf").cast("int").alias("tf"),
+                  F.max("dlq").cast("int").alias("dlq"))
+             .join(F.broadcast(name_df), "gid")
+             .select("shard", "term", "docid", "tf", "dlq")
+             .repartition(num_shards, "shard")
+             .sortWithinPartitions("shard", "term", "docid")
+             .mapInPandas(encode, schema=_PSCHEMA))
+    return plans, union
 
 
 def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
