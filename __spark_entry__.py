@@ -731,6 +731,68 @@ LIMIT {k}
 """
 
 
+DECAY_SCALE, DECAY_RATE = 90.0, 0.5
+
+
+def q_recency_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness ranking (new r5; Elasticsearch function_score decay
+    semantics): BM25 text top-PRIOR_DEPTH, each candidate's score
+    MULTIPLIED by a gauss decay of its age — factor 1 at age 0, exactly
+    DECAY_RATE at DECAY_SCALE days — then re-ranked to K. Ages are
+    md5-derived ([0, 365) days, deterministic) since the documents table
+    carries no timestamp; the oracle replays both stages bit-for-bit:
+    full-corpus BM25, the text-order depth cut, the same gauss constant,
+    the multiply blend, the final window. See
+    :func:`patapsco_spark.operators.retrieve.search_with_decay`."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_with_decay)
+
+    idx = _ensure_index(spark, sf_dir)
+    ages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    (F.conv(F.substring(
+                        F.md5(F.concat(F.lit("age-"), F.col("doc_id")
+                                       .cast("string"))), 1, 4), 16, 10)
+                     .cast("double") / 65535.0 * 365.0).alias("age_days")))
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    res = search_with_decay(spark, idx, plans, ages, RetrieveConfig(k=K),
+                            origin=0.0, scale=DECAY_SCALE, decay=DECAY_RATE,
+                            shape="gauss", mode="multiply",
+                            rescore_depth=PRIOR_DEPTH, field_col="age_days")
+    return _as_result(res)
+
+
+def _recency_sql(query_terms: list[str], k1: float, b: float,
+                 k: int, depth: int, scale: float, decay: float) -> str:
+    """Replay the decay cascade: _bm25_sql's scores CTE → text-order depth
+    cut → gauss multiply (same double constant 2σ² as the Spark side, so
+    exp() agrees bit-for-bit) → final (blended desc, doc_id asc) top-k."""
+    import math as _m
+    two_sigma2 = repr(2.0 * (-(scale * scale) / (2.0 * _m.log(decay))))
+    base = _bm25_sql(query_terms, k1, b, depth)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    return head + f""",
+stage1 AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {depth}),
+blended AS (
+  SELECT doc_id,
+         score * exp(-(age * age) / {two_sigma2}) AS score
+  FROM (SELECT doc_id, score,
+               ('0x' || substr(md5('age-' || doc_id), 1, 4))
+               ::BIGINT::DOUBLE / 65535.0 * 365.0 AS age
+        FROM stage1))
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM blended
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def q_psq_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     groups: dict[int, list[str]] = {}
@@ -2548,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
         "bm25_prior_topk": q_bm25_prior_topk,
+        "recency_bm25": q_recency_bm25,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
@@ -4152,6 +4215,8 @@ def oracle_sql() -> dict[str, str]:
         "hit_counts": _hit_counts_sql(),
         "mlt_bm25": _mlt_bm25_sql(MLT_MIN_TF, MLT_MIN_DF, MLT_MAX_TERMS,
                                   0.9, 0.4, K),
+        "recency_bm25": _recency_sql(BM25_QUERY.split(), 0.9, 0.4, K,
+                                     PRIOR_DEPTH, DECAY_SCALE, DECAY_RATE),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),

@@ -448,6 +448,105 @@ def search_with_prior(spark: SparkSession, index_path: str,
             .orderBy("query_id", "rank"))
 
 
+def decay_factor(x, *, origin: float, scale: float, offset: float = 0.0,
+                 decay: float = 0.5, shape: str = "gauss"):
+    """Column expression for the Elasticsearch ``function_score`` decay
+    family (public docs, "Decay functions"): the factor is 1 at
+    ``origin`` (± ``offset``) and exactly ``decay`` at distance ``scale``,
+    falling off by ``shape``:
+
+    - gauss:  exp(-d²/(2σ²)),  σ² = -scale²/(2·ln decay)
+    - exp:    exp(d·ln(decay)/scale)
+    - linear: max(0, (s - d)/s),  s = scale/(1 - decay)
+
+    with d = max(0, |x - origin| - offset). Pure Catalyst arithmetic — the
+    factor fuses into whatever plan consumes it (whole-stage codegen, no
+    Python). NULL x propagates NULL so the caller decides missing-field
+    policy (ES returns 1.0 for missing fields; search_with_decay follows)."""
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    x = x if isinstance(x, F.Column) else F.col(x)
+    d = F.greatest(F.abs(x - F.lit(float(origin))) - F.lit(float(offset)),
+                   F.lit(0.0))
+    if shape == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    if shape == "exp":
+        return F.exp(d * F.lit(math.log(decay) / scale))
+    if shape == "linear":
+        s = scale / (1.0 - decay)
+        return F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    raise ValueError(f"unknown decay shape: {shape!r}")
+
+
+def search_with_decay(spark: SparkSession, index_path: str,
+                      plans: list[QueryPlan], fields: DataFrame,
+                      cfg: RetrieveConfig | None = None, *,
+                      origin: float, scale: float, offset: float = 0.0,
+                      decay: float = 0.5, shape: str = "gauss",
+                      mode: str = "multiply", weight: float = 1.0,
+                      rescore_depth: int | None = None,
+                      id_col: str = "doc_id", field_col: str = "ts"
+                      ) -> DataFrame:
+    """Function-score retrieval with a numeric-field decay — freshness
+    ranking ("recent pages first", the standard webtext second stage) and
+    any other distance-from-origin boost (geo bucket, price band). Follows
+    Elasticsearch ``function_score`` decay semantics: per-candidate factor
+    from :func:`decay_factor`, composed with the text score by ``mode``:
+
+    - ``multiply`` (ES boost_mode default): ``score' = text · factor``
+    - ``sum``: ``score' = text + weight · factor``
+
+    Documents missing from ``fields`` (or with NULL field) take factor 1.0
+    — ES's documented missing-field behavior — so a multiply blend never
+    invents a penalty for unknown timestamps.
+
+    Rescoring semantics, stated honestly (same cascade as
+    :func:`search_with_prior`): stage 1 keeps the top ``rescore_depth``
+    (default 10×k) by TEXT score, then the decay re-ranks within that
+    window; under ``multiply`` the factor ≤ 1 only shrinks scores, so a
+    text rank below the depth can never be promoted into the final k by
+    freshness alone — depth bounds the cascade error.
+
+    Scale shape: ``fields`` is corpus-sized (one row per document at
+    10^12), so it is never shuffled or broadcast whole — a broadcast
+    left-semi join of the ≤depth×|queries| candidate ids reduces it
+    map-side in one scan, and the survivors broadcast back onto the
+    candidates. Two broadcast joins, zero shuffles of the big side; the
+    decay arithmetic itself is pure Catalyst (no Python boundary)."""
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"unknown decay mode: {mode!r}")
+    cfg = cfg or RetrieveConfig()
+    depth = rescore_depth if rescore_depth is not None else cfg.k * 10
+    if depth < cfg.k:
+        raise ValueError(f"rescore_depth {depth} < k {cfg.k}")
+    from dataclasses import replace
+    base = search(spark, index_path, plans, replace(cfg, k=depth))
+    fld = fields.select(F.col(id_col).alias("doc_id"),
+                        F.col(field_col).cast("double").alias("__x"))
+    cand = fld.join(
+        F.broadcast(base.select("doc_id").distinct()), "doc_id", "leftsemi")
+    factor = F.coalesce(
+        decay_factor(F.col("__x"), origin=origin, scale=scale,
+                     offset=offset, decay=decay, shape=shape),
+        F.lit(1.0))
+    joined = base.join(F.broadcast(cand), "doc_id", "left")
+    if mode == "multiply":
+        blended = joined.withColumn("score", F.col("score") * factor)
+    else:
+        blended = joined.withColumn(
+            "score", F.col("score") + F.lit(float(weight)) * factor)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (blended.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
 def search_query_frame(spark: SparkSession, index_path: str,
                        queries_df: DataFrame, out_path: str,
                        cfg: RetrieveConfig | None = None,
