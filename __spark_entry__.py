@@ -2585,6 +2585,31 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 5).alias("sum_value")))
 
 
+SESSION_GAP = "8 hours"  # ≈ the median per-user inter-event gap at sf0.01
+SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (new r5): per-user sessions that merge events
+    arriving at most SESSION_GAP apart (session_end = last event + gap,
+    Spark's session_window contract; merge is gap-inclusive), top 20 by
+    event count. The same sessionize plan runs on streams with
+    watermark-bounded state (tests/test_session_windows.py); the oracle
+    replays the islands with a lag/cumsum break at diff > gap."""
+    from patapsco_spark.streaming.windows import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, gap=SESSION_GAP)
+    # timestamps compare as full-precision wall-clock strings (tz-free —
+    # the parquet ts is TIMESTAMP_NTZ, same convention as events_hourly)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (s.select(F.col("user_id").cast("long").alias("user_id"),
+                     F.date_format("session_start", fmt).alias("start_ts"),
+                     F.date_format("session_end", fmt).alias("end_ts"),
+                     F.col("n").cast("long").alias("n"), "sum_value")
+            .orderBy(F.desc("n"), "user_id", "start_ts").limit(20))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents table."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -2689,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_agg": q_lineitem_agg,
         "join_orders_by_nation": q_join_orders_by_nation,
         "events_hourly": q_events_hourly,
+        "session_stats": q_session_stats,
     }
 
 
@@ -5220,5 +5246,30 @@ SELECT user_id::BIGINT AS user_id,
        count(*)::BIGINT AS n,
        ROUND(SUM(value), 5) AS sum_value
 FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d %H')
+""",
+        "session_stats": f"""
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+g AS (
+  SELECT user_id::BIGINT AS user_id,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+         strftime(max(ts) + to_microseconds({SESSION_GAP_US}::BIGINT),
+                  '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+         count(*)::BIGINT AS n,
+         ROUND(sum(value), 5) AS sum_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT * FROM g ORDER BY n DESC, user_id, start_ts LIMIT 20
 """,
     }

@@ -45,6 +45,44 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                     F.col(key_col), "n", "sum_value"))
 
 
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours", ts_col: str = "ts",
+               key_col: str = "user_id",
+               value_col: str = "value") -> DataFrame:
+    """Per-key session windows: consecutive events of one key merge into a
+    session while each starts at most ``gap`` after the previous one (an
+    event landing exactly at the expiry instant still extends — Spark's
+    merge is inclusive, pinned in tests/test_session_windows.py); only a
+    gap strictly greater than ``gap`` starts a new session.
+    ``session_start`` is the first event time, ``session_end`` the LAST
+    event time + gap (Spark's session_window contract — the instant the
+    session would have expired).
+
+    Built on the native ``F.session_window`` so the SAME plan runs on batch
+    frames (oracle-verified against a gaps-and-islands SQL replay) and on
+    streams, where the watermark both admits late data inside the horizon
+    and finalizes a session once the watermark passes its end — state per
+    key is one open session plus closed ones awaiting emission, evicted at
+    the watermark, so state does not grow with stream length.
+
+    Scale shape: one shuffle keyed on ``key_col``; within partitions Spark
+    sorts by (key, time) and merges overlapping candidate windows
+    (UpdatingSessions), then a partial-aggregated hash agg — no Python
+    boundary, no per-key collect. Skewed keys (one bot user with 10^9
+    events) bound at the merge sort, the same exposure as any
+    groupBy(user); salt upstream if a single key exceeds a partition."""
+    df = (events.withWatermark(ts_col, watermark)
+          if events.isStreaming else events)
+    win = F.session_window(ts_col, gap)
+    return (df.groupBy(win.alias("session"), F.col(key_col))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(value_col), 5).alias("sum_value"))
+            .select(F.col(key_col),
+                    F.col("session.start").alias("session_start"),
+                    F.col("session.end").alias("session_end"),
+                    "n", "sum_value"))
+
+
 def dedupe_stream(events: DataFrame, id_cols: tuple[str, ...] = ("event_id",),
                   watermark: str = "2 hours",
                   ts_col: str = "ts") -> DataFrame:
