@@ -793,6 +793,119 @@ LIMIT {k}
 """
 
 
+PASS_W, PASS_S = 24, 12
+
+
+def _ensure_passage_index(spark: SparkSession, sf_dir: str) -> str:
+    """Child (passage) index for the block join: overlapping PASS_W-token
+    windows at PASS_S stride, ids ``{parent}#p{i}`` (separate cache —
+    different corpus shape)."""
+    from patapsco_spark.operators.blockjoin import passage_children
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_idxbj_{tag}")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text",
+                    "lang"))
+    children = passage_children(docs, window=PASS_W, stride=PASS_S)
+    build_index(spark, children, path,
+                IndexConfig(text=RAW_TEXT, num_shards=4), resume=True)
+    return path
+
+
+def q_blockjoin_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child block join (new r5; Lucene ToParentBlockJoinQuery,
+    ScoreMode.Max): BM25 over the passage index, EVERY matching passage
+    kept (matches_only — no child depth cut, so parent scores are exact),
+    parents ranked by their best passage. The oracle regenerates the
+    passage windows, replays child BM25 with child-corpus stats, and the
+    max rollup + best-child tie-break (lowest child id on score ties)."""
+    from patapsco_spark.operators.blockjoin import block_join_topk
+    from patapsco_spark.operators.retrieve import process_queries
+
+    idx = _ensure_passage_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    res = block_join_topk(spark, idx, plans, RetrieveConfig(k=K),
+                          score_mode="max")
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "best_child",
+                      F.col("n_children").cast("long").alias("n_children"),
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.round("score", 5).alias("score"))
+
+
+def _blockjoin_sql(query_terms: list[str], k1: float, b: float, k: int,
+                   w: int, stride: int) -> str:
+    """Oracle for the max-mode block join: regenerate the passage windows
+    (same starts rule: every stride multiple strictly below dl, one empty
+    window for an empty doc), child BM25 with CHILD-corpus n/avgdl/df and
+    the quantized child length, then max-rollup with the exact best-child
+    tie-break (score desc, child-id string asc = lowest internal docid)."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("ch.cdl")
+    kk1, bb = repr(float(k1)), repr(float(b))
+    return f"""
+WITH docarr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents),
+tokpos AS (
+  SELECT d.doc_id, p.i AS pos, d.arr[p.i + 1] AS term
+  FROM docarr d, LATERAL (SELECT unnest(range(0, length(d.arr))) AS i)
+       AS p(i)),
+chld AS (
+  SELECT d.doc_id, s.s, (s.s / {stride})::BIGINT AS ci,
+         least({w}, length(d.arr) - s.s)::BIGINT AS cdl
+  FROM docarr d,
+       LATERAL (SELECT unnest(range(0, greatest(length(d.arr), 1),
+                                    {stride})) AS s) AS s(s)),
+cstats AS (
+  SELECT count(*)::DOUBLE AS n,
+         CAST(CAST(sum(cdl) AS DOUBLE) / count(*) AS REAL)::DOUBLE AS avgdl
+  FROM chld),
+qterms(term) AS (VALUES {vals}),
+ctf AS (
+  SELECT c.doc_id, c.ci, t.term, count(*)::DOUBLE AS tf
+  FROM chld c JOIN tokpos t ON t.doc_id = c.doc_id
+       AND t.pos >= c.s AND t.pos < c.s + {w}
+  WHERE t.term IN (SELECT term FROM qterms)
+  GROUP BY c.doc_id, c.ci, t.term),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM ctf GROUP BY term),
+cscore AS (
+  SELECT ctf.doc_id, ctf.ci,
+         list_aggregate(list(
+             ln(1 + (cstats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ctf.tf / (ctf.tf + {kk1} * (1 - {bb} + {bb} * {quant}
+                                           / cstats.avgdl))
+             ORDER BY ctf.term), 'sum') AS score
+  FROM ctf
+  JOIN dfs ON dfs.term = ctf.term
+  JOIN chld ch ON ch.doc_id = ctf.doc_id AND ch.ci = ctf.ci
+  CROSS JOIN cstats
+  GROUP BY ctf.doc_id, ctf.ci),
+par AS (
+  SELECT doc_id, max(score) AS score, count(*)::BIGINT AS n_children
+  FROM cscore GROUP BY doc_id),
+best AS (
+  SELECT doc_id, best_child FROM (
+    SELECT doc_id,
+           doc_id::VARCHAR || '#p' || ci::VARCHAR AS best_child,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC,
+                              (doc_id::VARCHAR || '#p' || ci::VARCHAR) ASC
+                              ) AS rn
+    FROM cscore) WHERE rn = 1)
+SELECT p.doc_id::BIGINT AS doc_id, b.best_child, p.n_children,
+       (row_number() OVER (ORDER BY p.score DESC,
+                           CAST(p.doc_id AS VARCHAR) ASC) - 1)::BIGINT
+       AS rnk,
+       ROUND(p.score, 5) AS score
+FROM par p JOIN best b USING (doc_id)
+ORDER BY p.score DESC, CAST(p.doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def q_psq_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     groups: dict[int, list[str]] = {}
@@ -2636,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_bm25": q_mlt_bm25,
         "bm25_prior_topk": q_bm25_prior_topk,
         "recency_bm25": q_recency_bm25,
+        "blockjoin_bm25": q_blockjoin_bm25,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
@@ -4243,6 +4357,8 @@ def oracle_sql() -> dict[str, str]:
                                   0.9, 0.4, K),
         "recency_bm25": _recency_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                                      PRIOR_DEPTH, DECAY_SCALE, DECAY_RATE),
+        "blockjoin_bm25": _blockjoin_sql(BM25_QUERY.split(), 0.9, 0.4, K,
+                                         PASS_W, PASS_S),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),
