@@ -793,6 +793,43 @@ LIMIT {k}
 """
 
 
+TV_IDS = ("7", "42", "123", "999999")  # last one unknown → no rows
+
+
+def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors read back from the index (new r5; Lucene
+    TermVectors analogue): tf/dl of every indexed term of the requested
+    ids plus the corpus df/cf a scorer would see, decoded from ONLY the
+    varbyte blocks whose docid span can contain a target. The unknown id
+    pins the no-rows behavior; the oracle replays tf/dl/df/cf from the
+    raw text."""
+    from patapsco_spark.operators.termvectors import doc_term_vectors
+
+    idx = _ensure_index(spark, sf_dir)
+    res = doc_term_vectors(spark, idx, list(TV_IDS))
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"), "term",
+                      "tf", "dl", "df", "cf")
+
+
+def _termvectors_sql(ids: tuple[str, ...]) -> str:
+    # ALL requested ids go in — the join against the corpus drops unknown
+    # ones, replaying the engine's no-rows-for-unknown-id behavior in SQL
+    vals = ", ".join(f"({int(i)})" for i in ids)
+    return f"""
+WITH {_TOK_CTES},
+sel(doc_id) AS (VALUES {vals}),
+dtf AS (
+  SELECT tf.doc_id, tf.term, tf.tf::INT AS tf FROM tf JOIN sel USING (doc_id)),
+dls AS (
+  SELECT dl.doc_id, dl.dl::INT AS dl FROM dl JOIN sel USING (doc_id)),
+st AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tf WHERE term IN (SELECT term FROM dtf) GROUP BY term)
+SELECT d.doc_id::BIGINT AS doc_id, d.term, d.tf, l.dl, st.df, st.cf
+FROM dtf d JOIN dls l ON l.doc_id = d.doc_id JOIN st USING (term)
+"""
+
+
 PASS_W, PASS_S = 24, 12
 
 
@@ -2750,6 +2787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prior_topk": q_bm25_prior_topk,
         "recency_bm25": q_recency_bm25,
         "blockjoin_bm25": q_blockjoin_bm25,
+        "termvectors": q_termvectors,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
@@ -4359,6 +4397,7 @@ def oracle_sql() -> dict[str, str]:
                                      PRIOR_DEPTH, DECAY_SCALE, DECAY_RATE),
         "blockjoin_bm25": _blockjoin_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                                          PASS_W, PASS_S),
+        "termvectors": _termvectors_sql(TV_IDS),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),
