@@ -731,6 +731,61 @@ LIMIT {k}
 """
 
 
+RF_PIVOT, RF_BOOST = 2.0, 1.5
+
+
+def q_rank_feature_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature saturation clause (new r5): BM25 text
+    top-PRIOR_DEPTH plus boost·x/(x+pivot) over an md5-derived positive
+    feature ((0, 10], a pagerank stand-in) — the saturation curve rewards
+    feature growth with diminishing returns, unlike the raw additive
+    prior. Oracle replays the depth cut and the exact saturation blend."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_with_rank_feature)
+
+    idx = _ensure_index(spark, sf_dir)
+    feats = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+             .select(F.col("doc_id").cast("string").alias("doc_id"),
+                     (F.conv(F.substring(
+                         F.md5(F.concat(F.lit("feat-"), F.col("doc_id")
+                                        .cast("string"))), 1, 4), 16, 10)
+                      .cast("double") / 65535.0 * 10.0).alias("feature")))
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    res = search_with_rank_feature(spark, idx, plans, feats,
+                                   RetrieveConfig(k=K), fn="saturation",
+                                   boost=RF_BOOST, pivot=RF_PIVOT,
+                                   rescore_depth=PRIOR_DEPTH)
+    return _as_result(res)
+
+
+def _rank_feature_sql(query_terms: list[str], k1: float, b: float,
+                      k: int, depth: int, pivot: float,
+                      boost: float) -> str:
+    """Replay the cascade: text depth cut → score + boost·x/(x+pivot)
+    with x the same md5-derived feature expression."""
+    base = _bm25_sql(query_terms, k1, b, depth)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    return head + f""",
+stage1 AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {depth}),
+blended AS (
+  SELECT doc_id, score + {repr(float(boost))} * (x / (x + {repr(float(pivot))})) AS score
+  FROM (SELECT doc_id, score,
+               ('0x' || substr(md5('feat-' || doc_id), 1, 4))
+               ::BIGINT::DOUBLE / 65535.0 * 10.0 AS x
+        FROM stage1))
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM blended
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 DECAY_SCALE, DECAY_RATE = 90.0, 0.5
 
 
@@ -2788,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recency_bm25": q_recency_bm25,
         "blockjoin_bm25": q_blockjoin_bm25,
         "termvectors": q_termvectors,
+        "rank_feature_bm25": q_rank_feature_bm25,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
@@ -4398,6 +4454,9 @@ def oracle_sql() -> dict[str, str]:
         "blockjoin_bm25": _blockjoin_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                                          PASS_W, PASS_S),
         "termvectors": _termvectors_sql(TV_IDS),
+        "rank_feature_bm25": _rank_feature_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                               K, PRIOR_DEPTH, RF_PIVOT,
+                                               RF_BOOST),
         "bm25_prior_topk": _bm25_prior_sql(BM25_QUERY.split(), 0.9, 0.4,
                                            K, PRIOR_DEPTH, PRIOR_W),
         "suggest_completions": _suggest_completions_sql(),

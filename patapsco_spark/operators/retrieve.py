@@ -481,6 +481,69 @@ def decay_factor(x, *, origin: float, scale: float, offset: float = 0.0,
     raise ValueError(f"unknown decay shape: {shape!r}")
 
 
+def feature_factor(x, *, fn: str = "saturation", pivot: float | None = None,
+                   exponent: float | None = None,
+                   scaling_factor: float | None = None):
+    """Column expression for the Elasticsearch ``rank_feature`` query's
+    scoring functions (public docs, "rank_feature query"), over a
+    POSITIVE static feature (pagerank, url_length inverse, spam prior):
+
+    - saturation: x / (x + pivot)           (≈0 for x≪pivot, →1 for x≫pivot;
+      exactly 0.5 at x = pivot)
+    - log:        ln(scaling_factor + x)
+    - sigmoid:    x^exp / (x^exp + pivot^exp)
+    - linear:     x
+
+    Pure Catalyst arithmetic. Feature values must be positive (ES rejects
+    non-positive rank_features at index time; here log of a non-positive
+    shifted value yields NULL and the blend's COALESCE treats it as a
+    missing feature rather than scoring -inf)."""
+    x = x if isinstance(x, F.Column) else F.col(x)
+    if fn == "saturation":
+        if pivot is None or pivot <= 0:
+            raise ValueError("saturation needs a positive pivot")
+        return x / (x + F.lit(float(pivot)))
+    if fn == "log":
+        if scaling_factor is None:
+            raise ValueError("log needs scaling_factor")
+        return F.log(F.lit(float(scaling_factor)) + x)
+    if fn == "sigmoid":
+        if pivot is None or pivot <= 0 or exponent is None or exponent <= 0:
+            raise ValueError("sigmoid needs positive pivot and exponent")
+        xp = F.pow(x, F.lit(float(exponent)))
+        return xp / (xp + F.lit(float(pivot) ** float(exponent)))
+    if fn == "linear":
+        return x
+    raise ValueError(f"unknown rank_feature fn: {fn!r}")
+
+
+def search_with_rank_feature(spark: SparkSession, index_path: str,
+                             plans: list[QueryPlan], features: DataFrame,
+                             cfg: RetrieveConfig | None = None, *,
+                             fn: str = "saturation", boost: float = 1.0,
+                             pivot: float | None = None,
+                             exponent: float | None = None,
+                             scaling_factor: float | None = None,
+                             rescore_depth: int | None = None,
+                             id_col: str = "doc_id",
+                             feature_col: str = "feature") -> DataFrame:
+    """Text retrieval blended with an ES ``rank_feature`` SHOULD clause:
+    ``score' = text + boost · f(feature)`` with f from
+    :func:`feature_factor`; documents missing from ``features`` contribute
+    0 from the clause (ES's behavior — a rank_feature should-clause never
+    penalizes, it only adds). Same honest depth-bounded cascade and
+    two-broadcast-join scale shape as :func:`search_with_prior`, to which
+    this delegates after transforming the feature column."""
+    transformed = features.select(
+        F.col(id_col).alias(id_col),
+        feature_factor(F.col(feature_col).cast("double"), fn=fn, pivot=pivot,
+                       exponent=exponent, scaling_factor=scaling_factor)
+        .alias("prior"))
+    return search_with_prior(spark, index_path, plans, transformed, cfg,
+                             weight=boost, rescore_depth=rescore_depth,
+                             id_col=id_col, prior_col="prior")
+
+
 def search_with_decay(spark: SparkSession, index_path: str,
                       plans: list[QueryPlan], fields: DataFrame,
                       cfg: RetrieveConfig | None = None, *,
