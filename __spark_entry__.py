@@ -455,6 +455,25 @@ def q_bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+DISMAX_TIE = 0.3
+
+
+def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max / multi_match best_fields (new r5; ES's default
+    multi-field mode): each pseudo-field scored as an independent full
+    BM25 query (own df/avgdl/norms), combined per doc as
+    max + 0.3·(sum − max), title boosted 2×. The oracle replays both
+    per-field BM25 runs from the raw text (per-field stats + SmallFloat
+    quantization) and the exact combine with the field-ordered fold."""
+    from patapsco_spark.operators.bm25f import search_dismax
+
+    idxs = _ensure_field_indexes(spark, sf_dir)
+    res = search_dismax(spark, idxs, [("q1", BM25_QUERY)], text_cfg=RAW_TEXT,
+                        tie_breaker=DISMAX_TIE, boosts=BM25F_W,
+                        k1=0.9, b=0.4, k=K)
+    return _as_result(res)
+
+
 def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed facet counts (new r5; Lucene facets module): how many
     docs matching 'data query stream window' (OR) per document source —
@@ -732,6 +751,63 @@ LIMIT {k}
 
 
 RF_PIVOT, RF_BOOST = 2.0, 1.5
+
+
+FILTER_PRED = "source IN ('src1','src3','src5','src7') AND n_chars >= 200"
+
+
+def q_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filter-context retrieval (new r5): BM25 over the full corpus
+    statistics, candidates restricted by a structured predicate on the
+    documents table (source membership + length bound) BEFORE the k cut —
+    a doc ranked below k unfiltered can surface once better-scoring docs
+    are filtered away. The oracle replays unrestricted BM25 then applies
+    the same predicate before ranking."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_filtered)
+
+    idx = _ensure_index(spark, sf_dir)
+    fields = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select(F.col("doc_id").cast("string").alias("doc_id"),
+                      "source", "n_chars"))
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
+                            mode="plain")
+    res = search_filtered(spark, idx, plans, fields, FILTER_PRED,
+                          RetrieveConfig(k=K))
+    return _as_result(res)
+
+
+NEG_QUERY, NEG_BOOST = "stream", 0.5
+
+
+def q_boosting_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query (new r5): rank by the positive BM25 query,
+    demote (never exclude) docs also matching the negative query by
+    0.5×. Oracle replays unrestricted BM25 then the conditional multiply
+    before the rank window."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_boosting)
+
+    idx = _ensure_index(spark, sf_dir)
+    pos = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng")
+    neg = process_queries([("q1", NEG_QUERY)], RAW_TEXT, lang="eng")
+    res = search_boosting(spark, idx, pos, neg, RetrieveConfig(k=K),
+                          negative_boost=NEG_BOOST)
+    return _as_result(res)
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score (new r5): every doc matching the OR query scores
+    exactly the boost; ties pinned by docid asc (= external-id string
+    order). Oracle is the matched set ordered by CAST(doc_id AS VARCHAR)."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_constant_score)
+
+    idx = _ensure_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng")
+    res = search_constant_score(spark, idx, plans, RetrieveConfig(k=K),
+                                boost=1.5)
+    return _as_result(res)
 
 
 def q_rank_feature_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,6 +1684,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             key_col="doc_id", salt="s0",
                             default_fraction=0.1)
     return out.select("doc_id", "lang")
+
+
+TEMP_ALPHA, TEMP_BUDGET_SHARE = 0.5, 0.4
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (new r5; the mBERT/XLM-R/mT5
+    exponentiated-sampling recipe p_s ∝ (n_s/N)^α): α=0.5 upsamples rare
+    languages vs proportional draw, budget 40% of the corpus, md5-prefix
+    selection. Returns per-language kept counts; the oracle recomputes
+    counts → α-weights → sorted-order normalizer → capped fractions →
+    the same hex-threshold comparison, entirely in SQL."""
+    from patapsco_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = int(TEMP_BUDGET_SHARE * docs.count())
+    out = temperature_sample(docs, "lang", "doc_id", alpha=TEMP_ALPHA,
+                             budget_rows=budget, salt="t0")
+    return (out.groupBy("lang").agg(F.count("*").cast("long").alias("kept"))
+            .orderBy("lang"))
+
+
+NB_LABEL_CHARS = 300
+NB_TRAIN_HEXES = tuple("01234567")
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial-NB quality classifier (new r5; fastText/CCNet
+    baseline): train unigram class counts on an md5-half split with a
+    weak length label (n_chars ≥ 300), Laplace smoothing, score the
+    held-out half with positive-class log-odds. The oracle recomputes
+    the split, counts, smoothed log-ratios, OOV constant, and the
+    term-ordered fold entirely in SQL."""
+    from patapsco_spark.operators.textstats import nb_classifier_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    label = F.col("n_chars") >= NB_LABEL_CHARS
+    train = F.substring(
+        F.md5(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))),
+        1, 1).isin(list(NB_TRAIN_HEXES))
+    out = nb_classifier_scores(docs, label, train)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.round("log_odds", 5).alias("log_odds"))
+            .orderBy("doc_id"))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2690,6 +2810,45 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+IVF_SPLIT_HEXES = tuple("01234567")  # md5-half: build vs appended gen
+
+
+def _ensure_ivf_append(spark: SparkSession, sf_dir: str) -> str:
+    """IVF artifact exercising the append path: built over the md5-half of
+    the embeddings, the other half appended as generation 1 with frozen
+    centroids (ann.ivf_append). Gated on the manifest's gens list, so a
+    warm call runs zero build/append jobs."""
+    from patapsco_spark.plans import manifest as _mf
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_ivfa_{tag}")
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .where(F.col("vec_id") != 0))
+    split = F.substring(
+        F.md5(F.concat(F.lit("ivfsplit:"), F.col("vec_id").cast("string"))),
+        1, 1).isin(list(IVF_SPLIT_HEXES))
+    ann.ivf_write(spark, emb.where(split), path, n_cells=IVF_CELLS,
+                  iters=IVF_ITERS, seed=IVF_SEED, resume=True)
+    man = _mf.read_manifest(path)
+    if len(man["metrics"].get("gens", [0])) < 2:
+        ann.ivf_append(spark, emb.where(~split), path)
+    return path
+
+
+def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF append (new r5; Faiss IndexIVF.add): index built on the md5-half
+    of the vectors, the other half appended to the FROZEN centroids as a
+    second committed generation — then the same nprobe query spans both
+    generations. The oracle replays Lloyd on the train half only and the
+    final all-vector assignment (= build + frozen-centroid append) in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding") \
+        .first()["embedding"]
+    cents, assigned = ann.ivf_read(spark, _ensure_ivf_append(spark, sf_dir))
+    out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=IVF_NPROBE)
+    return out.select(F.col("vec_id").cast("long"), "cosine")
+
+
 SEMDEDUP_T = 0.42  # synthetic embeddings are near-random; 0.42 yields a
                    # non-trivial removal set (real corpora use 0.9+)
 
@@ -2824,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25f_topk": q_bm25f_topk,
+        "dismax_topk": q_dismax_topk,
         "federated_bm25": q_federated_bm25,
         "rrf_hybrid": q_rrf_hybrid,
         "synonym_bm25": q_synonym_bm25,
@@ -2844,6 +3004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockjoin_bm25": q_blockjoin_bm25,
         "termvectors": q_termvectors,
         "rank_feature_bm25": q_rank_feature_bm25,
+        "filtered_bm25": q_filtered_bm25,
+        "boosting_bm25": q_boosting_bm25,
+        "constant_score": q_constant_score,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
@@ -2885,6 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "temperature_mix": q_temperature_mix,
+        "nb_quality": q_nb_quality,
         "pack_sequences": q_pack_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2916,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_append": q_ann_ivf_append,
         "semdedup": q_semdedup,
         "ann_ivfadc_topk": q_ann_ivfadc_topk,
         "topk_window": q_topk_window,
@@ -3112,6 +3278,185 @@ SELECT doc_id,
        ROUND(score, 5) AS score
 FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _boosting_sql(query_terms: list[str], neg_term: str, neg_boost: float,
+                  k1: float, b: float, k: int) -> str:
+    """Oracle for q_boosting_bm25: the _bm25_sql replay with a
+    conditional ``score * neg_boost`` for docs containing the negative
+    term, applied before the rank window."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    nb = repr(float(neg_boost))
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{neg_term}'),
+demoted AS (
+  SELECT s.doc_id,
+         CASE WHEN n.doc_id IS NOT NULL THEN s.score * {nb}
+              ELSE s.score END AS score
+  FROM scores s LEFT JOIN neg n USING (doc_id)
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM demoted
+ORDER BY 2
+LIMIT {k}
+"""
+
+
+def _constant_score_sql(query_terms: list[str], boost: float,
+                        k: int) -> str:
+    """Oracle for q_constant_score: the OR match set, docid-order ties
+    (external-id string sort), fixed score."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))
+SELECT doc_id,
+       (row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT
+         AS rnk,
+       {repr(float(boost))} AS score
+FROM matched
+ORDER BY 2
+LIMIT {k}
+"""
+
+
+def _filtered_bm25_sql(query_terms: list[str], pred_sql: str,
+                       k1: float, b: float, k: int) -> str:
+    """Oracle for q_filtered_bm25: the unrestricted BM25 replay of
+    _bm25_sql, with the filter predicate applied to the scored set BEFORE
+    the rank window (WHERE precedes window evaluation in SQL) — exactly
+    search_filtered's filter-then-top-k order."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, rnk, score FROM (
+  SELECT s.doc_id,
+         (row_number() OVER (ORDER BY s.score DESC,
+                             CAST(s.doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+         ROUND(s.score, 5) AS score
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE {pred_sql}
+)
+WHERE rnk < {k}
+ORDER BY rnk
+"""
+
+
+def _dismax_sql(query_terms: list[str], boosts: dict, tie: float,
+                k1: float, b: float, k: int, title_toks: int = 4) -> str:
+    """Full SQL replay of q_dismax_topk: per-field independent BM25 (each
+    field's own df/dl/avgdl, SmallFloat dl quantization, term-ordered
+    fold), boost multiply, then max + tie·(sum − max) with the sum folded
+    in field-name order — parenthesized exactly as the Spark plan."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("fdl.dl")
+    b_t, b_b = repr(float(boosts["title"])), repr(float(boosts["body"]))
+    k1r, br, tier = repr(float(k1)), repr(float(b)), repr(float(tie))
+    return f"""
+WITH qterms(term) AS (VALUES {vals}),
+ftok AS (
+  SELECT doc_id, 'title' AS fld,
+         unnest(list_slice(string_split(text, ' '), 1, {title_toks})) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'body' AS fld,
+         unnest(list_slice(string_split(text, ' '), {title_toks + 1},
+                           len(string_split(text, ' ')))) AS term
+  FROM documents
+),
+ftf AS (
+  SELECT doc_id, fld, term, count(*)::DOUBLE AS tf FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld, term
+),
+fdl AS (
+  SELECT doc_id, fld, count(*)::BIGINT AS dl FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld
+),
+favg AS (
+  SELECT fld, CAST(CAST(sum(dl) AS DOUBLE)
+                   / (SELECT count(*) FROM documents) AS REAL)::DOUBLE AS avgdl
+  FROM fdl GROUP BY fld
+),
+fdf AS (
+  SELECT fld, ftf.term, count(*)::DOUBLE AS df
+  FROM ftf JOIN qterms USING (term) GROUP BY fld, ftf.term
+),
+fscore AS (
+  SELECT ftf.doc_id, ftf.fld,
+         list_aggregate(list(
+             ln(1 + ((SELECT count(*) FROM documents)::DOUBLE - fdf.df + 0.5)
+                     / (fdf.df + 0.5))
+              * ftf.tf
+              / (ftf.tf + {k1r} * (1 - {br} + {br} * {quant} / fa.avgdl))
+             ORDER BY ftf.term), 'sum') AS s
+  FROM ftf
+  JOIN qterms USING (term)
+  JOIN fdf ON fdf.fld = ftf.fld AND fdf.term = ftf.term
+  JOIN fdl ON fdl.doc_id = ftf.doc_id AND fdl.fld = ftf.fld
+  JOIN favg fa ON fa.fld = ftf.fld
+  GROUP BY ftf.doc_id, ftf.fld
+),
+boosted AS (
+  SELECT doc_id, fld,
+         s * (CASE fld WHEN 'title' THEN {b_t} ELSE {b_b} END) AS v
+  FROM fscore
+),
+comb AS (
+  SELECT doc_id, max(v) AS mx,
+         list_aggregate(list(v ORDER BY fld), 'sum') AS sm
+  FROM boosted GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY (mx + {tier} * (sm - mx)) DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(mx + {tier} * (sm - mx), 5) AS score
+FROM comb
+ORDER BY 2
 LIMIT {k}
 """
 
@@ -4187,10 +4532,15 @@ dots AS (
 )"""
 
 
-def _ivf_kmeans_ctes(n_cells: int, iters: int, seed: int) -> list[str]:
+def _ivf_kmeans_ctes(n_cells: int, iters: int, seed: int,
+                     train_pred: str = "TRUE") -> list[str]:
     """The shared kmeans-replay CTE chain (base/ex/ord/init → Lloyd rounds
-    → final assignment ``afin``) used by the IVF top-k AND semdedup
-    oracles — one replay of ann.ivf_build, two consumers."""
+    → final assignment ``afin``) used by the IVF top-k, IVFADC, semdedup
+    AND ivf-append oracles — one replay of ann.ivf_build, four consumers.
+    ``train_pred`` restricts the TRAINING set (sample order, init, Lloyd
+    assignments and means); the final assignment ``afin`` always covers
+    ALL vectors — with a real predicate that is exactly ivf_append's
+    frozen-centroid assignment of the held-out generation."""
     import numpy as np
 
     from patapsco_spark.operators.ann import ivf_sample_size
@@ -4201,14 +4551,16 @@ def _ivf_kmeans_ctes(n_cells: int, iters: int, seed: int) -> list[str]:
     init_vals = ", ".join(f"({c}, {int(i) + 1})" for c, i in enumerate(idx))
 
     ctes = [f"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+tb AS (SELECT vec_id FROM base WHERE {train_pred}),
 ex AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          generate_subscripts(embedding, 1) AS j
   FROM base
 ),
+tex AS (SELECT ex.* FROM ex JOIN tb USING (vec_id)),
 ord AS (
   SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) AS rk
-  FROM base
+  FROM tb
 ),
 init(cell, rk) AS (VALUES {init_vals}),
 cent0 AS (
@@ -4218,8 +4570,8 @@ cent0 AS (
     prev = "cent0"
     for it in range(1, iters + 1):
         ctes.append(f"""d{it} AS (
-  SELECT ex.vec_id, ct.cell, SUM((ex.v - ct.c) * (ex.v - ct.c)) AS d2
-  FROM ex JOIN {prev} ct ON ct.j = ex.j GROUP BY ex.vec_id, ct.cell
+  SELECT tex.vec_id, ct.cell, SUM((tex.v - ct.c) * (tex.v - ct.c)) AS d2
+  FROM tex JOIN {prev} ct ON ct.j = tex.j GROUP BY tex.vec_id, ct.cell
 ),
 a{it} AS (
   SELECT vec_id, cell FROM (
@@ -4228,8 +4580,8 @@ a{it} AS (
     FROM d{it}) WHERE rn = 1
 ),
 m{it} AS (
-  SELECT a.cell, ex.j, AVG(ex.v) AS c
-  FROM a{it} a JOIN ex USING (vec_id) GROUP BY a.cell, ex.j
+  SELECT a.cell, tex.j, AVG(tex.v) AS c
+  FROM a{it} a JOIN tex USING (vec_id) GROUP BY a.cell, tex.j
 ),
 cent{it} AS (
   SELECT c0.cell, c0.j, COALESCE(m.c, c0.c) AS c
@@ -4286,7 +4638,7 @@ ORDER BY vec_id
 
 def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
                  nprobe: int = IVF_NPROBE, seed: int = IVF_SEED,
-                 quantized: bool = False) -> str:
+                 quantized: bool = False, train_pred: str = "TRUE") -> str:
     """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
     init indices into the md5-ordered 200-vector sample are embedded as
     literals; Lloyd iterations, the final assignment, the nprobe probe and
@@ -4299,7 +4651,7 @@ def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
     (500-2000 embeddings); smaller ad-hoc corpora fall back to
     rng.choice(len(sample)) in the engine, which this replay does not
     model (covered by the pytest recall checks instead)."""
-    ctes = _ivf_kmeans_ctes(n_cells, iters, seed)
+    ctes = _ivf_kmeans_ctes(n_cells, iters, seed, train_pred=train_pred)
     prev = f"cent{iters}"
     ctes.append(f"""qx AS (
   SELECT CAST(unnest(e) AS DOUBLE) AS qv, generate_subscripts(e, 1) AS j
@@ -4442,6 +4794,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "bm25f_topk": _bm25f_sql(BM25_QUERY.split(), BM25F_W, BM25F_B,
                                  0.9, K, title_toks=TITLE_TOKS),
+        "dismax_topk": _dismax_sql(BM25_QUERY.split(), BM25F_W, DISMAX_TIE,
+                                   0.9, 0.4, K, title_toks=TITLE_TOKS),
+        "filtered_bm25": _filtered_bm25_sql(BM25_QUERY.split(), FILTER_PRED,
+                                            0.9, 0.4, K),
+        "boosting_bm25": _boosting_sql(BM25_QUERY.split(), NEG_QUERY,
+                                       NEG_BOOST, 0.9, 0.4, K),
+        "constant_score": _constant_score_sql(BM25_QUERY.split(), 1.5, K),
         # federation must reproduce single-corpus scoring EXACTLY — the
         # oracle is the plain BM25 replay over the unsplit documents
         "federated_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
@@ -5255,6 +5614,83 @@ SELECT doc_id, n_tokens, "offset",
        GREATEST("offset", "offset" + n_tokens - 1) // 512 AS last_seq
 FROM o
 """,
+        "nb_quality": f"""
+-- NB classifier replay: md5-half split, weak length label, per-class
+-- token/doc counts, Laplace log-ratios, OOV constant, term-ordered fold
+WITH base AS (
+  SELECT doc_id, text, (n_chars >= {NB_LABEL_CHARS}) AS y,
+         substring(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 1)
+           IN ({", ".join(f"'{h}'" for h in NB_TRAIN_HEXES)}) AS tr
+  FROM documents
+),
+tokc AS (
+  SELECT doc_id, y, tr, term FROM (
+    SELECT doc_id, y, tr, unnest(string_split(text, ' ')) AS term FROM base
+  ) WHERE term <> ''
+),
+scal AS (
+  SELECT
+    (SELECT count(DISTINCT doc_id) FROM tokc WHERE tr AND y)::DOUBLE AS d1,
+    (SELECT count(DISTINCT doc_id) FROM tokc WHERE tr AND NOT y)::DOUBLE AS d0,
+    (SELECT count(*) FROM tokc WHERE tr AND y)::BIGINT AS t1,
+    (SELECT count(*) FROM tokc WHERE tr AND NOT y)::BIGINT AS t0,
+    (SELECT count(DISTINCT term) FROM tokc WHERE tr)::BIGINT AS v
+),
+tc AS (
+  SELECT term,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS c0
+  FROM tokc WHERE tr GROUP BY term
+),
+llr AS (
+  SELECT term,
+         ln((c1 + 1.0) / CAST(s.t1 + s.v AS DOUBLE))
+           - ln((c0 + 1.0) / CAST(s.t0 + s.v AS DOUBLE)) AS llr
+  FROM tc CROSS JOIN scal s
+),
+ev AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokc
+  WHERE NOT tr GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT ev.doc_id, ev.term,
+         ev.tf * COALESCE(l.llr, (SELECT ln(1.0 / (t1 + v))
+                                    - ln(1.0 / (t0 + v)) FROM scal)) AS v
+  FROM ev LEFT JOIN llr l USING (term)
+)
+SELECT doc_id,
+       ROUND((SELECT ln(d1 / d0) FROM scal)
+             + list_aggregate(list(v ORDER BY term), 'sum'), 5) AS log_odds
+FROM contrib GROUP BY doc_id
+ORDER BY doc_id
+""",
+        "temperature_mix": f"""
+-- temperature mixing replay: counts → (n_s/N)^α weights → normalizer
+-- folded in sorted-stratum order (bit-identical to the Python fold) →
+-- capped fractions → md5 hex-prefix thresholds → per-language kept counts
+WITH c AS (
+  SELECT lang AS s, count(*)::DOUBLE AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+n AS (SELECT sum(c) AS n FROM c),
+wts AS (SELECT s, c.c, power(c.c / n.n, {TEMP_ALPHA}) AS w
+        FROM c CROSS JOIN n),
+z AS (SELECT list_aggregate(list(w ORDER BY s), 'sum') AS z FROM wts),
+fr AS (SELECT s, least(1.0, trunc({TEMP_BUDGET_SHARE} * n.n) * w / z.z / c)
+              AS f
+       FROM wts CROSS JOIN n CROSS JOIN z),
+thr AS (SELECT s, CASE WHEN f >= 1.0 THEN 'g'
+                       ELSE printf('%08x',
+                                   CAST(trunc(f * 4294967296.0) AS BIGINT))
+                  END AS t
+        FROM fr)
+SELECT d.lang, count(*)::BIGINT AS kept
+FROM documents d JOIN thr ON thr.s = d.lang
+WHERE substring(md5('t0:' || COALESCE(CAST(d.doc_id AS VARCHAR), '')),
+                1, 8) < thr.t
+GROUP BY d.lang
+ORDER BY d.lang
+""",
         "stratified_sample": """
 -- md5-prefix thresholds: fraction f keeps rows whose first 8 md5 hex chars
 -- sort below format(int(f * 16^8), '08x'); 0.5→80000000, 0.2→33333333,
@@ -5307,6 +5743,9 @@ FROM comp
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_append": _ann_ivf_sql(train_pred=(
+            "substring(md5('ivfsplit:' || CAST(vec_id AS VARCHAR)), 1, 1)"
+            " IN (" + ", ".join(f"'{h}'" for h in IVF_SPLIT_HEXES) + ")")),
         "ann_ivfadc_topk": _ann_ivf_sql(quantized=True),
         "semdedup": _semdedup_sql(SEMDEDUP_T),
         "minhash_lsh_pairs": """

@@ -284,19 +284,7 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
     cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
 
     def assign(df, cents_arr):
-        vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-        slots = []
-        for i, c in enumerate(cents_arr):
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(F.zip_with(vec, carr,
-                                        lambda x, y: (x - y) * (x - y)),
-                             F.lit(0.0), lambda acc, v: acc + v)
-            slots.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
-        # array_min on array<struct> orders by field order = (d2, cell):
-        # nearest cell, ties to the lowest cell id — no join, no window
-        best = F.array_min(F.array(*slots))
-        return df.select(F.col(id_col), F.col(vec_col),
-                         best["cell"].alias("cell"))
+        return _assign_to_cells(df, cents_arr, id_col, vec_col)
 
     for _ in range(iters):
         assigned = assign(embeddings, cents)
@@ -310,6 +298,27 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
         for r in means:  # cells that lost all members keep their centroid
             cents[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
     return cents, assign(embeddings, cents)
+
+
+def _assign_to_cells(df: DataFrame, cents_arr, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest centroid — a PURE PROJECTION: the
+    tiny centroid matrix is baked into the expression as an
+    array-of-structs argmin, so no crossJoin, no window, no shuffle.
+    array_min on array<struct> orders by field order = (d2, cell):
+    nearest cell, ties to the lowest cell id. Shared by the Lloyd loop
+    (ivf_build) and the frozen-centroid append path (ivf_append)."""
+    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    slots = []
+    for i, c in enumerate(cents_arr):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(F.zip_with(vec, carr,
+                                    lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, v: acc + v)
+        slots.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
+    best = F.array_min(F.array(*slots))
+    return df.select(F.col(id_col), F.col(vec_col),
+                     best["cell"].alias("cell"))
 
 
 def _probe_cells(assigned: DataFrame, cents: np.ndarray,
@@ -352,21 +361,78 @@ def ivf_write(spark, embeddings: DataFrame, path: str, n_cells: int = 16,
     from .indexer import _delete_path
 
     cfg = {"op": "ivf", "n_cells": n_cells, "iters": iters, "seed": seed,
-           "id_col": id_col, "vec_col": vec_col}
+           "id_col": id_col, "vec_col": vec_col, "layout": 2}
     if resume and mf.is_complete(path, "ivf", cfg):
         return
     _delete_path(spark, path)
     cents, assigned = ivf_build(embeddings, n_cells=n_cells, iters=iters,
                                 seed=seed, id_col=id_col, vec_col=vec_col)
-    (assigned.write.mode("overwrite").partitionBy("cell")
+    # layout 2: (gen, cell)-partitioned — gen is the append generation
+    # (build = 0); readers filter to the manifest's committed gens, the
+    # same snapshot-isolation shape as the text index's segment gating
+    (assigned.withColumn("gen", F.lit(0))
+     .write.mode("overwrite").partitionBy("gen", "cell")
      .parquet(f"{path}/assigned"))
     # manifest commit LAST (atomic rename) — a crashed build never passes
     # is_complete, the next call rebuilds
     mf.write_manifest(path, "ivf", cfg,
                       metrics={"n_cells": int(len(cents)),
                                "dim": int(cents.shape[1]),
+                               "gens": [0],
                                "centroids": [[float(x) for x in c]
                                              for c in cents]})
+
+
+def ivf_append(spark, embeddings: DataFrame, path: str,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Append vectors to a persisted IVF index WITHOUT re-clustering —
+    Faiss ``IndexIVF.add`` semantics: new vectors are assigned to the
+    FROZEN centroids from the manifest (one pure-projection pass, no
+    Lloyd jobs), written as a new generation of ``gen=<g>/cell=…``
+    partitions. The standard trade is inherited and documented: cell
+    balance degrades as the data distribution drifts from the training
+    sample; re-train by rebuilding (``ivf_write(resume=False)``).
+
+    Crash-safe, single-writer (like the text index appends): the new
+    generation lands via dynamic partition overwrite — a re-run of a
+    crashed append replaces its own orphan files instead of duplicating
+    them — and the manifest, rewritten atomically LAST, is the commit
+    point: ``ivf_read`` filters to the manifest's committed gens, so an
+    uncommitted generation is invisible to every reader. Returns the new
+    generation id. Appending an id that already exists duplicates it
+    (the vector store is append-only here; id-level upserts live with
+    the caller, as in operators/deletes.py for the text index)."""
+    from ..plans import manifest as mf
+
+    man = mf.read_manifest(path)
+    if man is None or man.get("stage") != "ivf":
+        raise FileNotFoundError(f"no IVF index at {path}")
+    cfg = man.get("config", {})
+    if cfg.get("layout") != 2:
+        raise ValueError(
+            f"IVF index at {path} predates the append layout — rebuild "
+            "with ivf_write(resume=False) before appending")
+    if cfg.get("id_col") != id_col or cfg.get("vec_col") != vec_col:
+        raise ValueError(
+            "column mismatch vs the index manifest: built with "
+            f"({cfg.get('id_col')}, {cfg.get('vec_col')}), append called "
+            f"with ({id_col}, {vec_col})")
+    cents = np.asarray(man["metrics"]["centroids"], dtype=np.float64)
+    gens = [int(g) for g in man["metrics"].get("gens", [0])]
+    g = max(gens) + 1
+    assigned = (_assign_to_cells(embeddings, cents, id_col, vec_col)
+                .withColumn("gen", F.lit(g)))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (assigned.write.mode("overwrite").partitionBy("gen", "cell")
+         .parquet(f"{path}/assigned"))
+    finally:
+        spark.conf.set(key, prev)
+    mf.write_manifest(path, "ivf", cfg,
+                      metrics={**man["metrics"], "gens": gens + [g]})
+    return g
 
 
 def ivf_read(spark, path: str, id_col: str = "vec_id",
@@ -379,8 +445,12 @@ def ivf_read(spark, path: str, id_col: str = "vec_id",
     if man is None or man.get("stage") != "ivf":
         raise FileNotFoundError(f"no IVF index at {path}")
     cents = np.asarray(man["metrics"]["centroids"], dtype=np.float64)
-    assigned = spark.read.parquet(f"{path}/assigned") \
-        .select(id_col, vec_col, F.col("cell").cast("int").alias("cell"))
+    raw = spark.read.parquet(f"{path}/assigned")
+    if "gen" in raw.columns:  # layout 2: only manifest-committed gens
+        gens = [int(g) for g in man["metrics"].get("gens", [0])]
+        raw = raw.where(F.col("gen").isin(gens))
+    assigned = raw.select(id_col, vec_col,
+                          F.col("cell").cast("int").alias("cell"))
     return cents, assigned
 
 

@@ -260,3 +260,94 @@ def search_bm25f(spark: SparkSession, field_indexes: Mapping[str, str],
             .select("query_id", "doc_id", "docid",
                     F.col("rank").cast("int").alias("rank"), "score")
             .orderBy("query_id", "rank"))
+
+
+def search_dismax(spark: SparkSession, field_indexes: Mapping[str, str],
+                  queries: Iterable[tuple[str, str]], *,
+                  text_cfg=None, lang: str = "eng",
+                  tie_breaker: float = 0.0,
+                  boosts: Mapping[str, float] | None = None,
+                  k1: float = 0.9, b: float = 0.4, k: int = 1000
+                  ) -> DataFrame:
+    """Disjunction-max fielded retrieval — Lucene ``DisjunctionMaxQuery``
+    / Elasticsearch ``multi_match type=best_fields`` (ES's DEFAULT
+    multi-field mode; public docs "multi-match query"), the complement of
+    :func:`search_bm25f`: instead of merging per-field tfs BEFORE
+    saturation, each field is scored as an independent full BM25 query
+    (its OWN df/avgdl/length norms) and the per-document combine is
+
+        score = max_f(v_f) + tie_breaker · (Σ_f v_f − max_f(v_f)),
+        v_f   = boost_f · BM25_f(q, d)
+
+    so a doc matching ALL query terms in one coherent field beats a doc
+    scattering them across fields (best_fields' reason to exist), with
+    ``tie_breaker`` ∈ [0, 1] re-admitting the other fields' evidence
+    (tie_breaker=1 degrades to a plain per-field sum).
+
+    Exactness: each per-field run uses ``matches_only`` — the FULL match
+    set with exact scores, no depth cut — so the max-combine can never
+    miss a doc that a single field ranked below its own top-k. The
+    per-field scorer is the same Lucene-quantized kernel as ``search``
+    (rank-identity oracle bm25_topk), so each v_f is bit-replayable.
+
+    Scale shape (100 TB): the per-field match sets are exactly the rows a
+    per-field disjunction already scores (block-pruning cannot apply:
+    a max-combine needs every field's hit to bound the max); their union
+    feeds ONE combinable groupBy (partial aggregation map-side) keyed by
+    (query, doc), then a k-bounded window. Float determinism: Σ_f folds
+    over array_sort(struct(field, v)) — fixed field-name order — and max
+    is order-free, so the combine is bit-stable and SQL-replayable.
+    """
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    from .retrieve import search
+    from ..config import RetrieveConfig
+
+    fields = sorted(field_indexes)
+    if not fields:
+        raise ValueError("field_indexes must name at least one field")
+    boosts = dict(boosts or {})
+    metas = {f: load_index_meta(field_indexes[f]) for f in fields}
+    n_set = {int(m["num_docs"]) for m in metas.values()}
+    dps_set = {int(m["docs_per_shard"]) for m in metas.values()}
+    if len(n_set) != 1 or len(dps_set) != 1:
+        raise ValueError(
+            "field indexes disagree on corpus shape (num_docs %s, "
+            "docs_per_shard %s) — build every field from the same corpus"
+            % (sorted(n_set), sorted(dps_set)))
+
+    plans = process_queries(list(queries), text_cfg, lang=lang)
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, docid long, rank int, "
+            "score double")
+    if not plans or n_set.pop() == 0:
+        return empty
+
+    cfg = RetrieveConfig(name="bm25", k1=k1, b=b, k=k)
+    parts = []
+    for f in fields:
+        r = search(spark, field_indexes[f], plans, cfg, matches_only=True)
+        parts.append(r.select(
+            "query_id", "doc_id", "docid", F.lit(f).alias("fld"),
+            (F.col("score") * F.lit(float(boosts.get(f, 1.0)))).alias("v")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    comb = (u.groupBy("query_id", "doc_id", "docid")
+            .agg(F.max("v").alias("mx"),
+                 _fold_sum(F.array_sort(
+                     F.collect_list(F.struct(F.col("fld").alias("k"),
+                                             F.col("v").alias("v")))))
+                 .alias("sm")))
+    blended = comb.select(
+        "query_id", "doc_id", "docid",
+        (F.col("mx") + F.lit(float(tie_breaker))
+         * (F.col("sm") - F.col("mx"))).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (blended.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("rn") - 1).cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))

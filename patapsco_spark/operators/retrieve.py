@@ -610,6 +610,111 @@ def search_with_decay(spark: SparkSession, index_path: str,
             .orderBy("query_id", "rank"))
 
 
+def search_filtered(spark: SparkSession, index_path: str,
+                    plans: list[QueryPlan], fields: DataFrame,
+                    predicate, cfg: RetrieveConfig | None = None, *,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Filter-context retrieval — the ES bool query's ``filter`` clause
+    (public docs "Query and filter context"): a structured predicate over
+    a document-fields table restricts WHICH documents can rank, while
+    scores stay exactly the unrestricted corpus-statistics BM25/QLD (a
+    filter never contributes to the score, and idf/avgdl are corpus-wide
+    — ES semantics; restricting the stats would be a different query).
+
+    ``predicate``: a Column or SQL string evaluated against ``fields``
+    (e.g. ``"source IN ('a','b') AND n_chars >= 200"``). Documents absent
+    from ``fields`` are excluded (a filter on a missing field matches
+    nothing — ES's behavior for required filters).
+
+    Exactness: the text query runs in ``matches_only`` mode (the FULL
+    match set, no depth cut), so the filter-then-top-k order is exact — a
+    doc ranked below k pre-filter can still surface once better-scoring
+    docs are filtered away. This is the semantic difference from a
+    post-filtered ``search()``: rescoring a truncated top-k would
+    silently under-fill results for selective filters.
+
+    Scale shape (100 TB): the predicate is pure Catalyst on the fields
+    scan — pushed to parquet (PushedFilters) with column pruning, the
+    same class of work as ES's doc-values/bitset filter evaluation per
+    segment. The surviving-id side joins the match set on doc_id — one
+    hash join keyed on the id; when the filter is selective Spark's AQE
+    converts it to a broadcast join at runtime. Neither side is ever
+    collected; the k cut happens after the join in one window."""
+    cfg = cfg or RetrieveConfig()
+    matches = search(spark, index_path, plans, cfg, matches_only=True)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    keep = fields.where(pred).select(F.col(id_col).alias("doc_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (matches.join(keep, "doc_id", "leftsemi")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
+def search_boosting(spark: SparkSession, index_path: str,
+                    positive_plans: list[QueryPlan],
+                    negative_plans: list[QueryPlan],
+                    cfg: RetrieveConfig | None = None, *,
+                    negative_boost: float = 0.5) -> DataFrame:
+    """ES/Lucene ``boosting`` query: rank by the positive query, DEMOTE
+    (never exclude) documents that also match the negative query by
+    multiplying their score by ``negative_boost`` ∈ [0, 1) — the
+    "relevant, but I'd rather see something else" middle ground between a
+    should-clause and MUST_NOT. Negative plans are matched per query_id
+    against positive plans (same qids query-by-query).
+
+    Exact by construction: the positive run is ``matches_only`` (full
+    match set), so demotion-induced reordering below any fixed depth is
+    captured; the negative run only contributes membership (its scores
+    are discarded — ES semantics). Scale shape: two postings reads, one
+    id-keyed left-semi-style hash join (AQE broadcasts the negative side
+    when selective), one k-bounded window."""
+    if not 0.0 <= negative_boost < 1.0:
+        raise ValueError(
+            f"negative_boost must be in [0, 1), got {negative_boost}")
+    cfg = cfg or RetrieveConfig()
+    pos = search(spark, index_path, positive_plans, cfg, matches_only=True)
+    neg = (search(spark, index_path, negative_plans, cfg, matches_only=True)
+           .select("query_id", "docid").withColumn("__neg", F.lit(True)))
+    blended = (pos.join(neg, ["query_id", "docid"], "left")
+               .withColumn("score",
+                           F.when(F.col("__neg"),
+                                  F.col("score")
+                                  * F.lit(float(negative_boost)))
+                           .otherwise(F.col("score"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (blended.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
+def search_constant_score(spark: SparkSession, index_path: str,
+                          plans: list[QueryPlan],
+                          cfg: RetrieveConfig | None = None, *,
+                          boost: float = 1.0) -> DataFrame:
+    """ES/Lucene ``constant_score``: every matching document scores
+    exactly ``boost`` — filter semantics with a fixed score, the idiom
+    for "match matters, relevance doesn't" clauses. Ties (i.e. all rows)
+    are broken by docid asc, pinned, so the k cut is deterministic
+    (Lucene leaves constant-score tie order to doc order — same thing).
+    One matches_only pass, scoring arithmetic skipped downstream."""
+    cfg = cfg or RetrieveConfig()
+    matches = search(spark, index_path, plans, cfg, matches_only=True)
+    w = Window.partitionBy("query_id").orderBy(F.asc("docid"))
+    return (matches.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).cast("int").alias("rank"),
+                    F.lit(float(boost)).alias("score"))
+            .orderBy("query_id", "rank"))
+
+
 def search_query_frame(spark: SparkSession, index_path: str,
                        queries_df: DataFrame, out_path: str,
                        cfg: RetrieveConfig | None = None,

@@ -75,6 +75,60 @@ def stratified_sample(df: DataFrame, strata_col: str,
     for value, frac in sorted(fractions.items()):
         thr = F.when(F.col(strata_col) == value,
                      F.lit(_threshold_hex(frac))).otherwise(thr)
+    # NULL keys coalesce to '' for a real hash decision (same fix as _keep:
+    # md5(concat(.., NULL)) is NULL and NULL < threshold filters FALSE,
+    # silently dropping NULL-key rows even at fraction 1.0)
     prefix = F.substring(F.md5(F.concat(F.lit(f"{salt}:"),
-                                        F.col(key_col).cast("string"))), 1, 8)
+                                        F.coalesce(
+                                            F.col(key_col).cast("string"),
+                                            F.lit("")))), 1, 8)
     return df.where(prefix < thr)
+
+
+def temperature_fractions(df: DataFrame, strata_col: str, *,
+                          alpha: float = 0.5,
+                          budget_rows: int) -> dict[str, float]:
+    """Temperature-scaled mixing weights — the multilingual / multi-source
+    training-mix recipe (mBERT, XLM-R, mT5; published as exponentiated
+    sampling p_s ∝ (n_s/N)^α): raising sizes to α < 1 upsamples rare
+    strata relative to proportional sampling without letting any stratum
+    dominate. Returns {stratum: keep fraction} such that expected kept
+    rows ≈ ``budget_rows`` distributed ∝ (n_s/N)^α, each fraction capped
+    at 1.0 (a rare stratum can't yield more rows than it has — the
+    standard truncation; the budget is then slightly under-filled rather
+    than silently re-normalized, so rates stay independent of other
+    strata's caps and the draw stays nested under budget growth).
+
+    Driver-bounded: one groupBy-count collect of #strata rows (languages /
+    sources — dozens, never corpus-sized). Float determinism: the
+    normalizer folds in sorted-stratum order, so fractions are
+    bit-reproducible and SQL-replayable."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if budget_rows < 0:
+        raise ValueError(f"budget_rows must be >= 0, got {budget_rows}")
+    rows = df.groupBy(strata_col).count().collect()
+    counts = {r[0]: int(r[1]) for r in rows if r[0] is not None}
+    n = sum(counts.values())
+    if n == 0:
+        return {}
+    w = {s: (counts[s] / n) ** alpha for s in counts}
+    z = 0.0
+    for s in sorted(w):
+        z += w[s]
+    return {s: min(1.0, budget_rows * w[s] / z / counts[s]) for s in counts}
+
+
+def temperature_sample(df: DataFrame, strata_col: str, key_col: str, *,
+                       alpha: float = 0.5, budget_rows: int,
+                       salt: str = "t0") -> DataFrame:
+    """Draw a temperature-α training mix of ≈``budget_rows`` rows:
+    :func:`temperature_fractions` over the live strata, then the same
+    deterministic md5-threshold selection as :func:`stratified_sample`
+    (scan-fused CASE, no shuffle, placement-independent). Strata unseen
+    at fraction time (concurrent appends) drop — the mix is pinned to the
+    observed distribution, not whatever arrives later."""
+    fr = temperature_fractions(df, strata_col, alpha=alpha,
+                               budget_rows=budget_rows)
+    return stratified_sample(df, strata_col, fr, key_col, salt=salt,
+                             default_fraction=0.0)

@@ -696,3 +696,85 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
                     .alias("n_bigrams"),
                     F.round(F.coalesce("lw", F.lit(0.0)), 6)
                     .alias("log_weight")))
+
+
+def nb_classifier_scores(docs: DataFrame, label, train, *,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Multinomial Naive Bayes document classifier — the fastText/CCNet
+    quality-classifier baseline (Joulin et al. 2017 "Bag of Tricks";
+    CCNet trains exactly this shape to score web pages against a clean
+    reference corpus): train per-class unigram counts with Laplace
+    smoothing on the ``train`` split, score every held-out doc with the
+    log-odds of the positive class
+
+        log P(y=1|d) − log P(y=0|d)
+          = ln(D1/D0) + Σ_t tf_t · [ln((c1_t+1)/(T1+V)) − ln((c0_t+1)/(T0+V))]
+
+    (c = class-conditional term count, T = class token total, V = train
+    vocabulary size, D = class doc count; terms unseen in training
+    contribute the same smoothed constant per occurrence).
+
+    ``label``: boolean Column — the positive class (a weak-label rule:
+    a length band, a source allowlist, an overlap-with-reference bit).
+    ``train``: boolean Column — train-split membership (use a
+    deterministic md5-prefix split for reproducibility, sampling.py).
+    Returns (``id_col``, log_odds) for every NON-train doc with ≥1 token.
+
+    Scale shape (100 TB): training is two token-keyed combinable
+    aggregations (term-class counts, class totals) — map-side partial
+    aggs, one shuffle each; the model is a term-keyed frame joined
+    (hash join, AQE-broadcast when the vocab is small) onto the eval
+    doc-term frame; scalars (D, T, V — five numbers) are the only driver
+    collect. Scoring folds per doc in term order (array_sort fold), so
+    log-odds are bit-stable and SQL-replayable."""
+    import math
+
+    base = docs.select(F.col(id_col).alias("__id"),
+                       F.col(text_col).alias("__text"),
+                       label.cast("boolean").alias("__y"),
+                       train.cast("boolean").alias("__tr"))
+    toks = (base.select("__id", "__y", "__tr",
+                        F.explode(F.split(F.col("__text"), " "))
+                        .alias("term"))
+            .where(F.col("term") != ""))
+    tr = toks.where(F.col("__tr"))
+
+    cls = {bool(r["__y"]): (int(r["docs"]), int(r["toks"]))
+           for r in (tr.groupBy("__y")
+                     .agg(F.countDistinct("__id").alias("docs"),
+                          F.count("*").alias("toks")).collect())}
+    if True not in cls or False not in cls:
+        raise ValueError(
+            "nb_classifier_scores needs both classes in the train split; "
+            f"got classes {sorted(cls)}")
+    v = tr.select("term").distinct().count()
+    d1, t1 = cls[True]
+    d0, t0 = cls[False]
+    prior = math.log(d1 / d0)
+    kappa = math.log(1.0 / (t1 + v)) - math.log(1.0 / (t0 + v))
+
+    tc = tr.groupBy("term").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).alias("c0"))
+    llr = tc.select(
+        "term",
+        (F.log((F.col("c1") + 1.0) / F.lit(float(t1 + v)))
+         - F.log((F.col("c0") + 1.0) / F.lit(float(t0 + v)))).alias("llr"))
+
+    ev = (toks.where(~F.col("__tr"))
+          .groupBy("__id", "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    contrib = (ev.join(llr, "term", "left")
+               .select("__id", "term",
+                       (F.col("tf")
+                        * F.coalesce(F.col("llr"), F.lit(kappa)))
+                       .alias("v")))
+    folded = (contrib.groupBy("__id")
+              .agg((F.lit(prior) + F.aggregate(
+                  F.array_sort(F.collect_list(
+                      F.struct(F.col("term").alias("k"),
+                               F.col("v").alias("v")))),
+                  F.lit(0.0), lambda acc, x: acc + x["v"]))
+                   .alias("log_odds")))
+    return folded.select(F.col("__id").alias(id_col), "log_odds")
