@@ -753,6 +753,45 @@ LIMIT {k}
 RF_PIVOT, RF_BOOST = 2.0, 1.5
 
 
+TOP_HITS_N = 2
+SLICE_ID, NUM_SLICES = 1, 3
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms+top_hits aggregation (new r5): per document source, the
+    best 2 hits of the BM25 match set — one (query, bucket)-partitioned
+    window, no global rank state. Oracle replays the full-match-set BM25
+    scores and the per-source row_number cut."""
+    from patapsco_spark.operators.aggs import match_set_texts, top_hits
+
+    idx = _ensure_index(spark, sf_dir)
+    matches = match_set_texts(spark, idx, [("q1", BM25_QUERY)],
+                              RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    fields = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+              .select(F.col("doc_id").cast("string").alias("doc_id"),
+                      "source"))
+    out = top_hits(matches, fields, "source", n=TOP_HITS_N)
+    return out.select(F.col("source").alias("src"),
+                      F.col("hit_rank").cast("long").alias("hit_rank"),
+                      F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 5).alias("score"))
+
+
+def q_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll (new r5): deterministic md5-mod slice 1 of 3 of
+    the BM25 match set — disjoint and exhaustive across slices (pinned in
+    pytest), placement-independent unlike ES's shard-local slices. Oracle
+    replays the hex-prefix mod in SQL."""
+    from patapsco_spark.operators.aggs import match_set_texts, slice_matches
+
+    idx = _ensure_index(spark, sf_dir)
+    matches = match_set_texts(spark, idx, [("q1", BM25_QUERY)],
+                              RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    out = slice_matches(matches, SLICE_ID, NUM_SLICES)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .orderBy("doc_id"))
+
+
 FILTER_PRED = "source IN ('src1','src3','src5','src7') AND n_chars >= 200"
 
 
@@ -1704,6 +1743,37 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                              budget_rows=budget, salt="t0")
     return (out.groupBy("lang").agg(F.count("*").cast("long").alias("kept"))
             .orderBy("lang"))
+
+
+XDECON_T, XDECON_MOD = 0.8, 7
+
+
+def q_cross_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus decontamination (new r5; the MinHash complement
+    of the exact 13-gram probe, per GPT-3 appx C / The Pile / FineWeb):
+    eval set = every 7th doc with its first token dropped (a
+    lightly-edited benchmark copy that exact n-gram matching at large n
+    can miss), candidates only inside cross-side LSH buckets, exact
+    Jaccard verification ≥ 0.8. Oracle replays both corpora's shingles,
+    banding, the side-asymmetric bucket join, and the verification."""
+    from patapsco_spark.operators.dedup import cross_decontamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    eval_docs = (docs.where(F.col("doc_id") % XDECON_MOD == 0)
+                 .select("doc_id",
+                         F.array_join(
+                             F.slice(toks, 2,
+                                     F.greatest(F.size(toks) - 1,
+                                                F.lit(0))), " ")
+                         .alias("text")))
+    out = cross_decontamination(docs, eval_docs, threshold=XDECON_T,
+                                num_hashes=16, bands=4, shingle=3)
+    return (out.select(F.col("train_id").cast("long").alias("train_id"),
+                       F.col("eval_id").cast("long").alias("eval_id"),
+                       "jaccard")
+            .orderBy("train_id", "eval_id"))
 
 
 NB_LABEL_CHARS = 300
@@ -3006,6 +3076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_bm25": q_rank_feature_bm25,
         "filtered_bm25": q_filtered_bm25,
         "boosting_bm25": q_boosting_bm25,
+        "top_hits_by_source": q_top_hits,
+        "sliced_scroll": q_sliced_scroll,
         "constant_score": q_constant_score,
         "suggest_completions": q_suggest_completions,
         "suggest_spelling": q_suggest_spelling,
@@ -3050,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "temperature_mix": q_temperature_mix,
         "nb_quality": q_nb_quality,
+        "cross_decontamination": q_cross_decontamination,
         "pack_sequences": q_pack_sequences,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3279,6 +3352,61 @@ SELECT doc_id,
 FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
+"""
+
+
+def _top_hits_sql(query_terms: list[str], k1: float, b: float,
+                  n: int) -> str:
+    """Oracle for q_top_hits: full-match-set BM25 scores joined to the
+    source field, per-source rank window cut at n."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+hit AS (
+  SELECT s.doc_id, s.score, d.source FROM scores s
+  JOIN documents d USING (doc_id)
+)
+SELECT source AS src, (rn - 1)::BIGINT AS hit_rank, doc_id,
+       ROUND(score, 5) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC,
+                                        CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM hit
+) WHERE rn <= {n}
+ORDER BY src, hit_rank
+"""
+
+
+def _sliced_scroll_sql(query_terms: list[str], slice_id: int,
+                       num_slices: int) -> str:
+    """Oracle for q_sliced_scroll: the OR match set filtered by the same
+    md5-hex-prefix mod as aggs.slice_matches."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT doc_id FROM matched
+WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+        ::BIGINT % {num_slices} = {slice_id}
+ORDER BY doc_id
 """
 
 
@@ -4800,6 +4928,10 @@ def oracle_sql() -> dict[str, str]:
                                             0.9, 0.4, K),
         "boosting_bm25": _boosting_sql(BM25_QUERY.split(), NEG_QUERY,
                                        NEG_BOOST, 0.9, 0.4, K),
+        "top_hits_by_source": _top_hits_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                            TOP_HITS_N),
+        "sliced_scroll": _sliced_scroll_sql(BM25_QUERY.split(), SLICE_ID,
+                                            NUM_SLICES),
         "constant_score": _constant_score_sql(BM25_QUERY.split(), 1.5, K),
         # federation must reproduce single-corpus scoring EXACTLY — the
         # oracle is the plain BM25 replay over the unsplit documents
@@ -5613,6 +5745,64 @@ SELECT doc_id, n_tokens, "offset",
        "offset" // 512 AS first_seq,
        GREATEST("offset", "offset" + n_tokens - 1) // 512 AS last_seq
 FROM o
+""",
+        "cross_decontamination": f"""
+-- cross-corpus MinHash decontamination replay: eval = every {XDECON_MOD}th
+-- doc minus its first token; shingle→minhash→band as in minhash_lsh_pairs;
+-- candidates only across sides; exact Jaccard >= {XDECON_T}
+WITH trw AS (
+  SELECT 't:' || CAST(doc_id AS VARCHAR) AS uid,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+evw AS (
+  SELECT 'e:' || CAST(doc_id AS VARCHAR) AS uid,
+         list_slice(toks, 2, len(toks)) AS toks
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+        FROM documents WHERE doc_id % {XDECON_MOD} = 0)
+),
+w AS (SELECT * FROM trw UNION ALL SELECT * FROM evw),
+sh AS (
+  SELECT uid,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS shingles
+  FROM w
+),
+t AS (SELECT DISTINCT uid, unnest(shingles) AS term FROM sh),
+sizes AS (SELECT uid, count(*) AS sz FROM t GROUP BY uid),
+seeds(seed) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)),
+mh AS (
+  SELECT uid, seed, min(md5(seed::VARCHAR || ':' || term)) AS minhash
+  FROM t CROSS JOIN seeds GROUP BY uid, seed
+),
+banded AS (
+  SELECT uid, seed // 4 AS band,
+         md5(array_to_string(list_sort(list(seed::VARCHAR || ':' || minhash)), '|')) AS bucket
+  FROM mh GROUP BY uid, seed // 4
+),
+cand AS (
+  SELECT DISTINCT a.uid AS ua, b.uid AS ub
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.uid LIKE 't:%' AND b.uid LIKE 'e:%'
+),
+inter AS (
+  SELECT c.ua, c.ub, count(*) AS i
+  FROM cand c
+  JOIN t ta ON ta.uid = c.ua
+  JOIN t tb ON tb.uid = c.ub AND tb.term = ta.term
+  GROUP BY c.ua, c.ub
+)
+SELECT CAST(substring(ua, 3) AS BIGINT) AS train_id,
+       CAST(substring(ub, 3) AS BIGINT) AS eval_id,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.uid = ua
+JOIN sizes sb ON sb.uid = ub
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {XDECON_T}
+ORDER BY 1, 2
 """,
         "nb_quality": f"""
 -- NB classifier replay: md5-half split, weak length label, per-class

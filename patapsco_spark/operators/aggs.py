@@ -223,3 +223,47 @@ def field_cardinality(matches: DataFrame, fields: DataFrame, field_col: str,
                      .alias("est"),
                     (F.col("n") < k).alias("is_exact"))
             .orderBy("query_id"))
+
+
+def top_hits(matches: DataFrame, fields: DataFrame, bucket_col: str, *,
+             n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
+    every (query, bucket-value) the best ``n`` hits by score — "show me
+    the top pages PER domain/source/language", the grouped complement of
+    field collapsing (collapse dedups the global ranked list; top_hits
+    keeps every bucket with its own head). Deterministic tie-break:
+    doc_id (string) ascending, like sort_by_field.
+
+    Scale shape: one join of the match set onto the fields projection
+    (id-keyed hash join, AQE-broadcast when matches are selective), then
+    ONE window partitioned by (query, bucket) — rank state is per-bucket,
+    never global, so skewed buckets parallelize across partitions and
+    nothing is collected."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    hit = _with_field(matches, fields, bucket_col, id_col)
+    w = Window.partitionBy("query_id", bucket_col).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (hit.withColumn("hit_rank", F.row_number().over(w) - 1)
+            .where(F.col("hit_rank") < n)
+            .select("query_id", bucket_col, "hit_rank", "doc_id", "score")
+            .orderBy("query_id", bucket_col, "hit_rank"))
+
+
+def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
+                  id_col: str = "doc_id") -> DataFrame:
+    """ES sliced scroll: deterministically partition a match set into
+    ``num_slices`` disjoint, exhaustive slices so independent consumers
+    can drain one result set in parallel (the export idiom for "hand
+    each worker 1/Nth of the hits"). Slice membership is
+    md5-prefix(id) mod num_slices — placement-independent and
+    engine-portable like every sampling decision in this repo
+    (operators/sampling.py), unlike ES's shard-local doc-order slices.
+    Pure Catalyst: one scan-fused predicate, no shuffle."""
+    if not 0 <= slice_id < num_slices:
+        raise ValueError(
+            f"slice_id must be in [0, {num_slices}), got {slice_id}")
+    h = F.conv(F.substring(
+        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        1, 4), 16, 10).cast("long")
+    return matches.where(h % num_slices == slice_id)

@@ -253,17 +253,24 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
                                num_hashes, id_col)
 
 
+def _banded_buckets(sigs: DataFrame, num_hashes: int, bands: int,
+                    id_col: str) -> DataFrame:
+    """(id, band, bucket) band keys from a signatures frame: band
+    signature = md5 over the band's minhashes in seed order (array_sort
+    on "seed:minhash" strings gives a deterministic order — seeds are
+    single digits for num_hashes ≤ 10; zero-pad for more). Shared by the
+    within-corpus pair join and the cross-corpus decontamination join."""
+    rows = num_hashes // bands
+    return (sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
+            .groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("seed"), F.col("minhash")))))).alias("bucket")))
+
+
 def _lsh_from_sigs(sigs: DataFrame, num_hashes: int, bands: int,
                    id_col: str) -> DataFrame:
     """Banded-LSH candidate pairs from a prepared signatures frame."""
-    rows = num_hashes // bands
-    # band signature = md5 over the band's minhashes in seed order
-    # (array_sort on "seed:minhash" strings gives a deterministic order —
-    # seeds are single digits for num_hashes ≤ 10; zero-pad for more)
-    banded = (sigs.withColumn("band", (F.col("seed") / rows).cast("int"))
-              .groupBy(id_col, "band")
-              .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-                  F.concat_ws(":", F.col("seed"), F.col("minhash")))))).alias("bucket")))
+    banded = _banded_buckets(sigs, num_hashes, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
@@ -663,3 +670,51 @@ def semdedup(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
                        F.col("w.cos").alias("cos")))
     kept = embeddings.join(removed.select(id_col), id_col, "left_anti")
     return kept, removed
+
+
+def cross_decontamination(train_docs: DataFrame, eval_docs: DataFrame,
+                          threshold: float = 0.8, num_hashes: int = 16,
+                          bands: int = 4, id_col: str = "doc_id",
+                          text_col: str = "text", shingle: int = 3,
+                          release: bool = True) -> DataFrame:
+    """Fuzzy cross-corpus decontamination: (train_id, eval_id, jaccard)
+    for every training document whose shingle-set Jaccard against an
+    evaluation document is ≥ ``threshold`` — the MinHash-LSH complement
+    of :func:`textstats.ngram_contamination`'s exact 13-gram probe.
+    Exact n-gram matching misses lightly-edited benchmark copies
+    (re-wrapped lines, dropped headers); published decontamination
+    recipes therefore pair it with an approximate Jaccard pass (GPT-3
+    appendix C's 13-gram + fuzzy dedup of eval overlaps; The Pile and
+    FineWeb use MinHash against benchmark suites).
+
+    Scale shape (train is 10^12 docs, eval is thousands): both sides
+    shingle→minhash→band through the SAME deterministic kernels as
+    near_duplicates_minhash; candidates form ONLY inside (band, bucket)
+    groups AND only across sides (train×train pairs never materialize —
+    the join is side-asymmetric), then the exact-Jaccard verification
+    touches candidate pairs alone. Internal ids are side-prefixed, so
+    colliding train/eval id spaces stay distinct."""
+    t = train_docs.select(
+        F.concat(F.lit("t:"), F.col(id_col).cast("string")).alias("_uid"),
+        F.col(text_col).alias("_text"))
+    e = eval_docs.select(
+        F.concat(F.lit("e:"), F.col(id_col).cast("string")).alias("_uid"),
+        F.col(text_col).alias("_text"))
+    union = t.unionByName(e)
+    tok_sets = _token_sets(union, "_uid", "_text", shingle).persist()
+    terms = tok_sets.select("_id", F.explode("toks").alias("term"))
+    sigs = _minhash_from_terms(terms, num_hashes, "_uid")
+    banded = _banded_buckets(sigs, num_hashes, bands, "_uid")
+    a = banded.where(F.col("_uid").startswith("t:")).alias("a")
+    b = banded.where(F.col("_uid").startswith("e:")).alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bucket") == F.col("b.bucket")))
+            .select(F.col("a._uid").alias("id_a"),
+                    F.col("b._uid").alias("id_b"))
+            .distinct())
+    verified = _verify_jaccard(cand, tok_sets)
+    out = (verified.where(F.col("jaccard") >= threshold)
+           .select(F.expr("substring(id_a, 3)").alias("train_id"),
+                   F.expr("substring(id_b, 3)").alias("eval_id"),
+                   F.round("jaccard", 6).alias("jaccard")))
+    return _release_after(out, tok_sets, release)
