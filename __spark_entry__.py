@@ -816,6 +816,47 @@ def q_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+PHRASE_SUGGEST_INPUT = "dat strem ag"  # → {data,dup} × {stream} × {a,agg}
+PHRASE_SUGGEST_K, PHRASE_SUGGEST_MC = 3, 3
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (new r5): whole-query did-you-mean — per-token
+    dictionary candidates (levenshtein ≤ 2, distance/cf/term ranked,
+    capped), every combination scored by a stupid-backoff bigram LM over
+    the corpus, top-3 by log-probability. Oracle replays the dictionary,
+    the per-position candidate cuts, the bigram counts, and the exact
+    backoff chain in SQL."""
+    from patapsco_spark.operators.suggest import suggest_phrase
+
+    idx = _ensure_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = suggest_phrase(spark, idx, PHRASE_SUGGEST_INPUT, docs,
+                         k=PHRASE_SUGGEST_K,
+                         max_candidates=PHRASE_SUGGEST_MC)
+    return out.select("suggestion", F.round("logp", 6).alias("logp"))
+
+
+RESCORE_QUERY, RESCORE_W, RESCORE_WIN = "stream window", 2.0, 200
+
+
+def q_rescore_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query rescorer (new r5, score_mode=total): primary BM25 keeps
+    the top-200 window per query, a secondary BM25 query refines only
+    that window as 1.0·primary + 2.0·secondary. Oracle replays both
+    scorings, the primary-order window cut, and the weighted combine."""
+    from patapsco_spark.operators.retrieve import process_queries
+    from patapsco_spark.operators.retrieve import rescore as _rescore
+
+    idx = _ensure_index(spark, sf_dir)
+    pri = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng")
+    sec = process_queries([("q1", RESCORE_QUERY)], RAW_TEXT, lang="eng")
+    res = _rescore(spark, idx, pri, sec, RetrieveConfig(k=K),
+                   window=RESCORE_WIN, query_weight=1.0,
+                   rescore_weight=RESCORE_W)
+    return _as_result(res)
+
+
 NEG_QUERY, NEG_BOOST = "stream", 0.5
 
 
@@ -3076,6 +3117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_bm25": q_rank_feature_bm25,
         "filtered_bm25": q_filtered_bm25,
         "boosting_bm25": q_boosting_bm25,
+        "rescore_bm25": q_rescore_bm25,
+        "phrase_suggest": q_phrase_suggest,
         "top_hits_by_source": q_top_hits,
         "sliced_scroll": q_sliced_scroll,
         "constant_score": q_constant_score,
@@ -3407,6 +3450,117 @@ SELECT doc_id FROM matched
 WHERE ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
         ::BIGINT % {num_slices} = {slice_id}
 ORDER BY doc_id
+"""
+
+
+def _phrase_suggest_sql(tokens: list[str], k: int, max_candidates: int,
+                        max_edits: int = 2, min_cf: int = 2,
+                        alpha: float = 0.4) -> str:
+    """Oracle for q_phrase_suggest: dictionary + per-position candidate
+    cuts + bigram counts + the stupid-backoff chain, with the log-prob
+    sum left-associated exactly like the Python fold."""
+    a = repr(float(alpha))
+    cand_ctes, combo_from = [], []
+    for i, tok in enumerate(tokens):
+        n = len(tok)
+        cand_ctes.append(f"""cand{i} AS (
+  SELECT term FROM (
+    SELECT term, levenshtein(term, '{tok}') AS dist, cf
+    FROM dict
+    WHERE length(term) BETWEEN {n - max_edits} AND {n + max_edits}
+      AND cf >= {min_cf} AND term LIKE '{tok[0]}%'
+      AND levenshtein(term, '{tok}') <= {max_edits}
+    ORDER BY dist, cf DESC, term LIMIT {max_candidates})
+)""")
+        combo_from.append(f"cand{i} c{i}")
+
+    def u(w: str) -> str:
+        return (f"(CASE WHEN u_{w}.n IS NOT NULL THEN CAST(u_{w}.n AS DOUBLE)"
+                f" / tot.total ELSE {a} / tot.total END)")
+
+    parts = [f"ln({u('w0')})"]
+    joins = ["LEFT JOIN c1 u_w0 ON u_w0.w = c0.term"]
+    for i in range(1, len(tokens)):
+        joins.append(f"LEFT JOIN c1 u_w{i} ON u_w{i}.w = c{i}.term")
+        joins.append(f"LEFT JOIN bc b{i} ON b{i}.a = c{i-1}.term"
+                     f" AND b{i}.b = c{i}.term")
+        parts.append(
+            f"(CASE WHEN b{i}.n IS NOT NULL THEN"
+            f" ln(CAST(b{i}.n AS DOUBLE) / u_w{i-1}.n)"
+            f" ELSE ln({a} * {u(f'w{i}')}) END)")
+    logp = " + ".join(parts)
+    suggestion = " || ' ' || ".join(f"c{i}.term" for i in range(len(tokens)))
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT unnest(toks) AS term FROM w),
+dict AS (SELECT term, count(*)::BIGINT AS cf FROM t GROUP BY term),
+c1 AS (SELECT term AS w, count(*)::BIGINT AS n FROM t GROUP BY term),
+tot AS (SELECT count(*)::BIGINT AS total FROM t),
+big AS (
+  SELECT toks[i] AS ba, toks[i + 1] AS bb
+  FROM (SELECT toks, generate_subscripts(toks, 1) AS i FROM w)
+  WHERE i < len(toks)
+),
+bc AS (SELECT ba AS a, bb AS b, count(*)::BIGINT AS n FROM big GROUP BY 1, 2),
+{", ".join(cand_ctes)}
+SELECT {suggestion} AS suggestion, ROUND({logp}, 6) AS logp
+FROM {" CROSS JOIN ".join(combo_from)}
+CROSS JOIN tot
+{chr(10).join(joins)}
+ORDER BY {logp} DESC, suggestion ASC
+LIMIT {k}
+"""
+
+
+def _rescore_sql(primary_terms: list[str], secondary_terms: list[str],
+                 qw: float, rw: float, k1: float, b: float,
+                 window: int, k: int) -> str:
+    """Oracle for q_rescore_bm25: primary BM25 replay cut to the window
+    by primary order, secondary BM25 replay over the same tf/dl/stats
+    CTEs, then qw·primary + rw·COALESCE(secondary, 0) and the final
+    rank window — parenthesized exactly as the Spark plan."""
+    base = _bm25_sql(primary_terms, k1, b, window)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    vals2 = ", ".join(f"('{t}')" for t in sorted(set(secondary_terms)))
+    quant = _quant_sql("dl.dl")
+    qwr, rwr = repr(float(qw)), repr(float(rw))
+    return head + f""",
+stage1 AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT {window}),
+qt2(term) AS (VALUES {vals2}),
+dfs2 AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qt2 USING (term)
+  GROUP BY tf.term
+),
+s2 AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qt2 USING (term)
+  JOIN dfs2 ON dfs2.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+blended AS (
+  SELECT st.doc_id,
+         {qwr} * st.score + {rwr} * COALESCE(s2.score, 0.0) AS score
+  FROM stage1 st LEFT JOIN s2 USING (doc_id)
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM blended
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
 """
 
 
@@ -4928,6 +5082,12 @@ def oracle_sql() -> dict[str, str]:
                                             0.9, 0.4, K),
         "boosting_bm25": _boosting_sql(BM25_QUERY.split(), NEG_QUERY,
                                        NEG_BOOST, 0.9, 0.4, K),
+        "phrase_suggest": _phrase_suggest_sql(PHRASE_SUGGEST_INPUT.split(),
+                                              PHRASE_SUGGEST_K,
+                                              PHRASE_SUGGEST_MC),
+        "rescore_bm25": _rescore_sql(BM25_QUERY.split(),
+                                     RESCORE_QUERY.split(), 1.0, RESCORE_W,
+                                     0.9, 0.4, RESCORE_WIN, K),
         "top_hits_by_source": _top_hits_sql(BM25_QUERY.split(), 0.9, 0.4,
                                             TOP_HITS_N),
         "sliced_scroll": _sliced_scroll_sql(BM25_QUERY.split(), SLICE_ID,

@@ -654,6 +654,56 @@ def search_filtered(spark: SparkSession, index_path: str,
             .orderBy("query_id", "rank"))
 
 
+def rescore(spark: SparkSession, index_path: str,
+            plans: list[QueryPlan], rescore_plans: list[QueryPlan],
+            cfg: RetrieveConfig | None = None, *,
+            window: int | None = None, query_weight: float = 1.0,
+            rescore_weight: float = 1.0) -> DataFrame:
+    """ES query rescorer (public docs, "Rescore filtered search
+    results"): a cheap primary query ranks the corpus, then an expensive
+    secondary query refines ONLY the top ``window`` candidates per query
+    (default 10·k):
+
+        score' = query_weight · primary + rescore_weight · secondary
+
+    — ES ``score_mode=total`` (the default); window docs the secondary
+    doesn't match keep their weighted primary alone. This is the
+    two-stage shape every production ranker uses (BM25 window → heavier
+    model), here with another index query (typically phrases / proximity
+    — pass any plans the engine scores) as the second stage.
+
+    Honest cascade semantics, same as search_with_prior: the window cut
+    is by PRIMARY score, so a doc the secondary loves but the primary
+    ranks below ``window`` never surfaces — window bounds the cascade
+    error, and ES behaves identically.
+
+    Scale shape: stage 1 is the normal pruned top-window retrieval;
+    stage 2 runs matches_only on the secondary plans and joins
+    (query, docid)-keyed against the window candidates — ≤ window·|q|
+    rows on the left, AQE broadcasts it; one final k-bounded window."""
+    cfg = cfg or RetrieveConfig()
+    win = window if window is not None else cfg.k * 10
+    if win < cfg.k:
+        raise ValueError(f"window {win} < k {cfg.k}")
+    from dataclasses import replace
+    base = search(spark, index_path, plans, replace(cfg, k=win))
+    sec = (search(spark, index_path, rescore_plans, cfg, matches_only=True)
+           .select("query_id", "docid", F.col("score").alias("__s2")))
+    blended = (base.join(sec, ["query_id", "docid"], "left")
+               .select("query_id", "doc_id", "docid",
+                       (F.lit(float(query_weight)) * F.col("score")
+                        + F.lit(float(rescore_weight))
+                        * F.coalesce(F.col("__s2"), F.lit(0.0)))
+                       .alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (blended.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
 def search_boosting(spark: SparkSession, index_path: str,
                     positive_plans: list[QueryPlan],
                     negative_plans: list[QueryPlan],

@@ -86,3 +86,113 @@ def suggest_spelling(spark: SparkSession, index_path: str, term: str,
                      F.col("term").asc())
             .limit(k)
             .select("term", "distance", "df", "cf"))
+
+
+def suggest_phrase(spark: SparkSession, index_path: str, text: str,
+                   lm_docs: DataFrame, *, k: int = 3,
+                   max_candidates: int = 3, max_edits: int = 2,
+                   min_cf: int = 2, prefix_lock: int = 1,
+                   alpha: float = 0.4, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_combos: int = 10_000) -> DataFrame:
+    """ES phrase suggester — whole-query "did you mean" (public docs,
+    "Phrase suggester"): per-position candidates from the term
+    dictionary (Levenshtein ≤ ``max_edits``, the original token included
+    at distance 0 when indexed, ranked distance asc / cf desc / term asc,
+    capped at ``max_candidates``; a position with no dictionary
+    neighbour keeps its original token), then every candidate
+    combination is scored by a stupid-backoff BIGRAM language model
+    (Brants et al. 2007 — ES's default phrase-suggest smoothing) built
+    from ``lm_docs``:
+
+        logp = ln u(w1) + Σ_i ln p(w_i | w_{i-1})
+        p(b|a) = c2(a,b)/c1(a)  if the bigram was seen,
+                 alpha · u(b)   otherwise
+        u(w)   = c1(w)/total    if seen, else alpha/total (OOV floor)
+
+    Top-k (logp desc, suggestion asc) rows (suggestion, logp).
+
+    Driver-bounded by design, like every query-assist surface here: the
+    candidate collect is positions × max_candidates rows; the LM lookups
+    are filtered DISTRIBUTED to the candidate vocabulary before
+    collecting (≤ vocab c1 rows + vocab² c2 rows — dozens); combination
+    scoring is pure driver arithmetic over ≤ max_candidates^positions
+    combos, refused loudly above ``max_combos`` rather than silently
+    truncated. The LM count scans are one groupBy each over ``lm_docs``
+    with the vocabulary filter pushed into them."""
+    toks = [t for t in text.split() if t]
+    if not toks:
+        raise ValueError("phrase-suggest input must contain tokens")
+    if max_candidates < 1:
+        raise ValueError("max_candidates must be >= 1")
+    d = _dictionary(spark, index_path).select("term", "cf")
+
+    # one candidate pass per DISTINCT token (tiny driver-sized collects)
+    cands: dict[str, list[str]] = {}
+    for tok in sorted(set(toks)):
+        n = len(tok)
+        c = d.where((F.length("term") >= n - max_edits)
+                    & (F.length("term") <= n + max_edits)
+                    & (F.col("cf") >= min_cf))
+        if prefix_lock > 0:
+            c = c.where(F.col("term").startswith(tok[:prefix_lock]))
+        rows = (c.withColumn("distance",
+                             F.levenshtein(F.col("term"), F.lit(tok)))
+                .where(F.col("distance") <= max_edits)
+                .orderBy(F.col("distance").asc(), F.col("cf").desc(),
+                         F.col("term").asc())
+                .limit(max_candidates).collect())
+        cands[tok] = [r["term"] for r in rows] or [tok]
+
+    n_combos = 1
+    for tok in toks:
+        n_combos *= len(cands[tok])
+    if n_combos > max_combos:
+        raise ValueError(
+            f"{n_combos} candidate combinations exceed max_combos="
+            f"{max_combos}; lower max_candidates or split the query")
+
+    vocab = sorted({w for c in cands.values() for w in c})
+    # LM counts restricted to the candidate vocabulary, computed
+    # distributed and collected bounded
+    words = (lm_docs.select(
+        F.explode(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                           lambda t: t != "")).alias("w")))
+    total = words.count()
+    if total == 0:
+        raise ValueError("lm_docs produced no tokens")
+    c1 = {r["w"]: int(r["n"]) for r in
+          (words.where(F.col("w").isin(vocab))
+           .groupBy("w").agg(F.count("*").alias("n")).collect())}
+    toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                        lambda t: t != "")
+    bi = (lm_docs.select(F.posexplode(toks_arr).alias("i", "a"),
+                         toks_arr.alias("__t"))
+          .select("a", F.try_element_at(F.col("__t"), F.col("i") + 2)
+                  .alias("b"))
+          .where(F.col("b").isNotNull()
+                 & F.col("a").isin(vocab) & F.col("b").isin(vocab))
+          .groupBy("a", "b").agg(F.count("*").alias("n")).collect())
+    c2 = {(r["a"], r["b"]): int(r["n"]) for r in bi}
+
+    import math
+
+    def u(w: str) -> float:
+        cw = c1.get(w, 0)
+        return cw / total if cw > 0 else alpha / total
+
+    def score(combo: tuple[str, ...]) -> float:
+        lp = math.log(u(combo[0]))
+        for a, b in zip(combo, combo[1:]):
+            c2ab = c2.get((a, b), 0)
+            if c2ab > 0:
+                lp += math.log(c2ab / c1[a])
+            else:
+                lp += math.log(alpha * u(b))
+        return lp
+
+    from itertools import product
+    scored = [(" ".join(combo), score(combo))
+              for combo in product(*(cands[t] for t in toks))]
+    scored.sort(key=lambda sv: (-sv[1], sv[0]))
+    return spark.createDataFrame(scored[:k], "suggestion string, logp double")
