@@ -753,6 +753,43 @@ LIMIT {k}
 RF_PIVOT, RF_BOOST = 2.0, 1.5
 
 
+RESHARD_DPS = 37  # 500 docs: build makes 4×125-doc shards → reshard to 14×37
+
+
+def _ensure_resharded_index(spark: SparkSession, sf_dir: str) -> str:
+    """A separate index artifact that has been resharded in place
+    (streaming/incremental.reshard_index): built at 4 shards, then one
+    full-merge generation flip to RESHARD_DPS docs per shard. Gated on
+    the root manifest's docs_per_shard, so a warm call runs zero jobs."""
+    from patapsco_spark.plans import manifest as _mf
+    from patapsco_spark.streaming.incremental import reshard_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pspark_idxr_{tag}")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("id"), "text",
+                    "lang"))
+    build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
+                resume=True)
+    meta = _mf.read_manifest(path)["config"]
+    if int(meta["docs_per_shard"]) != RESHARD_DPS:
+        reshard_index(spark, path, docs_per_shard=RESHARD_DPS)
+    return path
+
+
+def q_reshard_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding (new r5; the ES shrink/split analogue): the index's
+    shard size is changed in place by a full-merge generation flip
+    (docid order preserved, tf/dlq bytes carried), then the standard
+    BM25 query runs against the resharded index. The oracle is the plain
+    BM25 replay — identical results ARE the resharding correctness
+    proof."""
+    idx = _ensure_resharded_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
 TOP_HITS_N = 2
 SLICE_ID, NUM_SLICES = 1, 3
 
@@ -3120,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_bm25": q_rescore_bm25,
         "phrase_suggest": q_phrase_suggest,
         "top_hits_by_source": q_top_hits,
+        "reshard_bm25": q_reshard_bm25,
         "sliced_scroll": q_sliced_scroll,
         "constant_score": q_constant_score,
         "suggest_completions": q_suggest_completions,
@@ -5090,6 +5128,9 @@ def oracle_sql() -> dict[str, str]:
                                      0.9, 0.4, RESCORE_WIN, K),
         "top_hits_by_source": _top_hits_sql(BM25_QUERY.split(), 0.9, 0.4,
                                             TOP_HITS_N),
+        # identical-to-bm25_topk output against the RESHARDED index — the
+        # oracle equality is the shard-size-change correctness proof
+        "reshard_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "sliced_scroll": _sliced_scroll_sql(BM25_QUERY.split(), SLICE_ID,
                                             NUM_SLICES),
         "constant_score": _constant_score_sql(BM25_QUERY.split(), 1.5, K),

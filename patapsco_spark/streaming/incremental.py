@@ -219,7 +219,8 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
 
 
 def compact_index(spark: SparkSession, index_path: str,
-                  mode: str = "full", fill_threshold: float = 0.5) -> dict:
+                  mode: str = "full", fill_threshold: float = 0.5,
+                  docs_per_shard: int | None = None) -> dict:
     """Merge appended shards + collapse term_stats deltas into a fresh dense
     base — the missing analogue of Lucene's segment merging
     (/root/reference/patapsco/index.py:93-103, IndexWriter.addIndexes +
@@ -276,6 +277,16 @@ def compact_index(spark: SparkSession, index_path: str,
     independently of the unchanged ``shard_base`` floor. term_stats is
     recomputed over kept ∪ new postings — a columnar (term, df, cf) scan,
     NOT a blob rewrite, so the base cost is metadata-only.
+
+    ``docs_per_shard`` (resharding — the ES shrink/split analogue): a
+    full-mode compaction may change the shard size; the new generation's
+    docid base is lifted to a multiple of the NEW size whose shard id
+    also clears the old range (no partition-dir collision pre-commit),
+    decode runs on the old geometry, bucketing/packing/encoding on the
+    new, and the manifest flip rewrites ``docs_per_shard`` — so
+    ``shard = docid // docs_per_shard`` stays one pure function per
+    generation. Tiered mode refuses a size change loudly (kept base
+    shards would need the OLD mapping — two functions at once).
     """
     from ..operators.indexer import live_shard_pred
     from ..operators.indexer import read_term_stats  # noqa: F401 (doc ref)
@@ -287,13 +298,26 @@ def compact_index(spark: SparkSession, index_path: str,
         raise FileNotFoundError(f"no index at {index_path}")
     meta = root["config"]
     dps = int(meta["docs_per_shard"])
+    new_dps = dps if docs_per_shard is None else int(docs_per_shard)
+    if new_dps < 1:
+        raise ValueError(f"docs_per_shard must be >= 1, got {new_dps}")
+    if new_dps != dps and mode != "full":
+        raise ValueError(
+            "resharding requires mode='full': tiered keeps base shards "
+            "under the OLD docid->shard mapping, which cannot coexist "
+            f"with a new shard size ({dps} -> {new_dps})")
     num_shards = int(meta["num_shards"])
     shard_base = int(meta.get("shard_base", 0))
     positions = bool(meta.get("positions"))
     block_size = int(meta.get("block_size", 128))
     base0 = int(meta["num_docs_ceil"]) if "num_docs_ceil" in meta else \
         math.ceil(int(meta["num_docs"]) / dps) * dps
-    new_base_shard = base0 // dps
+    # resharding: lift the new-generation base to a multiple of the NEW
+    # size whose shard id also clears every old shard id — otherwise a
+    # larger new_dps could map new docids into EXISTING partition dirs
+    # and the pre-commit dynamic overwrite would clobber live data
+    new_base_shard = max(math.ceil(base0 / new_dps), num_shards)
+    base0 = new_base_shard * new_dps
 
     live = lambda df: df.where(live_shard_pred(meta))
     norms_all = live(spark.read.parquet(f"{index_path}/norms"))
@@ -352,7 +376,7 @@ def compact_index(spark: SparkSession, index_path: str,
         off += int(r["n"]) - len(dels_by_shard.get(int(r["shard"]), ()))
     num_docs = kept_docs + off
     last_docid = base0 + off - 1
-    new_num_shards = last_docid // dps + 1 if off else new_base_shard
+    new_num_shards = last_docid // new_dps + 1 if off else new_base_shard
     # off == 0 (every merged doc tombstoned) writes an empty tail — clamp
     # partition counts to 1 so the empty writes still plan
     new_shard_count = max(1, new_num_shards - new_base_shard)
@@ -367,7 +391,8 @@ def compact_index(spark: SparkSession, index_path: str,
         return (df.join(F.broadcast(mdf), "shard")
                 .withColumn("docid", F.col("docid") - F.col("mn") + F.col("nb"))
                 .drop("mn", "nb")
-                .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int")))
+                .withColumn("shard",
+                            (F.col("docid") / F.lit(new_dps)).cast("int")))
 
     dyn = {"partitionOverwriteMode": "dynamic"}
     # each table stages through _compact_stage first: Spark cannot
@@ -399,7 +424,7 @@ def compact_index(spark: SparkSession, index_path: str,
             .write.mode("overwrite").parquet(f"{stage}/remap_rows")
         renum = spark.read.parquet(f"{stage}/remap_rows")
         (renum.select(F.col("new_docid").alias("docid"), "id", "dl")
-         .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
+         .withColumn("shard", (F.col("docid") / F.lit(new_dps)).cast("int"))
          .write.mode("overwrite").parquet(f"{stage}/norms"))
     else:
         (remapped(norms.select("shard", "docid", "id", "dl"))
@@ -411,7 +436,7 @@ def compact_index(spark: SparkSession, index_path: str,
     (spark.read.parquet(f"{index_path}/norms")
      .where(F.col("shard") >= new_base_shard)
      .groupBy("shard")
-     .applyInPandas(_pack_norms(dps),
+     .applyInPandas(_pack_norms(new_dps),
                     schema="shard int, base long, n long, codes binary")
      .write.mode("overwrite").options(**dyn).partitionBy("shard")
      .parquet(f"{index_path}/norms_packed"))
@@ -421,11 +446,12 @@ def compact_index(spark: SparkSession, index_path: str,
     old_packed = merge(spark.read.parquet(f"{index_path}/norms_packed"))
     tf_rows = (old_posts.groupBy("shard").cogroup(old_packed.groupBy("shard"))
                .applyInPandas(
-                   _make_decode_remap_kernel(dps, remap, dels_by_shard),
+                   _make_decode_remap_kernel(dps, remap, dels_by_shard,
+                                             new_docs_per_shard=new_dps),
                    schema="shard int, term string, docid long, tf int, dlq int"))
     (tf_rows.repartition(new_shard_count, "shard")
      .sortWithinPartitions("shard", "term", "docid")
-     .mapInPandas(_make_postings_kernel(block_size, dps),
+     .mapInPandas(_make_postings_kernel(block_size, new_dps),
                   schema=POSTINGS_SCHEMA)
      .write.mode("overwrite").parquet(f"{stage}/postings"))
     (spark.read.parquet(f"{stage}/postings")
@@ -446,7 +472,7 @@ def compact_index(spark: SparkSession, index_path: str,
                    .drop("docid", "shard")
                    .withColumnRenamed("new_docid", "docid")
                    .withColumn("shard",
-                               (F.col("docid") / F.lit(dps)).cast("int")))
+                               (F.col("docid") / F.lit(new_dps)).cast("int")))
         else:
             pos = remapped(pos)
         (pos
@@ -479,7 +505,8 @@ def compact_index(spark: SparkSession, index_path: str,
             "stats_base": new_base_shard,
             "dead_ranges": [],
             "num_shards": new_num_shards,
-            "num_docs_ceil": new_num_shards * dps,
+            "docs_per_shard": new_dps,
+            "num_docs_ceil": new_num_shards * new_dps,
             "compactions": int(meta.get("compactions", 0)) + 1,
         })
 
@@ -554,7 +581,8 @@ def compact_index(spark: SparkSession, index_path: str,
 
 def _make_decode_remap_kernel(docs_per_shard: int,
                               remap: dict[int, tuple[int, int]],
-                              dels: dict[int, np.ndarray] | None = None):
+                              dels: dict[int, np.ndarray] | None = None,
+                              new_docs_per_shard: int | None = None):
     """Cogrouped (postings, packed norms) per OLD shard → decoded tf rows
     with REMAPPED docids/shards, ready for the batch postings kernel. The
     remap dict is one (min, new_base) pair per old shard — broadcast via
@@ -565,11 +593,18 @@ def _make_decode_remap_kernel(docs_per_shard: int,
     ``dels`` maps old shard → sorted ABSOLUTE tombstoned docids: their
     rows are dropped and each survivor shifts down by the count of deleted
     docids below it (one vectorized searchsorted per posting list), which
-    matches the norms renumbering — nb + (docid - mn) - |dels < docid|."""
+    matches the norms renumbering — nb + (docid - mn) - |dels < docid|.
+
+    ``new_docs_per_shard`` (resharding): the OLD geometry decodes blobs
+    (``base = old_shard · docs_per_shard``), the NEW geometry buckets the
+    remapped docids — they differ exactly when compact_index is invoked
+    with a new shard size."""
     import pandas as pd
 
     from ..functions.codec import decode_blocks
     from ..functions.smallfloat import byte4_to_int
+
+    out_dps = new_docs_per_shard or docs_per_shard
 
     def kernel(key, posts_pdf: pd.DataFrame,
                packed_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -621,13 +656,29 @@ def _make_decode_remap_kernel(docs_per_shard: int,
             return empty
         docid = np.concatenate(docids)
         return pd.DataFrame({
-            "shard": (docid // docs_per_shard).astype(np.int32),
+            "shard": (docid // out_dps).astype(np.int32),
             "term": np.concatenate(terms),
             "docid": docid,
             "tf": np.concatenate(tfs).astype(np.int32),
             "dlq": np.concatenate(dlqs).astype(np.int32)})
 
     return kernel
+
+
+def reshard_index(spark: SparkSession, index_path: str,
+                  docs_per_shard: int) -> dict:
+    """Change an index's shard size in place — the Elasticsearch
+    shrink/split analogue (fewer, bigger shards when a corpus stopped
+    growing; more, smaller shards when a hot index needs wider query
+    parallelism). A named convenience over
+    ``compact_index(mode='full', docs_per_shard=...)``: one full-merge
+    generation flip re-buckets every live doc under the new
+    ``shard = docid // docs_per_shard`` function with retrieval results
+    byte-identical (docid ORDER is preserved by the order-preserving
+    renumber; scores carry the same tf/dlq bytes). Returns the new
+    manifest config."""
+    return compact_index(spark, index_path, mode="full",
+                         docs_per_shard=docs_per_shard)
 
 
 def maybe_compact(spark: SparkSession, index_path: str, *,
