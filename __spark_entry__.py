@@ -2114,6 +2114,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 7).alias("rank"))
 
 
+HITS_ITERS = 5
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (new r5; Kleinberg 1999) over the injected
+    link graph: HITS_ITERS power iterations with L2 normalization each
+    half step, all pages as the vertex set. 7dp rounding absorbs float
+    summation order, like pagerank; the oracle unrolls the same
+    iterations as SQL CTEs."""
+    from patapsco_spark.operators.linkgraph import hits, link_edges
+
+    pages = _link_pages(spark)
+    edges = link_edges(pages)
+    out = hits(edges, nodes=pages.select("url"), iterations=HITS_ITERS,
+               validate_nodes=False)
+    return out.select("node", F.round("auth", 7).alias("auth"),
+                      F.round("hub", 7).alias("hub"))
+
+
+PMI_K, PMI_MIN = 50, 5
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (new r5; the word2phrase phrase-mining
+    primitive): top-50 adjacent token pairs by pointwise mutual
+    information, pair count floored at 5 to kill hapax noise. Oracle
+    replays token/pair counts and the exact PMI expression."""
+    from patapsco_spark.operators.textstats import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pmi_collocations(docs, k=PMI_K, min_count=PMI_MIN)
+    return out.select("w1", "w2", "pair_count",
+                      F.round("pmi", 6).alias("pmi"))
+
+
 def _link_edges_sql() -> str:
     """The md5 link rule as DuckDB SQL (edge set only — no html)."""
     return f"""
@@ -2177,6 +2212,87 @@ r{it} AS (
 )""")
     return ("WITH " + ",".join(parts) +
             f"\nSELECT node, round(rank, 7) AS rank FROM r{PR_ITERS}")
+
+
+def _hits_sql() -> str:
+    """HITS_ITERS power iterations unrolled as CTEs (same semantics as
+    operators.linkgraph.hits: L2 normalization each half step, all pages
+    as the vertex set, 0.0 for nodes the norm can't reach)."""
+    parts = [_link_edges_sql().lstrip(), """
+nodes AS (SELECT url AS node FROM urls),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""]
+    # MATERIALIZED: each iteration references the previous one several
+    # times; inlined CTEs would re-expand the whole chain per reference
+    # (exponential plan growth — the query never finishes at 5 iterations)
+    for it in range(1, HITS_ITERS + 1):
+        p = f"h{it - 1}"
+        parts.append(f"""
+ar{it} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub) AS s
+  FROM {p} h JOIN edges e ON e.src = h.node GROUP BY e.dst
+),
+an{it} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ar{it}),
+a{it} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN an.nrm > 0
+              THEN COALESCE(r.s, 0.0) / an.nrm
+              ELSE 0.0 END AS auth
+  FROM nodes n LEFT JOIN ar{it} r USING (node) CROSS JOIN an{it} an
+),
+hr{it} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM a{it} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+),
+hn{it} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM hr{it}),
+h{it} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN hn.nrm > 0
+              THEN COALESCE(r.s, 0.0) / hn.nrm
+              ELSE 0.0 END AS hub
+  FROM nodes n LEFT JOIN hr{it} r USING (node) CROSS JOIN hn{it} hn
+)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT n.node, round(COALESCE(a.auth, 0.0), 7) AS auth,
+       round(COALESCE(h.hub, 0.0), 7) AS hub
+FROM nodes n
+LEFT JOIN a{HITS_ITERS} a USING (node)
+LEFT JOIN h{HITS_ITERS} h USING (node)""")
+
+
+def _pmi_sql(k: int, min_count: int) -> str:
+    """Oracle for q_pmi_collocations: corpus token/adjacent-pair counts
+    and the exact PMI expression, floored and top-k'd identically."""
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT unnest(toks) AS w FROM w),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+nt AS (SELECT count(*)::BIGINT AS n FROM t),
+pr AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT toks, generate_subscripts(toks, 1) AS i FROM w)
+  WHERE i < len(toks)
+),
+np AS (SELECT count(*)::BIGINT AS n FROM pr),
+pc AS (
+  SELECT a AS w1, b AS w2, count(*)::BIGINT AS pair_count
+  FROM pr GROUP BY 1, 2 HAVING count(*) >= {min_count}
+)
+SELECT w1, w2, pair_count,
+       round(ln((pair_count / CAST(np.n AS DOUBLE))
+                / ((u1.c / CAST(nt.n AS DOUBLE))
+                   * (u2.c / CAST(nt.n AS DOUBLE)))), 6) AS pmi
+FROM pc
+JOIN uni u1 ON u1.w = pc.w1
+JOIN uni u2 ON u2.w = pc.w2
+CROSS JOIN nt CROSS JOIN np
+ORDER BY ln((pair_count / CAST(np.n AS DOUBLE))
+            / ((u1.c / CAST(nt.n AS DOUBLE))
+               * (u2.c / CAST(nt.n AS DOUBLE)))) DESC, w1, w2
+LIMIT {k}
+"""
 
 
 def _stage_cdx_expected() -> str:
@@ -3226,6 +3342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "sitemap_urls": q_sitemap_urls,
         "pagerank": q_pagerank,
+        "hits": q_hits,
+        "pmi_collocations": q_pmi_collocations,
         "harmonic_centrality": q_harmonic_centrality,
         "cdx_index": q_cdx_index,
         "wet_export": q_wet_export,
@@ -5213,6 +5331,8 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _main_content_sql(),
         "sitemap_urls": _sitemap_urls_sql(),
         "pagerank": _pagerank_sql(),
+        "hits": _hits_sql(),
+        "pmi_collocations": _pmi_sql(PMI_K, PMI_MIN),
         "harmonic_centrality": _hyperball_sql(),
         "cdx_index": _cdx_sql(),
         "wet_export": (

@@ -482,3 +482,66 @@ def hyperball(edges: DataFrame, nodes: DataFrame | None = None,
                      F.greatest(F.lit(0.0),
                                 F.col("est") - F.col("prev")) /
                      F.col("t"))).alias("harmonic")))
+
+
+def hits(edges: DataFrame, nodes: DataFrame | None = None,
+         iterations: int = 10, truncate_every: int = 4,
+         validate_nodes: bool = True) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") over a (src, dst) edge table →
+    (node, auth, hub) — the link-analysis complement of :func:`pagerank`:
+    a page is a good AUTHORITY when good hubs point at it and a good HUB
+    when it points at good authorities, the two scores reinforcing
+    mutually. Classic power iteration with L2 normalization each half
+    step; scores start at 1 and converge to the principal singular pair
+    of the adjacency matrix.
+
+    Same scale shape as pagerank: the edge table is pinned once
+    (localCheckpoint) so expensive upstream lineage never re-executes
+    inside the loop; each half-iteration is ONE edge join + one
+    combinable sum keyed on the receiving endpoint; the L2 norm is a
+    broadcast scalar. Deterministic up to float summation order —
+    cross-engine comparisons round (the entry query uses 7dp, like
+    pagerank's)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    nodes = _vertex_set(edges, nodes, validate=validate_nodes)
+    nodes = nodes.repartition("node").localCheckpoint(eager=False)
+    if nodes.count() == 0:
+        raise ValueError("hits over an empty graph")
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for it in range(iterations):
+        a_raw = (hub.join(edges, hub["node"] == edges["src"])
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub").alias("s")))
+        a_nrm = a_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_nrm))
+                .select("node",
+                        F.when(F.col("nrm") > 0,
+                               F.coalesce(F.col("s"), F.lit(0.0))
+                               / F.col("nrm"))
+                        .otherwise(F.lit(0.0)).alias("auth")))
+        h_raw = (auth.join(edges, auth["node"] == edges["dst"])
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth").alias("s")))
+        h_nrm = h_raw.agg(
+            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+        hub = (nodes.join(h_raw, "node", "left")
+               .crossJoin(F.broadcast(h_nrm))
+               .select("node",
+                       F.when(F.col("nrm") > 0,
+                              F.coalesce(F.col("s"), F.lit(0.0))
+                              / F.col("nrm"))
+                       .otherwise(F.lit(0.0)).alias("hub")))
+        if (it + 1) % truncate_every == 0 and it + 1 < iterations:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (nodes.join(auth, "node", "left").join(hub, "node", "left")
+            .select("node",
+                    F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                    F.coalesce("hub", F.lit(0.0)).alias("hub")))

@@ -778,3 +778,58 @@ def nb_classifier_scores(docs: DataFrame, label, train, *,
                   F.lit(0.0), lambda acc, x: acc + x["v"]))
                    .alias("log_odds")))
     return folded.select(F.col("__id").alias(id_col), "log_odds")
+
+
+def pmi_collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent token
+    pairs — the word2phrase / NPMI phrase-mining primitive (Mikolov et
+    al. 2013 use count(ab)−δ / (count(a)·count(b)); the standard PMI
+    formulation here): a high-PMI bigram ("new york") co-occurs far more
+    than its parts' frequencies predict, the signal tokenizer merge
+    rules and phrase dictionaries are mined from at corpus scale.
+
+        pmi(a,b) = ln( (c_ab / N_pairs) / ((c_a / N) · (c_b / N)) )
+
+    with c over the WHOLE corpus (token occurrences / adjacent pairs).
+    ``min_count`` floors the pair count — raw PMI is maximized by rare
+    pairs, so unfloored output is hapax noise (the reason word2phrase
+    has the δ discount). Returns top-k (w1, w2, pair_count, pmi) by
+    (pmi desc, w1, w2).
+
+    Scale shape: two combinable aggregations (token counts, pair counts
+    — map-side partial aggs, one shuffle each), two broadcast joins of
+    the k-bounded pair side against the unigram counts, one global top-k
+    sort of the floored pairs. No Python, no driver loops."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                        lambda t: t != "")
+    words = docs.select(F.explode(toks_arr).alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("c"))
+    n_tokens = words.count()
+    pairs = (docs.select(F.posexplode(toks_arr).alias("i", "a"),
+                         toks_arr.alias("__t"))
+             .select("a", F.try_element_at(F.col("__t"), F.col("i") + 2)
+                     .alias("b"))
+             .where(F.col("b").isNotNull()))
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, pair_count long, pmi double")
+    pc = (pairs.groupBy(F.col("a").alias("w1"), F.col("b").alias("w2"))
+          .agg(F.count("*").alias("pair_count"))
+          .where(F.col("pair_count") >= min_count))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (pc.join(ua, "w1").join(ub, "w2")
+              .select("w1", "w2", "pair_count",
+                      F.log((F.col("pair_count") / F.lit(float(n_pairs)))
+                            / ((F.col("c1") / F.lit(float(n_tokens)))
+                               * (F.col("c2") / F.lit(float(n_tokens)))))
+                      .alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(k)
+            .select("w1", "w2", F.col("pair_count").cast("long")
+                    .alias("pair_count"), "pmi"))
