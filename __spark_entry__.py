@@ -2221,9 +2221,11 @@ def _hits_sql() -> str:
     parts = [_link_edges_sql().lstrip(), """
 nodes AS (SELECT url AS node FROM urls),
 h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""]
-    # MATERIALIZED: each iteration references the previous one several
-    # times; inlined CTEs would re-expand the whole chain per reference
-    # (exponential plan growth — the query never finishes at 5 iterations)
+    # deferred normalization like the engine (ONE final L2 per vector);
+    # MATERIALIZED: each iteration is referenced twice (next half step +
+    # final), and inlined CTE re-expansion grows exponentially with
+    # iteration count (the first, per-step-normalized version of this
+    # oracle never finished at 5 iterations without it)
     for it in range(1, HITS_ITERS + 1):
         p = f"h{it - 1}"
         parts.append(f"""
@@ -2231,32 +2233,34 @@ ar{it} AS MATERIALIZED (
   SELECT e.dst AS node, sum(h.hub) AS s
   FROM {p} h JOIN edges e ON e.src = h.node GROUP BY e.dst
 ),
-an{it} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM ar{it}),
 a{it} AS MATERIALIZED (
-  SELECT n.node,
-         CASE WHEN an.nrm > 0
-              THEN COALESCE(r.s, 0.0) / an.nrm
-              ELSE 0.0 END AS auth
-  FROM nodes n LEFT JOIN ar{it} r USING (node) CROSS JOIN an{it} an
+  SELECT n.node, COALESCE(r.s, 0.0) AS auth
+  FROM nodes n LEFT JOIN ar{it} r USING (node)
 ),
 hr{it} AS MATERIALIZED (
   SELECT e.src AS node, sum(a.auth) AS s
   FROM a{it} a JOIN edges e ON e.dst = a.node GROUP BY e.src
 ),
-hn{it} AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS nrm FROM hr{it}),
 h{it} AS MATERIALIZED (
-  SELECT n.node,
-         CASE WHEN hn.nrm > 0
-              THEN COALESCE(r.s, 0.0) / hn.nrm
-              ELSE 0.0 END AS hub
-  FROM nodes n LEFT JOIN hr{it} r USING (node) CROSS JOIN hn{it} hn
+  SELECT n.node, COALESCE(r.s, 0.0) AS hub
+  FROM nodes n LEFT JOIN hr{it} r USING (node)
 )""")
+    n = HITS_ITERS
+    parts.append(f"""
+an AS (SELECT sqrt(sum(auth * auth)) AS anrm FROM a{n}),
+hn AS (SELECT sqrt(sum(hub * hub)) AS hnrm FROM h{n})""")
     return ("WITH " + ",".join(parts) + f"""
-SELECT n.node, round(COALESCE(a.auth, 0.0), 7) AS auth,
-       round(COALESCE(h.hub, 0.0), 7) AS hub
+SELECT n.node,
+       round(CASE WHEN an.anrm > 0
+                  THEN COALESCE(a.auth, 0.0) / an.anrm
+                  ELSE 0.0 END, 7) AS auth,
+       round(CASE WHEN hn.hnrm > 0
+                  THEN COALESCE(h.hub, 0.0) / hn.hnrm
+                  ELSE 0.0 END, 7) AS hub
 FROM nodes n
-LEFT JOIN a{HITS_ITERS} a USING (node)
-LEFT JOIN h{HITS_ITERS} h USING (node)""")
+LEFT JOIN a{n} a USING (node)
+LEFT JOIN h{n} h USING (node)
+CROSS JOIN an CROSS JOIN hn""")
 
 
 def _pmi_sql(k: int, min_count: int) -> str:

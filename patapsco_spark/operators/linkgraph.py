@@ -485,22 +485,32 @@ def hyperball(edges: DataFrame, nodes: DataFrame | None = None,
 
 
 def hits(edges: DataFrame, nodes: DataFrame | None = None,
-         iterations: int = 10, truncate_every: int = 4,
+         iterations: int = 10,
          validate_nodes: bool = True) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
     in a hyperlinked environment") over a (src, dst) edge table →
     (node, auth, hub) — the link-analysis complement of :func:`pagerank`:
     a page is a good AUTHORITY when good hubs point at it and a good HUB
     when it points at good authorities, the two scores reinforcing
-    mutually. Classic power iteration with L2 normalization each half
-    step; scores start at 1 and converge to the principal singular pair
-    of the adjacency matrix.
+    mutually. Power iteration; scores converge to the principal singular
+    pair of the adjacency matrix.
 
-    Same scale shape as pagerank: the edge table is pinned once
-    (localCheckpoint) so expensive upstream lineage never re-executes
-    inside the loop; each half-iteration is ONE edge join + one
-    combinable sum keyed on the receiving endpoint; the L2 norm is a
-    broadcast scalar. Deterministic up to float summation order —
+    Normalization is DEFERRED to one final L2 step instead of Kleinberg's
+    per-iteration rescale — mathematically identical output (per-step
+    normalization only rescales, and the final L2 cancels every scale
+    factor), and it turns the loop into a single lazy plan: no mid-loop
+    norm jobs, so no O(iterations²) lineage re-execution — the whole
+    computation is 2 scalar-norm jobs + 1 result materialization
+    regardless of iteration count. The trade is documented float range:
+    raw sums grow as ||A||₂^(2·iters), so hundreds of iterations on
+    high-degree graphs would overflow doubles — at the ≤20 iterations
+    HITS needs for convergence, growth tops out around degree^(2·20),
+    far inside double range for any real web graph.
+
+    Same scale shape as pagerank otherwise: the edge table is pinned once
+    (localCheckpoint) so expensive upstream lineage never re-executes;
+    each half-iteration is ONE edge join + one combinable sum keyed on
+    the receiving endpoint. Deterministic up to float summation order —
     cross-engine comparisons round (the entry query uses 7dp, like
     pagerank's)."""
     if iterations < 1:
@@ -513,35 +523,28 @@ def hits(edges: DataFrame, nodes: DataFrame | None = None,
 
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
     auth = None
-    for it in range(iterations):
+    for _ in range(iterations):
         a_raw = (hub.join(edges, hub["node"] == edges["src"])
                  .groupBy(F.col("dst").alias("node"))
-                 .agg(F.sum("hub").alias("s")))
-        a_nrm = a_raw.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+                 .agg(F.sum("hub").alias("auth")))
         auth = (nodes.join(a_raw, "node", "left")
-                .crossJoin(F.broadcast(a_nrm))
-                .select("node",
-                        F.when(F.col("nrm") > 0,
-                               F.coalesce(F.col("s"), F.lit(0.0))
-                               / F.col("nrm"))
-                        .otherwise(F.lit(0.0)).alias("auth")))
+                .select("node", F.coalesce("auth", F.lit(0.0)).alias("auth")))
         h_raw = (auth.join(edges, auth["node"] == edges["dst"])
                  .groupBy(F.col("src").alias("node"))
-                 .agg(F.sum("auth").alias("s")))
-        h_nrm = h_raw.agg(
-            F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+                 .agg(F.sum("auth").alias("hub")))
         hub = (nodes.join(h_raw, "node", "left")
-               .crossJoin(F.broadcast(h_nrm))
-               .select("node",
-                       F.when(F.col("nrm") > 0,
-                              F.coalesce(F.col("s"), F.lit(0.0))
-                              / F.col("nrm"))
-                       .otherwise(F.lit(0.0)).alias("hub")))
-        if (it + 1) % truncate_every == 0 and it + 1 < iterations:
-            auth = auth.localCheckpoint(eager=True)
-            hub = hub.localCheckpoint(eager=True)
+               .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub")))
+
+    a_nrm = auth.agg(F.sqrt(F.sum(F.col("auth") * F.col("auth")))
+                     .alias("anrm"))
+    h_nrm = hub.agg(F.sqrt(F.sum(F.col("hub") * F.col("hub")))
+                    .alias("hnrm"))
     return (nodes.join(auth, "node", "left").join(hub, "node", "left")
+            .crossJoin(F.broadcast(a_nrm)).crossJoin(F.broadcast(h_nrm))
             .select("node",
-                    F.coalesce("auth", F.lit(0.0)).alias("auth"),
-                    F.coalesce("hub", F.lit(0.0)).alias("hub")))
+                    F.when(F.col("anrm") > 0,
+                           F.coalesce("auth", F.lit(0.0)) / F.col("anrm"))
+                    .otherwise(F.lit(0.0)).alias("auth"),
+                    F.when(F.col("hnrm") > 0,
+                           F.coalesce("hub", F.lit(0.0)) / F.col("hnrm"))
+                    .otherwise(F.lit(0.0)).alias("hub")))
