@@ -753,6 +753,21 @@ LIMIT {k}
 RF_PIVOT, RF_BOOST = 2.0, 1.5
 
 
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index statistics surface (new r5; the _stats/IndexReader read):
+    live docs, vocabulary size, total tokens, max df, avgdl, live shard
+    count — all from the committed snapshot (manifest + segment-gated
+    term_stats), one columnar vocab-sized scan. Oracle recomputes every
+    number from the raw corpus, incl. the float32 avgdl round-trip; the
+    4-shard layout is the entry build's pinned config."""
+    from patapsco_spark.operators.checkindex import index_stats
+
+    idx = _ensure_index(spark, sf_dir)
+    out = index_stats(spark, idx)
+    return out.select("num_docs", "vocab_size", "total_tf", "max_df",
+                      F.round("avgdl", 5).alias("avgdl"), "live_shards")
+
+
 RESHARD_DPS = 37  # 500 docs: build makes 4×125-doc shards → reshard to 14×37
 
 
@@ -3278,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_suggest": q_phrase_suggest,
         "top_hits_by_source": q_top_hits,
         "reshard_bm25": q_reshard_bm25,
+        "index_stats": q_index_stats,
         "sliced_scroll": q_sliced_scroll,
         "constant_score": q_constant_score,
         "suggest_completions": q_suggest_completions,
@@ -5253,6 +5269,16 @@ def oracle_sql() -> dict[str, str]:
         # identical-to-bm25_topk output against the RESHARDED index — the
         # oracle equality is the shard-size-change correctness proof
         "reshard_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "index_stats": f"""
+WITH {_TOK_CTES}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS vocab_size,
+       (SELECT sum(dl) FROM dl)::BIGINT AS total_tf,
+       (SELECT max(df) FROM (SELECT count(*) AS df FROM tf GROUP BY term))
+         ::BIGINT AS max_df,
+       ROUND((SELECT avgdl FROM stats), 5) AS avgdl,
+       4::BIGINT AS live_shards
+""",
         "sliced_scroll": _sliced_scroll_sql(BM25_QUERY.split(), SLICE_ID,
                                             NUM_SLICES),
         "constant_score": _constant_score_sql(BM25_QUERY.split(), 1.5, K),

@@ -230,3 +230,41 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
         raise CorruptIndexError(
             f"index at {index_path} failed checks: {failed}")
     return report
+
+
+def index_stats(spark, index_path: str):
+    """One-row index statistics — the `_stats` / `IndexReader` surface a
+    search operator reads before planning (and an operator exposes for
+    dashboards): live document count, vocabulary size, total token count,
+    average document length, max document frequency, and the live shard
+    count. Everything derives from the committed snapshot (manifest +
+    segment-gated term_stats), so a concurrent uncommitted append is
+    invisible — the same read discipline as retrieval.
+
+    Cost shape: one columnar scan of term_stats (term, df, cf — vocab-
+    sized, never postings blobs) with a map-side-combinable aggregate;
+    the scalars (num_docs, avgdl, shards) come from the manifest alone.
+    Returns a DataFrame with exactly one row."""
+    from pyspark.sql import functions as F
+
+    from .indexer import read_term_stats
+    from .retrieve import load_index_meta
+
+    meta = load_index_meta(index_path)
+    shard_base = int(meta.get("shard_base", 0))
+    stats_base = int(meta.get("stats_base", shard_base))
+    dead = sum(int(b) - int(a) for a, b in (meta.get("dead_ranges") or []))
+    live_shards = int(meta["num_shards"]) - shard_base - dead
+    stats = read_term_stats(spark, index_path,
+                            num_shards=int(meta["num_shards"]),
+                            shard_base=stats_base)
+    agg = stats.agg(F.count("*").alias("vocab_size"),
+                    F.coalesce(F.sum("cf"), F.lit(0)).alias("total_tf"),
+                    F.coalesce(F.max("df"), F.lit(0)).alias("max_df"))
+    return agg.select(
+        F.lit(int(meta["num_docs"])).alias("num_docs"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.col("total_tf").cast("long").alias("total_tf"),
+        F.col("max_df").cast("long").alias("max_df"),
+        F.lit(float(meta["avgdl"])).alias("avgdl"),
+        F.lit(live_shards).cast("long").alias("live_shards"))
