@@ -734,6 +734,10 @@ def nb_classifier_scores(docs: DataFrame, label, train, *,
                        F.col(text_col).alias("__text"),
                        label.cast("boolean").alias("__y"),
                        train.cast("boolean").alias("__tr"))
+    # NULL label/split rows are dropped, not silently folded: a NULL __y
+    # group would alias into the False class key driver-side (bool(None)
+    # is False) and corrupt both class counts
+    base = base.where(F.col("__y").isNotNull() & F.col("__tr").isNotNull())
     toks = (base.select("__id", "__y", "__tr",
                         F.explode(F.split(F.col("__text"), " "))
                         .alias("term"))
