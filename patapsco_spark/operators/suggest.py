@@ -164,14 +164,12 @@ def suggest_phrase(spark: SparkSession, index_path: str, text: str,
     c1 = {r["w"]: int(r["n"]) for r in
           (words.where(F.col("w").isin(vocab))
            .groupBy("w").agg(F.count("*").alias("n")).collect())}
+    from ..operators.textstats import _adjacent_pairs
     toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                         lambda t: t != "")
-    bi = (lm_docs.select(F.posexplode(toks_arr).alias("i", "a"),
-                         toks_arr.alias("__t"))
-          .select("a", F.try_element_at(F.col("__t"), F.col("i") + 2)
-                  .alias("b"))
-          .where(F.col("b").isNotNull()
-                 & F.col("a").isin(vocab) & F.col("b").isin(vocab))
+    bi = (lm_docs.select(F.explode(_adjacent_pairs(toks_arr)).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
           .groupBy("a", "b").agg(F.count("*").alias("n")).collect())
     c2 = {(r["a"], r["b"]): int(r["n"]) for r in bi}
 
