@@ -889,6 +889,24 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("suggestion", F.round("logp", 6).alias("logp"))
 
 
+CTX_PREFIX, CTX_PREV, CTX_MC = "s", "data", 50
+
+
+def q_context_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-aware completion (new r5; search-as-you-type): dictionary
+    completions of 's' re-ranked by the stupid-backoff bigram probability
+    given the preceding word 'data' — corpus LM evidence instead of the
+    ES context suggester's hand-assigned weights. Oracle replays the
+    static pool cut, the bigram counts, and the exact backoff."""
+    from patapsco_spark.operators.suggest import suggest_completions_context
+
+    idx = _ensure_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = suggest_completions_context(spark, idx, CTX_PREFIX, CTX_PREV,
+                                      docs, k=10, max_candidates=CTX_MC)
+    return out.select("suggestion", F.round("prob", 6).alias("prob"), "cf")
+
+
 RESCORE_QUERY, RESCORE_W, RESCORE_WIN = "stream window", 2.0, 200
 
 
@@ -3291,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boosting_bm25": q_boosting_bm25,
         "rescore_bm25": q_rescore_bm25,
         "phrase_suggest": q_phrase_suggest,
+        "context_completions": q_context_completions,
         "top_hits_by_source": q_top_hits,
         "reshard_bm25": q_reshard_bm25,
         "index_stats": q_index_stats,
@@ -3687,6 +3706,53 @@ FROM {" CROSS JOIN ".join(combo_from)}
 CROSS JOIN tot
 {chr(10).join(joins)}
 ORDER BY {logp} DESC, suggestion ASC
+LIMIT {k}
+"""
+
+
+def _context_completions_sql(prefix: str, prev: str, max_candidates: int,
+                             k: int, alpha: float = 0.4) -> str:
+    """Oracle for q_context_completions: dictionary pool by (cf desc,
+    term asc), bigram counts against the context word, and the exact
+    stupid-backoff probability with the engine's tie order."""
+    a = repr(float(alpha))
+    return f"""
+WITH w AS (
+  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+t AS (SELECT unnest(toks) AS w FROM w),
+dict AS (SELECT w AS term, count(*)::BIGINT AS cf FROM t GROUP BY w),
+pool AS (
+  SELECT term, cf FROM dict WHERE term LIKE '{prefix}%'
+  ORDER BY cf DESC, term ASC LIMIT {max_candidates}
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM t),
+c1p AS (SELECT count(*)::BIGINT AS n FROM t WHERE w = '{prev}'),
+pr AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM (SELECT toks, generate_subscripts(toks, 1) AS i FROM w)
+  WHERE i < len(toks)
+),
+bc AS (
+  SELECT b, count(*)::BIGINT AS n FROM pr
+  WHERE a = '{prev}' AND b IN (SELECT term FROM pool) GROUP BY b
+),
+scored AS (
+  SELECT pool.term AS suggestion, pool.cf,
+         CASE WHEN bc.n IS NOT NULL AND bc.n > 0
+              THEN CAST(bc.n AS DOUBLE) / c1p.n
+              ELSE {a} * (CASE WHEN pool.cf > 0
+                               THEN CAST(pool.cf AS DOUBLE) / tot.n
+                               ELSE {a} / tot.n END)
+         END AS prob0
+  FROM pool LEFT JOIN bc ON bc.b = pool.term
+  CROSS JOIN tot CROSS JOIN c1p
+)
+SELECT suggestion, ROUND(prob0, 6) AS prob, cf
+FROM scored
+-- engine sorts by the UNROUNDED probability; prob0 keeps that order
+ORDER BY prob0 DESC, cf DESC, suggestion ASC
 LIMIT {k}
 """
 
@@ -5258,6 +5324,8 @@ def oracle_sql() -> dict[str, str]:
                                             0.9, 0.4, K),
         "boosting_bm25": _boosting_sql(BM25_QUERY.split(), NEG_QUERY,
                                        NEG_BOOST, 0.9, 0.4, K),
+        "context_completions": _context_completions_sql(
+            CTX_PREFIX, CTX_PREV, CTX_MC, 10),
         "phrase_suggest": _phrase_suggest_sql(PHRASE_SUGGEST_INPUT.split(),
                                               PHRASE_SUGGEST_K,
                                               PHRASE_SUGGEST_MC),

@@ -88,6 +88,31 @@ def suggest_spelling(spark: SparkSession, index_path: str, term: str,
             .select("term", "distance", "df", "cf"))
 
 
+def _collect_bigram_lm(lm_docs: DataFrame, vocab: list[str],
+                       text_col: str) -> tuple[int, dict, dict]:
+    """(total tokens, unigram counts, bigram counts) restricted to a
+    candidate vocabulary — computed DISTRIBUTED (two combinable aggs with
+    the vocab filter pushed in), collected bounded (≤ |vocab| + |vocab|²
+    rows). Shared by the phrase suggester and context completions."""
+    from ..operators.textstats import _adjacent_pairs
+
+    toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                        lambda t: t != "")
+    words = lm_docs.select(F.explode(toks_arr).alias("w"))
+    total = words.count()
+    if total == 0:
+        raise ValueError("lm_docs produced no tokens")
+    c1 = {r["w"]: int(r["n"]) for r in
+          (words.where(F.col("w").isin(vocab))
+           .groupBy("w").agg(F.count("*").alias("n")).collect())}
+    bi = (lm_docs.select(F.explode(_adjacent_pairs(toks_arr)).alias("p"))
+          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
+          .groupBy("a", "b").agg(F.count("*").alias("n")).collect())
+    c2 = {(r["a"], r["b"]): int(r["n"]) for r in bi}
+    return total, c1, c2
+
+
 def suggest_phrase(spark: SparkSession, index_path: str, text: str,
                    lm_docs: DataFrame, *, k: int = 3,
                    max_candidates: int = 3, max_edits: int = 2,
@@ -153,25 +178,7 @@ def suggest_phrase(spark: SparkSession, index_path: str, text: str,
             f"{max_combos}; lower max_candidates or split the query")
 
     vocab = sorted({w for c in cands.values() for w in c})
-    # LM counts restricted to the candidate vocabulary, computed
-    # distributed and collected bounded
-    words = (lm_docs.select(
-        F.explode(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                           lambda t: t != "")).alias("w")))
-    total = words.count()
-    if total == 0:
-        raise ValueError("lm_docs produced no tokens")
-    c1 = {r["w"]: int(r["n"]) for r in
-          (words.where(F.col("w").isin(vocab))
-           .groupBy("w").agg(F.count("*").alias("n")).collect())}
-    from ..operators.textstats import _adjacent_pairs
-    toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                        lambda t: t != "")
-    bi = (lm_docs.select(F.explode(_adjacent_pairs(toks_arr)).alias("p"))
-          .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-          .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
-          .groupBy("a", "b").agg(F.count("*").alias("n")).collect())
-    c2 = {(r["a"], r["b"]): int(r["n"]) for r in bi}
+    total, c1, c2 = _collect_bigram_lm(lm_docs, vocab, text_col)
 
     import math
 
@@ -194,3 +201,55 @@ def suggest_phrase(spark: SparkSession, index_path: str, text: str,
               for combo in product(*(cands[t] for t in toks))]
     scored.sort(key=lambda sv: (-sv[1], sv[0]))
     return spark.createDataFrame(scored[:k], "suggestion string, logp double")
+
+
+def suggest_completions_context(spark: SparkSession, index_path: str,
+                                prefix: str, prev_word: str,
+                                lm_docs: DataFrame, *, k: int = 10,
+                                max_candidates: int = 50,
+                                alpha: float = 0.4,
+                                text_col: str = "text") -> DataFrame:
+    """Context-aware completion — search-as-you-type: dictionary
+    completions of ``prefix`` re-ranked by the stupid-backoff bigram
+    probability given the PRECEDING word ("data s…" ranks "stream" above
+    equally-frequent s-words the corpus never puts after "data"). The ES
+    completion/context suggester shape, with corpus LM evidence instead
+    of hand-assigned context weights:
+
+        P(cand | prev) = c2(prev, cand) / c1(prev)   if the bigram was seen,
+                         alpha · u(cand)             otherwise
+
+    (u as in :func:`suggest_phrase`). Candidate pool = the top
+    ``max_candidates`` static completions (cf desc — the plain
+    suggest_completions ranking); ties after the LM re-rank break by
+    cf desc, term asc. Returns (suggestion, prob, cf) top-k.
+
+    Driver-bounded like every suggester: one pushed-StartsWith dictionary
+    read (pool rows), the shared vocabulary-filtered LM aggs
+    (_collect_bigram_lm), and a pool-sized re-rank in the driver."""
+    if not prefix:
+        raise ValueError("completion prefix must be non-empty")
+    if not prev_word:
+        raise ValueError("context word must be non-empty")
+    pool = suggest_completions(spark, index_path, prefix,
+                               k=max_candidates).collect()
+    if not pool:
+        return spark.createDataFrame(
+            [], "suggestion string, prob double, cf long")
+    vocab = sorted({r["term"] for r in pool} | {prev_word})
+    total, c1, c2 = _collect_bigram_lm(lm_docs, vocab, text_col)
+
+    def u(w: str) -> float:
+        cw = c1.get(w, 0)
+        return cw / total if cw > 0 else alpha / total
+
+    def prob(cand: str) -> float:
+        n2 = c2.get((prev_word, cand), 0)
+        if n2 > 0:
+            return n2 / c1[prev_word]
+        return alpha * u(cand)
+
+    scored = [(r["term"], prob(r["term"]), int(r["cf"])) for r in pool]
+    scored.sort(key=lambda svc: (-svc[1], -svc[2], svc[0]))
+    return spark.createDataFrame(scored[:k],
+                                 "suggestion string, prob double, cf long")
