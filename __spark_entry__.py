@@ -927,6 +927,24 @@ def q_rescore_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+PINNED_IDS = ("42", "7")  # editorial promotions for the pinned query
+
+
+def q_pinned_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query (new r5): docs 42 and 7 rank first in that exact
+    order with descending synthetic scores (1e9 − slot), organic BM25
+    below them unchanged with pins deduplicated out. Oracle replays the
+    BM25 run, the pin ladder, and the union before one rank window."""
+    from patapsco_spark.operators.retrieve import (process_queries,
+                                                   search_pinned)
+
+    idx = _ensure_index(spark, sf_dir)
+    plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng")
+    res = search_pinned(spark, idx, plans, {"q1": list(PINNED_IDS)},
+                        RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 NEG_QUERY, NEG_BOOST = "stream", 0.5
 
 
@@ -3307,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_feature_bm25": q_rank_feature_bm25,
         "filtered_bm25": q_filtered_bm25,
         "boosting_bm25": q_boosting_bm25,
+        "pinned_bm25": q_pinned_bm25,
         "rescore_bm25": q_rescore_bm25,
         "phrase_suggest": q_phrase_suggest,
         "context_completions": q_context_completions,
@@ -3802,6 +3821,56 @@ SELECT doc_id,
        ROUND(score, 5) AS score
 FROM blended
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _pinned_sql(query_terms: list[str], pinned_ids: tuple,
+                k1: float, b: float, k: int) -> str:
+    """Oracle for q_pinned_bm25: BM25 replay, pins removed from the
+    organic set and re-added with the 1e9 − slot ladder, one rank
+    window. Equivalent to the engine's organic-top-k-then-dedup: the
+    final cut keeps k − |pins∩top-k| organic rows, which never reaches
+    past the organic k-th."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    pvals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(pinned_ids))
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+pins(doc_id, slot) AS (VALUES {pvals}),
+pinr AS (
+  SELECT p.doc_id, 1000000000.0 - p.slot AS score
+  FROM pins p JOIN documents d USING (doc_id)
+),
+org AS (
+  SELECT s.doc_id, s.score FROM scores s
+  LEFT JOIN pins USING (doc_id) WHERE pins.doc_id IS NULL
+),
+u AS (SELECT * FROM pinr UNION ALL SELECT * FROM org)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM u
+ORDER BY 2
 LIMIT {k}
 """
 
@@ -5324,6 +5393,8 @@ def oracle_sql() -> dict[str, str]:
                                             0.9, 0.4, K),
         "boosting_bm25": _boosting_sql(BM25_QUERY.split(), NEG_QUERY,
                                        NEG_BOOST, 0.9, 0.4, K),
+        "pinned_bm25": _pinned_sql(BM25_QUERY.split(), PINNED_IDS,
+                                   0.9, 0.4, K),
         "context_completions": _context_completions_sql(
             CTX_PREFIX, CTX_PREV, CTX_MC, 10),
         "phrase_suggest": _phrase_suggest_sql(PHRASE_SUGGEST_INPUT.split(),

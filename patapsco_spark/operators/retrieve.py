@@ -704,6 +704,59 @@ def rescore(spark: SparkSession, index_path: str,
             .orderBy("query_id", "rank"))
 
 
+def search_pinned(spark: SparkSession, index_path: str,
+                  plans: list[QueryPlan], pinned: dict[str, list[str]],
+                  cfg: RetrieveConfig | None = None) -> DataFrame:
+    """ES ``pinned`` query (public docs, "Pinned query"): editorially
+    promoted documents rank FIRST, in the exact order given, ahead of
+    every organic result; organic ranking below them is unchanged and
+    pinned ids are deduplicated out of it. ``pinned`` maps query_id →
+    ordered external ids (unknown ids are simply absent — ES behavior:
+    a pin names a doc, it does not create one).
+
+    Scores follow ES's scheme: pinned hits get large descending
+    synthetic scores (1e9 − slot — ES pins above MAX_ORGANIC_SCORE;
+    1e9's double ulp is ≪ 1 so the ladder actually descends, unlike a
+    DBL_MAX base where subtracting the slot would be absorbed) so the
+    output stays sortable by (score desc) alone; organic hits keep
+    their real scores. Scale shape: the organic run is the
+    ordinary pruned top-k; the pinned lookup is a broadcast semi-join of
+    a handful of ids against the partition-pruned norms table; one final
+    k cut."""
+    cfg = cfg or RetrieveConfig()
+    organic = search(spark, index_path, plans, cfg)
+    rows = [(qid, did, slot)
+            for qid, ids in sorted(pinned.items())
+            for slot, did in enumerate(ids)]
+    if not rows:
+        return organic
+    pins = spark.createDataFrame(
+        rows, "query_id string, doc_id string, __slot int")
+    # resolve pinned external ids against the live index (docid needed for
+    # the output contract and the stable tie-break)
+    meta = load_index_meta(index_path)
+    from .indexer import live_shard_pred
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_shard_pred(meta))
+             .select(F.col("id").alias("doc_id"), "docid"))
+    resolved = (norms.join(F.broadcast(pins), "doc_id")
+                .select("query_id", "doc_id", "docid",
+                        (F.lit(1.0e9) - F.col("__slot")).alias("score")))
+    rest = organic.join(F.broadcast(pins.select("query_id", "doc_id")
+                                    .withColumn("__p", F.lit(True))),
+                        ["query_id", "doc_id"], "left") \
+        .where(F.col("__p").isNull()) \
+        .select("query_id", "doc_id", "docid", "score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    return (resolved.unionByName(rest)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= cfg.k)
+            .select("query_id", "doc_id", "docid",
+                    (F.col("__rn") - 1).cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
 def search_boosting(spark: SparkSession, index_path: str,
                     positive_plans: list[QueryPlan],
                     negative_plans: list[QueryPlan],
