@@ -530,6 +530,33 @@ def q_qld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+QLJM_LAMBDA = 0.1  # Lucene LMJelinekMercerSimilarity short-query default
+
+
+def q_qljm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Jelinek-Mercer top-k (new r5): the third Lucene LM similarity
+    alongside bm25/qld — per-term ln(1 + ((1-λ)·tf/dl) / (λ·p(t|C))) with
+    the same +1-smoothed collection model and quantized norms as qld
+    (operators/retrieve.py scorer kernel, name='qljm')."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", QLD_QUERY)],
+                       RetrieveConfig(name="qljm", k=K, lam=QLJM_LAMBDA),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+def q_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF top-k (new r5): Lucene ClassicSimilarity — per-term
+    √tf · (1+ln((N+1)/(df+1)))² · 1/√dl over the SAME quantized norms the
+    bm25/qld scorers read (Lucene 8+ shares one length norm across
+    similarities), name='classic' in the scorer kernel."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="classic", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
 SYN_TERM, SYN_EQUIVS = "query", ("scan", "filter")
 
 
@@ -3342,6 +3369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
         "qld_topk": q_qld_topk,
+        "qljm_topk": q_qljm_topk,
+        "classic_topk": q_classic_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
@@ -4578,6 +4607,75 @@ LIMIT {k}
 """
 
 
+def _qljm_sql(query_terms: list[str], lam: float, k: int) -> str:
+    """LM Jelinek-Mercer replay: parenthesization mirrors the scorer
+    kernel's numpy expression tree exactly (((1-λ)·tf)·(1/dl) over the
+    λ·((cf+1)/(total_tf+1)) collection model) for bit-stable doubles."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+cfs AS (
+  SELECT tf.term, sum(tf.tf) AS cf FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + ((1 - {lam}) * tf.tf * (1.0 / {quant}))
+                    / ({lam} * ((cfs.cf + 1) / (stats.total_tf + 1))))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN cfs ON cfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _classic_sql(query_terms: list[str], k: int) -> str:
+    """Classic TF-IDF replay: √tf · idf² · 1/√dl with idf =
+    1+ln((N+1)/(df+1)), parenthesized exactly as the kernel multiplies."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    idf = "(1 + ln((stats.n + 1) / (dfs.df + 1)))"
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             sqrt(tf.tf) * ({idf} * {idf}) * (1.0 / sqrt({quant}))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _psq_sql(clauses: list[tuple[int, str, float]], k1: float, b: float, k: int) -> str:
     vals = ", ".join(f"({cid}, '{t}', {p})" for cid, t, p in clauses)
     quant = _quant_sql("dl.dl")
@@ -5442,6 +5540,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "suggest_spelling": _suggest_spelling_sql(),
         "snippets": _snippets_sql(),
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
+        "qljm_topk": _qljm_sql(QLD_QUERY.split(), QLJM_LAMBDA, K),
+        "classic_topk": _classic_sql(BM25_QUERY.split(), K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
         "synonym_bm25": _synonym_bm25_sql("data", (SYN_TERM,) + SYN_EQUIVS,
                                           0.9, 0.4, K),

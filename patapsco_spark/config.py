@@ -70,7 +70,12 @@ class IndexConfig:
 class RetrieveConfig:
     """Retrieval config (reference: RetrieveConfig, schema.py:155-180)."""
 
-    name: str = "bm25"                    # bm25 | qld
+    # bm25 | qld (LMDirichlet) | qljm (LMJelinekMercer) | classic (TF-IDF).
+    # qljm and classic are beyond the reference's two (retrieve.py:98-105)
+    # but first-class in the Lucene it wraps; formulas follow the published
+    # LMJelinekMercerSimilarity / ClassicSimilarity javadocs over the same
+    # quantized norms as bm25/qld.
+    name: str = "bm25"
     k: int = 1000                         # schema.py:159 "number"
     # block-max pruning for disjunctive BM25: "auto" prunes only when the
     # matched postings volume is large enough that skipping decodes beats
@@ -81,6 +86,10 @@ class RetrieveConfig:
     k1: float = 0.9                       # schema.py:169
     b: float = 0.4                        # schema.py:170
     mu: int = 1000                        # schema.py:171-172 (QLD)
+    # Jelinek-Mercer interpolation weight of the collection model (qljm
+    # only); Lucene LMJelinekMercerSimilarity's constructor default used in
+    # short-query settings is 0.1
+    lam: float = 0.1
     rm3: bool = False
     fb_terms: int = 10                    # schema.py:176-180
     fb_docs: int = 10

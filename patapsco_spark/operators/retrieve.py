@@ -107,6 +107,10 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
+    if cfg.name not in ("bm25", "qld", "qljm", "classic"):
+        raise ValueError(
+            f"unknown scorer {cfg.name!r}: expected bm25 | qld | qljm | "
+            "classic")
     meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
     total_tf = int(meta["total_tf"])
@@ -195,9 +199,18 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # positions (index.py:52).
     idf_over: dict[str, float] = {}
     phrase_posts = None
-    if cfg.name in ("bm25", "qld") and meta.get("positions") and any(
-            c.phrase and len(c.terms) > 1
-            for p in plans for c in iter_term_clauses(p.clauses)):
+    has_phrases = any(c.phrase and len(c.terms) > 1
+                      for p in plans for c in iter_term_clauses(p.clauses))
+    if cfg.name in ("qljm", "classic") and meta.get("positions") and \
+            has_phrases:
+        # positional phrase scoring is wired for bm25 (idf_over = Σ member
+        # idfs) and qld (pseudo-term cf) only; silently degrading qljm /
+        # classic phrases to the bag-of-words fallback while positions
+        # EXIST would be the silent-wrong-answer class — refuse loudly
+        raise ValueError(
+            f"positional phrases are not implemented for scorer "
+            f"{cfg.name!r} (bm25/qld only)")
+    if cfg.name in ("bm25", "qld") and meta.get("positions") and has_phrases:
         if stats_override is not None and cfg.name == "qld":
             # bm25 phrases are federation-safe (idf = Σ member idfs from the
             # GLOBAL df_map via idf_over); qld phrases score p(t|C) from the
@@ -281,7 +294,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     scorer = _make_shard_scorer(
         plans_payload, df_map, scorer=cfg.name,
         k=None if matches_only else cfg.k, k1=cfg.k1, b=cfg.b,
-        mu=cfg.mu, num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
+        mu=cfg.mu, lam=cfg.lam,
+        num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
         count_only=count_only, min_should_match=cfg.min_should_match)
@@ -1425,6 +1439,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 
 
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
+                       lam=0.1,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
                        after=None, count_only=False, min_should_match=0):
@@ -1470,8 +1485,19 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
 
         if scorer == "bm25":
             K = k1 * (1.0 - b + b * dlq / avgdl)
-        else:  # qld: per-doc length component ln(mu/(dlq+mu))
+        elif scorer == "qld":  # per-doc length component ln(mu/(dlq+mu))
             len_comp = np.log(mu / (dlq + mu))
+        elif scorer == "qljm":
+            # LM Jelinek-Mercer (Lucene LMJelinekMercerSimilarity):
+            # per-term ln(1 + ((1-λ)·tf/dl) / (λ·p(t|C))). Only tf>0 docs
+            # are ever scored, and tf>0 ⇒ dl≥1, so inv_dl's 0-guard is
+            # defensive only (a dlq=0 slot can exist for an empty doc)
+            with np.errstate(divide="ignore"):
+                inv_dl = np.where(dlq > 0, 1.0 / dlq, 0.0)
+        else:  # classic TF-IDF (Lucene ClassicSimilarity):
+            # per-term √tf · idf² · 1/√dl over the same quantized norms
+            with np.errstate(divide="ignore"):
+                inv_sqrt_dl = np.where(dlq > 0, 1.0 / np.sqrt(dlq), 0.0)
 
         # per-term postings handles: decode lazily, by block
         handles: dict[str, _TermHandle] = {}
@@ -1559,10 +1585,21 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     else:
                         idf = math.log(1.0 + (num_docs - edf + 0.5) / (edf + 0.5))
                     total[mask] += boost * idf * etf[mask] / (etf[mask] + K[mask])
-                else:  # qld / LMDirichlet with +1-smoothed collection prob
+                elif scorer == "qld":  # LMDirichlet, +1-smoothed p(t|C)
                     p_c = (ecf + 1.0) / (total_tf + 1.0)
                     s = np.log(1.0 + etf[mask] / (mu * p_c)) + len_comp[mask]
                     total[mask] += boost * np.maximum(s, 0.0)
+                elif scorer == "qljm":  # Jelinek-Mercer, same +1 smoothing
+                    p_c = (ecf + 1.0) / (total_tf + 1.0)
+                    # ln(1+x), NOT log1p: the DuckDB oracle replays ln(1+x)
+                    # and the two can differ in the last ulp
+                    s = np.log(1.0 + ((1.0 - lam) * etf[mask] * inv_dl[mask])
+                               / (lam * p_c))
+                    total[mask] += boost * s
+                else:  # classic: √tf · (1+ln((N+1)/(df+1)))² · 1/√dl
+                    idf = 1.0 + math.log((num_docs + 1.0) / (edf + 1.0))
+                    total[mask] += (boost * np.sqrt(etf[mask])
+                                    * (idf * idf) * inv_sqrt_dl[mask])
             cand = matched_any & must_ok & ~forbidden
             if should_cnt is not None:
                 cand &= should_cnt >= mm
@@ -1814,6 +1851,12 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     score exactly (BM25 path).
     """
     cfg = cfg or RetrieveConfig()
+    if cfg.name != "bm25":
+        # the component decomposition below is the BM25 fold; emitting it
+        # for another scorer would "explain" scores the search never
+        # produced — refuse loudly rather than mislead
+        raise ValueError(f"explain() is implemented for bm25 only, "
+                         f"got {cfg.name!r}")
     meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
     avgdl = float(meta["avgdl"])

@@ -109,6 +109,52 @@ class TestQld:
             assert rows["4"] == pytest.approx(want4, rel=1e-6)
 
 
+class TestAltSimilarities:
+    """qljm (LMJelinekMercer) and classic (TF-IDF) over the same corpus
+    and quantized norms as bm25/qld — hand-computed from the published
+    Lucene formulas (new r5)."""
+
+    def test_qljm_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="qljm", lam=0.1),
+                           text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        p_c = (4 + 1) / (10 + 1)  # cf(gato)=4, total_tf=10, +1 smoothing
+        def jm(tf, dl):
+            return math.log(1 + (0.9 * tf * (1.0 / dl)) / (0.1 * p_c))
+        assert rows["4"] == pytest.approx(jm(1, 1), rel=1e-9)
+        assert rows["1"] == pytest.approx(jm(1, 2), rel=1e-9)
+        assert rows["2"] == pytest.approx(jm(2, 6), rel=1e-9)
+        assert "3" not in rows  # no 'gato'
+        # longer doc scores lower at equal tf; tf helps within a doc
+        assert rows["4"] > rows["1"] > rows["2"]
+
+    def test_classic_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="classic"),
+                           text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        idf = 1 + math.log((4 + 1) / (3 + 1))
+        assert rows["4"] == pytest.approx(idf * idf, rel=1e-9)
+        assert rows["1"] == pytest.approx(idf * idf / math.sqrt(2), rel=1e-9)
+        assert rows["2"] == pytest.approx(
+            math.sqrt(2) * idf * idf / math.sqrt(6), rel=1e-9)
+
+    def test_unknown_scorer_rejected(self, spark, four_doc_index):
+        with pytest.raises(ValueError, match="unknown scorer"):
+            search_texts(spark, four_doc_index, [("q1", "gato")],
+                         RetrieveConfig(name="dfr"), text_cfg=RAW_TEXT)
+
+    def test_explain_gated_to_bm25(self, spark, four_doc_index):
+        from patapsco_spark.operators.retrieve import explain
+        plan = parse_query("q", "gato", mode="boolean")
+        with pytest.raises(ValueError, match="bm25 only"):
+            explain(spark, four_doc_index, plan, ["4"],
+                    RetrieveConfig(name="qld"))
+
+
 class TestBoolean:
     def test_must_not(self, spark, four_doc_index):
         plan = parse_query("q", "gato NOT extra", mode="boolean")

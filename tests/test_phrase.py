@@ -305,3 +305,12 @@ def test_slop_with_boost_parses():
     plan = plan_boolean("q", '"red fox"~2^3')
     c = plan.clauses[0]
     assert c.slop == 2 and c.boost == 3.0 and c.phrase
+
+
+def test_phrase_rejected_for_qljm_and_classic(spark, pos_index):
+    # positional phrase scoring is wired for bm25/qld only; on an index
+    # that HAS positions the other scorers must refuse, not silently
+    # degrade to the bag-of-words fallback (new r5)
+    for name in ("qljm", "classic"):
+        with pytest.raises(ValueError, match="not implemented for scorer"):
+            _run(spark, pos_index, '"red fox"', name=name)
