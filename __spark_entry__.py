@@ -1571,6 +1571,24 @@ def q_sloppy_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+SPANFIRST_TERM, SPANFIRST_END, SPANFIRST_EXTRA = "data", 8, "stream"
+
+
+def q_span_first_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanFirstQuery (new r5): 'data' matching only within each
+    document's first 8 tokens (lede/title-ish matching without a separate
+    field) plus an unconstrained 'stream' term. The span clause rewrites to
+    a positional pseudo-term — tf = qualifying occurrences, BM25 idf = the
+    wrapped term's full-df idf (SpanWeight semantics) — and scores through
+    the unchanged kernel (operators/retrieve.py _rewrite_spanfirst_plans)."""
+    from patapsco_spark.operators.queryparse import span_first_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = span_first_plan("q1", [(SPANFIRST_TERM, SPANFIRST_END)],
+                           extra_terms=[SPANFIRST_EXTRA])
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 def q_phrase_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase under QLD/LMDirichlet (exceeds the reference, which
     always degrades): the phrase pseudo-term scores through the standard
@@ -3365,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_spelling": q_suggest_spelling,
         "snippets": q_snippets,
         "phrase_bm25": q_phrase_bm25,
+        "span_first_bm25": q_span_first_bm25,
         "sloppy_bm25": q_sloppy_bm25,
         "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
@@ -4769,6 +4788,59 @@ LIMIT {k}
 """
 
 
+def _span_first_sql(term: str, end: int, extra: str, k1: float, b: float,
+                    k: int) -> str:
+    """SpanFirstQuery replay: span tf counts the term's occurrences at
+    1-based positions ≤ end (the sidecar is 0-based with p < end — the two
+    cancel), span idf = the wrapped term's FULL-df idf; the extra term
+    scores as plain BM25; fold order = clause order (span first)."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sf AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM (
+    SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w)
+  WHERE t = '{term}' AND i <= {end}
+  GROUP BY doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('{term}', '{extra}') GROUP BY term
+),
+sfidf AS (
+  SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs CROSS JOIN stats WHERE term = '{term}'
+),
+sfscore AS (
+  SELECT sf.doc_id,
+         sfidf.idf * sf.tf / (sf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) AS s
+  FROM sf JOIN dl ON dl.doc_id = sf.doc_id CROSS JOIN stats CROSS JOIN sfidf
+),
+wscore AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl)) AS s
+  FROM tf JOIN dfs ON dfs.term = tf.term AND tf.term = '{extra}'
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+),
+scores AS (
+  SELECT doc_id, list_aggregate(list(s ORDER BY ord), 'sum') AS score
+  FROM (SELECT doc_id, s, 0 AS ord FROM sfscore
+        UNION ALL SELECT doc_id, s, 1 AS ord FROM wscore) GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _range_bm25_sql(lo: str, hi: str, k1: float, b: float, k: int) -> str:
     """Oracle for '[lo TO hi]' (inclusive): query terms = every corpus term
     in the lexicographic range, scoring Σ per-term BM25 over a doc's
@@ -5581,6 +5653,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "delete_bm25": _delete_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "upsert_bm25": _upsert_bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "phrase_bm25": _phrase_bm25_sql(PHRASE_WORDS, PHRASE_EXTRA, 0.9, 0.4, K),
+        "span_first_bm25": _span_first_sql(SPANFIRST_TERM, SPANFIRST_END,
+                                           SPANFIRST_EXTRA, 0.9, 0.4, K),
         "sloppy_bm25": _sloppy_bm25_sql(PHRASE_WORDS, SLOP, 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),

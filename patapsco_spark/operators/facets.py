@@ -230,6 +230,13 @@ def facet_counts(spark: SparkSession, index_path: str,
     from .indexer import live_shard_pred
     live_pred = live_shard_pred(meta)
 
+    if any(getattr(c, "first", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        # the facet kernel matches bag-of-words; counting a span-first
+        # clause as "term anywhere" would be the silent-wrong-answer class
+        raise ValueError(
+            "facet_counts does not support span_first clauses: join the "
+            "span-first match_set against the facet keys instead")
     if any(c.prefix or c.fuzzy is not None
            or getattr(c, "trange", None) is not None
            or getattr(c, "wild", None) is not None

@@ -92,6 +92,15 @@ def percolate(docs: DataFrame, plans: list[QueryPlan],
                     f"query {p.qid!r} uses an index-backed expansion "
                     "(wildcard/fuzzy/range/regexp); percolation is "
                     "index-free and cannot expand it")
+            if getattr(c, "first", None) is not None:
+                # the compiled predicates match token PRESENCE; treating a
+                # span-first clause as "term anywhere" would silently widen
+                # the match — refuse (positions-aware percolation would
+                # need array_position, a different compile)
+                raise ParseError(
+                    f"query {p.qid!r} uses span_first; percolation "
+                    "compiles presence predicates and cannot honor a "
+                    "position bound")
     analyzed = analyze_documents(docs, text_cfg or TextConfig(),
                                  id_col=id_col, text_col=text_col,
                                  lang_col=lang_col, store_raw=False)
@@ -177,6 +186,15 @@ def percolate_indexed(docs: DataFrame, plans: list[QueryPlan],
                     f"query {p.qid!r} uses an index-backed expansion "
                     "(wildcard/fuzzy/range/regexp); percolation is "
                     "index-free and cannot expand it")
+            if getattr(c, "first", None) is not None:
+                # the compiled predicates match token PRESENCE; treating a
+                # span-first clause as "term anywhere" would silently widen
+                # the match — refuse (positions-aware percolation would
+                # need array_position, a different compile)
+                raise ParseError(
+                    f"query {p.qid!r} uses span_first; percolation "
+                    "compiles presence predicates and cannot honor a "
+                    "position bound")
     spark = docs.sparkSession
     analyzed = (analyze_documents(docs, text_cfg or TextConfig(),
                                   id_col=id_col, text_col=text_col,

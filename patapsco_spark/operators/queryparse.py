@@ -127,6 +127,19 @@ class Clause:
     # dictionary scan per batch — the same cost class as Lucene's automaton
     # walk over its terms index, and still never a postings scan.
     regex: str | None = None
+    # span-first constraint (Lucene SpanFirstQuery, round 5): the clause's
+    # single term matches only at token positions < ``first`` (0-based, so
+    # first=N means "within the document's first N tokens" — title-ish /
+    # lede matching without a separate field). Programmatic only, like
+    # Lucene (the classic parser has no span syntax). Search rewrites it to
+    # a pseudo-term whose positional postings carry tf = the count of
+    # qualifying occurrences (the positions sidecar is REQUIRED — there is
+    # no reference bag-of-words degrade to mirror, so a positions-less
+    # index refuses loudly). Scoring matches the engine's phrase
+    # convention: BM25 idf = the underlying term's idf (SpanWeight builds
+    # its SimWeight from the wrapped term's stats); QLD scores the
+    # pseudo-term's own (df, cf). None = unconstrained.
+    first: int | None = None
 
 
 @dataclass
@@ -149,6 +162,24 @@ def plan_plain(qid: str, terms: list[str]) -> QueryPlan:
     """One SHOULD clause per term occurrence — duplicate query terms add up,
     exactly like Lucene's WhitespaceAnalyzer query parsing."""
     return QueryPlan(qid, [Clause(SHOULD, 1.0, [(t, 1.0)]) for t in terms], "plain")
+
+
+def span_first_plan(qid: str, spec: list[tuple[str, int]],
+                    extra_terms: list[str] | None = None) -> QueryPlan:
+    """SpanFirstQuery plan builder (programmatic, like Lucene's span API):
+    one SHOULD clause per (term, end) pair matching the term only at token
+    positions < end, plus optional unconstrained SHOULD terms. Requires an
+    index with the positions sidecar (search refuses loudly otherwise)."""
+    clauses = []
+    for term, end in spec:
+        if end < 1:
+            raise ParseError(f"span_first end must be >= 1, got {end}")
+        if not term or " " in term:
+            raise ParseError(f"span_first takes a single term, got {term!r}")
+        clauses.append(Clause(SHOULD, 1.0, [(term, 1.0)], first=int(end)))
+    for t in extra_terms or []:
+        clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
+    return QueryPlan(qid, clauses, "span_first")
 
 
 _PSQ_GROUP = re.compile(r"\(([^)]*)\)")

@@ -152,6 +152,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if synonyms:
         plan_terms = {t for p in plans for c in iter_term_clauses(p.clauses)
                       if not c.phrase and len(c.terms) == 1
+                      and getattr(c, "first", None) is None
                       for t, _ in c.terms}
         for term, syns in synonyms.items():
             if term in plan_terms:
@@ -224,6 +225,31 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
             block_size=int(meta.get("block_size", 128)),
             shard_base=shard_base, live_pred=live_pred)
 
+    # span-first clauses (Lucene SpanFirstQuery, Clause.first) → pseudo-
+    # terms whose tf counts only positions < end. Unlike phrases there is
+    # no reference bag-of-words behavior to degrade to, so a positions-less
+    # index (or an unwired scorer) refuses loudly instead
+    sf_posts = None
+    if any(getattr(c, "first", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        if not meta.get("positions"):
+            raise ValueError(
+                "span_first clauses need the positions sidecar: rebuild "
+                "with IndexConfig(positions=True)")
+        if cfg.name not in ("bm25", "qld"):
+            raise ValueError(
+                f"span_first is not implemented for scorer {cfg.name!r} "
+                "(bm25/qld only)")
+        if stats_override is not None and cfg.name == "qld":
+            raise ValueError(
+                "stats_override cannot score qld span_first clauses: the "
+                "pseudo-term's collection frequency is per-index")
+        plans, sf_posts = _rewrite_spanfirst_plans(
+            spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)),
+            shard_base=shard_base, live_pred=live_pred)
+
     # synonym groups → SynonymQuery pseudo-terms (after the phrase rewrite
     # so phrase members stay literal; before the postings read so replaced
     # member terms drop out of it)
@@ -247,6 +273,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
              .where(F.col("term").isin(live_terms) & live_pred))
     if phrase_posts is not None:
         posts = posts.unionByName(phrase_posts)
+    if sf_posts is not None:
+        posts = posts.unionByName(sf_posts)
     if syn_posts is not None:
         posts = posts.unionByName(syn_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
@@ -1243,6 +1271,138 @@ def _rewrite_synonym_plans(spark, index_path, plans, syn_groups, df_map, *,
     return plans, union
 
 
+def _spanfirst_pseudo_term(term: str, end: int) -> str:
+    # \x01 namespace like phrases/synonyms — never collides with analyzed
+    # terms, and the postings read skips it (read from the rewrite union)
+    return f"\x01first:{end}:{term}"
+
+
+def _rewrite_spanfirst_plans(spark, index_path, plans, df_map, idf_over, *,
+                             num_docs, num_shards, docs_per_shard,
+                             block_size, shard_base=0, live_pred=None):
+    """Rewrite span-first clauses (Lucene SpanFirstQuery — Clause.first) to
+    pseudo-terms whose positional postings carry tf = the count of the
+    term's occurrences at token positions < end. ONE Spark job for all
+    (term, end) specs in the batch, the same shape as the phrase rewrite:
+    the positions read (term-predicate-pushed, live-shard-gated) joins a
+    broadcast spec table, the qualifying-occurrence count is one Catalyst
+    ``size(filter(positions, p < end))`` per row (positions are 0-based),
+    stats come back in one collect, and all pseudo postings encode through
+    the SAME blocked varbyte kernel — the scorer needs no span path.
+
+    Scoring follows the engine's phrase convention: under BM25 the pseudo
+    scores with the WRAPPED TERM's idf via ``idf_over`` (Lucene SpanWeight
+    builds its SimWeight from the underlying term states, so df is the
+    term's full df, not the span df); under QLD the pseudo's own (df, cf)
+    feed LMDirichlet. A spec matching nothing stays out of df_map, so a
+    MUST clause correctly excludes everything."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+    from ..functions.smallfloat import quantize_length
+
+    specs: dict[tuple[str, int], str] = {}
+    for p in plans:
+        for c in iter_term_clauses(p.clauses):
+            end = getattr(c, "first", None)
+            if end is None:
+                continue
+            if c.phrase or c.prefix or c.fuzzy is not None \
+                    or getattr(c, "trange", None) is not None \
+                    or getattr(c, "wild", None) is not None \
+                    or getattr(c, "regex", None) is not None \
+                    or len(c.terms) != 1:
+                raise ValueError(
+                    "span_first applies to a single plain term clause "
+                    f"(got {c!r})")
+            if end < 1:
+                raise ValueError(f"span_first end must be >= 1, got {end}")
+            term = c.terms[0][0]
+            specs.setdefault((term, int(end)),
+                             _spanfirst_pseudo_term(term, int(end)))
+    if not specs:
+        return plans, None
+
+    if live_pred is None:
+        live_pred = ((F.col("shard") >= shard_base) &
+                     (F.col("shard") < num_shards))
+    words = sorted({t for t, _e in specs})
+    pos = (spark.read.parquet(f"{index_path}/positions")
+           .where(F.col("term").isin(words) & live_pred))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_pred)
+             .select("shard", "docid", "dl"))
+    sid_of = {key: i for i, key in enumerate(sorted(specs))}
+    spec_df = spark.createDataFrame(
+        [(sid, t, e) for (t, e), sid in sid_of.items()],
+        "sid int, word string, fend int")
+
+    tf_col = F.size(F.filter("positions", lambda x: x < F.col("fend")))
+    # one eager materialization feeds both the stats collect and the encode
+    # (same localCheckpoint rationale as the phrase rewrite: a bare persist
+    # would leak one cached frame per span-first search for the session)
+    tf_all = (pos.join(F.broadcast(spec_df), pos["term"] == spec_df["word"])
+              .select("sid", "shard", "docid", tf_col.alias("tf"))
+              .where(F.col("tf") > 0)
+              .join(norms, ["shard", "docid"])
+              .localCheckpoint(eager=True))
+
+    stats = {int(r["sid"]): (int(r["df"]), int(r["cf"]))
+             for r in tf_all.groupBy("sid")
+                            .agg(F.count("*").alias("df"),
+                                 F.sum("tf").alias("cf")).collect()}
+    live_sids = []
+    for (term, end), sid in sid_of.items():
+        st = stats.get(sid)
+        if not st or st[0] == 0:
+            continue  # no qualifying occurrence anywhere: stays out of df_map
+        pseudo = specs[(term, end)]
+        df_map[pseudo] = st
+        if term in df_map and df_map[term][0] > 0:
+            idf_over[pseudo] = math.log(
+                1.0 + (num_docs - df_map[term][0] + 0.5)
+                / (df_map[term][0] + 0.5))
+        live_sids.append(sid)
+
+    if not live_sids:
+        union = None
+    else:
+        base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+        def encode(batches):
+            def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = pdf.assign(
+                    dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+                return out[["shard", "term", "docid", "tf", "dlq"]]
+            yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+        name_df = spark.createDataFrame(
+            [(sid, specs[key]) for key, sid in sid_of.items()
+             if sid in set(live_sids)],
+            "sid int, term string")
+        union = (tf_all.join(F.broadcast(name_df), "sid")
+                 .select("shard", "term", "docid",
+                         F.col("tf").cast("int"), "dl")
+                 .repartition(num_shards, "shard")
+                 .sortWithinPartitions("shard", "term", "docid")
+                 .mapInPandas(encode, schema=_PSCHEMA))
+
+    def swap(clauses):
+        cl = []
+        for c in clauses:
+            if c.group:
+                cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
+            elif getattr(c, "first", None) is not None:
+                pseudo = specs[(c.terms[0][0], int(c.first))]
+                cl.append(Clause(c.occur, c.boost,
+                                 [(pseudo, c.terms[0][1])]))
+            else:
+                cl.append(c)
+        return cl
+
+    new_plans = [QueryPlan(p.qid, swap(p.clauses), p.mode) for p in plans]
+    return new_plans, union
+
+
 def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
                           num_docs, num_shards, docs_per_shard, block_size,
                           shard_base=0, live_pred=None):
@@ -1861,6 +2021,12 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     num_docs = int(meta["num_docs"])
     avgdl = float(meta["avgdl"])
 
+    if any(getattr(c, "first", None) is not None
+           for c in iter_term_clauses(plan.clauses)):
+        # the decomposition below reads whole posting lists; it cannot see
+        # positions, so it would "explain" an unconstrained term score the
+        # span-first search never produced — refuse loudly
+        raise ValueError("explain() does not support span_first clauses")
     # wildcard/fuzzy/range plans explain their EXPANDED terms (same rewrite
     # as search — a literal 'te*' term would silently contribute nothing)
     if any(c.prefix or c.fuzzy is not None

@@ -314,3 +314,86 @@ def test_phrase_rejected_for_qljm_and_classic(spark, pos_index):
     for name in ("qljm", "classic"):
         with pytest.raises(ValueError, match="not implemented for scorer"):
             _run(spark, pos_index, '"red fox"', name=name)
+
+
+class TestSpanFirst:
+    """Lucene SpanFirstQuery (Clause.first, new r5): the term matches only
+    at 0-based token positions < end; tf = qualifying occurrences, BM25
+    idf = the wrapped term's full-df idf (SpanWeight builds its SimWeight
+    from the underlying term states)."""
+
+    @staticmethod
+    def _search(spark, idx, spec, extra=None, **cfg):
+        from patapsco_spark.operators.queryparse import span_first_plan
+        from patapsco_spark.operators.retrieve import search
+        plan = span_first_plan("q", spec, extra_terms=extra)
+        res = search(spark, idx, [plan], RetrieveConfig(k=10, **cfg))
+        return {r["doc_id"]: r["score"] for r in res.collect()}
+
+    def test_hand_computed(self, spark, pos_index):
+        # fox positions: d1@1, d2@0, d3@{1,3}, d4@3; df(fox)=4, N=5, dl=5
+        rows = self._search(spark, pos_index, [("fox", 2)])
+        assert set(rows) == {"d1", "d2", "d3"}
+        idf = math.log(1 + (5 - 4 + 0.5) / (4 + 0.5))
+        dlq = float(quantize_length(np.array([5]))[0])
+        k = 0.9 * (1 - 0.4 + 0.4 * dlq / 5.0)
+        want = idf * 1.0 / (1.0 + k)
+        for d in ("d1", "d2", "d3"):
+            assert rows[d] == pytest.approx(want, rel=1e-9)
+
+    def test_tf_counts_only_qualifying(self, spark, pos_index):
+        # end=4 admits BOTH d3 occurrences (pos 1 and 3) -> tf=2
+        rows = self._search(spark, pos_index, [("fox", 4)])
+        assert set(rows) == {"d1", "d2", "d3", "d4"}
+        idf = math.log(1 + (5 - 4 + 0.5) / (4 + 0.5))
+        dlq = float(quantize_length(np.array([5]))[0])
+        k = 0.9 * (1 - 0.4 + 0.4 * dlq / 5.0)
+        assert rows["d3"] == pytest.approx(idf * 2.0 / (2.0 + k), rel=1e-9)
+        assert rows["d3"] > rows["d1"]
+
+    def test_strict_first_position(self, spark, pos_index):
+        rows = self._search(spark, pos_index, [("fox", 1)])
+        assert set(rows) == {"d2"}
+
+    def test_no_match_spec_is_empty(self, spark, pos_index):
+        # 'today' never occurs at position 0 -> pseudo stays out of df_map
+        rows = self._search(spark, pos_index, [("today", 1)])
+        assert rows == {}
+
+    def test_must_composition(self, spark, pos_index):
+        from patapsco_spark.operators.queryparse import (MUST, Clause,
+                                                         QueryPlan)
+        from patapsco_spark.operators.retrieve import search
+        plan = QueryPlan("q", [
+            Clause(MUST, 1.0, [("fox", 1.0)], first=2),
+            Clause(MUST, 1.0, [("today", 1.0)])], "span_first")
+        res = search(spark, pos_index, [plan], RetrieveConfig(k=10))
+        assert {r["doc_id"] for r in res.collect()} == {"d1", "d2"}
+
+    def test_positionless_index_refuses(self, spark, flat_index):
+        with pytest.raises(ValueError, match="positions sidecar"):
+            self._search(spark, flat_index, [("fox", 2)])
+
+    def test_unwired_scorer_refuses(self, spark, pos_index):
+        with pytest.raises(ValueError, match="span_first is not"):
+            self._search(spark, pos_index, [("fox", 2)], name="classic")
+
+    def test_explain_refuses(self, spark, pos_index):
+        from patapsco_spark.operators.queryparse import span_first_plan
+        from patapsco_spark.operators.retrieve import explain
+        with pytest.raises(ValueError, match="span_first"):
+            explain(spark, pos_index, span_first_plan("q", [("fox", 2)]),
+                    ["d1"])
+
+    def test_qld_scores_pseudo_stats(self, spark, pos_index):
+        # QLD path: pseudo (df, cf) feed LMDirichlet directly
+        rows = self._search(spark, pos_index, [("fox", 2)], name="qld",
+                            mu=1000)
+        assert set(rows) == {"d1", "d2", "d3"}
+        # cf(pseudo)=3 qualifying occurrences, total_tf=25, +1 smoothing
+        p_c = (3 + 1) / (25 + 1)
+        dlq = float(quantize_length(np.array([5]))[0])
+        want = math.log(1 + 1.0 / (1000 * p_c)) + math.log(
+            1000 / (dlq + 1000))
+        for d in ("d1", "d2", "d3"):
+            assert rows[d] == pytest.approx(max(want, 0.0), rel=1e-9)

@@ -228,3 +228,37 @@ def test_hyperball_round_is_partial_aggregated(spark):
     plan = _plan(hyperball(e, t=1))
     assert plan.count("HashAggregate") >= 2
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_multi_spanfirst_rewrite_is_one_job_and_one_union(spark, pos_idx):
+    """Same O(1)-jobs / one-union guard as the phrase rewrite, for the
+    span-first rewrite (new r5): a batch with MANY (term, end) specs must
+    collect stats once and add exactly one union branch to the postings
+    frame, not one per spec."""
+    from patapsco_spark.config import RetrieveConfig
+    from patapsco_spark.operators.queryparse import span_first_plan
+    from patapsco_spark.operators.retrieve import search
+
+    sc = spark.sparkContext
+
+    def jobs_for(plans, group):
+        sc.setJobGroup(group, "plan construction", True)
+        try:
+            res = search(spark, pos_idx, plans, RetrieveConfig(k=5))
+        finally:
+            sc.setJobGroup("", "")
+        return len(sc.statusTracker().getJobIdsForGroup(group)), res
+
+    one = [span_first_plan("q1", [("alpha", 2)])]
+    many = [span_first_plan("q1", [("alpha", 2)]),
+            span_first_plan("q2", [("beta", 3)]),
+            span_first_plan("q3", [("gamma", 2), ("delta", 4)]),
+            span_first_plan("q4", [("alpha", 3)], extra_terms=["delta"])]
+    n1, _ = jobs_for(one, "sf-guard-1")
+    n4, res = jobs_for(many, "sf-guard-4")
+    assert n4 <= n1 + 3, f"driver jobs grew with spec count: {n1} -> {n4}"
+    logical = res._jdf.queryExecution().optimizedPlan().toString()
+    n_unions = sum(1 for ln in logical.splitlines() if "Union" in ln)
+    assert n_unions <= 2, f"{n_unions} union lines — per-spec branches crept in"
+    got = {r["query_id"] for r in res.collect()}
+    assert got == {"q1", "q2", "q3", "q4"}
