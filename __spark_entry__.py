@@ -498,6 +498,32 @@ def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("count").cast("long").alias("cnt"))
 
 
+def q_dv_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values sort (new r5; Lucene Sort over NumericDocValues): top-k
+    docs matching 'data query stream window' (OR) ordered by n_chars desc
+    — the SCALE path of sort_by_field: each shard's kernel emits only its
+    k best from a packed float64 blob (built once, manifest-gated), so the
+    full match set never materializes; one k-bounded window merges. Ties
+    break on docid asc = external-id string order (oracle replays both)."""
+    from patapsco_spark.operators.facets import (build_value_sidecar,
+                                                 sort_values_topk)
+    from patapsco_spark.operators.queryparse import parse_query
+    from patapsco_spark.plans import manifest as _mf
+
+    idx = _ensure_index(spark, sf_dir)
+    if _mf.read_manifest(f"{idx}/doc_values/n_chars") is None:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            F.col("doc_id").cast("string").alias("id"), "n_chars")
+        build_value_sidecar(spark, idx, docs, "n_chars",
+                            id_col="id", value_col="n_chars")
+    plan = parse_query("q1", BM25_QUERY, mode="plain")
+    res = sort_values_topk(spark, idx, [plan], "n_chars", k=K)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.col("value").alias("n_chars"))
+
+
 COLLAPSE_DEPTH = 100
 
 
@@ -3360,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_cardinality": q_match_cardinality,
         "significant_terms": q_significant_terms,
         "facet_by_source": q_facet_by_source,
+        "dv_sort_topk": q_dv_sort_topk,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -4122,6 +4149,24 @@ SELECT doc_id, rnk, n_chars FROM (
                              CAST(m.doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
          d.n_chars::BIGINT AS n_chars
   FROM matched m JOIN documents d USING (doc_id)
+) WHERE rnk < {k}
+ORDER BY rnk
+"""
+
+
+def _dv_sort_sql(query_terms: list[str], k: int) -> str:
+    """Oracle for the doc-values sort: identical ordering contract to
+    sort_by_field (n_chars desc, doc_id-string asc ties, missing values
+    excluded), n_chars as DOUBLE — the sidecar stores float64."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT doc_id, rnk, n_chars FROM (
+  SELECT m.doc_id,
+         (row_number() OVER (ORDER BY d.n_chars DESC,
+                             CAST(m.doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+         d.n_chars::DOUBLE AS n_chars
+  FROM matched m JOIN documents d USING (doc_id)
+  WHERE d.n_chars IS NOT NULL
 ) WHERE rnk < {k}
 ORDER BY rnk
 """
@@ -5639,6 +5684,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "significant_terms": _significant_terms_sql(
             BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
         "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),
+        "dv_sort_topk": _dv_sort_sql(BM25_QUERY.split(), K),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),

@@ -111,6 +111,66 @@ def build_facet_sidecar(spark: SparkSession, index_path: str,
     return dict_df
 
 
+def _eval_match(clauses, size, positions, mm=0):
+    """Candidate mask for one boolean level — the matching subset of
+    retrieve._make_shard_scorer's eval_clauses (same MUST/SHOULD/MUST_NOT
+    + nested groups + top-level minimumNumberShouldMatch semantics, no
+    scores). ``positions(term)`` returns the term's LOCAL docid array for
+    the shard. Shared by the facet-count and doc-values-sort kernels."""
+    should_cnt = np.zeros(size, dtype=np.int32) if mm > 0 else None
+    matched_any = np.zeros(size, dtype=bool)
+    must_ok = np.ones(size, dtype=bool)
+    forbidden = np.zeros(size, dtype=bool)
+    for occur, _boost, terms, kids in clauses:
+        if kids:
+            mask = _eval_match(kids, size, positions)
+        else:
+            mask = np.zeros(size, dtype=bool)
+            for term, _p in terms:
+                mask[positions(term)] = True
+        if occur == MUST_NOT:
+            forbidden |= mask
+            continue
+        if occur == MUST:
+            must_ok &= mask
+        elif should_cnt is not None:
+            should_cnt[mask] += 1
+        matched_any |= mask
+    cand = matched_any & must_ok & ~forbidden
+    if should_cnt is not None:
+        cand &= should_cnt >= mm
+    return cand
+
+
+def _term_positions_fn(posts_pdf: pd.DataFrame, base: int):
+    """Lazy whole-list decoder for a shard's (already In-filtered) postings
+    frame: term → LOCAL docid array, cached. Shared kernel plumbing."""
+    handles: dict[str, _TermHandle] = {}
+    for row in posts_pdf.itertuples(index=False):
+        handles[row.term] = _TermHandle(
+            bytes(row.postings),
+            np.asarray(row.block_last, dtype=np.int64),
+            np.asarray(row.block_max_tf, dtype=np.int64),
+            np.asarray(row.block_min_dlq, dtype=np.int64),
+            np.asarray(row.block_off, dtype=np.int64),
+            np.asarray(row.block_gap_len, dtype=np.int64),
+            base)
+    decoded: dict[str, np.ndarray] = {}
+
+    def positions(term):
+        got = decoded.get(term)
+        if got is None:
+            h = handles.get(term)
+            if h is None:
+                got = decoded[term] = np.empty(0, dtype=np.int64)
+            else:
+                d, _t = h.decode(np.arange(len(h.block_last)))
+                got = decoded[term] = d - base
+        return got
+
+    return positions
+
+
 def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
                        min_should_match):
     """Per-shard matcher: candidate mask per query (search semantics, no
@@ -138,60 +198,12 @@ def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
                               dtype=np.int32)
         size = len(codes)
         dead = None if deleted is None else deleted.get(shard)
-
-        handles: dict[str, _TermHandle] = {}
-        for row in posts_pdf.itertuples(index=False):
-            handles[row.term] = _TermHandle(
-                bytes(row.postings),
-                np.asarray(row.block_last, dtype=np.int64),
-                np.asarray(row.block_max_tf, dtype=np.int64),
-                np.asarray(row.block_min_dlq, dtype=np.int64),
-                np.asarray(row.block_off, dtype=np.int64),
-                np.asarray(row.block_gap_len, dtype=np.int64),
-                base)
-        decoded: dict[str, np.ndarray] = {}
-
-        def positions(term):
-            got = decoded.get(term)
-            if got is None:
-                h = handles.get(term)
-                if h is None:
-                    got = decoded[term] = np.empty(0, dtype=np.int64)
-                else:
-                    d, _t = h.decode(np.arange(len(h.block_last)))
-                    got = decoded[term] = d - base
-            return got
-
-        def eval_match(clauses, mm=0):
-            # the matching subset of retrieve._make_shard_scorer's
-            # eval_clauses — same booleans, no scores
-            should_cnt = np.zeros(size, dtype=np.int32) if mm > 0 else None
-            matched_any = np.zeros(size, dtype=bool)
-            must_ok = np.ones(size, dtype=bool)
-            forbidden = np.zeros(size, dtype=bool)
-            for occur, _boost, terms, kids in clauses:
-                if kids:
-                    mask = eval_match(kids)
-                else:
-                    mask = np.zeros(size, dtype=bool)
-                    for term, _p in terms:
-                        mask[positions(term)] = True
-                if occur == MUST_NOT:
-                    forbidden |= mask
-                    continue
-                if occur == MUST:
-                    must_ok &= mask
-                elif should_cnt is not None:
-                    should_cnt[mask] += 1
-                matched_any |= mask
-            cand = matched_any & must_ok & ~forbidden
-            if should_cnt is not None:
-                cand &= should_cnt >= mm
-            return cand
+        positions = _term_positions_fn(posts_pdf, base)
 
         out_q, out_c, out_n = [], [], []
         for qid, clauses in plans_payload:
-            cand = eval_match(clauses, mm=min_should_match)
+            cand = _eval_match(clauses, size, positions,
+                               mm=min_should_match)
             if dead is not None and len(dead):
                 cand[dead[dead < size]] = False
             hit = codes[cand]
@@ -284,3 +296,190 @@ def facet_counts_texts(spark: SparkSession, index_path: str,
     plans = process_queries(queries, text_cfg or TextConfig(), lang=lang,
                             mode=mode)
     return facet_counts(spark, index_path, plans, name, cfg)
+
+
+def _pack_values(docs_per_shard: int):
+    """(shard, docid, value) group → one float64 blob row per shard; docs
+    the values frame misses stay NaN (the missing marker)."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        docids = pdf["docid"].to_numpy()
+        size = int(docids.max()) - base + 1
+        vals = np.full(size, np.nan, dtype=np.float64)
+        have = pdf["value"].notna().to_numpy()
+        vals[docids[have] - base] = pdf["value"].to_numpy(
+            dtype=np.float64)[have]
+        return pd.DataFrame({"shard": [shard], "base": [base],
+                             "n": [int(have.sum())],
+                             "values": [vals.tobytes()]})
+
+    return pack
+
+
+def build_value_sidecar(spark: SparkSession, index_path: str,
+                        values: DataFrame, name: str,
+                        id_col: str = "id", value_col: str = "value") -> None:
+    """Attach a NUMERIC doc-values dimension to an index — Lucene's
+    NumericDocValues analogue: ``values`` maps external doc id → a number
+    (timestamp, length, pagerank, price). Writes
+    ``doc_values/<name>/packed``: one float64 blob row per shard,
+    docid-indexed from the shard base (the norms_packed layout), NaN for
+    docs absent from ``values`` or with a NULL value. Build cost is one
+    shuffle of the id↔value join — the doc-values build cost class; query
+    time reads O(shard-blob) bytes, never a corpus join."""
+    meta = load_index_meta(index_path)
+    docs_per_shard = int(meta["docs_per_shard"])
+    vdf = values.select(F.col(id_col).cast("string").alias("id"),
+                        F.col(value_col).cast("double").alias("value"))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .select("shard", "docid", "id"))
+    packed = (norms.join(vdf, "id", "left")
+              .select("shard", "docid", "value")
+              .groupBy("shard")
+              .applyInPandas(_pack_values(docs_per_shard),
+                             schema="shard int, base long, n long, "
+                                    "values binary"))
+    root = f"{index_path}/doc_values/{name}"
+    (packed.write.mode("overwrite").partitionBy("shard")
+           .parquet(f"{root}/packed"))
+    mf.write_manifest(root, f"doc_values:{name}",
+                      {"id_col": id_col, "value_col": value_col})
+
+
+def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
+                      min_should_match, k, ascending):
+    """Per-shard matcher + doc-values top-k: candidate mask per query
+    (search semantics, no scores), then the k best candidates by (value,
+    docid asc) from the shard's float64 blob. Output rows are
+    O(k · #queries) per shard — never the match set."""
+
+    def kernel(key, posts_pdf: pd.DataFrame,
+               packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=object),
+                              "docid": pd.Series(dtype=np.int64),
+                              "value": pd.Series(dtype=np.float64)})
+        if packed_pdf.empty:
+            if not posts_pdf.empty:
+                raise ValueError(
+                    f"shard {int(key[0])} has postings but no doc-values "
+                    "blob; rebuild the value sidecar after "
+                    "appends/compaction")
+            return empty
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        vals = np.frombuffer(bytes(packed_pdf["values"].iloc[0]),
+                             dtype=np.float64)
+        size = len(vals)
+        dead = None if deleted is None else deleted.get(shard)
+        positions = _term_positions_fn(posts_pdf, base)
+
+        out_q, out_d, out_v = [], [], []
+        for qid, clauses in plans_payload:
+            cand = _eval_match(clauses, size, positions,
+                               mm=min_should_match)
+            if dead is not None and len(dead):
+                cand[dead[dead < size]] = False
+            pos = np.flatnonzero(cand)
+            v = vals[pos]
+            keep = ~np.isnan(v)   # missing values are excluded, like docs
+            pos, v = pos[keep], v[keep]  # without the Lucene doc value
+            if not len(pos):
+                continue
+            order = np.lexsort((pos, v if ascending else -v))[:k]
+            pos, v = pos[order], v[order]
+            out_q.append(np.full(len(pos), qid, dtype=object))
+            out_d.append(pos.astype(np.int64) + base)
+            out_v.append(v)
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "docid": np.concatenate(out_d),
+                             "value": np.concatenate(out_v)})
+
+    return kernel
+
+
+def sort_values_topk(spark: SparkSession, index_path: str,
+                     plans: list[QueryPlan], name: str, k: int = 10,
+                     ascending: bool = False,
+                     cfg: RetrieveConfig | None = None) -> DataFrame:
+    """Top-k of a query's match set ordered by a doc-values field — the
+    scale path of ``aggs.sort_by_field`` (Lucene Sort over NumericDocValues
+    / ES ``sort`` on doc values). Same matching semantics as search (the
+    shared ``_eval_match``), but the FULL match set never materializes:
+    each shard's kernel emits only its k best by (value, docid asc) —
+    exact, because the global top-k is contained in the union of per-shard
+    top-ks — so ≤ k·|queries| rows per shard cross Arrow and ONE k-bounded
+    window merges them. Docs without a value are excluded (the facet
+    sidecar convention: like Lucene docs missing the doc value). Returns
+    (query_id, doc_id, rank, value), rank 0-based, ties by docid asc —
+    which is external-id (string) order, the engine's stable tie-break."""
+    from .deletes import tombstone_arrays
+    from .retrieve import _expand_multiterm_plans
+
+    cfg = cfg or RetrieveConfig()
+    meta = load_index_meta(index_path)
+    num_shards = int(meta["num_shards"])
+    docs_per_shard = int(meta["docs_per_shard"])
+    stats_base = int(meta.get("stats_base", meta.get("shard_base", 0)))
+    from .indexer import live_shard_pred
+    live_pred = live_shard_pred(meta)
+
+    if any(getattr(c, "first", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        raise ValueError(
+            "sort_values_topk does not support span_first clauses: join "
+            "the span-first match_set against a fields table instead")
+    if any(c.prefix or c.fuzzy is not None
+           or getattr(c, "trange", None) is not None
+           or getattr(c, "wild", None) is not None
+           or getattr(c, "regex", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
+                                        shard_base=stats_base)
+
+    all_terms = sorted({t for p in plans
+                        for c in iter_term_clauses(p.clauses)
+                        for t, _ in c.terms if not t.startswith("\x01")})
+    out_schema = ("query_id string, doc_id string, rank int, "
+                  "value double")
+    if not all_terms:
+        return spark.createDataFrame([], out_schema)
+
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(all_terms) & live_pred))
+    packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
+              .where(live_pred))
+
+    def _clause_payload(c):
+        return (c.occur, float(c.boost), list(c.terms),
+                [_clause_payload(g) for g in (c.group or [])])
+
+    plans_payload = [(p.qid, [_clause_payload(c) for c in p.clauses])
+                     for p in plans]
+    kernel = _make_sort_kernel(
+        plans_payload, docs_per_shard=docs_per_shard,
+        deleted=tombstone_arrays(spark, index_path, meta),
+        min_should_match=cfg.min_should_match, k=k, ascending=ascending)
+    local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
+             .applyInPandas(kernel,
+                            schema="query_id string, docid long, "
+                                   "value double"))
+    from pyspark.sql import Window
+    key = F.asc("value") if ascending else F.desc("value")
+    w = Window.partitionBy("query_id").orderBy(key, F.asc("docid"))
+    topk = (local.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k))
+    # k-bounded hits broadcast against the partition-pruned norms table
+    hits = topk.withColumn("shard",
+                           (F.col("docid") / F.lit(docs_per_shard))
+                           .cast("int"))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_pred)
+             .select("shard", "docid", F.col("id").alias("doc_id")))
+    return (norms.join(F.broadcast(hits), ["shard", "docid"])
+            .select("query_id", "doc_id",
+                    (F.col("rn") - 1).cast("int").alias("rank"), "value")
+            .orderBy("query_id", "rank"))
