@@ -498,6 +498,37 @@ def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("count").cast("long").alias("cnt"))
 
 
+DV_LO, DV_HI = 150.0, 400.0
+
+
+def _ensure_dv_sidecar(spark: SparkSession, sf_dir: str, idx: str) -> None:
+    from patapsco_spark.operators.facets import build_value_sidecar
+    from patapsco_spark.plans import manifest as _mf
+
+    if _mf.read_manifest(f"{idx}/doc_values/n_chars") is None:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            F.col("doc_id").cast("string").alias("id"), "n_chars")
+        build_value_sidecar(spark, idx, docs, "n_chars",
+                            id_col="id", value_col="n_chars")
+
+
+def q_dv_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context retrieval executed INSIDE the scorer kernel (new r5;
+    the ES bool.filter / per-segment doc-values-bitset shape): BM25 over
+    'data query stream window' restricted to docs with n_chars ∈ [150,
+    400] via the packed float64 sidecar — candidates are masked before the
+    local top-k cut, so the filtered top-k is exact WITHOUT materializing
+    the match set (search_filtered's shape), and scores keep the
+    unrestricted corpus statistics (a filter never scores)."""
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_dv_sidecar(spark, sf_dir, idx)
+    plan = parse_query("q1", BM25_QUERY, mode="plain")
+    res = search(spark, idx, [plan], RetrieveConfig(k=K),
+                 dv_filter=("n_chars", DV_LO, DV_HI))
+    return _as_result(res)
+
+
 def q_dv_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-values sort (new r5; Lucene Sort over NumericDocValues): top-k
     docs matching 'data query stream window' (OR) ordered by n_chars desc
@@ -505,18 +536,10 @@ def q_dv_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k best from a packed float64 blob (built once, manifest-gated), so the
     full match set never materializes; one k-bounded window merges. Ties
     break on docid asc = external-id string order (oracle replays both)."""
-    from patapsco_spark.operators.facets import (build_value_sidecar,
-                                                 sort_values_topk)
-    from patapsco_spark.operators.queryparse import parse_query
-    from patapsco_spark.plans import manifest as _mf
+    from patapsco_spark.operators.facets import sort_values_topk
 
     idx = _ensure_index(spark, sf_dir)
-    if _mf.read_manifest(f"{idx}/doc_values/n_chars") is None:
-        docs = spark.read.parquet(
-            os.path.join(sf_dir, "documents.parquet")).select(
-            F.col("doc_id").cast("string").alias("id"), "n_chars")
-        build_value_sidecar(spark, idx, docs, "n_chars",
-                            id_col="id", value_col="n_chars")
+    _ensure_dv_sidecar(spark, sf_dir, idx)
     plan = parse_query("q1", BM25_QUERY, mode="plain")
     res = sort_values_topk(spark, idx, [plan], "n_chars", k=K)
     return res.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -3387,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "facet_by_source": q_facet_by_source,
         "dv_sort_topk": q_dv_sort_topk,
+        "dv_filtered_bm25": q_dv_filtered_bm25,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -4151,6 +4175,44 @@ SELECT doc_id, rnk, n_chars FROM (
   FROM matched m JOIN documents d USING (doc_id)
 ) WHERE rnk < {k}
 ORDER BY rnk
+"""
+
+
+def _dv_filtered_bm25_sql(query_terms: list[str], lo: float, hi: float,
+                          k1: float, b: float, k: int) -> str:
+    """Filter-context BM25 replay: membership restricted to n_chars ∈
+    [lo, hi] (missing never matches), scores from the UNRESTRICTED corpus
+    statistics — the exact per-term fold of _bm25_sql."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN documents doc ON doc.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE doc.n_chars IS NOT NULL AND doc.n_chars >= {lo} AND doc.n_chars <= {hi}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
 """
 
 
@@ -5685,6 +5747,9 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
             BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
         "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),
         "dv_sort_topk": _dv_sort_sql(BM25_QUERY.split(), K),
+        "dv_filtered_bm25": _dv_filtered_bm25_sql(BM25_QUERY.split(),
+                                                  DV_LO, DV_HI,
+                                                  0.9, 0.4, K),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),

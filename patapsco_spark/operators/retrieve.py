@@ -73,7 +73,9 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            count_only: bool = False,
            matches_only: bool = False,
            stats_override: dict | None = None,
-           synonyms: dict | None = None) -> DataFrame:
+           synonyms: dict | None = None,
+           dv_filter: tuple[str, float | None, float | None] | None = None
+           ) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
@@ -103,7 +105,21 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     analyzed): a bare term clause naming a mapped term scores with Lucene
     SynonymQuery semantics — tf = Σ member tfs per doc, df = max member
     df, cf = Σ member cf (see _rewrite_synonym_plans). Phrase members are
-    not expanded."""
+    not expanded.
+
+    ``dv_filter`` = (name, lo, hi), either bound None for open: a FILTER-
+    context numeric range over the ``name`` doc-values sidecar
+    (facets.build_value_sidecar) — the ES bool.filter execution shape:
+    the per-shard float64 blob joins the packed-norms side (one blob row
+    per shard, no extra cogroup input) and candidates outside [lo, hi] —
+    or missing the value, which a range never matches — are masked inside
+    the kernel BEFORE the local top-k cut. Exact filtered retrieval
+    without materializing the match set (operators/retrieve.py
+    search_filtered is the sidecar-less fields-table alternative); scores
+    keep the unrestricted corpus statistics, as a filter clause never
+    contributes to scoring. The block-max pruner is disabled (its seed
+    pass could under-seed from filtered-out docs); a filter-aware bound
+    pass is the natural extension if profiling demands it."""
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
@@ -281,6 +297,21 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # touched at the end, partition-pruned, to resolve top-k external ids)
     norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
                     .where(live_pred))
+    dv_range = None
+    if dv_filter is not None:
+        dv_name, dv_lo, dv_hi = dv_filter
+        if dv_lo is None and dv_hi is None:
+            raise ValueError("dv_filter needs at least one bound")
+        dv_range = (None if dv_lo is None else float(dv_lo),
+                    None if dv_hi is None else float(dv_hi))
+        dvp = (spark.read.parquet(
+                   f"{index_path}/doc_values/{dv_name}/packed")
+               .where(live_pred)
+               .select("shard", F.col("values").alias("dv")))
+        # LEFT join: a live shard missing its blob must reach the kernel
+        # (which refuses loudly) — an inner join would silently drop the
+        # whole shard from the result instead
+        norms_packed = norms_packed.join(dvp, "shard", "left")
 
     def _clause_payload(c):
         # (occur, boost, terms, children): children non-empty for a nested
@@ -311,6 +342,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         use_pruner = False  # counting/collecting needs the full candidate set
     if cfg.min_should_match > 1:
         use_pruner = False  # pruner bounds assume any-of-terms matching
+    if dv_filter is not None:
+        use_pruner = False  # seed pass could under-seed from filtered docs
 
     # committed tombstones (operators/deletes.py): masked inside the kernel
     # BEFORE the local top-k cut, with scoring statistics left at the
@@ -326,7 +359,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
-        count_only=count_only, min_should_match=cfg.min_should_match)
+        count_only=count_only, min_should_match=cfg.min_should_match,
+        dv_range=dv_range)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
@@ -1602,7 +1636,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        lam=0.1,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
-                       after=None, count_only=False, min_should_match=0):
+                       after=None, count_only=False, min_should_match=0,
+                       dv_range=None):
     """Build the per-shard cogrouped kernel. Pure numpy inside.
 
     ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
@@ -1626,7 +1661,17 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
 
     ``count_only`` turns the kernel into Lucene's TotalHitCountCollector:
     one row per (query, shard) with score = number of matching docs (after
-    tombstone/cursor masking), no per-doc output and no top-k cut."""
+    tombstone/cursor masking), no per-doc output and no top-k cut.
+
+    ``dv_range`` = (lo, hi), either side None for unbounded: a FILTER-
+    context doc-values range (ES bool.filter over a numeric field,
+    executed like its per-segment doc-values bitset). The packed_pdf side
+    must carry a ``dv`` float64 blob column (search() joins the value
+    sidecar shard-wise); candidates outside the range — or with a NaN
+    (missing) value, ES's a-range-never-matches-missing semantics — are
+    masked BEFORE the local top-k cut, so filtered retrieval is exact
+    without materializing the match set. Scores stay the unrestricted
+    corpus-statistics values (a filter never contributes to the score)."""
     idf_over = idf_over or {}
     after = after or {}
 
@@ -1636,6 +1681,27 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
         shard = int(key[0])
         base = shard * docs_per_shard
         dead = None if deleted is None else deleted.get(shard)
+
+        dv_ok = None
+        if dv_range is not None:
+            if "dv" not in packed_pdf.columns \
+                    or packed_pdf["dv"].iloc[0] is None:
+                # a live shard with postings but no doc-values blob would
+                # silently pass every doc through the filter — refuse, like
+                # the facet kernel's missing-blob check
+                raise ValueError(
+                    f"shard {shard} has postings but no doc-values blob; "
+                    "rebuild the value sidecar after appends/compaction")
+            dvals = np.frombuffer(bytes(packed_pdf["dv"].iloc[0]),
+                                  dtype=np.float64)
+            lo, hi = dv_range
+            with np.errstate(invalid="ignore"):  # NaN compares → False
+                dv_ok = np.ones(len(dvals), dtype=bool)
+                if lo is not None:
+                    dv_ok &= dvals >= lo
+                if hi is not None:
+                    dv_ok &= dvals <= hi
+                dv_ok &= ~np.isnan(dvals)
 
         # dense per-shard dlq array from the packed norm-byte blob
         from ..functions.smallfloat import byte4_to_int
@@ -1775,7 +1841,8 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # reproduce — results must not depend on the pruning heuristic
             # (RM3/boosted terms carry their weight in the clause boost
             # with p = 1.0, so they keep the fast path)
-            if bmw is not None and dead is None and not count_only \
+            if bmw is not None and dead is None and dv_ok is None \
+                    and not count_only \
                     and qid not in after and all(
                     occ == SHOULD and len(ts) == 1 and ts[0][1] == 1.0
                     and not kids
@@ -1795,6 +1862,10 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             if dead is not None and len(dead):
                 # local positions, clipped defensively against stale rows
                 cand[dead[dead < size]] = False
+            if dv_ok is not None:
+                n = min(size, len(dv_ok))
+                cand[:n] &= dv_ok[:n]
+                cand[n:] = False  # no value slot = missing = filtered out
             if not has_scoring_clause or not cand.any():
                 continue
             cpos = np.flatnonzero(cand)

@@ -87,3 +87,66 @@ def test_span_first_refused(spark, idx):
     with pytest.raises(ValueError, match="span_first"):
         sort_values_topk(spark, idx,
                          [span_first_plan("q", [("alpha", 2)])], "recency")
+
+
+class TestDvFilter:
+    """Kernel-level doc-values range filter (search(dv_filter=...)): ES
+    bool.filter semantics — membership restricted, scores untouched."""
+
+    @staticmethod
+    def _search(spark, idx, q, dv, **cfg):
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", q, mode="boolean")
+        res = search(spark, idx, [plan], RetrieveConfig(k=10, **cfg),
+                     dv_filter=dv)
+        return {r["doc_id"]: r["score"] for r in res.collect()}
+
+    def test_range_masks_membership_not_scores(self, spark, idx):
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", "alpha", mode="boolean")
+        base = {r["doc_id"]: r["score"]
+                for r in search(spark, idx, [plan],
+                                RetrieveConfig(k=10)).collect()}
+        # alpha matches v1(30), v2(10), v3(20), v6(missing)
+        got = self._search(spark, idx, "alpha", ("recency", 15.0, 35.0))
+        assert set(got) == {"v1", "v3"}
+        for d in got:   # scores = unrestricted corpus-stats values
+            assert got[d] == base[d]
+
+    def test_open_bounds(self, spark, idx):
+        got = self._search(spark, idx, "alpha", ("recency", None, 15.0))
+        assert set(got) == {"v2"}
+        got = self._search(spark, idx, "alpha", ("recency", 25.0, None))
+        assert set(got) == {"v1"}
+
+    def test_missing_value_never_matches(self, spark, idx):
+        # unbounded-on-both-ends-but-present is expressed as a huge range:
+        # v6 (no value row) must still be excluded
+        got = self._search(spark, idx, "alpha", ("recency", -1e18, 1e18))
+        assert set(got) == {"v1", "v2", "v3"}
+
+    def test_agrees_with_search_filtered(self, spark, idx):
+        from patapsco_spark.operators.retrieve import (search_filtered,
+                                                       search)
+        plan = parse_query("q", "alpha beta", mode="boolean")
+        fields = spark.createDataFrame(VALS, "doc_id string, v double")
+        exact = {(r["doc_id"], r["rank"]): r["score"]
+                 for r in search_filtered(
+                     spark, idx, [plan], fields, "v >= 15.0 AND v <= 35.0",
+                     RetrieveConfig(k=10)).collect()}
+        fast = {(r["doc_id"], r["rank"]): r["score"]
+                for r in search(spark, idx, [plan], RetrieveConfig(k=10),
+                                dv_filter=("recency", 15.0, 35.0)).collect()}
+        assert fast == exact
+
+    def test_count_only_composes(self, spark, idx):
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", "alpha", mode="boolean")
+        res = search(spark, idx, [plan], RetrieveConfig(k=10),
+                     count_only=True, dv_filter=("recency", 15.0, 35.0))
+        assert [(r["query_id"], r["total_hits"])
+                for r in res.collect()] == [("q", 2)]
+
+    def test_both_bounds_none_rejected(self, spark, idx):
+        with pytest.raises(ValueError, match="at least one bound"):
+            self._search(spark, idx, "alpha", ("recency", None, None))
