@@ -547,6 +547,25 @@ def q_dv_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("value").alias("n_chars"))
 
 
+DV_HIST_INTERVAL = 50.0
+
+
+def q_dv_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation executed on doc values (new r5): n_chars
+    buckets (interval 50) over the FULL 'data query stream window' (OR)
+    match set, counted inside the per-shard kernel from the packed float64
+    blob — O(#buckets) rows per query×shard cross Arrow, one combinable
+    sum folds shards (facets.value_histogram; the exact join-based
+    aggs.field_histogram is the sidecar-less alternative)."""
+    from patapsco_spark.operators.facets import value_histogram
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_dv_sidecar(spark, sf_dir, idx)
+    plan = parse_query("q1", BM25_QUERY, mode="plain")
+    res = value_histogram(spark, idx, [plan], "n_chars", DV_HIST_INTERVAL)
+    return res.select("bucket", F.col("count").cast("long").alias("cnt"))
+
+
 COLLAPSE_DEPTH = 100
 
 
@@ -3411,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_by_source": q_facet_by_source,
         "dv_sort_topk": q_dv_sort_topk,
         "dv_filtered_bm25": q_dv_filtered_bm25,
+        "dv_histogram": q_dv_histogram,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -4160,6 +4180,20 @@ matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
 def _matchset_prefix(query_terms: list[str]) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _dv_histogram_sql(query_terms: list[str], interval: float) -> str:
+    """Oracle for the doc-values histogram: floor(n_chars / interval) ·
+    interval buckets over the OR match set, NULL values unbucketed."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT floor(d.n_chars / {interval}) * {interval} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL
+GROUP BY bucket
+ORDER BY bucket
+"""
 
 
 def _sort_by_field_sql(query_terms: list[str], k: int) -> str:
@@ -5750,6 +5784,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "dv_filtered_bm25": _dv_filtered_bm25_sql(BM25_QUERY.split(),
                                                   DV_LO, DV_HI,
                                                   0.9, 0.4, K),
+        "dv_histogram": _dv_histogram_sql(BM25_QUERY.split(),
+                                          DV_HIST_INTERVAL),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),

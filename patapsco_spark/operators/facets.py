@@ -401,6 +401,125 @@ def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
     return kernel
 
 
+def _make_hist_kernel(plans_payload, *, docs_per_shard, deleted,
+                      min_should_match, interval):
+    """Per-shard matcher + doc-values histogram: candidate mask per query,
+    then per-bucket counts of floor(value / interval) · interval under it.
+    Output rows are O(#buckets) per (query, shard) — never per-doc."""
+
+    def kernel(key, posts_pdf: pd.DataFrame,
+               packed_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype=object),
+                              "bucket": pd.Series(dtype=np.float64),
+                              "cnt": pd.Series(dtype=np.int64)})
+        if packed_pdf.empty:
+            if not posts_pdf.empty:
+                raise ValueError(
+                    f"shard {int(key[0])} has postings but no doc-values "
+                    "blob; rebuild the value sidecar after "
+                    "appends/compaction")
+            return empty
+        shard = int(key[0])
+        base = shard * docs_per_shard
+        vals = np.frombuffer(bytes(packed_pdf["values"].iloc[0]),
+                             dtype=np.float64)
+        size = len(vals)
+        dead = None if deleted is None else deleted.get(shard)
+        positions = _term_positions_fn(posts_pdf, base)
+
+        out_q, out_b, out_n = [], [], []
+        for qid, clauses in plans_payload:
+            cand = _eval_match(clauses, size, positions,
+                               mm=min_should_match)
+            if dead is not None and len(dead):
+                cand[dead[dead < size]] = False
+            v = vals[cand]
+            v = v[~np.isnan(v)]   # missing values are unbucketed, like
+            if not len(v):        # ES docs without the field
+                continue
+            b = np.floor(v / interval) * interval
+            uniq, counts = np.unique(b, return_counts=True)
+            out_q.append(np.full(len(uniq), qid, dtype=object))
+            out_b.append(uniq)
+            out_n.append(counts.astype(np.int64))
+        if not out_q:
+            return empty
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "bucket": np.concatenate(out_b),
+                             "cnt": np.concatenate(out_n)})
+
+    return kernel
+
+
+def value_histogram(spark: SparkSession, index_path: str,
+                    plans: list[QueryPlan], name: str, interval: float,
+                    cfg: RetrieveConfig | None = None) -> DataFrame:
+    """ES ``histogram`` aggregation executed on doc values — the scale
+    path of ``aggs.field_histogram``: fixed-interval buckets keyed at
+    floor(v / interval) · interval over the FULL match set of each query,
+    counted inside the per-shard kernel from the packed float64 blob, so
+    only O(#buckets) rows per (query, shard) cross Arrow and one
+    map-side-combinable sum folds shards. Same matching semantics as
+    search (shared ``_eval_match``); docs without a value are unbucketed
+    (ES missing-field behavior); empty buckets omitted (min_doc_count=1).
+    Returns (query_id, bucket, count) ordered by (query, bucket)."""
+    from .deletes import tombstone_arrays
+    from .retrieve import _expand_multiterm_plans
+
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    cfg = cfg or RetrieveConfig()
+    meta = load_index_meta(index_path)
+    num_shards = int(meta["num_shards"])
+    docs_per_shard = int(meta["docs_per_shard"])
+    stats_base = int(meta.get("stats_base", meta.get("shard_base", 0)))
+    from .indexer import live_shard_pred
+    live_pred = live_shard_pred(meta)
+
+    if any(getattr(c, "first", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        raise ValueError(
+            "value_histogram does not support span_first clauses: use "
+            "the span-first match_set with aggs.field_histogram instead")
+    if any(c.prefix or c.fuzzy is not None
+           or getattr(c, "trange", None) is not None
+           or getattr(c, "wild", None) is not None
+           or getattr(c, "regex", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        plans = _expand_multiterm_plans(spark, index_path, plans, num_shards,
+                                        shard_base=stats_base)
+
+    all_terms = sorted({t for p in plans
+                        for c in iter_term_clauses(p.clauses)
+                        for t, _ in c.terms if not t.startswith("\x01")})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id string, bucket double, count long")
+
+    posts = (spark.read.parquet(f"{index_path}/postings")
+             .where(F.col("term").isin(all_terms) & live_pred))
+    packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
+              .where(live_pred))
+
+    def _clause_payload(c):
+        return (c.occur, float(c.boost), list(c.terms),
+                [_clause_payload(g) for g in (c.group or [])])
+
+    plans_payload = [(p.qid, [_clause_payload(c) for c in p.clauses])
+                     for p in plans]
+    kernel = _make_hist_kernel(
+        plans_payload, docs_per_shard=docs_per_shard,
+        deleted=tombstone_arrays(spark, index_path, meta),
+        min_should_match=cfg.min_should_match, interval=float(interval))
+    local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
+             .applyInPandas(kernel,
+                            schema="query_id string, bucket double, "
+                                   "cnt long"))
+    return (local.groupBy("query_id", "bucket")
+            .agg(F.sum("cnt").alias("count"))
+            .orderBy("query_id", "bucket"))
+
+
 def sort_values_topk(spark: SparkSession, index_path: str,
                      plans: list[QueryPlan], name: str, k: int = 10,
                      ascending: bool = False,

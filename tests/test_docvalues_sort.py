@@ -150,3 +150,40 @@ class TestDvFilter:
     def test_both_bounds_none_rejected(self, spark, idx):
         with pytest.raises(ValueError, match="at least one bound"):
             self._search(spark, idx, "alpha", ("recency", None, None))
+
+
+class TestValueHistogram:
+    """Kernel-level histogram over doc values (facets.value_histogram):
+    ES histogram semantics, counts agree with the exact match-set agg."""
+
+    def test_hand_computed(self, spark, idx):
+        from patapsco_spark.operators.facets import value_histogram
+        plan = parse_query("q", "alpha beta gamma", mode="boolean")
+        res = value_histogram(spark, idx, [plan], "recency", 15.0)
+        got = {(r["query_id"], r["bucket"]): r["count"]
+               for r in res.collect()}
+        # values: v1=30, v2=10, v3=20, v4=40, v5=20 (v6 missing, unbucketed)
+        # buckets @15: 10->0, 20->15, 20->15, 30->30, 40->30
+        assert got == {("q", 0.0): 1, ("q", 15.0): 2, ("q", 30.0): 2}
+
+    def test_agrees_with_exact_field_histogram(self, spark, idx):
+        from patapsco_spark.operators.aggs import (field_histogram,
+                                                   match_set)
+        from patapsco_spark.operators.facets import value_histogram
+        plan = parse_query("q", "alpha", mode="boolean")
+        vals = spark.createDataFrame(VALS, "doc_id string, v double")
+        exact = {(r["query_id"], r["bucket"]): r["cnt"]
+                 for r in field_histogram(
+                     match_set(spark, idx, [plan]), vals, "v",
+                     12.5, id_col="doc_id").collect()}
+        fast = {(r["query_id"], r["bucket"]): r["count"]
+                for r in value_histogram(spark, idx, [plan], "recency",
+                                         12.5).collect()}
+        assert fast == exact
+
+    def test_bad_interval_rejected(self, spark, idx):
+        from patapsco_spark.operators.facets import value_histogram
+        with pytest.raises(ValueError, match="interval"):
+            value_histogram(spark, idx,
+                            [parse_query("q", "alpha", mode="boolean")],
+                            "recency", 0.0)
