@@ -547,6 +547,31 @@ def q_dv_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("value").alias("n_chars"))
 
 
+def q_dv_filtered_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation (new r5; ES bool.filter + terms agg): facet
+    counts per source over the 'data query stream window' match set
+    RESTRICTED to n_chars ∈ [150, 400] — the doc-values range is a second
+    blob mask inside the same facet-kernel pass, so the filter costs no
+    join and no extra corpus scan (facets.facet_counts dv_filter)."""
+    from patapsco_spark.operators.facets import (build_facet_sidecar,
+                                                 facet_counts_texts)
+    from patapsco_spark.plans import manifest as _mf
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_dv_sidecar(spark, sf_dir, idx)
+    if _mf.read_manifest(f"{idx}/facets/source") is None:
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")).select(
+            F.col("doc_id").cast("string").alias("id"), "source")
+        build_facet_sidecar(spark, idx, docs, "source",
+                            id_col="id", key_col="source")
+    res = facet_counts_texts(spark, idx, [("q1", BM25_QUERY)], "source",
+                             text_cfg=RAW_TEXT, mode="boolean",
+                             dv_filter=("n_chars", DV_LO, DV_HI))
+    return res.select(F.col("key").alias("src"),
+                      F.col("count").cast("long").alias("cnt"))
+
+
 DV_HIST_INTERVAL = 50.0
 
 
@@ -3431,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_sort_topk": q_dv_sort_topk,
         "dv_filtered_bm25": q_dv_filtered_bm25,
         "dv_histogram": q_dv_histogram,
+        "dv_filtered_facets": q_dv_filtered_facets,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -4478,6 +4504,23 @@ qterms(term) AS (VALUES {vals}),
 matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))
 SELECT d.source AS src, count(*)::BIGINT AS cnt
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.source
+ORDER BY cnt DESC, src ASC
+"""
+
+
+def _dv_filtered_facets_sql(query_terms: list[str], lo: float,
+                            hi: float) -> str:
+    """Oracle for filtered facet counts: the OR match set restricted to
+    n_chars ∈ [lo, hi] (missing never passes), counted per source."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))
+SELECT d.source AS src, count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+WHERE d.n_chars IS NOT NULL AND d.n_chars >= {lo} AND d.n_chars <= {hi}
 GROUP BY d.source
 ORDER BY cnt DESC, src ASC
 """
@@ -5786,6 +5829,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
                                                   0.9, 0.4, K),
         "dv_histogram": _dv_histogram_sql(BM25_QUERY.split(),
                                           DV_HIST_INTERVAL),
+        "dv_filtered_facets": _dv_filtered_facets_sql(BM25_QUERY.split(),
+                                                      DV_LO, DV_HI),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),

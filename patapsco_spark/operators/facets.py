@@ -172,10 +172,13 @@ def _term_positions_fn(posts_pdf: pd.DataFrame, base: int):
 
 
 def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
-                       min_should_match):
+                       min_should_match, dv_range=None):
     """Per-shard matcher: candidate mask per query (search semantics, no
     scores), bincount of facet codes under it. Output rows are (query,
-    code, count) — O(#codes), never O(#docs)."""
+    code, count) — O(#codes), never O(#docs). ``dv_range`` (lo, hi)
+    additionally masks candidates by a doc-values blob joined onto the
+    packed side as ``dv`` — ES's filtered-aggregation (bool.filter +
+    terms agg) execution shape; a missing value never passes."""
 
     def kernel(key, posts_pdf: pd.DataFrame,
                packed_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -200,12 +203,35 @@ def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
         dead = None if deleted is None else deleted.get(shard)
         positions = _term_positions_fn(posts_pdf, base)
 
+        dv_ok = None
+        if dv_range is not None:
+            if "dv" not in packed_pdf.columns \
+                    or packed_pdf["dv"].iloc[0] is None:
+                raise ValueError(
+                    f"shard {shard} has a facet blob but no doc-values "
+                    "blob; rebuild the value sidecar after "
+                    "appends/compaction")
+            dvals = np.frombuffer(bytes(packed_pdf["dv"].iloc[0]),
+                                  dtype=np.float64)
+            lo, hi = dv_range
+            with np.errstate(invalid="ignore"):
+                dv_ok = np.ones(len(dvals), dtype=bool)
+                if lo is not None:
+                    dv_ok &= dvals >= lo
+                if hi is not None:
+                    dv_ok &= dvals <= hi
+                dv_ok &= ~np.isnan(dvals)
+
         out_q, out_c, out_n = [], [], []
         for qid, clauses in plans_payload:
             cand = _eval_match(clauses, size, positions,
                                mm=min_should_match)
             if dead is not None and len(dead):
                 cand[dead[dead < size]] = False
+            if dv_ok is not None:
+                n = min(size, len(dv_ok))
+                cand[:n] &= dv_ok[:n]
+                cand[n:] = False
             hit = codes[cand]
             hit = hit[hit >= 0]
             if not len(hit):
@@ -226,11 +252,16 @@ def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
 
 def facet_counts(spark: SparkSession, index_path: str,
                  plans: list[QueryPlan], name: str,
-                 cfg: RetrieveConfig | None = None) -> DataFrame:
+                 cfg: RetrieveConfig | None = None,
+                 dv_filter: tuple[str, float | None, float | None]
+                 | None = None) -> DataFrame:
     """Counts of matching docs per facet value, per query — over the FULL
     matching set (Lucene FacetsCollector, not a top-k sample). Returns
     (query_id, key, count), count desc / key asc, keys with zero matches
-    omitted."""
+    omitted. ``dv_filter`` = (value-sidecar name, lo, hi) restricts the
+    counted set by a numeric doc-values range first — ES's filtered
+    aggregation (bool.filter + terms agg), executed as a second blob mask
+    inside the same kernel pass (no join, no extra scan of the corpus)."""
     from .deletes import tombstone_arrays
     from .retrieve import _expand_multiterm_plans
 
@@ -268,6 +299,20 @@ def facet_counts(spark: SparkSession, index_path: str,
     packed = (spark.read.parquet(f"{index_path}/facets/{name}/packed")
               .where(live_pred))
     dict_df = spark.read.parquet(f"{index_path}/facets/{name}/dict")
+    dv_range = None
+    if dv_filter is not None:
+        dv_name, dv_lo, dv_hi = dv_filter
+        if dv_lo is None and dv_hi is None:
+            raise ValueError("dv_filter needs at least one bound")
+        dv_range = (None if dv_lo is None else float(dv_lo),
+                    None if dv_hi is None else float(dv_hi))
+        dvp = (spark.read.parquet(
+                   f"{index_path}/doc_values/{dv_name}/packed")
+               .where(live_pred)
+               .select("shard", F.col("values").alias("dv")))
+        # LEFT join so a shard missing its blob reaches the kernel's loud
+        # refusal instead of silently dropping out (same as search)
+        packed = packed.join(dvp, "shard", "left")
 
     def _clause_payload(c):
         return (c.occur, float(c.boost), list(c.terms),
@@ -278,7 +323,7 @@ def facet_counts(spark: SparkSession, index_path: str,
     kernel = _make_facet_kernel(
         plans_payload, docs_per_shard=docs_per_shard,
         deleted=tombstone_arrays(spark, index_path, meta),
-        min_should_match=cfg.min_should_match)
+        min_should_match=cfg.min_should_match, dv_range=dv_range)
     local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
              .applyInPandas(kernel,
                             schema="query_id string, code int, cnt long"))
@@ -292,10 +337,12 @@ def facet_counts_texts(spark: SparkSession, index_path: str,
                        queries: list[tuple[str, str]], name: str,
                        cfg: RetrieveConfig | None = None,
                        text_cfg: TextConfig | None = None,
-                       lang: str = "eng", mode: str = "plain") -> DataFrame:
+                       lang: str = "eng", mode: str = "plain",
+                       dv_filter: tuple | None = None) -> DataFrame:
     plans = process_queries(queries, text_cfg or TextConfig(), lang=lang,
                             mode=mode)
-    return facet_counts(spark, index_path, plans, name, cfg)
+    return facet_counts(spark, index_path, plans, name, cfg,
+                        dv_filter=dv_filter)
 
 
 def _pack_values(docs_per_shard: int):

@@ -98,3 +98,46 @@ def test_cardinality_cap_raises(spark, idx, tmp_path):
     with pytest.raises(ValueError, match="distinct"):
         build_facet_sidecar(spark, idx, keys, "toomany",
                             id_col="id", key_col="site", max_cardinality=3)
+
+
+class TestFilteredFacets:
+    """dv_filter on facet_counts (new r5): ES filtered aggregation —
+    the counted set is additionally masked by a doc-values range."""
+
+    @pytest.fixture(scope="class")
+    def vidx(self, spark, idx):
+        from patapsco_spark.operators.facets import build_value_sidecar
+        vals = spark.createDataFrame(
+            [("f1", 10.0), ("f2", 20.0), ("f3", 30.0), ("f4", 40.0),
+             ("f5", 50.0)],  # f6 has no value
+            "id string, v double")
+        build_value_sidecar(spark, idx, vals, "score_v",
+                            id_col="id", value_col="v")
+        return idx
+
+    def test_range_restricts_counts(self, spark, vidx):
+        from patapsco_spark.operators.facets import facet_counts_texts
+        # alpha OR beta matches f1-f4 (+f6 uncounted); v in [15, 35]
+        # keeps f2 (A, 20) and f3 (B, 30)
+        res = facet_counts_texts(spark, vidx, [("q", "alpha beta")],
+                                 "site", text_cfg=RAW, mode="boolean",
+                                 dv_filter=("score_v", 15.0, 35.0))
+        got = {(r["query_id"], r["key"]): r["count"] for r in res.collect()}
+        assert got == {("q", "A"): 1, ("q", "B"): 1}
+
+    def test_open_bound_and_missing_value(self, spark, vidx):
+        from patapsco_spark.operators.facets import facet_counts_texts
+        # gamma matches f3 (30), f5 (50), f6 (missing value AND no site);
+        # v >= 40 keeps f5 only
+        res = facet_counts_texts(spark, vidx, [("q", "gamma")],
+                                 "site", text_cfg=RAW, mode="boolean",
+                                 dv_filter=("score_v", 40.0, None))
+        got = {(r["query_id"], r["key"]): r["count"] for r in res.collect()}
+        assert got == {("q", "C"): 1}
+
+    def test_unfiltered_unchanged(self, spark, vidx):
+        from patapsco_spark.operators.facets import facet_counts_texts
+        res = facet_counts_texts(spark, vidx, [("q", "alpha beta")],
+                                 "site", text_cfg=RAW, mode="boolean")
+        got = {(r["query_id"], r["key"]): r["count"] for r in res.collect()}
+        assert got == {("q", "A"): 2, ("q", "B"): 2}
