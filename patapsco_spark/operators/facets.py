@@ -171,6 +171,57 @@ def _term_positions_fn(posts_pdf: pd.DataFrame, base: int):
     return positions
 
 
+def _dv_bounds(dv_filter):
+    """Validate a (name, lo, hi) dv_filter → (name, (lo, hi)) floats."""
+    dv_name, dv_lo, dv_hi = dv_filter
+    if dv_lo is None and dv_hi is None:
+        raise ValueError("dv_filter needs at least one bound")
+    return dv_name, (None if dv_lo is None else float(dv_lo),
+                     None if dv_hi is None else float(dv_hi))
+
+
+def _join_dv(spark: SparkSession, index_path: str, packed: DataFrame,
+             dv_name: str, live_pred) -> DataFrame:
+    """LEFT-join a value sidecar's blobs as a ``dv`` column onto a packed
+    per-shard frame — left so a shard missing its blob reaches the
+    kernel's loud refusal instead of silently dropping out."""
+    dvp = (spark.read.parquet(f"{index_path}/doc_values/{dv_name}/packed")
+           .where(live_pred)
+           .select("shard", F.col("values").alias("dv")))
+    return packed.join(dvp, "shard", "left")
+
+
+def _dv_mask(packed_pdf: pd.DataFrame, dv_range, shard: int):
+    """Kernel-side doc-values range mask: True where the value passes
+    [lo, hi]; NaN (missing) never passes. Raises on a missing blob."""
+    if dv_range is None:
+        return None
+    if "dv" not in packed_pdf.columns or packed_pdf["dv"].iloc[0] is None:
+        raise ValueError(
+            f"shard {shard} is live but has no doc-values blob; rebuild "
+            "the value sidecar after appends/compaction")
+    dvals = np.frombuffer(bytes(packed_pdf["dv"].iloc[0]),
+                          dtype=np.float64)
+    lo, hi = dv_range
+    with np.errstate(invalid="ignore"):
+        ok = np.ones(len(dvals), dtype=bool)
+        if lo is not None:
+            ok &= dvals >= lo
+        if hi is not None:
+            ok &= dvals <= hi
+        ok &= ~np.isnan(dvals)
+    return ok
+
+
+def _apply_dv_mask(cand: np.ndarray, dv_ok) -> None:
+    """cand &= dv_ok in place, docs beyond the blob treated as missing."""
+    if dv_ok is None:
+        return
+    n = min(len(cand), len(dv_ok))
+    cand[:n] &= dv_ok[:n]
+    cand[n:] = False
+
+
 def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
                        min_should_match, dv_range=None):
     """Per-shard matcher: candidate mask per query (search semantics, no
@@ -203,24 +254,7 @@ def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
         dead = None if deleted is None else deleted.get(shard)
         positions = _term_positions_fn(posts_pdf, base)
 
-        dv_ok = None
-        if dv_range is not None:
-            if "dv" not in packed_pdf.columns \
-                    or packed_pdf["dv"].iloc[0] is None:
-                raise ValueError(
-                    f"shard {shard} has a facet blob but no doc-values "
-                    "blob; rebuild the value sidecar after "
-                    "appends/compaction")
-            dvals = np.frombuffer(bytes(packed_pdf["dv"].iloc[0]),
-                                  dtype=np.float64)
-            lo, hi = dv_range
-            with np.errstate(invalid="ignore"):
-                dv_ok = np.ones(len(dvals), dtype=bool)
-                if lo is not None:
-                    dv_ok &= dvals >= lo
-                if hi is not None:
-                    dv_ok &= dvals <= hi
-                dv_ok &= ~np.isnan(dvals)
+        dv_ok = _dv_mask(packed_pdf, dv_range, shard)
 
         out_q, out_c, out_n = [], [], []
         for qid, clauses in plans_payload:
@@ -228,10 +262,7 @@ def _make_facet_kernel(plans_payload, *, docs_per_shard, deleted,
                                mm=min_should_match)
             if dead is not None and len(dead):
                 cand[dead[dead < size]] = False
-            if dv_ok is not None:
-                n = min(size, len(dv_ok))
-                cand[:n] &= dv_ok[:n]
-                cand[n:] = False
+            _apply_dv_mask(cand, dv_ok)
             hit = codes[cand]
             hit = hit[hit >= 0]
             if not len(hit):
@@ -301,18 +332,8 @@ def facet_counts(spark: SparkSession, index_path: str,
     dict_df = spark.read.parquet(f"{index_path}/facets/{name}/dict")
     dv_range = None
     if dv_filter is not None:
-        dv_name, dv_lo, dv_hi = dv_filter
-        if dv_lo is None and dv_hi is None:
-            raise ValueError("dv_filter needs at least one bound")
-        dv_range = (None if dv_lo is None else float(dv_lo),
-                    None if dv_hi is None else float(dv_hi))
-        dvp = (spark.read.parquet(
-                   f"{index_path}/doc_values/{dv_name}/packed")
-               .where(live_pred)
-               .select("shard", F.col("values").alias("dv")))
-        # LEFT join so a shard missing its blob reaches the kernel's loud
-        # refusal instead of silently dropping out (same as search)
-        packed = packed.join(dvp, "shard", "left")
+        dv_name, dv_range = _dv_bounds(dv_filter)
+        packed = _join_dv(spark, index_path, packed, dv_name, live_pred)
 
     def _clause_payload(c):
         return (c.occur, float(c.boost), list(c.terms),
@@ -396,7 +417,7 @@ def build_value_sidecar(spark: SparkSession, index_path: str,
 
 
 def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
-                      min_should_match, k, ascending):
+                      min_should_match, k, ascending, dv_range=None):
     """Per-shard matcher + doc-values top-k: candidate mask per query
     (search semantics, no scores), then the k best candidates by (value,
     docid asc) from the shard's float64 blob. Output rows are
@@ -421,6 +442,7 @@ def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
         size = len(vals)
         dead = None if deleted is None else deleted.get(shard)
         positions = _term_positions_fn(posts_pdf, base)
+        dv_ok = _dv_mask(packed_pdf, dv_range, shard)
 
         out_q, out_d, out_v = [], [], []
         for qid, clauses in plans_payload:
@@ -428,6 +450,7 @@ def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
                                mm=min_should_match)
             if dead is not None and len(dead):
                 cand[dead[dead < size]] = False
+            _apply_dv_mask(cand, dv_ok)
             pos = np.flatnonzero(cand)
             v = vals[pos]
             keep = ~np.isnan(v)   # missing values are excluded, like docs
@@ -449,7 +472,7 @@ def _make_sort_kernel(plans_payload, *, docs_per_shard, deleted,
 
 
 def _make_hist_kernel(plans_payload, *, docs_per_shard, deleted,
-                      min_should_match, interval):
+                      min_should_match, interval, dv_range=None):
     """Per-shard matcher + doc-values histogram: candidate mask per query,
     then per-bucket counts of floor(value / interval) · interval under it.
     Output rows are O(#buckets) per (query, shard) — never per-doc."""
@@ -473,6 +496,7 @@ def _make_hist_kernel(plans_payload, *, docs_per_shard, deleted,
         size = len(vals)
         dead = None if deleted is None else deleted.get(shard)
         positions = _term_positions_fn(posts_pdf, base)
+        dv_ok = _dv_mask(packed_pdf, dv_range, shard)
 
         out_q, out_b, out_n = [], [], []
         for qid, clauses in plans_payload:
@@ -480,6 +504,7 @@ def _make_hist_kernel(plans_payload, *, docs_per_shard, deleted,
                                mm=min_should_match)
             if dead is not None and len(dead):
                 cand[dead[dead < size]] = False
+            _apply_dv_mask(cand, dv_ok)
             v = vals[cand]
             v = v[~np.isnan(v)]   # missing values are unbucketed, like
             if not len(v):        # ES docs without the field
@@ -500,7 +525,8 @@ def _make_hist_kernel(plans_payload, *, docs_per_shard, deleted,
 
 def value_histogram(spark: SparkSession, index_path: str,
                     plans: list[QueryPlan], name: str, interval: float,
-                    cfg: RetrieveConfig | None = None) -> DataFrame:
+                    cfg: RetrieveConfig | None = None,
+                    dv_filter: tuple | None = None) -> DataFrame:
     """ES ``histogram`` aggregation executed on doc values — the scale
     path of ``aggs.field_histogram``: fixed-interval buckets keyed at
     floor(v / interval) · interval over the FULL match set of each query,
@@ -547,6 +573,10 @@ def value_histogram(spark: SparkSession, index_path: str,
              .where(F.col("term").isin(all_terms) & live_pred))
     packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
               .where(live_pred))
+    dv_range = None
+    if dv_filter is not None:
+        dv_name, dv_range = _dv_bounds(dv_filter)
+        packed = _join_dv(spark, index_path, packed, dv_name, live_pred)
 
     def _clause_payload(c):
         return (c.occur, float(c.boost), list(c.terms),
@@ -557,7 +587,8 @@ def value_histogram(spark: SparkSession, index_path: str,
     kernel = _make_hist_kernel(
         plans_payload, docs_per_shard=docs_per_shard,
         deleted=tombstone_arrays(spark, index_path, meta),
-        min_should_match=cfg.min_should_match, interval=float(interval))
+        min_should_match=cfg.min_should_match, interval=float(interval),
+        dv_range=dv_range)
     local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
              .applyInPandas(kernel,
                             schema="query_id string, bucket double, "
@@ -570,7 +601,8 @@ def value_histogram(spark: SparkSession, index_path: str,
 def sort_values_topk(spark: SparkSession, index_path: str,
                      plans: list[QueryPlan], name: str, k: int = 10,
                      ascending: bool = False,
-                     cfg: RetrieveConfig | None = None) -> DataFrame:
+                     cfg: RetrieveConfig | None = None,
+                     dv_filter: tuple | None = None) -> DataFrame:
     """Top-k of a query's match set ordered by a doc-values field — the
     scale path of ``aggs.sort_by_field`` (Lucene Sort over NumericDocValues
     / ES ``sort`` on doc values). Same matching semantics as search (the
@@ -618,6 +650,10 @@ def sort_values_topk(spark: SparkSession, index_path: str,
              .where(F.col("term").isin(all_terms) & live_pred))
     packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
               .where(live_pred))
+    dv_range = None
+    if dv_filter is not None:
+        dv_name, dv_range = _dv_bounds(dv_filter)
+        packed = _join_dv(spark, index_path, packed, dv_name, live_pred)
 
     def _clause_payload(c):
         return (c.occur, float(c.boost), list(c.terms),
@@ -628,7 +664,8 @@ def sort_values_topk(spark: SparkSession, index_path: str,
     kernel = _make_sort_kernel(
         plans_payload, docs_per_shard=docs_per_shard,
         deleted=tombstone_arrays(spark, index_path, meta),
-        min_should_match=cfg.min_should_match, k=k, ascending=ascending)
+        min_should_match=cfg.min_should_match, k=k, ascending=ascending,
+        dv_range=dv_range)
     local = (posts.groupBy("shard").cogroup(packed.groupBy("shard"))
              .applyInPandas(kernel,
                             schema="query_id string, docid long, "

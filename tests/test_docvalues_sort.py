@@ -187,3 +187,23 @@ class TestValueHistogram:
             value_histogram(spark, idx,
                             [parse_query("q", "alpha", mode="boolean")],
                             "recency", 0.0)
+
+
+def test_sort_composes_with_dv_filter(spark, idx):
+    from patapsco_spark.operators.facets import sort_values_topk
+    plan = parse_query("q", "alpha beta gamma", mode="boolean")
+    # match set v1-v6; filter to recency in [15, 35] -> v1(30), v3(20),
+    # v5(20); sort desc: v1, then v3/v5 tie -> docid order
+    res = sort_values_topk(spark, idx, [plan], "recency", k=10,
+                           dv_filter=("recency", 15.0, 35.0))
+    got = [(r["doc_id"], r["value"]) for r in res.collect()]
+    assert got == [("v1", 30.0), ("v3", 20.0), ("v5", 20.0)]
+
+
+def test_histogram_composes_with_dv_filter(spark, idx):
+    from patapsco_spark.operators.facets import value_histogram
+    plan = parse_query("q", "alpha beta gamma", mode="boolean")
+    res = value_histogram(spark, idx, [plan], "recency", 15.0,
+                          dv_filter=("recency", 15.0, 35.0))
+    got = {r["bucket"]: r["count"] for r in res.collect()}
+    assert got == {15.0: 2, 30.0: 1}
