@@ -572,6 +572,25 @@ def q_dv_filtered_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("count").cast("long").alias("cnt"))
 
 
+DECAY_ORIGIN, DECAY_SCALE = 300.0, 100.0
+
+
+def q_dv_decay_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT function_score decay (new r5; ES function_score + gauss
+    decay, executed ES's way): BM25 × gauss(n_chars; origin 300, scale
+    100), the factor computed per CANDIDATE inside the scorer kernel from
+    the packed sidecar — no rescore window, so unlike search_with_decay's
+    documented depth-bounded cascade this path has zero cascade error.
+    Missing values take factor 1.0 (ES missing-field)."""
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_dv_sidecar(spark, sf_dir, idx)
+    plan = parse_query("q1", BM25_QUERY, mode="plain")
+    res = search(spark, idx, [plan], RetrieveConfig(k=K),
+                 dv_boost=("n_chars", {"origin": DECAY_ORIGIN,
+                                       "scale": DECAY_SCALE}))
+    return _as_result(res)
+
+
 DV_HIST_INTERVAL = 50.0
 
 
@@ -3457,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dv_filtered_bm25": q_dv_filtered_bm25,
         "dv_histogram": q_dv_histogram,
         "dv_filtered_facets": q_dv_filtered_facets,
+        "dv_decay_bm25": q_dv_decay_bm25,
         "page2_bm25": q_page2_bm25,
         "hit_counts": q_hit_counts,
         "mlt_bm25": q_mlt_bm25,
@@ -4266,6 +4286,50 @@ scores AS (
   CROSS JOIN stats
   WHERE doc.n_chars IS NOT NULL AND doc.n_chars >= {lo} AND doc.n_chars <= {hi}
   GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _dv_decay_bm25_sql(query_terms: list[str], origin: float, scale: float,
+                       k1: float, b: float, k: int) -> str:
+    """Gauss-decay function_score replay: per-doc BM25 fold × exp(-(d²)/
+    (2σ²)), d = greatest(|n_chars − origin| − 0, 0), σ² inlined from the
+    same Python arithmetic the kernel runs; NULL n_chars → factor 1."""
+    import math as _math
+    sigma2 = -(scale * scale) / (2.0 * _math.log(0.5))
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    factor = (f"CASE WHEN doc.n_chars IS NULL THEN 1.0 ELSE "
+              f"exp(-((greatest(abs(doc.n_chars - {origin!r}) - 0.0, 0.0) "
+              f"* greatest(abs(doc.n_chars - {origin!r}) - 0.0, 0.0))) "
+              f"/ (2.0 * {sigma2!r})) END")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum')
+         * {factor} AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  LEFT JOIN documents doc ON doc.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id, doc.n_chars
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
@@ -5831,6 +5895,9 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
                                           DV_HIST_INTERVAL),
         "dv_filtered_facets": _dv_filtered_facets_sql(BM25_QUERY.split(),
                                                       DV_LO, DV_HI),
+        "dv_decay_bm25": _dv_decay_bm25_sql(BM25_QUERY.split(),
+                                            DECAY_ORIGIN, DECAY_SCALE,
+                                            0.9, 0.4, K),
         "wildcard_bm25": _wildcard_bm25_sql(WILDCARD_MUST,
                                             WILDCARD_PREFIX + "%",
                                             0.9, 0.4, K),

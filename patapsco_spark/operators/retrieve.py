@@ -74,8 +74,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            matches_only: bool = False,
            stats_override: dict | None = None,
            synonyms: dict | None = None,
-           dv_filter: tuple[str, float | None, float | None] | None = None
-           ) -> DataFrame:
+           dv_filter: tuple[str, float | None, float | None] | None = None,
+           dv_boost: tuple[str, dict] | None = None) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
@@ -119,7 +119,19 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     keep the unrestricted corpus statistics, as a filter clause never
     contributes to scoring. The block-max pruner is disabled (its seed
     pass could under-seed from filtered-out docs); a filter-aware bound
-    pass is the natural extension if profiling demands it."""
+    pass is the natural extension if profiling demands it.
+
+    ``dv_boost`` = (name, params): EXACT function_score decay — ES
+    ``function_score`` with a decay function, executed like ES does it
+    (factor per candidate inside the scorer, not a depth-bounded rescore;
+    ``search_with_decay`` is the fields-table rescore alternative and
+    documents its cascade error, which this path has none of).
+    ``params``: origin (required), scale (required, > 0), offset (0),
+    decay (0.5), shape ('gauss' | 'exp' | 'linear'), mode ('multiply' |
+    'sum'), weight (1.0, sum only). The factor is computed vectorized
+    from the field's packed blob; docs missing the value take factor 1.0
+    (ES's missing-field behavior). Applies to any scorer; the pruner is
+    disabled (its bounds don't see the factor)."""
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
@@ -312,6 +324,29 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         # (which refuses loudly) — an inner join would silently drop the
         # whole shard from the result instead
         norms_packed = norms_packed.join(dvp, "shard", "left")
+    boost_params = None
+    if dv_boost is not None:
+        boost_name, boost_params = dv_boost
+        bp = dict(boost_params)
+        shape = bp.setdefault("shape", "gauss")
+        if shape not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay shape: {shape!r}")
+        mode = bp.setdefault("mode", "multiply")
+        if mode not in ("multiply", "sum"):
+            raise ValueError(f"unknown decay mode: {mode!r}")
+        if not 0.0 < float(bp.get("decay", 0.5)) < 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        if float(bp["scale"]) <= 0:
+            raise ValueError("scale must be positive")
+        bp.setdefault("offset", 0.0)
+        bp.setdefault("decay", 0.5)
+        bp.setdefault("weight", 1.0)
+        boost_params = bp
+        dvb = (spark.read.parquet(
+                   f"{index_path}/doc_values/{boost_name}/packed")
+               .where(live_pred)
+               .select("shard", F.col("values").alias("dvb")))
+        norms_packed = norms_packed.join(dvb, "shard", "left")
 
     def _clause_payload(c):
         # (occur, boost, terms, children): children non-empty for a nested
@@ -344,6 +379,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         use_pruner = False  # pruner bounds assume any-of-terms matching
     if dv_filter is not None:
         use_pruner = False  # seed pass could under-seed from filtered docs
+    if dv_boost is not None:
+        use_pruner = False  # block-max bounds don't see the decay factor
 
     # committed tombstones (operators/deletes.py): masked inside the kernel
     # BEFORE the local top-k cut, with scoring statistics left at the
@@ -360,7 +397,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
         count_only=count_only, min_should_match=cfg.min_should_match,
-        dv_range=dv_range)
+        dv_range=dv_range, dv_boost=boost_params)
 
     local = (posts.groupBy("shard").cogroup(norms_packed.groupBy("shard"))
              .applyInPandas(scorer, schema=RESULT_SCHEMA))
@@ -410,9 +447,11 @@ def search_texts(spark: SparkSession, index_path: str,
                  queries: list[tuple[str, str]], cfg: RetrieveConfig | None = None,
                  text_cfg: TextConfig | None = None, lang: str = "eng",
                  mode: str = "plain",
-                 synonyms: dict | None = None) -> DataFrame:
+                 synonyms: dict | None = None,
+                 dv_filter: tuple | None = None) -> DataFrame:
     plans = process_queries(queries, text_cfg or TextConfig(), lang=lang, mode=mode)
-    return search(spark, index_path, plans, cfg, synonyms=synonyms)
+    return search(spark, index_path, plans, cfg, synonyms=synonyms,
+                  dv_filter=dv_filter)
 
 
 def more_like_this(spark: SparkSession, index_path: str, like_text: str,
@@ -1637,7 +1676,7 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
                        after=None, count_only=False, min_should_match=0,
-                       dv_range=None):
+                       dv_range=None, dv_boost=None):
     """Build the per-shard cogrouped kernel. Pure numpy inside.
 
     ``idf_over`` maps pseudo-terms (phrases) to an explicit idf that replaces
@@ -1703,10 +1742,39 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     dv_ok &= dvals <= hi
                 dv_ok &= ~np.isnan(dvals)
 
+        factor = None
+        if dv_boost is not None:
+            if "dvb" not in packed_pdf.columns \
+                    or packed_pdf["dvb"].iloc[0] is None:
+                raise ValueError(
+                    f"shard {shard} has postings but no doc-values blob "
+                    "for the boost field; rebuild the value sidecar after "
+                    "appends/compaction")
+            bx = np.frombuffer(bytes(packed_pdf["dvb"].iloc[0]),
+                               dtype=np.float64)
+            # d = max(0, |x - origin| - offset); factor per the published
+            # ES decay formulas, NaN (missing) → 1.0 (ES missing-field)
+            d = np.maximum(
+                np.abs(bx - dv_boost["origin"]) - dv_boost["offset"], 0.0)
+            sc, dc = float(dv_boost["scale"]), float(dv_boost["decay"])
+            shp = dv_boost["shape"]
+            if shp == "gauss":
+                sigma2 = -(sc * sc) / (2.0 * math.log(dc))
+                factor = np.exp(-(d * d) / (2.0 * sigma2))
+            elif shp == "exp":
+                factor = np.exp(d * (math.log(dc) / sc))
+            else:  # linear
+                s = sc / (1.0 - dc)
+                factor = np.maximum((s - d) / s, 0.0)
+            factor = np.where(np.isnan(bx), 1.0, factor)
+
         # dense per-shard dlq array from the packed norm-byte blob
         from ..functions.smallfloat import byte4_to_int
         codes = np.frombuffer(bytes(packed_pdf["codes"].iloc[0]), dtype=np.uint8)
         size = len(codes)
+        if factor is not None and len(factor) < size:
+            # docs beyond the boost blob: missing value → factor 1.0
+            factor = np.concatenate([factor, np.ones(size - len(factor))])
         dlq = byte4_to_int(codes).astype(np.float64)
 
         if scorer == "bm25":
@@ -1870,6 +1938,13 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 continue
             cpos = np.flatnonzero(cand)
             cscore = total[cpos]
+            if factor is not None:
+                # exact function_score: factor per CANDIDATE, before the
+                # cursor comparison and the local top-k cut
+                if dv_boost["mode"] == "multiply":
+                    cscore = cscore * factor[cpos]
+                else:
+                    cscore = cscore + dv_boost["weight"] * factor[cpos]
             aft = after.get(qid)
             if aft is not None:
                 a_s, a_d = float(aft[0]), int(aft[1])

@@ -207,3 +207,84 @@ def test_histogram_composes_with_dv_filter(spark, idx):
                           dv_filter=("recency", 15.0, 35.0))
     got = {r["bucket"]: r["count"] for r in res.collect()}
     assert got == {15.0: 2, 30.0: 1}
+
+
+class TestDvBoost:
+    """Exact kernel-level function_score decay (search(dv_boost=...)):
+    factor per candidate, ES decay formulas, missing value = factor 1."""
+
+    @staticmethod
+    def _scores(spark, idx, q, boost, **kw):
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", q, mode="boolean")
+        res = search(spark, idx, [plan], RetrieveConfig(k=10),
+                     dv_boost=boost, **kw)
+        return {r["doc_id"]: r["score"] for r in res.collect()}
+
+    def test_gauss_multiply_hand_computed(self, spark, idx):
+        import math
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", "alpha", mode="boolean")
+        base = {r["doc_id"]: r["score"]
+                for r in search(spark, idx, [plan],
+                                RetrieveConfig(k=10)).collect()}
+        got = self._scores(spark, idx, "alpha",
+                           ("recency", {"origin": 30.0, "scale": 10.0}))
+        sigma2 = -(10.0 * 10.0) / (2.0 * math.log(0.5))
+        def f(x):
+            d = max(abs(x - 30.0), 0.0)
+            return math.exp(-(d * d) / (2.0 * sigma2))
+        # v1=30 (factor 1), v2=10, v3=20; v6 missing -> factor 1
+        vals = {"v1": 30.0, "v2": 10.0, "v3": 20.0}
+        for d, x in vals.items():
+            assert got[d] == pytest.approx(base[d] * f(x), rel=1e-12)
+        assert got["v6"] == pytest.approx(base["v6"], rel=1e-12)
+
+    def test_sum_mode_linear(self, spark, idx):
+        from patapsco_spark.operators.retrieve import search
+        plan = parse_query("q", "alpha", mode="boolean")
+        base = {r["doc_id"]: r["score"]
+                for r in search(spark, idx, [plan],
+                                RetrieveConfig(k=10)).collect()}
+        got = self._scores(spark, idx, "alpha",
+                           ("recency", {"origin": 30.0, "scale": 20.0,
+                                        "shape": "linear", "mode": "sum",
+                                        "weight": 5.0}))
+        s = 20.0 / (1.0 - 0.5)   # = 40
+        def f(x):
+            return max((s - abs(x - 30.0)) / s, 0.0)
+        for d, x in (("v1", 30.0), ("v2", 10.0), ("v3", 20.0)):
+            assert got[d] == pytest.approx(base[d] + 5.0 * f(x), rel=1e-12)
+
+    def test_agrees_with_rescore_decay_at_full_depth(self, spark, idx):
+        from patapsco_spark.operators.retrieve import (search_with_decay,
+                                                       search)
+        plan = parse_query("q", "alpha beta", mode="boolean")
+        fields = spark.createDataFrame(VALS, "doc_id string, v double")
+        exact = {(r["doc_id"], r["rank"]): r["score"]
+                 for r in search_with_decay(
+                     spark, idx, [plan], fields, RetrieveConfig(k=10),
+                     origin=30.0, scale=10.0, field_col="v").collect()}
+        fast = {(r["doc_id"], r["rank"]): r["score"]
+                for r in search(spark, idx, [plan], RetrieveConfig(k=10),
+                                dv_boost=("recency",
+                                          {"origin": 30.0,
+                                           "scale": 10.0})).collect()}
+        assert set(fast) == set(exact)
+        for key in fast:
+            assert fast[key] == pytest.approx(exact[key], rel=1e-12)
+
+    def test_composes_with_dv_filter(self, spark, idx):
+        got = self._scores(spark, idx, "alpha",
+                           ("recency", {"origin": 30.0, "scale": 10.0}),
+                           dv_filter=("recency", 15.0, 35.0))
+        assert set(got) == {"v1", "v3"}
+
+    def test_bad_params_rejected(self, spark, idx):
+        with pytest.raises(ValueError, match="decay shape"):
+            self._scores(spark, idx, "alpha",
+                         ("recency", {"origin": 0.0, "scale": 1.0,
+                                      "shape": "step"}))
+        with pytest.raises(ValueError, match="scale"):
+            self._scores(spark, idx, "alpha",
+                         ("recency", {"origin": 0.0, "scale": 0.0}))
