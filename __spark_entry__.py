@@ -669,6 +669,34 @@ def q_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+def q_dfr_inl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR InL2 top-k (new r5): the divergence-from-randomness similarity
+    I(n)L2 (Amati & van Rijsbergen, TOIS 2002; Lucene
+    DFRSimilarity(In, L, H2)) — per-term (1/(tfn+1)) · tfn ·
+    log2((N+1)/(df+0.5)) with normalization-2 length-normalized
+    tfn = tf·log2(1 + c·avgdl/dl), c=1, over the same quantized norms as
+    bm25/qld (operators/retrieve.py scorer kernel, name='dfr_inl2')."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="dfr_inl2", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+def q_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFI top-k (new r5): divergence from independence (Kocabaş, Dinçer &
+    Karaoğlan, Inf. Retrieval 2014; Lucene DFISimilarity) with the
+    standardized measure — per-term log2(1 + (tf-e)/√e) where
+    e = cf·dl/total_tf is the chance expectation, and tf ≤ e contributes
+    nothing (the paper's built-in stopword suppression; frequent terms
+    only score where they are over-represented)."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="dfi", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
 SYN_TERM, SYN_EQUIVS = "query", ("scan", "filter")
 
 
@@ -1924,6 +1952,51 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 bigrams (contamination/boilerplate lists)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.top_ngrams(docs, n=2, k=100)
+
+
+APPROX_TERMS_SIZE, APPROX_TERMS_SHARD_SIZE, APPROX_TERMS_SHARDS = 20, 25, 8
+
+
+def q_approx_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation as it actually runs distributed (new r5,
+    aggs.approx_top_terms): every md5-routed shard reports only its local
+    top shard_size terms, partial counts sum, and each bucket carries
+    doc_count_error_upper_bound — Σ cutoff over the shards that did NOT
+    report it (the documented ES estimation contract). shard_size=25 over
+    8 shards is deliberately tight so the bounds are non-trivial at test
+    scale; the oracle replays the whole estimation, bounds included."""
+    from pyspark.sql import Window
+
+    from patapsco_spark.operators.aggs import approx_top_terms
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = (docs.select("doc_id",
+                         F.explode(F.split("text", " ")).alias("term"))
+             .where(F.col("term") != "").distinct())
+    out = approx_top_terms(items, "term", size=APPROX_TERMS_SIZE,
+                           shard_size=APPROX_TERMS_SHARD_SIZE,
+                           n_shards=APPROX_TERMS_SHARDS, id_col="doc_id")
+    w = Window.orderBy(F.desc("doc_count"), F.asc("term"))
+    return out.withColumn("rnk", (F.row_number().over(w) - 1).cast("long"))
+
+
+COMPOSITE_AFTER, COMPOSITE_SIZE = ("en", "src15"), 15
+
+
+def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation page (new r5, aggs.composite_buckets):
+    (lang, source) buckets in key order, resuming strictly after
+    ('en','src15') — the after-cursor compiles to one lexicographic
+    predicate PUSHED BELOW the groupBy, so later pages skip earlier
+    buckets' data at the scan when the table is laid out by the leading
+    key. doc_count + avg chars per bucket."""
+    from patapsco_spark.operators.aggs import composite_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = composite_buckets(
+        docs, ["lang", "source"], size=COMPOSITE_SIZE,
+        after=COMPOSITE_AFTER,
+        metrics={"avg_chars": F.round(F.avg("n_chars"), 6)})
+    return out.select("lang", "source",
+                      F.col("doc_count").cast("long"), "avg_chars")
 
 
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3507,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qld_topk": q_qld_topk,
         "qljm_topk": q_qljm_topk,
         "classic_topk": q_classic_topk,
+        "dfr_inl2_topk": q_dfr_inl2_topk,
+        "dfi_topk": q_dfi_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
@@ -3533,6 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "repetition_stats": q_repetition_stats,
         "top_ngrams": q_top_ngrams,
+        "approx_terms": q_approx_terms,
+        "composite_page": q_composite_page,
         "contamination_overlap": q_contamination_overlap,
         "url_domain_stats": q_url_domain_stats,
         "exact_dedup": q_exact_dedup,
@@ -3816,6 +3893,47 @@ FROM (
   FROM hit
 ) WHERE rn <= {n}
 ORDER BY src, hit_rank
+"""
+
+
+def _approx_terms_sql(size: int, shard_size: int, n_shards: int) -> str:
+    """Oracle for q_approx_terms: replays the ENTIRE shard-estimation —
+    md5-mod shard routing, per-shard top-shard_size cut, cutoff =
+    smallest reported count only when the shard actually cut, partial-sum
+    doc_count and err_bound = total_cutoff − Σ cutoff(reporting shards)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''),
+sh AS (
+  SELECT ('0x' || substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 4))
+           ::BIGINT % {n_shards} AS shard,
+         term
+  FROM dt
+),
+ps AS (SELECT shard, term, count(*)::BIGINT AS cnt FROM sh
+       GROUP BY shard, term),
+rk AS (SELECT shard, term, cnt,
+              row_number() OVER (PARTITION BY shard
+                                 ORDER BY cnt DESC, term ASC) AS rk
+       FROM ps),
+cut AS (SELECT shard,
+               (CASE WHEN count(*) > {shard_size}
+                     THEN min(CASE WHEN rk <= {shard_size} THEN cnt END)
+                     ELSE 0 END)::BIGINT AS cutoff
+        FROM rk GROUP BY shard),
+tot AS (SELECT sum(cutoff)::BIGINT AS total_cutoff FROM cut),
+comb AS (SELECT term, sum(cnt)::BIGINT AS doc_count,
+                sum(cutoff)::BIGINT AS rep_cutoff
+         FROM rk JOIN cut USING (shard)
+         WHERE rk <= {shard_size} GROUP BY term)
+SELECT term, doc_count,
+       (tot.total_cutoff - comb.rep_cutoff)::BIGINT AS err_bound,
+       (row_number() OVER (ORDER BY doc_count DESC, term ASC) - 1)::BIGINT AS rnk
+FROM comb CROSS JOIN tot
+ORDER BY doc_count DESC, term ASC
+LIMIT {size}
 """
 
 
@@ -4943,6 +5061,80 @@ LIMIT {k}
 """
 
 
+def _dfr_inl2_sql(query_terms: list[str], dfr_c: float, k: int) -> str:
+    """DFR InL2 replay: tfn = tf·(ln(1 + c·avgdl/dl)·(1/ln 2)) and
+    ((1/(tfn+1))·tfn)·(ln((N+1)/(df+0.5))·(1/ln 2)), parenthesized exactly
+    as the scorer kernel multiplies (log2 is ln·(1/ln 2) on both sides)."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    tfn = (f"(tf.tf * (ln(1 + ({dfr_c} * stats.avgdl) / {quant})"
+           f" * (1.0/ln(2))))")
+    idf2 = "(ln((stats.n + 1) / (dfs.df + 0.5)) * (1.0/ln(2)))"
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ((1.0 / ({tfn} + 1.0)) * {tfn}) * {idf2}
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _dfi_sql(query_terms: list[str], k: int) -> str:
+    """DFI (standardized) replay: e = (cf·dl)/total_tf over quantized dl;
+    tf ≤ e contributes 0, else ln(1 + (tf-e)/√e)·(1/ln 2) — the CASE mirrors
+    the kernel's np.where and the argument tree its numpy expression."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    e = f"((cfs.cf * {quant}) / stats.total_tf)"
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+cfs AS (
+  SELECT tf.term, sum(tf.tf) AS cf FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             CASE WHEN (tf.tf - {e}) > 0
+                  THEN ln(1.0 + (tf.tf - {e}) / sqrt({e})) * (1.0/ln(2))
+                  ELSE 0.0 END
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN cfs ON cfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _psq_sql(clauses: list[tuple[int, str, float]], k1: float, b: float, k: int) -> str:
     vals = ", ".join(f"({cid}, '{t}', {p})" for cid, t, p in clauses)
     quant = _quant_sql("dl.dl")
@@ -5862,6 +6054,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "qld_topk": _qld_sql(QLD_QUERY.split(), 1000, K),
         "qljm_topk": _qljm_sql(QLD_QUERY.split(), QLJM_LAMBDA, K),
         "classic_topk": _classic_sql(BM25_QUERY.split(), K),
+        "dfr_inl2_topk": _dfr_inl2_sql(BM25_QUERY.split(), 1.0, K),
+        "dfi_topk": _dfi_sql(BM25_QUERY.split(), K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
         "synonym_bm25": _synonym_bm25_sql("data", (SYN_TERM,) + SYN_EQUIVS,
                                           0.9, 0.4, K),
@@ -6341,6 +6535,21 @@ SELECT b.doc_id, b.n_tokens, t.top_bigram,
        ROUND(COALESCE(t.cnt * 2.0 / GREATEST(b.n_tokens, 1), 0.0), 6) AS top_bigram_frac,
        b.dup_trigram_frac
 FROM base b LEFT JOIN top t USING (doc_id)
+""",
+        "approx_terms": _approx_terms_sql(APPROX_TERMS_SIZE,
+                                          APPROX_TERMS_SHARD_SIZE,
+                                          APPROX_TERMS_SHARDS),
+        "composite_page": f"""
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       ROUND(avg(n_chars), 6) AS avg_chars
+FROM documents
+WHERE lang IS NOT NULL AND source IS NOT NULL
+  AND (lang > '{COMPOSITE_AFTER[0]}'
+       OR (lang = '{COMPOSITE_AFTER[0]}'
+           AND source > '{COMPOSITE_AFTER[1]}'))
+GROUP BY lang, source
+ORDER BY lang, source
+LIMIT {COMPOSITE_SIZE}
 """,
         "top_ngrams": """
 WITH w AS (

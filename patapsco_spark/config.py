@@ -70,11 +70,15 @@ class IndexConfig:
 class RetrieveConfig:
     """Retrieval config (reference: RetrieveConfig, schema.py:155-180)."""
 
-    # bm25 | qld (LMDirichlet) | qljm (LMJelinekMercer) | classic (TF-IDF).
-    # qljm and classic are beyond the reference's two (retrieve.py:98-105)
-    # but first-class in the Lucene it wraps; formulas follow the published
-    # LMJelinekMercerSimilarity / ClassicSimilarity javadocs over the same
-    # quantized norms as bm25/qld.
+    # bm25 | qld (LMDirichlet) | qljm (LMJelinekMercer) | classic (TF-IDF)
+    # | dfr_inl2 (DFR InL2) | dfi (divergence from independence).
+    # qljm/classic/dfr_inl2/dfi are beyond the reference's two
+    # (retrieve.py:98-105) but first-class similarity families in the
+    # Lucene it wraps; formulas follow the published
+    # LMJelinekMercerSimilarity / ClassicSimilarity javadocs, Amati &
+    # van Rijsbergen's InL2 (TOIS 2002), and the DFI paper (Kocabaş,
+    # Dinçer & Karaoğlan, Inf. Retrieval 2014) over the same quantized
+    # norms as bm25/qld.
     name: str = "bm25"
     k: int = 1000                         # schema.py:159 "number"
     # block-max pruning for disjunctive BM25: "auto" prunes only when the
@@ -90,6 +94,10 @@ class RetrieveConfig:
     # only); Lucene LMJelinekMercerSimilarity's constructor default used in
     # short-query settings is 0.1
     lam: float = 0.1
+    # DFR normalization-2 length parameter (dfr_inl2 only): tfn =
+    # tf·log2(1 + c·avgdl/dl); c=1.0 is Amati's and Lucene's
+    # NormalizationH2 default
+    dfr_c: float = 1.0
     rm3: bool = False
     fb_terms: int = 10                    # schema.py:176-180
     fb_docs: int = 10

@@ -250,6 +250,118 @@ def top_hits(matches: DataFrame, fields: DataFrame, bucket_col: str, *,
             .orderBy("query_id", bucket_col, "hit_rank"))
 
 
+def composite_buckets(frame: DataFrame, keys: list[str], *, size: int,
+                      after: tuple | None = None,
+                      metrics: dict | None = None) -> DataFrame:
+    """ES ``composite`` aggregation: paginate through ALL buckets of a
+    multi-source group-by in deterministic key order — ``size`` buckets
+    per page, resuming strictly AFTER the last key tuple of the previous
+    page (the returned page's last row IS the next ``after``). The ES
+    answer to "terms agg wants every bucket but there are 50M of them";
+    the reference has no aggregations at all.
+
+    Spark-first shape: the after-cursor compiles to ONE lexicographic
+    predicate applied BEFORE the groupBy — Catalyst pushes it into the
+    scan, so with the table partitioned/sorted/bucketed by the leading
+    key, later pages genuinely skip earlier buckets' data (the same skip
+    ES gets from walking sorted doc values), not just their output. The
+    agg itself is map-side combinable; only ``size`` rows survive the
+    final order+limit.
+
+    Rows with a NULL in any key column are dropped (ES composite terms
+    sources skip missing values by default). ``metrics`` maps output
+    column name → aggregate Column; ``doc_count`` is always present."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if after is not None and len(after) != len(keys):
+        raise ValueError(
+            f"after must have one value per key: {len(after)} != {len(keys)}")
+    out = frame
+    for k in keys:
+        out = out.where(F.col(k).isNotNull())
+    if after is not None:
+        # lexicographic "strictly greater": (k1>a1) OR (k1=a1 AND k2>a2) …
+        pred = F.lit(False)
+        for i in range(len(keys)):
+            clause = F.col(keys[i]) > F.lit(after[i])
+            for j in range(i):
+                clause = (F.col(keys[j]) == F.lit(after[j])) & clause
+            pred = pred | clause
+        out = out.where(pred)
+    aggs = [F.count("*").alias("doc_count")]
+    for name, col in (metrics or {}).items():
+        aggs.append(col.alias(name))
+    return (out.groupBy(*keys).agg(*aggs)
+            .orderBy(*[F.asc(k) for k in keys])
+            .limit(size))
+
+
+def approx_top_terms(items: DataFrame, term_col: str, *,
+                     size: int = 10, shard_size: int | None = None,
+                     n_shards: int = 8,
+                     id_col: str = "doc_id") -> DataFrame:
+    """ES ``terms`` aggregation the way it actually runs distributed:
+    every shard reports only its local top ``shard_size`` terms, the
+    coordinator sums the partial counts, and each returned bucket carries
+    ``doc_count_error_upper_bound`` — the worst-case undercount, the sum
+    of the cutoff (smallest reported count) of every shard that did NOT
+    report the term. This is the documented Elasticsearch estimation
+    contract (terms agg docs); the reference never aggregates at all.
+
+    ``items`` is one row per (doc, term) — pass it distinct if doc_count
+    means "docs containing", duplicated if it means occurrences. Shard
+    membership is md5-prefix(id) mod n_shards, placement-independent and
+    SQL-replayable like every routing decision in this repo
+    (slice_matches above, operators/sampling.py).
+
+    Scale shape: one map-side-combinable groupBy to (shard, term) counts,
+    ONE window partitioned by shard for the local cut (state is the
+    shard's term tally, never global), a broadcast-sized cutoffs frame
+    (n_shards rows), and a final top-``size`` sort over only the reported
+    union (≤ n_shards·shard_size rows). Nothing is collected; exactness
+    is recovered by raising shard_size (err_bound goes to 0 when every
+    shard reports everything, which the CASE encodes).
+
+    Default shard_size follows ES: ``size·1.5 + 10``."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if shard_size is None:
+        shard_size = int(size * 1.5) + 10
+    if shard_size < size:
+        raise ValueError(
+            f"shard_size ({shard_size}) must be >= size ({size})")
+    shard = (F.conv(F.substring(
+        F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        1, 4), 16, 10).cast("long") % n_shards).alias("shard")
+    per_shard = (items.select(shard, F.col(term_col).alias("term"))
+                 .groupBy("shard", "term")
+                 .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = per_shard.withColumn("rk", F.row_number().over(w))
+    reported = ranked.where(F.col("rk") <= shard_size)
+    # cutoff: what the shard might be hiding — its smallest REPORTED
+    # count, but only when it actually cut something (n_terms > shard_size)
+    cutoffs = (ranked.groupBy("shard")
+               .agg(F.min(F.when(F.col("rk") <= shard_size, F.col("cnt")))
+                    .alias("min_rep"),
+                    F.count("*").alias("n_terms"))
+               .select("shard",
+                       F.when(F.col("n_terms") > shard_size,
+                              F.col("min_rep")).otherwise(F.lit(0))
+                       .cast("long").alias("cutoff")))
+    total_cut = cutoffs.agg(F.sum("cutoff").alias("total_cutoff"))
+    combined = (reported.join(F.broadcast(cutoffs), "shard")
+                .groupBy("term")
+                .agg(F.sum("cnt").alias("doc_count"),
+                     F.sum("cutoff").alias("rep_cutoff")))
+    return (combined.crossJoin(F.broadcast(total_cut))
+            .select("term", F.col("doc_count").cast("long"),
+                    (F.col("total_cutoff") - F.col("rep_cutoff"))
+                    .cast("long").alias("err_bound"))
+            .orderBy(F.desc("doc_count"), F.asc("term"))
+            .limit(size))
+
+
 def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
                   id_col: str = "doc_id") -> DataFrame:
     """ES sliced scroll: deterministically partition a match set into

@@ -135,10 +135,11 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     if count_only and matches_only:
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
-    if cfg.name not in ("bm25", "qld", "qljm", "classic"):
+    if cfg.name not in ("bm25", "qld", "qljm", "classic", "dfr_inl2",
+                        "dfi"):
         raise ValueError(
             f"unknown scorer {cfg.name!r}: expected bm25 | qld | qljm | "
-            "classic")
+            "classic | dfr_inl2 | dfi")
     meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
     total_tf = int(meta["total_tf"])
@@ -230,8 +231,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     phrase_posts = None
     has_phrases = any(c.phrase and len(c.terms) > 1
                       for p in plans for c in iter_term_clauses(p.clauses))
-    if cfg.name in ("qljm", "classic") and meta.get("positions") and \
-            has_phrases:
+    if cfg.name in ("qljm", "classic", "dfr_inl2", "dfi") and \
+            meta.get("positions") and has_phrases:
         # positional phrase scoring is wired for bm25 (idf_over = Σ member
         # idfs) and qld (pseudo-term cf) only; silently degrading qljm /
         # classic phrases to the bag-of-words fallback while positions
@@ -392,7 +393,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     scorer = _make_shard_scorer(
         plans_payload, df_map, scorer=cfg.name,
         k=None if matches_only else cfg.k, k1=cfg.k1, b=cfg.b,
-        mu=cfg.mu, lam=cfg.lam,
+        mu=cfg.mu, lam=cfg.lam, dfr_c=cfg.dfr_c,
         num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
@@ -1672,7 +1673,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 
 
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
-                       lam=0.1,
+                       lam=0.1, dfr_c=1.0,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
                        after=None, count_only=False, min_should_match=0,
@@ -1788,10 +1789,26 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # defensive only (a dlq=0 slot can exist for an empty doc)
             with np.errstate(divide="ignore"):
                 inv_dl = np.where(dlq > 0, 1.0 / dlq, 0.0)
-        else:  # classic TF-IDF (Lucene ClassicSimilarity):
+        elif scorer == "classic":  # classic TF-IDF (ClassicSimilarity):
             # per-term √tf · idf² · 1/√dl over the same quantized norms
             with np.errstate(divide="ignore"):
                 inv_sqrt_dl = np.where(dlq > 0, 1.0 / np.sqrt(dlq), 0.0)
+        elif scorer == "dfr_inl2":
+            # DFR InL2 (Amati & van Rijsbergen, TOIS 2002; Lucene
+            # DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)):
+            # normalization 2 folds doc length into a per-doc tf
+            # multiplier tfn/tf = log2(1 + c·avgdl/dl); log2 is written
+            # ln(x)·(1/ln 2) so the DuckDB oracle replays the identical
+            # double-op tree
+            inv_ln2 = 1.0 / math.log(2.0)
+            with np.errstate(divide="ignore"):
+                tfn_mult = np.where(
+                    dlq > 0,
+                    np.log(1.0 + (dfr_c * avgdl) / dlq) * inv_ln2, 0.0)
+        else:  # dfi: expected tf under independence needs the doc length
+            # (e = cf·dl/total_tf; Kocabaş, Dinçer & Karaoğlan 2014)
+            inv_ln2 = 1.0 / math.log(2.0)
+            dl_dfi = dlq
 
         # per-term postings handles: decode lazily, by block
         handles: dict[str, _TermHandle] = {}
@@ -1890,10 +1907,33 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     s = np.log(1.0 + ((1.0 - lam) * etf[mask] * inv_dl[mask])
                                / (lam * p_c))
                     total[mask] += boost * s
-                else:  # classic: √tf · (1+ln((N+1)/(df+1)))² · 1/√dl
+                elif scorer == "classic":
+                    # classic: √tf · (1+ln((N+1)/(df+1)))² · 1/√dl
                     idf = 1.0 + math.log((num_docs + 1.0) / (edf + 1.0))
                     total[mask] += (boost * np.sqrt(etf[mask])
                                     * (idf * idf) * inv_sqrt_dl[mask])
+                elif scorer == "dfr_inl2":
+                    # InL2: (1/(tfn+1)) · tfn · log2((N+1)/(df+0.5))
+                    idf2 = (math.log((num_docs + 1.0) / (edf + 0.5))
+                            * (1.0 / math.log(2.0)))
+                    tfn = etf[mask] * tfn_mult[mask]
+                    total[mask] += (boost * (1.0 / (tfn + 1.0))
+                                    * tfn * idf2)
+                else:  # dfi (standardized independence): docs whose tf
+                    # does not EXCEED the chance expectation e=cf·dl/F
+                    # contribute nothing for the term (the paper's
+                    # built-in stopword effect); above it,
+                    # log2(1 + (tf-e)/√e)
+                    e = (ecf * dl_dfi[mask]) / total_tf
+                    m = etf[mask] - e
+                    # the discarded np.where branch still evaluates
+                    # log(1 + m/√e) at m ≤ -√e (argument ≤ 0) — silence
+                    # the transient nan, where() never selects it
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        gain = np.where(
+                            m > 0,
+                            np.log(1.0 + m / np.sqrt(e)) * inv_ln2, 0.0)
+                    total[mask] += boost * gain
             cand = matched_any & must_ok & ~forbidden
             if should_cnt is not None:
                 cand &= should_cnt >= mm

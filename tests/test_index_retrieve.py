@@ -142,6 +142,38 @@ class TestAltSimilarities:
         assert rows["2"] == pytest.approx(
             math.sqrt(2) * idf * idf / math.sqrt(6), rel=1e-9)
 
+    def test_dfr_inl2_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="dfr_inl2"),
+                           text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        idf2 = math.log2((4 + 1) / (3 + 0.5))
+        def inl2(tf, dl):  # avgdl = 10/4 = 2.5, c = 1
+            tfn = tf * math.log2(1 + 2.5 / dl)
+            return (1 / (tfn + 1)) * tfn * idf2
+        assert rows["4"] == pytest.approx(inl2(1, 1), rel=1e-9)
+        assert rows["1"] == pytest.approx(inl2(1, 2), rel=1e-9)
+        assert rows["2"] == pytest.approx(inl2(2, 6), rel=1e-9)
+        assert "3" not in rows
+        # normalization 2: shorter doc wins at equal tf
+        assert rows["4"] > rows["1"]
+
+    def test_dfi_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="dfi"), text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        def dfi(tf, dl):  # e = cf·dl/total_tf = 4·dl/10
+            e = 4 * dl / 10
+            return math.log2(1 + (tf - e) / math.sqrt(e)) if tf > e else 0.0
+        assert rows["4"] == pytest.approx(dfi(1, 1), rel=1e-9)
+        assert rows["1"] == pytest.approx(dfi(1, 2), rel=1e-9)
+        # doc2: tf=2 ≤ e=2.4 — over-long doc's tf is BELOW chance, the
+        # DFI stopword effect zeroes it but the doc still matched
+        assert rows["2"] == 0.0
+        assert "3" not in rows
+
     def test_unknown_scorer_rejected(self, spark, four_doc_index):
         with pytest.raises(ValueError, match="unknown scorer"):
             search_texts(spark, four_doc_index, [("q1", "gato")],
