@@ -1729,6 +1729,61 @@ def q_span_first_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+def q_alias_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index alias resolution (new r5, plans/aliases.py — the ES
+    zero-downtime reindex idiom): the query addresses a NAME, the atomic
+    JSON registry resolves it to the concrete index, and scoring is
+    byte-identical to addressing the index directly — the oracle is the
+    plain BM25 replay, which only holds if the alias layer adds nothing
+    to the scoring path. Swap atomicity + CAS cutover are pinned in
+    tests/test_aliases.py."""
+    from patapsco_spark.plans import aliases
+    idx = _ensure_index(spark, sf_dir)
+    reg = os.path.dirname(idx.rstrip("/"))
+    aliases.set_alias(reg, "entry-prod", idx)
+    res = search_texts(spark, aliases.resolve_alias(reg, "entry-prod"),
+                       [("q1", BM25_QUERY)], RetrieveConfig(k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+NEAR_A, NEAR_B, NEAR_SLOP = "stream", "data", 2
+
+
+def q_span_near_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity (new r5): 'stream NEAR/2 data' in either order
+    (Lucene SpanNearQuery(inOrder=false); the ordered variant is the
+    sloppy-phrase syntax). tf = anchored count (first word's occurrences
+    with any second-word occurrence within the window — departure from
+    Lucene's minimal-interval counting documented at
+    queryparse.Clause.near), idf = Σ member idfs like phrases."""
+    from patapsco_spark.operators.queryparse import span_near_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = span_near_plan("q1", [(NEAR_A, NEAR_B, NEAR_SLOP)])
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
+PP_WORDS, PP_PREFIX = ["data"], "str"
+
+
+def q_phrase_prefix_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (new r5): 'data str…' — the fixed word in
+    sequence with ANY dictionary term starting with 'str' at the next
+    position (search-as-you-type over body text). The prefix expands
+    against the term dictionary in term order (capped like Lucene's
+    setMaxExpansions), the anchor count scores as a positional pseudo-term
+    with idf = Σ fixed idfs + one SynonymQuery-style idf for the expansion
+    set (df = max member df; departure from Lucene's Σ-over-expansions
+    documented at queryparse.Clause.pprefix). The oracle replays the
+    expansion, the anchor join, and the exact fold."""
+    from patapsco_spark.operators.queryparse import phrase_prefix_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = phrase_prefix_plan("q1", PP_WORDS, PP_PREFIX)
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 def q_phrase_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional phrase under QLD/LMDirichlet (exceeds the reference, which
     always degrades): the phrase pseudo-term scores through the standard
@@ -3444,6 +3499,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long"), "cosine")
 
 
+ANN_FILTER_MOD, ANN_FILTER_REM = 3, 1
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN (new r5, ann.ivf_filtered_topk — ES knn+filter): the
+    metadata predicate (vec_id % 3 == 1, a stand-in for any doc-attribute
+    gate) applies INSIDE the probed IVF cells, with the Lucene-style
+    selectivity escape to an exact filtered scan when the probe holds
+    fewer than k matches. Oracle = the full k-means replay with the
+    predicate and the escape CASE spliced into the candidate CTE."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
+    out = ann.ivf_filtered_topk(
+        assigned, cents, list(qvec),
+        F.col("vec_id") % ANN_FILTER_MOD == ANN_FILTER_REM,
+        k=10, nprobe=IVF_NPROBE)
+    return out.select(F.col("vec_id").cast("long"), "cosine")
+
+
 def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (round 5): the persisted IVF index prunes cells, then the
     int8-quantized candidates score asymmetrically against the
@@ -3496,6 +3571,48 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
             .agg(F.count("*").alias("n"),
                  F.round(F.sum("value"), 5).alias("sum_value")))
+
+
+RARE_MAX_DOC_COUNT, DH_OFFSET_MIN = 2, 330  # +05:30 fixed-offset zone
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms (new r5, aggs.rare_terms): the long-tail complement
+    of the terms agg — every BIGRAM appearing in ≤ 2 docs (unigrams have
+    no tail in this Zipf-truncated vocabulary; bigrams do, which is the
+    realistic shape — rare_terms exists for tail mining). ES approximates
+    with a CuckooFilter to bound coordinator memory; the Spark tally is
+    one map-side-combinable groupBy and EXACT (documented at the
+    operator)."""
+    from patapsco_spark.operators.aggs import rare_terms
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = (docs
+             .select("doc_id", F.expr(
+                 "filter(split(trim(text), ' '), x -> x != '')")
+                 .alias("toks"))
+             .select("doc_id", F.explode(F.expr(
+                 "if(size(toks) >= 2, "
+                 "transform(sequence(1, size(toks) - 1), "
+                 "i -> concat_ws(' ', slice(toks, i, 2))), "
+                 "cast(array() as array<string>))")).alias("term"))
+             .distinct())
+    return rare_terms(items, "term", max_doc_count=RARE_MAX_DOC_COUNT) \
+        .select("term", F.col("doc_count").cast("long"))
+
+
+def q_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with a CALENDAR interval (new r5,
+    aggs.date_histogram): ISO-week buckets (Monday start, variable
+    alignment to month edges) under a +05:30 fixed-offset time_zone — the
+    ES offset-shift-then-truncate semantics a fixed-interval histogram
+    (events_hourly) can't express."""
+    from patapsco_spark.operators.aggs import date_histogram
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = date_histogram(ev, "ts", interval="week",
+                         offset_minutes=DH_OFFSET_MIN,
+                         metrics={"sum_value": F.round(F.sum("value"), 5)})
+    return out.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+                      F.col("doc_count").cast("long"), "sum_value")
 
 
 SESSION_GAP = "8 hours"  # ≈ the median per-user inter-event gap at sf0.01
@@ -3574,6 +3691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "phrase_bm25": q_phrase_bm25,
         "span_first_bm25": q_span_first_bm25,
+        "phrase_prefix_bm25": q_phrase_prefix_bm25,
+        "span_near_bm25": q_span_near_bm25,
+        "alias_bm25": q_alias_bm25,
         "sloppy_bm25": q_sloppy_bm25,
         "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
@@ -3610,6 +3730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "approx_terms": q_approx_terms,
         "composite_page": q_composite_page,
+        "rare_terms": q_rare_terms,
+        "events_weekly": q_events_weekly,
         "contamination_overlap": q_contamination_overlap,
         "url_domain_stats": q_url_domain_stats,
         "exact_dedup": q_exact_dedup,
@@ -3653,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "ann_ivf_append": q_ann_ivf_append,
         "semdedup": q_semdedup,
         "ann_ivfadc_topk": q_ann_ivfadc_topk,
@@ -5061,6 +5184,114 @@ LIMIT {k}
 """
 
 
+def _span_near_sql(a: str, b: str, slop: int, k1: float, bb: float,
+                   k: int) -> str:
+    """Oracle for q_span_near_bm25: anchors = occurrences of ``a`` with
+    any ``b`` within ``slop`` intervening tokens in either direction
+    (|i−j| − 1 ≤ slop); idf = idf(a) + idf(b), the kernel's fold order."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w
+),
+anchors AS (
+  SELECT o1.doc_id, count(*)::DOUBLE AS tf
+  FROM occ o1
+  WHERE o1.t = '{a}'
+    AND EXISTS (SELECT 1 FROM occ o2
+                WHERE o2.doc_id = o1.doc_id AND o2.t = '{b}'
+                  AND abs(o1.i - o2.i) - 1 <= {slop})
+  GROUP BY o1.doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('{a}', '{b}') GROUP BY term
+),
+idfsum AS (
+  SELECT (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+          FROM dfs CROSS JOIN stats WHERE term = '{a}')
+       + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+          FROM dfs CROSS JOIN stats WHERE term = '{b}') AS idf
+),
+scores AS (
+  SELECT anchors.doc_id,
+         idfsum.idf * anchors.tf
+           / (anchors.tf + {k1} * (1 - {bb} + {bb} * {quant} / stats.avgdl))
+           AS score
+  FROM anchors
+  JOIN dl ON dl.doc_id = anchors.doc_id
+  CROSS JOIN stats CROSS JOIN idfsum
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _phrase_prefix_sql(word: str, prefix: str, max_exp: int, k1: float,
+                       b: float, k: int) -> str:
+    """Oracle for q_phrase_prefix_bm25 (single fixed word): expansion =
+    first max_exp dictionary terms with the prefix in term order; anchor
+    tf = positions i with toks[i]=word and toks[i+1] ∈ expansion; idf =
+    idf(word df) + idf(max expansion df) folded exactly like the kernel."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w
+),
+exp AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE '{prefix}%')
+  ORDER BY term LIMIT {max_exp}
+),
+expdf AS (
+  SELECT max(df) AS mdf FROM (
+    SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN exp USING (term)
+    GROUP BY tf.term)
+),
+worddf AS (
+  SELECT count(*)::DOUBLE AS df FROM tf WHERE term = '{word}'
+),
+anchors AS (
+  SELECT o1.doc_id, count(*)::DOUBLE AS tf
+  FROM occ o1
+  JOIN occ o2 ON o2.doc_id = o1.doc_id AND o2.i = o1.i + 1
+  JOIN exp ON exp.term = o2.t
+  WHERE o1.t = '{word}'
+  GROUP BY o1.doc_id
+),
+scores AS (
+  SELECT anchors.doc_id,
+         (ln(1 + (stats.n - worddf.df + 0.5) / (worddf.df + 0.5))
+          + ln(1 + (stats.n - expdf.mdf + 0.5) / (expdf.mdf + 0.5)))
+           * anchors.tf
+           / (anchors.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+           AS score
+  FROM anchors
+  JOIN dl ON dl.doc_id = anchors.doc_id
+  CROSS JOIN stats CROSS JOIN worddf CROSS JOIN expdf
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _dfr_inl2_sql(query_terms: list[str], dfr_c: float, k: int) -> str:
     """DFR InL2 replay: tfn = tf·(ln(1 + c·avgdl/dl)·(1/ln 2)) and
     ((1/(tfn+1))·tfn)·(ln((N+1)/(df+0.5))·(1/ln 2)), parenthesized exactly
@@ -5841,7 +6072,8 @@ ORDER BY vec_id
 
 def _ann_ivf_sql(k: int = 10, n_cells: int = IVF_CELLS, iters: int = IVF_ITERS,
                  nprobe: int = IVF_NPROBE, seed: int = IVF_SEED,
-                 quantized: bool = False, train_pred: str = "TRUE") -> str:
+                 quantized: bool = False, train_pred: str = "TRUE",
+                 filter_pred: str | None = None) -> str:
     """Exact SQL replay of the IVF top-k (see q_ann_ivf_topk): the seeded
     init indices into the md5-ordered 200-vector sample are embedded as
     literals; Lloyd iterations, the final assignment, the nprobe probe and
@@ -5866,7 +6098,16 @@ probe AS (
   LIMIT {nprobe}
 ),
 cand AS (
-  SELECT vec_id FROM afin WHERE cell IN (SELECT cell FROM probe)
+  SELECT vec_id FROM afin WHERE cell IN (SELECT cell FROM probe){"" if filter_pred is None else f'''
+    AND ({filter_pred})
+  UNION
+  -- selectivity escape (ann.ivf_filtered_topk): when the probed cells
+  -- hold fewer than k matching candidates, take the WHOLE filtered set
+  SELECT vec_id FROM afin
+  WHERE ({filter_pred})
+    AND (SELECT count(*) FROM afin
+         WHERE ({filter_pred})
+           AND cell IN (SELECT cell FROM probe)) < {k}'''}
 ),
 {_dots_cte(quantized)},
 qn AS (SELECT SQRT(SUM(qv * qv)) AS qn FROM qx)""")
@@ -6109,6 +6350,12 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "span_first_bm25": _span_first_sql(SPANFIRST_TERM, SPANFIRST_END,
                                            SPANFIRST_EXTRA, 0.9, 0.4, K),
         "sloppy_bm25": _sloppy_bm25_sql(PHRASE_WORDS, SLOP, 0.9, 0.4, K),
+        "phrase_prefix_bm25": _phrase_prefix_sql(PP_WORDS[0], PP_PREFIX,
+                                                 50, 0.9, 0.4, K),
+        "span_near_bm25": _span_near_sql(NEAR_A, NEAR_B, NEAR_SLOP,
+                                         0.9, 0.4, K),
+        # alias resolution must be scoring-transparent: plain BM25 replay
+        "alias_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),
         "phrase_qld": _phrase_qld_sql(PHRASE_WORDS, PHRASE_EXTRA, 1000, K),
         "simhash": _SIMHASH_SQL,
@@ -7065,6 +7312,8 @@ FROM comp
 """,
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_filtered_topk": _ann_ivf_sql(filter_pred=(
+            f"vec_id % {ANN_FILTER_MOD} = {ANN_FILTER_REM}")),
         "ann_ivf_append": _ann_ivf_sql(train_pred=(
             "substring(md5('ivfsplit:' || CAST(vec_id AS VARCHAR)), 1, 1)"
             " IN (" + ", ".join(f"'{h}'" for h in IVF_SPLIT_HEXES) + ")")),
@@ -7214,6 +7463,31 @@ FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+""",
+        "rare_terms": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS a,
+         unnest(toks[2:len(toks)]) AS b
+  FROM w WHERE len(toks) >= 2
+),
+dt AS (SELECT DISTINCT doc_id, a || ' ' || b AS term FROM bg)
+SELECT term, count(*)::BIGINT AS doc_count
+FROM dt GROUP BY term
+HAVING count(*) <= {RARE_MAX_DOC_COUNT}
+ORDER BY doc_count, term
+""",
+        "events_weekly": f"""
+SELECT strftime(date_trunc('week', ts + INTERVAL {DH_OFFSET_MIN} MINUTE),
+                '%Y-%m-%d') AS week,
+       count(*)::BIGINT AS doc_count,
+       ROUND(SUM(value), 5) AS sum_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
 """,
         "events_hourly": """
 SELECT user_id::BIGINT AS user_id,

@@ -362,6 +362,55 @@ def approx_top_terms(items: DataFrame, term_col: str, *,
             .limit(size))
 
 
+def rare_terms(items: DataFrame, term_col: str, *,
+               max_doc_count: int = 1) -> DataFrame:
+    """ES ``rare_terms`` aggregation — the long-tail complement of
+    ``terms``: every bucket with doc_count ≤ max_doc_count ("what only
+    ever appears once or twice" — typo mining, spam fingerprints,
+    contamination tells). ES approximates membership with a CuckooFilter
+    because its coordinator must bound memory; here the full tally is ONE
+    map-side-combinable groupBy that never concentrates on a coordinator,
+    so the result is EXACT — zero false positives/negatives, strictly
+    stronger than the ES contract at the same API shape.
+
+    ``items`` is one row per (doc, term) — pass it distinct, doc_count
+    means docs-containing. Ordered (doc_count asc, term asc), ES's
+    rare-first order."""
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}")
+    return (items.select(F.col(term_col).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") <= max_doc_count)
+            .orderBy(F.asc("doc_count"), F.asc("term")))
+
+
+def date_histogram(frame: DataFrame, ts_col: str, *,
+                   interval: str = "month", offset_minutes: int = 0,
+                   metrics: dict | None = None) -> DataFrame:
+    """ES ``date_histogram`` with CALENDAR intervals — buckets of
+    variable real length (months are 28-31 days, years 365-366), which a
+    fixed-interval histogram (field_histogram above, events_hourly) can
+    never express. ``offset_minutes`` is the fixed-offset time_zone
+    handling (ES shifts timestamps by the zone offset before truncating;
+    named-zone DST rules are out of scope and refused by typing — an int
+    of minutes cannot smuggle 'America/New_York' in).
+
+    One scan-fused date_trunc + map-side-combinable groupBy; the bucket
+    count is bounded by the corpus time span, not its row count."""
+    if interval not in ("year", "quarter", "month", "week", "day"):
+        raise ValueError(f"unknown calendar interval: {interval!r}")
+    shifted = (F.col(ts_col)
+               + F.expr(f"INTERVAL {int(offset_minutes)} MINUTES"))
+    aggs = [F.count("*").alias("doc_count")]
+    for name, col in (metrics or {}).items():
+        aggs.append(col.alias(name))
+    return (frame.where(F.col(ts_col).isNotNull())
+            .groupBy(F.date_trunc(interval, shifted).alias("bucket"))
+            .agg(*aggs)
+            .orderBy("bucket"))
+
+
 def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
                   id_col: str = "doc_id") -> DataFrame:
     """ES sliced scroll: deterministically partition a match set into

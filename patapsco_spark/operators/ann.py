@@ -342,6 +342,31 @@ def ivf_topk(assigned: DataFrame, cents: np.ndarray, query_vec: list[float],
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_filtered_topk(assigned: DataFrame, cents: np.ndarray,
+                      query_vec: list[float], pred, k: int = 10,
+                      nprobe: int = 3, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Filtered kNN (ES ``knn`` with ``filter`` / FAISS IDSelector): the
+    metadata predicate applies INSIDE the probed cells — one fused
+    cell-prune + filter scan, not a post-filter of the top-k (post-filter
+    silently returns < k whenever the filter thins the head; the
+    documented ES pre-filter contract is "k results that all match").
+
+    Selectivity escape, the Lucene/ES behavior for very selective
+    filters: when the probed cells hold FEWER than k matching candidates,
+    the search escalates to the exact scan over the WHOLE filtered set —
+    still correct, just unpruned (Lucene's HNSW falls back to a brute
+    scan when the filter passes too few docs to walk the graph). The
+    decision costs one count over the probed+filtered subset (bounded by
+    the nprobe cells); deterministic, so the DuckDB oracle replays it as
+    a CASE over the same count."""
+    filt = assigned.where(pred)
+    cand = _probe_cells(filt, cents, query_vec, nprobe)
+    if cand.count() < k:
+        cand = filt.drop("cell")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ivf_write(spark, embeddings: DataFrame, path: str, n_cells: int = 16,
               iters: int = 3, seed: int = 42, id_col: str = "vec_id",
               vec_col: str = "embedding", resume: bool = True) -> None:

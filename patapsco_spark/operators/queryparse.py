@@ -140,6 +140,36 @@ class Clause:
     # its SimWeight from the wrapped term's stats); QLD scores the
     # pseudo-term's own (df, cf). None = unconstrained.
     first: int | None = None
+    # phrase-prefix (ES match_phrase_prefix / Lucene MultiPhrasePrefixQuery,
+    # round 5): ``terms`` holds the FIXED leading words and ``pprefix`` the
+    # prefix the LAST position must start with — "search-as-you-type" over
+    # body text ('"data str"' matching "data stream", "data strategy", …).
+    # Programmatic only (phrase_prefix_plan); quoted-phrase syntax keeps
+    # its all-literal contract (see _check_term_token). Search expands the
+    # prefix against the term dictionary in term order, capped at
+    # MAX_PHRASE_PREFIX_EXPANSIONS like Lucene's setMaxExpansions (the cap
+    # truncates silently — Lucene stops collecting, it does not throw),
+    # and rewrites to a pseudo-term whose positional postings carry
+    # tf = |{anchors: fixed words in sequence, any expansion at the last
+    # slot}|. BM25 idf = Σ fixed-word idfs + ONE SynonymQuery-style idf for
+    # the expansion set (df = max member df) — a documented departure from
+    # Lucene MultiPhraseQuery, which sums idf over EVERY expanded term and
+    # so scores higher the more terms the cap happens to admit. QLD scores
+    # the pseudo-term's own (df, cf). None = not a phrase-prefix clause.
+    pprefix: str | None = None
+    # unordered proximity (Lucene SpanNearQuery(inOrder=false), round 5):
+    # ``terms`` holds exactly TWO words and ``near`` the slop — the clause
+    # matches docs where the words co-occur within ``near`` intervening
+    # tokens IN EITHER ORDER ("a NEAR/3 b"). tf = anchors: occurrences of
+    # the FIRST word with any occurrence of the second within the window
+    # (the anchored counting convention this engine documents for ordered
+    # sloppy phrases at Clause.slop; Lucene counts minimal intervals,
+    # which can differ when occurrences cluster — departure documented
+    # here once, at the semantics' source of truth). BM25 idf = Σ member
+    # idfs (SpanWeight over both terms' stats, like phrases); QLD scores
+    # the pseudo-term's own (df, cf). Programmatic only
+    # (span_near_plan); None = not a proximity clause.
+    near: int | None = None
 
 
 @dataclass
@@ -180,6 +210,54 @@ def span_first_plan(qid: str, spec: list[tuple[str, int]],
     for t in extra_terms or []:
         clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
     return QueryPlan(qid, clauses, "span_first")
+
+
+def span_near_plan(qid: str, pairs: list[tuple[str, str, int]],
+                   extra_terms: list[str] | None = None) -> QueryPlan:
+    """Unordered-proximity plan builder: one SHOULD clause per
+    (word_a, word_b, slop) matching the pair within ``slop`` intervening
+    tokens in either order (Lucene SpanNearQuery(inOrder=false) — the
+    ordered variant is the '"a b"~N' sloppy-phrase syntax), plus optional
+    unconstrained SHOULD terms. Requires the positions sidecar."""
+    clauses = []
+    for a, b, slop in pairs:
+        for w in (a, b):
+            if not w or " " in w:
+                raise ParseError(
+                    f"span_near takes single terms, got {w!r}")
+        if slop < 0:
+            raise ParseError(f"span_near slop must be >= 0, got {slop}")
+        clauses.append(Clause(SHOULD, 1.0, [(a, 1.0), (b, 1.0)],
+                              near=int(slop)))
+    for t in extra_terms or []:
+        clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
+    return QueryPlan(qid, clauses, "span_near")
+
+
+def phrase_prefix_plan(qid: str, words: list[str], prefix: str,
+                       extra_terms: list[str] | None = None) -> QueryPlan:
+    """match_phrase_prefix plan builder (programmatic, like span_first):
+    ONE SHOULD clause matching ``words`` in sequence with any
+    term starting with ``prefix`` at the following position, plus optional
+    unconstrained SHOULD terms. Requires the positions sidecar. A bare
+    prefix (no fixed words) is a prefix query — use 'pre*' wildcard syntax
+    for that, this builder refuses it."""
+    if not words:
+        raise ParseError(
+            "phrase_prefix needs at least one fixed word before the "
+            "prefix; for a bare prefix use the 'pre*' wildcard syntax")
+    for w in words:
+        if not w or " " in w:
+            raise ParseError(f"phrase_prefix words must be single terms, "
+                             f"got {w!r}")
+    if not prefix or any(ch in prefix for ch in "*?~ "):
+        raise ParseError(f"phrase_prefix prefix must be a literal "
+                         f"non-empty string, got {prefix!r}")
+    clauses = [Clause(SHOULD, 1.0, [(w, 1.0) for w in words],
+                      pprefix=prefix)]
+    for t in extra_terms or []:
+        clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
+    return QueryPlan(qid, clauses, "phrase_prefix")
 
 
 _PSQ_GROUP = re.compile(r"\(([^)]*)\)")

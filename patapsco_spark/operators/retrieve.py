@@ -279,6 +279,52 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
             block_size=int(meta.get("block_size", 128)),
             shard_base=shard_base, live_pred=live_pred)
 
+    # unordered proximity (span_near) → pseudo-terms over the positions
+    # sidecar
+    near_posts = None
+    if any(getattr(c, "near", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        if not meta.get("positions"):
+            raise ValueError(
+                "span_near clauses need the positions sidecar: rebuild "
+                "with IndexConfig(positions=True)")
+        if cfg.name not in ("bm25", "qld"):
+            raise ValueError(
+                f"span_near is not implemented for scorer {cfg.name!r} "
+                "(bm25/qld only)")
+        if stats_override is not None and cfg.name == "qld":
+            raise ValueError(
+                "stats_override cannot score qld span_near clauses: the "
+                "pseudo-term's collection frequency is per-index")
+        plans, near_posts = _rewrite_spannear_plans(
+            spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)),
+            shard_base=shard_base, live_pred=live_pred)
+
+    # phrase-prefix clauses (ES match_phrase_prefix) → pseudo-terms over
+    # the positions sidecar, prefix expanded against the term dictionary
+    pp_posts = None
+    if any(getattr(c, "pprefix", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        if not meta.get("positions"):
+            raise ValueError(
+                "phrase_prefix clauses need the positions sidecar: rebuild "
+                "with IndexConfig(positions=True)")
+        if cfg.name not in ("bm25", "qld"):
+            raise ValueError(
+                f"phrase_prefix is not implemented for scorer {cfg.name!r} "
+                "(bm25/qld only)")
+        if stats_override is not None:
+            raise ValueError(
+                "stats_override cannot score phrase_prefix clauses: the "
+                "expansion and the pseudo-term's stats are per-index")
+        plans, pp_posts = _rewrite_phrase_prefix_plans(
+            spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)),
+            shard_base=shard_base, live_pred=live_pred)
+
     # synonym groups → SynonymQuery pseudo-terms (after the phrase rewrite
     # so phrase members stay literal; before the postings read so replaced
     # member terms drop out of it)
@@ -304,6 +350,10 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         posts = posts.unionByName(phrase_posts)
     if sf_posts is not None:
         posts = posts.unionByName(sf_posts)
+    if near_posts is not None:
+        posts = posts.unionByName(near_posts)
+    if pp_posts is not None:
+        posts = posts.unionByName(pp_posts)
     if syn_posts is not None:
         posts = posts.unionByName(syn_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
@@ -1349,6 +1399,319 @@ def _spanfirst_pseudo_term(term: str, end: int) -> str:
     # \x01 namespace like phrases/synonyms — never collides with analyzed
     # terms, and the postings read skips it (read from the rewrite union)
     return f"\x01first:{end}:{term}"
+
+
+MAX_PHRASE_PREFIX_EXPANSIONS = 50  # ES match_phrase_prefix max_expansions
+
+
+def _phrase_prefix_pseudo_term(words: tuple[str, ...], prefix: str) -> str:
+    return "\x01pp:" + "\x01".join(words) + "\x01*" + prefix
+
+
+def _spannear_pseudo_term(a: str, b: str, slop: int) -> str:
+    return f"\x01near:{slop}:{a}\x01{b}"
+
+
+def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
+                            num_docs, num_shards, docs_per_shard,
+                            block_size, shard_base=0, live_pred=None):
+    """Rewrite unordered-proximity clauses (Lucene SpanNearQuery with
+    inOrder=false — semantics and the anchored-counting departure
+    documented at queryparse.Clause.near) to pseudo-terms over the
+    positions sidecar: ONE positions read for all pairs joined to a
+    broadcast spec table, one groupBy (sid, shard, docid) whose fold
+    counts first-word occurrences with ANY second-word occurrence within
+    the window in either direction, stats in one collect, pseudo postings
+    through the same blocked varbyte kernel as everything else."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+    from ..functions.smallfloat import quantize_length
+
+    specs: dict[tuple[str, str, int], str] = {}
+    for p in plans:
+        for c in iter_term_clauses(p.clauses):
+            near = getattr(c, "near", None)
+            if near is None:
+                continue
+            if len(c.terms) != 2 or c.phrase or c.prefix:
+                raise ValueError(
+                    f"span_near clause must carry exactly two plain "
+                    f"terms (got {c!r})")
+            a, b = c.terms[0][0], c.terms[1][0]
+            if a == b:
+                raise ValueError(
+                    f"span_near needs two distinct terms, got {a!r} twice")
+            specs.setdefault((a, b, int(near)),
+                             _spannear_pseudo_term(a, b, int(near)))
+    if not specs:
+        return plans, None
+
+    if live_pred is None:
+        live_pred = ((F.col("shard") >= shard_base) &
+                     (F.col("shard") < num_shards))
+    sid_of = {key: i for i, key in enumerate(specs)}
+    pseudo_of_sid = {i: specs[k] for k, i in sid_of.items()}
+    memb_rows = []
+    for (a, b, slop), sid in sid_of.items():
+        memb_rows.append((sid, a, 0, slop))
+        memb_rows.append((sid, b, 1, slop))
+    all_words = sorted({w for _s, w, _r, _sl in memb_rows})
+
+    pos = (spark.read.parquet(f"{index_path}/positions")
+           .where(F.col("term").isin(all_words) & live_pred))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_pred)
+             .select("shard", "docid", "dl"))
+    memb = spark.createDataFrame(
+        memb_rows, "sid int, word string, role int, slop int")
+
+    joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
+              .select("sid", "shard", "docid", "role", "slop", "positions"))
+    grouped = (joined.groupBy("sid", "shard", "docid")
+               .agg(F.count("*").alias("nm"), F.max("slop").alias("slop"),
+                    F.collect_list(F.struct("role", "positions"))
+                    .alias("items"))
+               .where(F.col("nm") == 2))
+    items = F.col("items")
+    pa = F.try_element_at(
+        F.transform(F.filter(items, lambda s: s["role"] == 0),
+                    lambda s: s["positions"]), F.lit(1))
+    pb = F.try_element_at(
+        F.transform(F.filter(items, lambda s: s["role"] == 1),
+                    lambda s: s["positions"]), F.lit(1))
+    # anchors: first-word positions with a second-word occurrence within
+    # slop intervening tokens in EITHER direction (|p−q| − 1 ≤ slop)
+    tf_col = F.size(F.filter(
+        pa, lambda p: F.exists(
+            pb, lambda q: F.abs(p - q) - 1 <= F.col("slop"))))
+    tf_all = (grouped
+              .select("sid", "shard", "docid", tf_col.alias("tf"))
+              .where(F.col("tf") > 0)
+              .join(norms, ["shard", "docid"])
+              .localCheckpoint(eager=True))
+
+    stats_by_sid = {int(r["sid"]): (int(r["df"]), int(r["cf"]))
+                    for r in tf_all.groupBy("sid")
+                    .agg(F.count("*").alias("df"),
+                         F.sum("tf").alias("cf")).collect()}
+    live_sids = []
+    for (a, b, slop), sid in sid_of.items():
+        st = stats_by_sid.get(sid)
+        if not st or st[0] == 0:
+            continue
+        pseudo = pseudo_of_sid[sid]
+        df_map[pseudo] = st
+        idf_over[pseudo] = sum(
+            math.log(1.0 + (num_docs - df_map[w][0] + 0.5)
+                     / (df_map[w][0] + 0.5))
+            for w in (a, b) if w in df_map and df_map[w][0] > 0)
+        live_sids.append(sid)
+    if not live_sids:
+        union = None
+    else:
+        base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+        def encode(batches):
+            def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = pdf.assign(
+                    dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+                return out[["shard", "term", "docid", "tf", "dlq"]]
+            yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+        name_df = spark.createDataFrame(
+            [(sid, pseudo_of_sid[sid]) for sid in live_sids],
+            "sid int, term string")
+        union = (tf_all.join(F.broadcast(name_df), "sid")
+                 .select("shard", "term", "docid",
+                         F.col("tf").cast("int"), "dl")
+                 .repartition(num_shards, "shard")
+                 .sortWithinPartitions("shard", "term", "docid")
+                 .mapInPandas(encode, schema=_PSCHEMA))
+
+    def swap(clauses):
+        cl = []
+        for c in clauses:
+            if c.group:
+                cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
+            elif getattr(c, "near", None) is not None:
+                pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.near))]
+                cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
+            else:
+                cl.append(c)
+        return cl
+
+    new_plans = [QueryPlan(p.qid, swap(p.clauses), p.mode) for p in plans]
+    return new_plans, union
+
+
+def _rewrite_phrase_prefix_plans(spark, index_path, plans, df_map, idf_over,
+                                 *, num_docs, num_shards, docs_per_shard,
+                                 block_size, shard_base=0, live_pred=None,
+                                 max_expansions=None):
+    """Rewrite phrase-prefix clauses (ES match_phrase_prefix — see
+    queryparse.Clause.pprefix for the full semantics and the documented
+    SynonymQuery-idf departure from Lucene MultiPhraseQuery) to
+    pseudo-terms backed by positional postings, the same shape as the
+    phrase rewrite: ONE bounded expansion job for all prefixes (term-order
+    ``limit(max_expansions)`` over the term-sorted stats scan — Lucene's
+    setMaxExpansions truncates silently, it does not throw), one positions
+    read for fixed words ∪ expansions joined to a broadcast membership
+    table, one groupBy (pid, shard, docid) whose Catalyst fold intersects
+    the shifted fixed-word arrays with the UNION of the expansion terms'
+    shifted arrays (tf = anchors completed by any expansion), stats in one
+    collect, pseudo postings through the same blocked varbyte kernel.
+
+    Scale shape: expansion candidates never exceed max_expansions per
+    prefix ON THE DRIVER (TakeOrderedAndProject); the positions groupBy is
+    keyed (pid, shard, docid) so head-term rows stay bounded per shard."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+    from ..functions.smallfloat import quantize_length
+
+    if max_expansions is None:  # read at call time so tests/config can
+        max_expansions = MAX_PHRASE_PREFIX_EXPANSIONS  # override the cap
+    specs: dict[tuple[tuple[str, ...], str], str] = {}
+    for p in plans:
+        for c in iter_term_clauses(p.clauses):
+            pp = getattr(c, "pprefix", None)
+            if pp is None:
+                continue
+            if c.phrase or c.prefix or c.fuzzy is not None or not c.terms:
+                raise ValueError(
+                    f"phrase_prefix clause must carry plain fixed words "
+                    f"(got {c!r})")
+            key = (tuple(t for t, _ in c.terms), pp)
+            specs.setdefault(key, _phrase_prefix_pseudo_term(*key))
+    if not specs:
+        return plans, None
+
+    if live_pred is None:
+        live_pred = ((F.col("shard") >= shard_base) &
+                     (F.col("shard") < num_shards))
+
+    # bounded expansion per distinct prefix, in term order (the dictionary
+    # read also supplies each expansion's df for the synonym-style idf)
+    from .indexer import read_term_stats
+    stats = read_term_stats(spark, index_path, num_shards=num_shards,
+                            shard_base=shard_base)
+    expansions: dict[str, list[tuple[str, int]]] = {}
+    for pfx in sorted({p for _ws, p in specs}):
+        rows = (stats.where(F.col("term").startswith(pfx))
+                .select("term", "df")
+                .orderBy("term").limit(max_expansions).collect())
+        expansions[pfx] = [(r["term"], int(r["df"])) for r in rows]
+
+    pid_of = {key: i for i, key in enumerate(specs)}
+    pseudo_of_pid = {i: specs[k] for k, i in pid_of.items()}
+    memb_rows, n_fixed_of = [], {}
+    for (words, pfx), pid in pid_of.items():
+        n_fixed_of[pid] = len(words)
+        for off, w in enumerate(words):
+            memb_rows.append((pid, w, off, 0))
+        for t, _df in expansions[pfx]:
+            memb_rows.append((pid, t, len(words), 1))
+    all_words = sorted({w for _pid, w, _off, _x in memb_rows})
+
+    pos = (spark.read.parquet(f"{index_path}/positions")
+           .where(F.col("term").isin(all_words) & live_pred))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_pred)
+             .select("shard", "docid", "dl"))
+    memb = spark.createDataFrame(
+        memb_rows, "pid int, word string, off int, is_exp int")
+    nf = spark.createDataFrame(
+        [(pid, n) for pid, n in n_fixed_of.items()], "pid int, n_fixed int")
+
+    joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
+              .select("pid", "shard", "docid", "is_exp",
+                      F.transform("positions", lambda x: x - F.col("off"))
+                      .alias("sp")))
+    grouped = (joined.groupBy("pid", "shard", "docid")
+               .agg(F.collect_list(F.struct("is_exp", "sp")).alias("items"))
+               .join(F.broadcast(nf), "pid"))
+    items = F.col("items")
+    fixed_arrs = F.transform(
+        F.filter(items, lambda s: s["is_exp"] == 0), lambda s: s["sp"])
+    exp_all = F.array_distinct(F.flatten(F.transform(
+        F.filter(items, lambda s: s["is_exp"] == 1), lambda s: s["sp"])))
+    # try_element_at: a doc holding only expansion rows has an EMPTY fixed
+    # array and codegen evaluates this projection before the n_fixed
+    # filter — the NULL seed folds to a NULL intersect, size() = -1, and
+    # the tf > 0 cut drops it (same rows the filter drops anyway)
+    fixed_fold = F.aggregate(fixed_arrs,
+                             F.try_element_at(fixed_arrs, F.lit(1)),
+                             lambda acc, a: F.array_intersect(acc, a))
+    tf_col = F.size(F.array_intersect(fixed_fold, exp_all))
+    # same localCheckpoint rationale as the phrase rewrite: one eager
+    # materialization feeds the stats collect AND the encode
+    tf_all = (grouped
+              .where(F.size(fixed_arrs) == F.col("n_fixed"))
+              .select("pid", "shard", "docid", tf_col.alias("tf"))
+              .where(F.col("tf") > 0)
+              .join(norms, ["shard", "docid"])
+              .localCheckpoint(eager=True))
+
+    stats_by_pid = {int(r["pid"]): (int(r["df"]), int(r["cf"]))
+                    for r in tf_all.groupBy("pid")
+                    .agg(F.count("*").alias("df"),
+                         F.sum("tf").alias("cf")).collect()}
+    live_pids = []
+    for (words, pfx), pid in pid_of.items():
+        st = stats_by_pid.get(pid)
+        if not st or st[0] == 0:
+            continue  # no completion anywhere: stays out of df_map, so
+            # MUST excludes everything and SHOULD contributes nothing
+        pseudo = pseudo_of_pid[pid]
+        df_map[pseudo] = st
+        # BM25: Σ fixed-word idfs + one synonym-style idf for the
+        # expansion set (df = max member df; see Clause.pprefix for the
+        # documented departure from Lucene's Σ-over-every-expansion)
+        idf = sum(
+            math.log(1.0 + (num_docs - df_map[w][0] + 0.5)
+                     / (df_map[w][0] + 0.5))
+            for w in words if w in df_map and df_map[w][0] > 0)
+        max_df = max((d for _t, d in expansions[pfx]), default=0)
+        if max_df > 0:
+            idf += math.log(1.0 + (num_docs - max_df + 0.5)
+                            / (max_df + 0.5))
+        idf_over[pseudo] = idf
+        live_pids.append(pid)
+    if not live_pids:
+        union = None
+    else:
+        base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+        def encode(batches):
+            def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = pdf.assign(
+                    dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+                return out[["shard", "term", "docid", "tf", "dlq"]]
+            yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+        name_df = spark.createDataFrame(
+            [(pid, pseudo_of_pid[pid]) for pid in live_pids],
+            "pid int, term string")
+        union = (tf_all.join(F.broadcast(name_df), "pid")
+                 .select("shard", "term", "docid",
+                         F.col("tf").cast("int"), "dl")
+                 .repartition(num_shards, "shard")
+                 .sortWithinPartitions("shard", "term", "docid")
+                 .mapInPandas(encode, schema=_PSCHEMA))
+
+    def swap(clauses):
+        cl = []
+        for c in clauses:
+            if c.group:
+                cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
+            elif getattr(c, "pprefix", None) is not None:
+                pseudo = specs[(tuple(t for t, _ in c.terms), c.pprefix)]
+                cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
+            else:
+                cl.append(c)
+        return cl
+
+    new_plans = [QueryPlan(p.qid, swap(p.clauses), p.mode) for p in plans]
+    return new_plans, union
 
 
 def _rewrite_spanfirst_plans(spark, index_path, plans, df_map, idf_over, *,

@@ -29,6 +29,37 @@ class TestAnnScalePaths:
                   ann.ivf_topk(assigned, cents, qvec, k=10, nprobe=5).collect()}
         assert len(exact & approx) >= 7
 
+    def test_filtered_topk_all_results_match_filter(self, spark, emb):
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        base = emb.where("vec_id <> 0")
+        cents, assigned = ann.ivf_build(base, n_cells=8, seed=7)
+        hits = ann.ivf_filtered_topk(
+            assigned, cents, qvec, F.col("vec_id") % 3 == 1,
+            k=10, nprobe=5).collect()
+        assert len(hits) == 10
+        assert all(r.vec_id % 3 == 1 for r in hits)
+        # pre-filter beats post-filter: every hit must rank within the
+        # exact filtered top-10 ∪ probe approximation, so compare against
+        # the exact filtered scan for recall
+        exact = {r.vec_id for r in ann.cosine_topk(
+            base.where(F.col("vec_id") % 3 == 1), qvec, k=10).collect()}
+        assert len(exact & {r.vec_id for r in hits}) >= 7
+
+    def test_filtered_topk_selectivity_escape_is_exact(self, spark, emb):
+        # a filter passing ~12 vectors leaves < k=10 in any probed subset
+        # of 8 cells at nprobe=2 with high probability — but the ESCAPE
+        # guarantees exactness regardless: the result must EQUAL the
+        # exact scan over the filtered set
+        qvec = list(emb.where("vec_id = 0").first()["embedding"])
+        base = emb.where("vec_id <> 0")
+        cents, assigned = ann.ivf_build(base, n_cells=8, seed=7)
+        pred = (F.col("vec_id") > 0) & (F.col("vec_id") <= 12)
+        got = [(r.vec_id, r.cosine) for r in ann.ivf_filtered_topk(
+            assigned, cents, qvec, pred, k=10, nprobe=2).collect()]
+        want = [(r.vec_id, r.cosine) for r in ann.cosine_topk(
+            base.where(pred), qvec, k=10).collect()]
+        assert got == want
+
     def test_sq8_codes_bounded_and_recall(self, spark, emb):
         """int8 quantization: codes within [-127,127], scale positive, and
         the quantized top-10 recovers >=9/10 of the exact top-10 (int8 on

@@ -70,6 +70,34 @@ class TestApproxTopTerms:
         with pytest.raises(ValueError, match="must be >= size"):
             approx_top_terms(items, "term", size=10, shard_size=5)
 
+    def test_rare_terms_exact_tail(self, spark):
+        from patapsco_spark.operators.aggs import rare_terms
+        pairs = [(f"d{i}", "common") for i in range(20)] + \
+                [("d0", "once"), ("d1", "twice"), ("d2", "twice")]
+        out = rare_terms(_items(spark, pairs), "term",
+                         max_doc_count=2).collect()
+        assert [(r["term"], r["doc_count"]) for r in out] == \
+            [("once", 1), ("twice", 2)]
+        with pytest.raises(ValueError, match="max_doc_count"):
+            rare_terms(_items(spark, pairs), "term", max_doc_count=0)
+
+    def test_date_histogram_calendar_weeks_with_offset(self, spark):
+        from patapsco_spark.operators.aggs import date_histogram
+        rows = [  # Sun 23:00 UTC is already Monday in a +120min zone
+            ("2024-01-07 23:00:00",), ("2024-01-08 01:00:00",),
+            ("2024-01-03 12:00:00",), (None,)]
+        f = spark.createDataFrame(rows, "ts string") \
+            .select(F.col("ts").cast("timestamp").alias("ts"))
+        out = date_histogram(f, "ts", interval="week",
+                             offset_minutes=120).collect()
+        got = {r["bucket"].strftime("%Y-%m-%d"): r["doc_count"]
+               for r in out}
+        # the Sunday-23:00 row shifts across the ISO week boundary; the
+        # NULL ts row is dropped
+        assert got == {"2024-01-01": 1, "2024-01-08": 2}
+        with pytest.raises(ValueError, match="calendar interval"):
+            date_histogram(f, "ts", interval="fortnight")
+
     def test_default_shard_size_follows_es(self, spark):
         # size·1.5 + 10: with 30 distinct terms and size=10 the default
         # (25) cuts nothing per shard only if a shard holds ≤25 terms;
