@@ -736,6 +736,28 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("score", 8).alias("score"))
 
 
+LINEAR_W = (0.7, 0.3)
+
+
+def q_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear score fusion (new r5, rerank.linear_fuse): per-run min-max
+    normalization then 0.7·BM25 + 0.3·QLD — the convex-blend hybrid next
+    to RRF (Weaviate's relative-score fusion; keeps score magnitude where
+    RRF keeps only rank). The oracle recomputes both runs UNROUNDED and
+    replays the normalization and the weighted run-ordinal fold."""
+    from patapsco_spark.operators.rerank import linear_fuse
+
+    idx = _ensure_index(spark, sf_dir)
+    bm = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                      RetrieveConfig(k=K), text_cfg=RAW_TEXT)
+    ql = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                      RetrieveConfig(name="qld", k=K), text_cfg=RAW_TEXT)
+    fused = linear_fuse([bm, ql], weights=list(LINEAR_W), k=K)
+    return fused.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("rank").cast("long").alias("rnk"),
+                        F.round("score", 6).alias("score"))
+
+
 def q_suggest_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix autocomplete over the live term dictionary: terms starting
     's' ranked (cf desc, term asc), k=4 < the matching vocab size so the
@@ -3694,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_bm25": q_phrase_prefix_bm25,
         "span_near_bm25": q_span_near_bm25,
         "alias_bm25": q_alias_bm25,
+        "hybrid_linear": q_hybrid_linear,
         "sloppy_bm25": q_sloppy_bm25,
         "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
@@ -3870,7 +3893,8 @@ stats AS (
 """
 
 
-def _bm25_sql(query_terms: list[str], k1: float, b: float, k: int) -> str:
+def _bm25_sql(query_terms: list[str], k1: float, b: float, k: int,
+              raw: bool = False) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     quant = _quant_sql("dl.dl")
     return f"""
@@ -3895,7 +3919,7 @@ scores AS (
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
-       ROUND(score, 5) AS score
+       {"score" if raw else "ROUND(score, 5) AS score"}
 FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
@@ -4688,6 +4712,42 @@ LIMIT {k}
 """
 
 
+def _linear_fuse_sql(query_terms: list[str], k1: float, b: float, mu: int,
+                     k: int, w0: float, w1: float) -> str:
+    """Oracle for linear_fuse hybrid: both runs replayed UNROUNDED, each
+    min-max normalized within its own k rows ((s−min)/(max−min), all-equal
+    → 1.0), weighted and folded in run-ordinal order like rrf."""
+    bm = _bm25_sql(query_terms, k1, b, k, raw=True).strip()
+    ql = _qld_sql(query_terms, mu, k, raw=True).strip()
+    return f"""
+WITH u AS (
+  SELECT doc_id, 0 AS runid,
+         {repr(float(w0))} * (CASE WHEN max(score) OVER () = min(score) OVER ()
+               THEN 1.0
+               ELSE (score - min(score) OVER ())
+                    / (max(score) OVER () - min(score) OVER ()) END) AS ws
+  FROM ({bm}) bm_run
+  UNION ALL
+  SELECT doc_id, 1 AS runid,
+         {repr(float(w1))} * (CASE WHEN max(score) OVER () = min(score) OVER ()
+               THEN 1.0
+               ELSE (score - min(score) OVER ())
+                    / (max(score) OVER () - min(score) OVER ()) END) AS ws
+  FROM ({ql}) ql_run
+),
+fused AS (
+  SELECT doc_id, list_aggregate(list(ws ORDER BY runid), 'sum') AS score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 6) AS score
+FROM fused
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _match_percentiles_sql(query_terms: list[str],
                            ps: tuple[float, ...]) -> str:
     """Oracle for the exact percentile_disc rows — standard-SQL semantics
@@ -5084,7 +5144,8 @@ LIMIT {k}
 """
 
 
-def _qld_sql(query_terms: list[str], mu: int, k: int) -> str:
+def _qld_sql(query_terms: list[str], mu: int, k: int,
+             raw: bool = False) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     quant = _quant_sql("dl.dl")
     return f"""
@@ -5108,7 +5169,7 @@ scores AS (
 )
 SELECT doc_id,
        (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
-       ROUND(score, 5) AS score
+       {"score" if raw else "ROUND(score, 5) AS score"}
 FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
@@ -6298,6 +6359,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "dfr_inl2_topk": _dfr_inl2_sql(BM25_QUERY.split(), 1.0, K),
         "dfi_topk": _dfi_sql(BM25_QUERY.split(), K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
+        "hybrid_linear": _linear_fuse_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                          1000, K, *LINEAR_W),
         "synonym_bm25": _synonym_bm25_sql("data", (SYN_TERM,) + SYN_EQUIVS,
                                           0.9, 0.4, K),
         "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,

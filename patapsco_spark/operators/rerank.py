@@ -195,6 +195,57 @@ def _shell_rerank_distributed(spark: SparkSession, index_path: str,
     return out_df.withColumn("rank", F.row_number().over(w) - 1)
 
 
+def linear_fuse(runs: list, weights: list[float] | None = None,
+                k: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Convex score fusion with per-run min-max normalization — the OTHER
+    standard hybrid-retrieval merge next to RRF (Weaviate's "relative
+    score fusion", the α·dense + (1−α)·sparse blend of the
+    hybrid-search literature): within each (run, query) scores rescale to
+    [0, 1] via (s − min)/(max − min), then fuse as Σ wᵢ·normᵢ. Unlike RRF
+    it keeps score MAGNITUDE information (a dominant top hit stays
+    dominant; RRF flattens rank 0 vs 1 to 1/60 vs 1/61) at the price of
+    sensitivity to per-run outliers.
+
+    Degenerate run (all scores equal for a query): every doc normalizes
+    to 1.0 — equally best, not equally worthless (0.0 would erase the
+    run's membership signal entirely).
+
+    Determinism mirrors rrf_fuse: run-ordinal fold order, doc_id asc
+    tie-break. Plan shape: runs are k-bounded by construction, the
+    min/max window is per (run, query) over ≤ k rows."""
+    if not runs:
+        raise ValueError("linear_fuse needs at least one run")
+    if weights is None:
+        weights = [1.0 / len(runs)] * len(runs)
+    if len(weights) != len(runs):
+        raise ValueError(
+            f"one weight per run: {len(weights)} != {len(runs)}")
+    parts = []
+    for i, (r, wgt) in enumerate(zip(runs, weights)):
+        wn = Window.partitionBy("query_id")
+        lo, hi = F.min("score").over(wn), F.max("score").over(wn)
+        norm = F.when(hi == lo, F.lit(1.0)) \
+                .otherwise((F.col("score") - lo) / (hi - lo))
+        parts.append(r.select("query_id", F.col(id_col),
+                              F.lit(i).alias("_run"),
+                              (F.lit(float(wgt)) * norm).alias("_ws")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy("query_id", id_col)
+             .agg(F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("_run").alias("k"),
+                              F.col("_ws").alias("v")))),
+                 F.lit(0.0), lambda acc, x: acc + x["v"]).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select("query_id", id_col, "rank", "score")
+            .orderBy("query_id", "rank"))
+
+
 def rrf_fuse(runs: list, k: int = 10, c: int = 60,
              id_col: str = "doc_id") -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 —

@@ -53,3 +53,53 @@ def test_rrf_tiebreak_and_k(spark):
     b = spark.createDataFrame([("q1", "aa", 0)], SCHEMA)
     rows = rrf_fuse([a, b], k=1).collect()
     assert [(r["doc_id"], r["rank"]) for r in rows] == [("aa", 0)]
+
+
+SCORED = "query_id string, doc_id string, rank int, score double"
+LIN_A = [("q1", "d1", 0, 10.0), ("q1", "d2", 1, 5.0), ("q1", "d3", 2, 0.0)]
+LIN_B = [("q1", "d3", 0, 2.0), ("q1", "d1", 1, 1.0)]
+
+
+def test_linear_fuse_golden(spark):
+    from patapsco_spark.operators.rerank import linear_fuse
+    a = spark.createDataFrame(LIN_A, SCORED)
+    b = spark.createDataFrame(LIN_B, SCORED)
+    got = {r["doc_id"]: r["score"]
+           for r in linear_fuse([a, b], weights=[0.7, 0.3], k=10).collect()}
+    # run A norms: d1=1.0, d2=0.5, d3=0.0; run B: d3=1.0, d1=0.0
+    assert math.isclose(got["d1"], 0.7 * 1.0 + 0.3 * 0.0, rel_tol=1e-15)
+    assert math.isclose(got["d2"], 0.7 * 0.5, rel_tol=1e-15)
+    assert math.isclose(got["d3"], 0.3 * 1.0, rel_tol=1e-15)
+
+
+def test_linear_fuse_degenerate_run_normalizes_to_one(spark):
+    from patapsco_spark.operators.rerank import linear_fuse
+    a = spark.createDataFrame(
+        [("q1", "d1", 0, 3.0), ("q1", "d2", 1, 3.0)], SCORED)
+    got = {r["doc_id"]: r["score"]
+           for r in linear_fuse([a], weights=[1.0], k=10).collect()}
+    assert got == {"d1": 1.0, "d2": 1.0}
+
+
+def test_linear_fuse_keeps_magnitude_where_rrf_flattens(spark):
+    """The discriminating property: a dominant top hit stays dominant
+    under linear fusion, while RRF sees only adjacent ranks."""
+    from patapsco_spark.operators.rerank import linear_fuse
+    a = spark.createDataFrame(
+        [("q1", "d1", 0, 100.0), ("q1", "d2", 1, 1.0), ("q1", "d3", 2, 0.0)],
+        SCORED)
+    got = {r["doc_id"]: r["score"]
+           for r in linear_fuse([a], weights=[1.0], k=10).collect()}
+    assert got["d1"] - got["d2"] > 0.9  # 1.0 vs 0.01
+    rr = {r["doc_id"]: r["score"] for r in rrf_fuse([a], k=10).collect()}
+    assert rr["d1"] - rr["d2"] < 0.001  # 1/61 vs 1/62
+
+
+def test_linear_fuse_validation(spark):
+    from patapsco_spark.operators.rerank import linear_fuse
+    import pytest
+    a = spark.createDataFrame(LIN_A, SCORED)
+    with pytest.raises(ValueError, match="at least one run"):
+        linear_fuse([])
+    with pytest.raises(ValueError, match="one weight per run"):
+        linear_fuse([a], weights=[0.5, 0.5])
