@@ -513,6 +513,32 @@ def _ensure_dv_sidecar(spark: SparkSession, sf_dir: str, idx: str) -> None:
                             id_col="id", value_col="n_chars")
 
 
+SV_RANGE = (150.0, 450.0)
+
+
+def q_index_sorted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-time sorted view (new r5, operators/sortedview.py — Lucene
+    index sorting's early termination, Spark-shaped): corpus-wide top-k
+    by n_chars desc restricted to a key range, served from the blocked
+    permutation sidecar — the reader scans ceil(k/B) blocks per shard
+    via a PUSHED block predicate (plan-guarded), never the corpus. The
+    view build is manifest-gated like the other sidecars; a stale census
+    (append/compaction since the build) refuses loudly."""
+    from patapsco_spark.operators.sortedview import (build_sorted_view,
+                                                     sorted_topk)
+    from patapsco_spark.plans import manifest as _mf
+
+    idx = _ensure_index(spark, sf_dir)
+    _ensure_dv_sidecar(spark, sf_dir, idx)
+    if _mf.read_manifest(f"{idx}/sorted_views/n_chars/desc") is None:
+        build_sorted_view(spark, idx, "n_chars", ascending=False,
+                          block_size=64)
+    res = sorted_topk(spark, idx, "n_chars", k=K, value_range=SV_RANGE)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("rank").cast("long").alias("rnk"),
+                      F.col("value").alias("n_chars"))
+
+
 def q_dv_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-context retrieval executed INSIDE the scorer kernel (new r5;
     the ES bool.filter / per-segment doc-values-bitset shape): BM25 over
@@ -3717,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_bm25": q_span_near_bm25,
         "alias_bm25": q_alias_bm25,
         "hybrid_linear": q_hybrid_linear,
+        "index_sorted_topk": q_index_sorted_topk,
         "sloppy_bm25": q_sloppy_bm25,
         "range_bm25": q_range_bm25,
         "phrase_qld": q_phrase_qld,
@@ -6386,6 +6413,18 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
             BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
         "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),
         "dv_sort_topk": _dv_sort_sql(BM25_QUERY.split(), K),
+        "index_sorted_topk": f"""
+SELECT doc_id, rnk, n_chars FROM (
+  SELECT doc_id,
+         (row_number() OVER (ORDER BY n_chars DESC,
+                             CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+         n_chars::DOUBLE AS n_chars
+  FROM documents
+  WHERE n_chars IS NOT NULL
+    AND n_chars >= {SV_RANGE[0]} AND n_chars <= {SV_RANGE[1]}
+) WHERE rnk < {K}
+ORDER BY rnk
+""",
         "dv_filtered_bm25": _dv_filtered_bm25_sql(BM25_QUERY.split(),
                                                   DV_LO, DV_HI,
                                                   0.9, 0.4, K),
