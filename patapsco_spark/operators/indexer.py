@@ -508,3 +508,51 @@ def _per_file_stats(spark: SparkSession, path: str, key: str) -> list[dict]:
                    F.max(key).alias("max_key"))
               .collect())
     return mf.file_lineage([r.asDict() for r in rows])
+
+
+def reindex(spark: SparkSession, src_index: str, dst_path: str,
+            cfg=None, *, registry: str | None = None,
+            alias: str | None = None) -> dict:
+    """ES ``_reindex``: rebuild an index from its OWN stored documents
+    under a new config (analyzer change, shard-count change, positions
+    on/off) — no access to the original corpus needed. Live docs only:
+    tombstoned ids are excluded (ES reindex copies the live view, and
+    carrying a deleted doc into an index with no matching tombstone
+    would resurrect it). With ``registry``+``alias`` the cutover is the
+    aliases CAS swap when the alias already points at ``src_index``
+    (the zero-downtime path), else a first assignment.
+
+    Requires the source build to have stored raw text (store_raw, the
+    default) — re-analyzing ANALYZED text would double-apply the chain,
+    so a raw-less source refuses loudly instead of silently degrading.
+
+    Scale shape: one scan of the source's analyzed/ store (id, lang,
+    original_text — already shard-partitioned parquet), an anti-join
+    against the tombstone ids, then the ordinary build_index pipeline;
+    nothing is collected."""
+    from .deletes import read_tombstones
+    from .retrieve import load_index_meta
+
+    store = spark.read.parquet(f"{src_index}/analyzed")
+    if "original_text" not in store.columns:
+        raise ValueError(
+            f"source index {src_index!r} stores no raw text "
+            "(store_raw=False): reindex would re-analyze analyzed "
+            "tokens — rebuild from the original corpus instead")
+    docs = store.select("id", F.col("original_text").alias("text"), "lang")
+    meta = load_index_meta(src_index)
+    dead = read_tombstones(spark, src_index, meta)
+    if dead is not None:
+        docs = docs.join(F.broadcast(dead.select("id").distinct()),
+                         "id", "left_anti")
+    man = build_index(spark, docs, dst_path, cfg)
+    if alias is not None:
+        if registry is None:
+            raise ValueError("alias cutover needs a registry dir")
+        from ..plans import aliases as al
+        current = al.list_aliases(registry).get(alias)
+        if current == src_index:
+            al.swap_alias(registry, alias, dst_path, expect=src_index)
+        else:
+            al.set_alias(registry, alias, dst_path)
+    return man

@@ -80,3 +80,53 @@ class TestAliases:
         aliases.set_alias(reg, "a2", v2)
         got = aliases.list_aliases(reg)
         assert got["a1"] == v1 and got["a2"] == v2
+
+
+class TestReindex:
+    def test_reindex_excludes_deleted_and_cuts_over(self, spark, tmp_path):
+        from patapsco_spark.operators.deletes import delete_docs
+        from patapsco_spark.operators.indexer import build_index, reindex
+
+        v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+        reg = str(tmp_path)
+        docs = spark.createDataFrame(
+            [("d1", "Alpha Body Text", "eng"),
+             ("d2", "beta body text", "eng"),
+             ("d3", "gamma body text", "eng")],
+            "id string, text string, lang string")
+        build_index(spark, docs, v1, IndexConfig(text=RAW, num_shards=1))
+        delete_docs(spark, v1, ["d2"])
+        aliases.set_alias(reg, "prod", v1)
+
+        # reindex under a DIFFERENT analyzer (lowercase off) + cutover
+        cfg2 = IndexConfig(text=TextConfig(stem=None, stopwords=None,
+                                           lowercase=False), num_shards=1)
+        reindex(spark, v1, v2, cfg2, registry=reg, alias="prod")
+        assert aliases.resolve_alias(reg, "prod") == v2
+
+        # the new analyzer is live through the alias: 'Alpha' now matches
+        # case-sensitively, and the tombstoned d2 did NOT resurrect
+        live = aliases.resolve_alias(reg, "prod")
+        got = {r["doc_id"] for r in search_texts(
+            spark, live, [("q", "Alpha")], RetrieveConfig(k=5),
+            text_cfg=cfg2.text).collect()}
+        assert got == {"d1"}
+        # lowercase 'body' exists only in d2 (dead) and d3 under the
+        # case-sensitive analyzer (d1 has 'Body') — d2 must NOT resurrect
+        body = {r["doc_id"] for r in search_texts(
+            spark, live, [("q", "body")], RetrieveConfig(k=5),
+            text_cfg=cfg2.text).collect()}
+        assert body == {"d3"}
+
+    def test_reindex_without_raw_text_refuses(self, spark, tmp_path):
+        from patapsco_spark.operators.indexer import build_index, reindex
+
+        v1 = str(tmp_path / "noraw")
+        docs = spark.createDataFrame(
+            [("d1", "alpha body", "eng")],
+            "id string, text string, lang string")
+        build_index(spark, docs, v1,
+                    IndexConfig(text=RAW, num_shards=1, store_raw=False))
+        with pytest.raises(ValueError, match="stores no raw text"):
+            reindex(spark, v1, str(tmp_path / "v2"),
+                    IndexConfig(text=RAW, num_shards=1))
