@@ -3663,6 +3663,41 @@ def q_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("doc_count").cast("long"), "sum_value")
 
 
+def q_pipeline_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (new r5, aggs.cumulative_sum/derivative):
+    second-order aggs consuming the weekly date_histogram's buckets — a
+    running total and the bucket-over-bucket delta (first bucket NULL,
+    the ES omit-not-zero convention). Window work over an already-tiny
+    buckets frame; the scale question was settled by the parent agg."""
+    from patapsco_spark.operators.aggs import (cumulative_sum,
+                                               date_histogram, derivative)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = date_histogram(ev, "ts", interval="week",
+                       offset_minutes=DH_OFFSET_MIN)
+    b = b.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+                 F.col("doc_count").cast("long"))
+    out = derivative(cumulative_sum(b, "week", "doc_count"),
+                     "week", "doc_count")
+    return out.select("week", "doc_count",
+                      F.col("cum").cast("long"),
+                      F.col("deriv").cast("long"))
+
+
+def q_bucket_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket (new r5, aggs.bucket_stats): min/max/avg/sum/count
+    of the per-source doc_count metric across all buckets of a terms
+    aggregation — the *_bucket sibling family in one row."""
+    from patapsco_spark.operators.aggs import bucket_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = docs.groupBy("source").agg(F.count("*").alias("doc_count"))
+    out = bucket_stats(b, "doc_count")
+    return out.select(F.col("count").cast("long"),
+                      F.col("min").cast("long"),
+                      F.col("max").cast("long"),
+                      F.round("avg", 6).alias("avg"),
+                      F.col("sum").cast("long"))
+
+
 SESSION_GAP = "8 hours"  # ≈ the median per-user inter-event gap at sf0.01
 SESSION_GAP_US = 8 * 3600 * 1_000_000
 
@@ -3782,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_page": q_composite_page,
         "rare_terms": q_rare_terms,
         "events_weekly": q_events_weekly,
+        "pipeline_weekly": q_pipeline_weekly,
+        "bucket_stats_by_source": q_bucket_stats_by_source,
         "contamination_overlap": q_contamination_overlap,
         "url_domain_stats": q_url_domain_stats,
         "exact_dedup": q_exact_dedup,
@@ -7590,6 +7627,30 @@ SELECT strftime(date_trunc('week', ts + INTERVAL {DH_OFFSET_MIN} MINUTE),
        ROUND(SUM(value), 5) AS sum_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY 1 ORDER BY 1
+""",
+        "pipeline_weekly": f"""
+WITH b AS (
+  SELECT strftime(date_trunc('week', ts + INTERVAL {DH_OFFSET_MIN} MINUTE),
+                  '%Y-%m-%d') AS week,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT week, doc_count,
+       (sum(doc_count) OVER (ORDER BY week
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+       (doc_count - lag(doc_count) OVER (ORDER BY week))::BIGINT AS deriv
+FROM b ORDER BY week
+""",
+        "bucket_stats_by_source": """
+WITH b AS (
+  SELECT source, count(*)::BIGINT AS doc_count FROM documents GROUP BY source
+)
+SELECT count(doc_count)::BIGINT AS count,
+       min(doc_count)::BIGINT AS min,
+       max(doc_count)::BIGINT AS max,
+       ROUND(avg(doc_count), 6) AS avg,
+       sum(doc_count)::BIGINT AS sum
+FROM b
 """,
         "events_hourly": """
 SELECT user_id::BIGINT AS user_id,

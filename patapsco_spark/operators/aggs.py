@@ -411,6 +411,45 @@ def date_histogram(frame: DataFrame, ts_col: str, *,
             .orderBy("bucket"))
 
 
+# --- pipeline aggregations (ES's second-order agg family): they consume
+# the OUTPUT of another aggregation — a buckets frame — never raw docs,
+# so every one of them is a window/agg over an already-tiny frame and the
+# scale question was settled by the parent aggregation.
+
+def cumulative_sum(buckets: DataFrame, sort_col: str,
+                   value_col: str, out_col: str = "cum") -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg: running total of a metric over
+    buckets in ``sort_col`` order (date_histogram order in ES; any total
+    order here)."""
+    w = Window.orderBy(F.asc(sort_col)) \
+              .rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.withColumn(out_col, F.sum(value_col).over(w)) \
+                  .orderBy(sort_col)
+
+
+def derivative(buckets: DataFrame, sort_col: str,
+               value_col: str, out_col: str = "deriv") -> DataFrame:
+    """ES ``derivative`` pipeline agg: bucket-over-bucket delta of a
+    metric. The FIRST bucket has no predecessor — ES omits the value and
+    so does this (NULL), rather than faking a 0 delta."""
+    w = Window.orderBy(F.asc(sort_col))
+    return buckets.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col).over(w)) \
+        .orderBy(sort_col)
+
+
+def bucket_stats(buckets: DataFrame, value_col: str) -> DataFrame:
+    """ES ``stats_bucket`` (and its min_/max_/avg_/sum_bucket siblings in
+    one row): min/max/avg/sum/count of a per-bucket metric across ALL
+    buckets of the parent aggregation."""
+    return buckets.agg(
+        F.count(value_col).alias("count"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.avg(value_col).alias("avg"),
+        F.sum(value_col).alias("sum"))
+
+
 def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
                   id_col: str = "doc_id") -> DataFrame:
     """ES sliced scroll: deterministically partition a match set into

@@ -98,6 +98,24 @@ class TestApproxTopTerms:
         with pytest.raises(ValueError, match="calendar interval"):
             date_histogram(f, "ts", interval="fortnight")
 
+    def test_pipeline_aggs(self, spark):
+        from patapsco_spark.operators.aggs import (bucket_stats,
+                                                   cumulative_sum,
+                                                   derivative)
+        b = spark.createDataFrame(
+            [("w1", 10), ("w2", 15), ("w3", 12)], "week string, n long")
+        cs = {r["week"]: r["cum"] for r in
+              cumulative_sum(b, "week", "n").collect()}
+        assert cs == {"w1": 10, "w2": 25, "w3": 37}
+        dv = {r["week"]: r["deriv"] for r in
+              derivative(b, "week", "n").collect()}
+        # first bucket has no predecessor: NULL, the ES omission, not 0
+        assert dv == {"w1": None, "w2": 5, "w3": -3}
+        st = bucket_stats(b, "n").collect()[0]
+        assert (st["count"], st["min"], st["max"], st["sum"]) == \
+            (3, 10, 15, 37)
+        assert st["avg"] == pytest.approx(37 / 3)
+
     def test_default_shard_size_follows_es(self, spark):
         # size·1.5 + 10: with 30 distinct terms and size=10 the default
         # (25) cuts nothing per shard only if a shard holds ≤25 terms;
