@@ -3670,17 +3670,20 @@ def q_pipeline_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ES omit-not-zero convention). Window work over an already-tiny
     buckets frame; the scale question was settled by the parent agg."""
     from patapsco_spark.operators.aggs import (cumulative_sum,
-                                               date_histogram, derivative)
+                                               date_histogram, derivative,
+                                               moving_avg)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     b = date_histogram(ev, "ts", interval="week",
                        offset_minutes=DH_OFFSET_MIN)
     b = b.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
                  F.col("doc_count").cast("long"))
-    out = derivative(cumulative_sum(b, "week", "doc_count"),
-                     "week", "doc_count")
+    out = moving_avg(derivative(cumulative_sum(b, "week", "doc_count"),
+                                "week", "doc_count"),
+                     "week", "doc_count", window=3)
     return out.select("week", "doc_count",
                       F.col("cum").cast("long"),
-                      F.col("deriv").cast("long"))
+                      F.col("deriv").cast("long"),
+                      F.round("mov", 6).alias("mov3"))
 
 
 def q_bucket_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7638,7 +7641,9 @@ WITH b AS (
 SELECT week, doc_count,
        (sum(doc_count) OVER (ORDER BY week
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
-       (doc_count - lag(doc_count) OVER (ORDER BY week))::BIGINT AS deriv
+       (doc_count - lag(doc_count) OVER (ORDER BY week))::BIGINT AS deriv,
+       ROUND(avg(doc_count) OVER (ORDER BY week
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov3
 FROM b ORDER BY week
 """,
         "bucket_stats_by_source": """

@@ -438,6 +438,19 @@ def derivative(buckets: DataFrame, sort_col: str,
         .orderBy(sort_col)
 
 
+def moving_avg(buckets: DataFrame, sort_col: str, value_col: str,
+               window: int = 3, out_col: str = "mov") -> DataFrame:
+    """ES ``moving_fn`` with the unweightedAvg shape: the mean of the
+    last ``window`` buckets INCLUDING the current one (ES's window is
+    trailing-inclusive). Early buckets average over however many exist —
+    ES shrinks the window at the series head rather than emitting NULL."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.orderBy(F.asc(sort_col)).rowsBetween(-(window - 1), 0)
+    return buckets.withColumn(out_col, F.avg(value_col).over(w)) \
+                  .orderBy(sort_col)
+
+
 def bucket_stats(buckets: DataFrame, value_col: str) -> DataFrame:
     """ES ``stats_bucket`` (and its min_/max_/avg_/sum_bucket siblings in
     one row): min/max/avg/sum/count of a per-bucket metric across ALL

@@ -111,6 +111,11 @@ class TestApproxTopTerms:
               derivative(b, "week", "n").collect()}
         # first bucket has no predecessor: NULL, the ES omission, not 0
         assert dv == {"w1": None, "w2": 5, "w3": -3}
+        from patapsco_spark.operators.aggs import moving_avg
+        mv = {r["week"]: r["mov"] for r in
+              moving_avg(b, "week", "n", window=2).collect()}
+        # trailing-inclusive window, shrunk at the head (ES moving_fn)
+        assert mv == {"w1": 10.0, "w2": 12.5, "w3": 13.5}
         st = bucket_stats(b, "n").collect()[0]
         assert (st["count"], st["min"], st["max"], st["sum"]) == \
             (3, 10, 15, 37)
