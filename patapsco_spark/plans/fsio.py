@@ -180,3 +180,49 @@ def delete(path: str, recursive: bool = True) -> None:
     fs, p, _ = _jfs(path)
     if fs.exists(p):
         fs.delete(p, recursive)
+
+
+def list_files(path: str) -> list[tuple[str, int]]:
+    """Recursive (relative_path, size) listing under a directory — the
+    snapshot enumerator. ``.tmp`` siblings (half-written markers) are
+    skipped; everything else, including _manifest.json/_SUCCESS, is
+    snapshot-relevant state."""
+    out: list[tuple[str, int]] = []
+    if not has_scheme(path):
+        root = pathlib.Path(path)
+        for f in sorted(root.rglob("*")):
+            if f.is_file() and not f.name.endswith(".tmp"):
+                out.append((str(f.relative_to(root)), f.stat().st_size))
+        return out
+    fs, p, _ = _jfs(path)
+    base = str(fs.makeQualified(p))
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        full = str(st.getPath())
+        if full.endswith(".tmp"):
+            continue
+        rel = full[len(base):].lstrip("/")
+        out.append((rel, int(st.getLen())))
+    return sorted(out)
+
+
+def copy_file(src: str, dst: str) -> None:
+    """Byte copy creating parent dirs; same-scheme or cross-scheme via
+    the Hadoop FileUtil when either side carries a URI scheme."""
+    if not has_scheme(src) and not has_scheme(dst):
+        import shutil
+        d = pathlib.Path(dst)
+        d.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(src, dst)
+        return
+    fs_s, p_s, jvm = _jfs(src if has_scheme(src) else f"file:{src}")
+    fs_d, p_d, _ = _jfs(dst if has_scheme(dst) else f"file:{dst}")
+    parent = p_d.getParent()
+    if parent is not None:
+        fs_d.mkdirs(parent)
+    conf = jvm.org.apache.hadoop.conf.Configuration()
+    ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+        fs_s, p_s, fs_d, p_d, False, True, conf)
+    if not ok:
+        raise IOError(f"copy failed: {src} -> {dst}")
