@@ -1812,6 +1812,21 @@ def q_span_near_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+SPANNOT_A, SPANNOT_B, SPANNOT_SLOP = "data", "window", 2
+
+
+def q_span_not_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNotQuery (new r5): 'data' occurrences NOT within 2 intervening
+    tokens of 'window' in either direction — exclusion shapes tf, never
+    the weight (idf = the include term's alone; a doc with no 'window'
+    keeps every occurrence). Semantics at queryparse.Clause.near_not."""
+    from patapsco_spark.operators.queryparse import span_not_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = span_not_plan("q1", [(SPANNOT_A, SPANNOT_B, SPANNOT_SLOP)])
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 PP_WORDS, PP_PREFIX = ["data"], "str"
 
 
@@ -3779,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_bm25": q_span_first_bm25,
         "phrase_prefix_bm25": q_phrase_prefix_bm25,
         "span_near_bm25": q_span_near_bm25,
+        "span_not_bm25": q_span_not_bm25,
         "alias_bm25": q_alias_bm25,
         "hybrid_linear": q_hybrid_linear,
         "index_sorted_topk": q_index_sorted_topk,
@@ -5364,6 +5380,49 @@ LIMIT {k}
 """
 
 
+def _span_not_sql(a: str, b: str, slop: int, k1: float, bb: float,
+                  k: int) -> str:
+    """Oracle for q_span_not_bm25: anchors = occurrences of ``a`` with NO
+    ``b`` within the window either direction; idf = idf(a) ONLY (the
+    SpanNotQuery include-weight rule the kernel follows)."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w
+),
+anchors AS (
+  SELECT o1.doc_id, count(*)::DOUBLE AS tf
+  FROM occ o1
+  WHERE o1.t = '{a}'
+    AND NOT EXISTS (SELECT 1 FROM occ o2
+                    WHERE o2.doc_id = o1.doc_id AND o2.t = '{b}'
+                      AND abs(o1.i - o2.i) - 1 <= {slop})
+  GROUP BY o1.doc_id
+),
+adf AS (SELECT count(*)::DOUBLE AS df FROM tf WHERE term = '{a}'),
+scores AS (
+  SELECT anchors.doc_id,
+         ln(1 + (stats.n - adf.df + 0.5) / (adf.df + 0.5)) * anchors.tf
+           / (anchors.tf + {k1} * (1 - {bb} + {bb} * {quant} / stats.avgdl))
+           AS score
+  FROM anchors
+  JOIN dl ON dl.doc_id = anchors.doc_id
+  CROSS JOIN stats CROSS JOIN adf
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _phrase_prefix_sql(word: str, prefix: str, max_exp: int, k1: float,
                        b: float, k: int) -> str:
     """Oracle for q_phrase_prefix_bm25 (single fixed word): expansion =
@@ -6496,6 +6555,8 @@ ORDER BY rnk
                                                  50, 0.9, 0.4, K),
         "span_near_bm25": _span_near_sql(NEAR_A, NEAR_B, NEAR_SLOP,
                                          0.9, 0.4, K),
+        "span_not_bm25": _span_not_sql(SPANNOT_A, SPANNOT_B, SPANNOT_SLOP,
+                                       0.9, 0.4, K),
         # alias resolution must be scoring-transparent: plain BM25 replay
         "alias_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),

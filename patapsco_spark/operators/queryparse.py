@@ -170,6 +170,14 @@ class Clause:
     # the pseudo-term's own (df, cf). Programmatic only
     # (span_near_plan); None = not a proximity clause.
     near: int | None = None
+    # with ``near`` set, True inverts the window test (Lucene
+    # SpanNotQuery with pre/post slop): tf counts FIRST-word occurrences
+    # with NO second-word occurrence within the window — "data, but not
+    # near advertisement". The exclusion term shapes tf only; BM25 idf is
+    # the INCLUDE term's idf alone (SpanNotQuery scores from the include
+    # span's weight). A doc containing the first word and no second word
+    # at all keeps every occurrence.
+    near_not: bool = False
 
 
 @dataclass
@@ -232,6 +240,19 @@ def span_near_plan(qid: str, pairs: list[tuple[str, str, int]],
     for t in extra_terms or []:
         clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
     return QueryPlan(qid, clauses, "span_near")
+
+
+def span_not_plan(qid: str, pairs: list[tuple[str, str, int]],
+                  extra_terms: list[str] | None = None) -> QueryPlan:
+    """SpanNotQuery plan builder: one SHOULD clause per
+    (include_word, exclude_word, slop) matching include occurrences with
+    NO exclude occurrence within ``slop`` intervening tokens in either
+    direction (see Clause.near_not). Requires the positions sidecar."""
+    plan = span_near_plan(qid, pairs, extra_terms)
+    for c in plan.clauses:
+        if c.near is not None:
+            c.near_not = True
+    return QueryPlan(qid, plan.clauses, "span_not")
 
 
 def phrase_prefix_plan(qid: str, words: list[str], prefix: str,

@@ -1408,8 +1408,10 @@ def _phrase_prefix_pseudo_term(words: tuple[str, ...], prefix: str) -> str:
     return "\x01pp:" + "\x01".join(words) + "\x01*" + prefix
 
 
-def _spannear_pseudo_term(a: str, b: str, slop: int) -> str:
-    return f"\x01near:{slop}:{a}\x01{b}"
+def _spannear_pseudo_term(a: str, b: str, slop: int,
+                          inv: bool = False) -> str:
+    tag = "nearnot" if inv else "near"
+    return f"\x01{tag}:{slop}:{a}\x01{b}"
 
 
 def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
@@ -1427,7 +1429,7 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
     from .queryparse import Clause, QueryPlan
     from ..functions.smallfloat import quantize_length
 
-    specs: dict[tuple[str, str, int], str] = {}
+    specs: dict[tuple[str, str, int, bool], str] = {}
     for p in plans:
         for c in iter_term_clauses(p.clauses):
             near = getattr(c, "near", None)
@@ -1441,8 +1443,9 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
             if a == b:
                 raise ValueError(
                     f"span_near needs two distinct terms, got {a!r} twice")
-            specs.setdefault((a, b, int(near)),
-                             _spannear_pseudo_term(a, b, int(near)))
+            inv = bool(getattr(c, "near_not", False))
+            specs.setdefault((a, b, int(near), inv),
+                             _spannear_pseudo_term(a, b, int(near), inv))
     if not specs:
         return plans, None
 
@@ -1452,10 +1455,10 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
     sid_of = {key: i for i, key in enumerate(specs)}
     pseudo_of_sid = {i: specs[k] for k, i in sid_of.items()}
     memb_rows = []
-    for (a, b, slop), sid in sid_of.items():
-        memb_rows.append((sid, a, 0, slop))
-        memb_rows.append((sid, b, 1, slop))
-    all_words = sorted({w for _s, w, _r, _sl in memb_rows})
+    for (a, b, slop, inv), sid in sid_of.items():
+        memb_rows.append((sid, a, 0, slop, int(inv)))
+        memb_rows.append((sid, b, 1, slop, int(inv)))
+    all_words = sorted({w for _s, w, _r, _sl, _i in memb_rows})
 
     pos = (spark.read.parquet(f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
@@ -1463,27 +1466,42 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
-        memb_rows, "sid int, word string, role int, slop int")
+        memb_rows, "sid int, word string, role int, slop int, inv int")
 
     joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
-              .select("sid", "shard", "docid", "role", "slop", "positions"))
+              .select("sid", "shard", "docid", "role", "slop", "inv",
+                      "positions"))
     grouped = (joined.groupBy("sid", "shard", "docid")
                .agg(F.count("*").alias("nm"), F.max("slop").alias("slop"),
+                    F.max("inv").alias("inv"),
                     F.collect_list(F.struct("role", "positions"))
                     .alias("items"))
-               .where(F.col("nm") == 2))
+               # near needs BOTH words in the doc; near_not keeps docs
+               # holding only the include word (nothing nearby to exclude
+               # — every occurrence counts). Only-exclude docs survive
+               # this filter but die at tf NULL below (pa is NULL).
+               .where((F.col("nm") == 2) | (F.col("inv") == 1)))
     items = F.col("items")
     pa = F.try_element_at(
         F.transform(F.filter(items, lambda s: s["role"] == 0),
                     lambda s: s["positions"]), F.lit(1))
-    pb = F.try_element_at(
-        F.transform(F.filter(items, lambda s: s["role"] == 1),
-                    lambda s: s["positions"]), F.lit(1))
+    # near_not over a doc with NO exclude occurrences: exists() over a
+    # NULL array is NULL and would poison the negation — coalesce to
+    # empty so "nothing nearby" reads false, not unknown
+    pb = F.coalesce(
+        F.try_element_at(
+            F.transform(F.filter(items, lambda s: s["role"] == 1),
+                        lambda s: s["positions"]), F.lit(1)),
+        F.array().cast("array<int>"))
     # anchors: first-word positions with a second-word occurrence within
-    # slop intervening tokens in EITHER direction (|p−q| − 1 ≤ slop)
+    # slop intervening tokens in EITHER direction (|p−q| − 1 ≤ slop);
+    # near_not counts the complement (see queryparse.Clause.near_not)
+    def _window_hit(p):
+        return F.exists(pb, lambda q: F.abs(p - q) - 1 <= F.col("slop"))
+
     tf_col = F.size(F.filter(
-        pa, lambda p: F.exists(
-            pb, lambda q: F.abs(p - q) - 1 <= F.col("slop"))))
+        pa, lambda p: F.when(F.col("inv") == 1,
+                             ~_window_hit(p)).otherwise(_window_hit(p))))
     tf_all = (grouped
               .select("sid", "shard", "docid", tf_col.alias("tf"))
               .where(F.col("tf") > 0)
@@ -1495,16 +1513,20 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
                     .agg(F.count("*").alias("df"),
                          F.sum("tf").alias("cf")).collect()}
     live_sids = []
-    for (a, b, slop), sid in sid_of.items():
+    for (a, b, slop, inv), sid in sid_of.items():
         st = stats_by_sid.get(sid)
         if not st or st[0] == 0:
             continue
         pseudo = pseudo_of_sid[sid]
         df_map[pseudo] = st
+        # near: Σ both idfs (SpanNearQuery weight over both terms);
+        # near_not: the INCLUDE term's idf only — the exclusion shapes tf,
+        # never the weight (SpanNotQuery scores from the include span)
+        words = (a,) if inv else (a, b)
         idf_over[pseudo] = sum(
             math.log(1.0 + (num_docs - df_map[w][0] + 0.5)
                      / (df_map[w][0] + 0.5))
-            for w in (a, b) if w in df_map and df_map[w][0] > 0)
+            for w in words if w in df_map and df_map[w][0] > 0)
         live_sids.append(sid)
     if not live_sids:
         union = None
@@ -1534,7 +1556,8 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
             if c.group:
                 cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
             elif getattr(c, "near", None) is not None:
-                pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.near))]
+                pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.near),
+                                bool(getattr(c, "near_not", False)))]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
             else:
                 cl.append(c)

@@ -86,3 +86,29 @@ def test_builder_validation(spark, near_index):
         span_near_plan("q", [("red fox", "x", 1)])
     with pytest.raises(ValueError, match="distinct terms"):
         _run(spark, near_index, span_near_plan("q", [("red", "red", 1)]))
+
+
+class TestSpanNot:
+    def test_exclusion_window(self, spark, near_index):
+        from patapsco_spark.operators.queryparse import span_not_plan
+        # red NOT adjacent to fox: d1/d2/d3's reds all have an adjacent
+        # fox; only d4's red (1 intervening token) survives slop=0
+        rows = _run(spark, near_index,
+                    span_not_plan("q", [("red", "fox", 0)]))
+        assert set(rows) == {"d4"}
+        idf = _idf(5, 4)  # include-term idf ONLY (SpanNotQuery weight)
+        assert rows["d4"] == pytest.approx(idf * 1 / (1 + 0.9), rel=1e-9)
+
+    def test_doc_without_exclude_keeps_all_occurrences(self, spark,
+                                                       near_index):
+        from patapsco_spark.operators.queryparse import span_not_plan
+        # 'jumps' NOT within 1 of 'today': d1/d2 have today 2 tokens away
+        # (1 intervening ≤ slop → excluded); d3/d4 have NO 'today' at all
+        # and must keep their occurrence
+        rows = _run(spark, near_index,
+                    span_not_plan("q", [("jumps", "today", 1)]))
+        assert set(rows) == {"d3", "d4"}
+        # and with slop=0 the window shrinks: d1/d2 re-qualify
+        rows0 = _run(spark, near_index,
+                     span_not_plan("q", [("jumps", "today", 0)]))
+        assert set(rows0) == {"d1", "d2", "d3", "d4"}
