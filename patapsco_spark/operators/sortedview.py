@@ -168,24 +168,40 @@ def sorted_topk(spark: SparkSession, index_path: str, name: str,
         return b
 
     nb = max(1, math.ceil(k / block_size))
-    while True:
+    if not del_rows and value_range is None:
+        # nothing can thin the head: the first ceil(k/B) blocks per shard
+        # hold ≥ k live rows by construction — no starvation possible, so
+        # the adaptive count job is pure overhead and is skipped (the
+        # common match-all sort runs as ONE job)
         cand = _read(nb)
-        per_shard = {int(r["shard"]): int(r["n"]) for r in
-                     cand.groupBy("shard").agg(F.count("*").alias("n"))
-                     .collect()}
-        starved = [s for s, total in n_blocks.items()
-                   if per_shard.get(s, 0) < k and nb < total]
-        if not starved or nb >= max_blocks:
-            break
-        nb = min(max_blocks, nb * 2)
+    else:
+        while True:
+            cand = _read(nb)
+            per_shard = {int(r["shard"]): int(r["n"]) for r in
+                         cand.groupBy("shard").agg(F.count("*").alias("n"))
+                         .collect()}
+            starved = [s for s, total in n_blocks.items()
+                       if per_shard.get(s, 0) < k and nb < total]
+            if not starved or nb >= max_blocks:
+                break
+            nb = min(max_blocks, nb * 2)
 
     key = F.asc("value") if ascending else F.desc("value")
     w = Window.orderBy(key, F.asc("docid"))
-    ws = Window.partitionBy("shard").orderBy(key, F.asc("docid"))
-    topk = (cand.withColumn("srn", F.row_number().over(ws))
-            .where(F.col("srn") <= k)           # ≤ k rows per shard
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k))
+    if not del_rows and value_range is None:
+        # fast path: the pruned read is already ≤ nb·B rows per shard
+        # (≈ k rounded up to a block) — a per-shard pre-cut would add a
+        # whole shuffle stage to save a handful of rows
+        topk = (cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k))
+    else:
+        # adaptive branch: widened rounds can inflate the candidate set,
+        # so cut to ≤ k per shard before the single-partition merge
+        ws = Window.partitionBy("shard").orderBy(key, F.asc("docid"))
+        topk = (cand.withColumn("srn", F.row_number().over(ws))
+                .where(F.col("srn") <= k)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= k))
     # k-bounded hits broadcast against the shard-pruned norms read (the
     # sort_values_topk id-join shape)
     norms = (spark.read.parquet(f"{index_path}/norms")
