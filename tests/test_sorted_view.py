@@ -103,6 +103,16 @@ class TestSortedView:
         with pytest.raises(ValueError, match="rebuild the view"):
             sorted_topk(spark, sv_index, "v", k=5)
 
+    def test_id_join_gets_dynamic_partition_pruning(self, spark, sv_index):
+        # the k-bounded hits broadcast against shard-partitioned norms
+        # must trigger DPP — without it every query re-scans EVERY
+        # shard's norms partition just to resolve ≤ k external ids
+        out = sorted_topk(spark, sv_index, "v", k=3)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+        assert "dynamicpruningexpression(shard" in plan
+
     def test_k_exceeding_corpus_returns_all_live(self, spark, sv_index):
         got = sorted_topk(spark, sv_index, "v", k=500).collect()
         assert len(got) == N
