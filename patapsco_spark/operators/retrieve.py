@@ -1612,17 +1612,26 @@ def _rewrite_phrase_prefix_plans(spark, index_path, plans, df_map, idf_over,
         live_pred = ((F.col("shard") >= shard_base) &
                      (F.col("shard") < num_shards))
 
-    # bounded expansion per distinct prefix, in term order (the dictionary
-    # read also supplies each expansion's df for the synonym-style idf)
+    # bounded expansion for ALL distinct prefixes in ONE job (a union of
+    # per-prefix StringStartsWith branches, each limit-capped BEFORE the
+    # collect — the same no-per-pattern-jobs shape as
+    # _expand_multiterm_plans); the dictionary read also supplies each
+    # expansion's df for the synonym-style idf
     from .indexer import read_term_stats
     stats = read_term_stats(spark, index_path, num_shards=num_shards,
                             shard_base=shard_base)
-    expansions: dict[str, list[tuple[str, int]]] = {}
+    branches = None
     for pfx in sorted({p for _ws, p in specs}):
-        rows = (stats.where(F.col("term").startswith(pfx))
-                .select("term", "df")
-                .orderBy("term").limit(max_expansions).collect())
-        expansions[pfx] = [(r["term"], int(r["df"])) for r in rows]
+        b = (stats.where(F.col("term").startswith(pfx))
+             .select(F.lit(pfx).alias("pfx"), "term", "df")
+             .orderBy("term").limit(max_expansions))
+        branches = b if branches is None else branches.unionByName(b)
+    expansions: dict[str, list[tuple[str, int]]] = \
+        {pfx: [] for _ws, pfx in specs}
+    for r in branches.collect():
+        expansions[r["pfx"]].append((r["term"], int(r["df"])))
+    for pfx in expansions:
+        expansions[pfx].sort()
 
     pid_of = {key: i for i, key in enumerate(specs)}
     pseudo_of_pid = {i: specs[k] for k, i in pid_of.items()}
