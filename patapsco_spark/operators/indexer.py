@@ -541,6 +541,16 @@ def reindex(spark: SparkSession, src_index: str, dst_path: str,
             "tokens — rebuild from the original corpus instead")
     docs = store.select("id", F.col("original_text").alias("text"), "lang")
     meta = load_index_meta(src_index)
+    # streaming appends stage their analyzed batches in the APPEND's temp
+    # dir, not the index's analyzed/ store — a doc-count mismatch means
+    # reindex would silently drop every appended document
+    n_store, n_meta = docs.count(), int(meta["num_docs"])
+    if n_store != n_meta:
+        raise ValueError(
+            f"analyzed store holds {n_store} docs but the index manifest "
+            f"says {n_meta}: the index has appended documents that are "
+            "not in the doc store — reindex from the original corpus "
+            "instead of the index")
     dead = read_tombstones(spark, src_index, meta)
     if dead is not None:
         docs = docs.join(F.broadcast(dead.select("id").distinct()),

@@ -130,3 +130,28 @@ class TestReindex:
         with pytest.raises(ValueError, match="stores no raw text"):
             reindex(spark, v1, str(tmp_path / "v2"),
                     IndexConfig(text=RAW, num_shards=1))
+
+    def test_reindex_refuses_appended_index(self, spark, tmp_path):
+        # an index whose manifest census exceeds its analyzed store (the
+        # streaming-append state) must refuse: reindexing from the store
+        # would silently drop every appended doc
+        import json
+        import pathlib
+
+        from patapsco_spark.operators.indexer import build_index, reindex
+
+        v1 = str(tmp_path / "appended")
+        docs = spark.createDataFrame(
+            [("d1", "alpha body", "eng"), ("d2", "beta body", "eng")],
+            "id string, text string, lang string")
+        build_index(spark, docs, v1, IndexConfig(text=RAW, num_shards=1))
+        man = pathlib.Path(v1) / "_manifest.json"
+        doc = json.loads(man.read_text())
+        key = "num_docs" if "num_docs" in doc.get("config", {}) else None
+        # bump the census the way an append's manifest commit does
+        tgt = doc["config"] if key else doc["metrics"]
+        tgt["num_docs"] = int(tgt["num_docs"]) + 3
+        man.write_text(json.dumps(doc))
+        with pytest.raises(ValueError, match="appended documents"):
+            reindex(spark, v1, str(tmp_path / "v2"),
+                    IndexConfig(text=RAW, num_shards=1))
