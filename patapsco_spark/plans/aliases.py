@@ -19,11 +19,37 @@ last-write-wins ``set_alias`` is for first assignment and tests.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import pathlib
 
 from . import fsio
 
 ALIASES = "_aliases.json"
+
+
+@contextlib.contextmanager
+def _registry_lock(registry_dir: str):
+    """Serialize whole-registry read-modify-writes. The CAS in swap_alias
+    protects same-alias races; this lock closes the OTHER race — two
+    concurrent writers of DIFFERENT aliases interleaving load/replace and
+    dropping one update. flock on a sidecar for local registries; on
+    object-store schemes no lock primitive exists, so concurrent
+    DIFFERENT-alias writers must be externally serialized (one deployer),
+    which the docstring contract states — same trade the manifest
+    replacement layer documents in fsio."""
+    if fsio.has_scheme(registry_dir):
+        yield
+        return
+    import fcntl
+    p = pathlib.Path(registry_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    with open(p / (ALIASES + ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
 
 
 def _registry_path(registry_dir: str) -> str:
@@ -55,10 +81,12 @@ def set_alias(registry_dir: str, name: str, index_path: str) -> None:
     """First assignment / unconditional repoint (last-write-wins).
     For a reindex cutover use ``swap_alias`` — it refuses to clobber a
     concurrent writer's swap."""
-    aliases = _load(registry_dir)
-    aliases[name] = index_path
-    fsio.write_text_atomic(_registry_path(registry_dir),
-                           json.dumps(aliases, indent=1, sort_keys=True))
+    with _registry_lock(registry_dir):
+        aliases = _load(registry_dir)
+        aliases[name] = index_path
+        fsio.write_text_atomic(
+            _registry_path(registry_dir),
+            json.dumps(aliases, indent=1, sort_keys=True))
 
 
 def swap_alias(registry_dir: str, name: str, new_path: str,
@@ -67,21 +95,25 @@ def swap_alias(registry_dir: str, name: str, new_path: str,
     ``name`` to ``new_path`` only if it currently points at ``expect``.
     A stale expectation (someone else swapped first, or the alias was
     never set) raises instead of silently undoing their cutover."""
-    aliases = _load(registry_dir)
-    current = aliases.get(name)
-    if current != expect:
-        raise RuntimeError(
-            f"alias {name!r} points at {current!r}, not the expected "
-            f"{expect!r} — refusing the swap (concurrent cutover?)")
-    aliases[name] = new_path
-    fsio.write_text_atomic(_registry_path(registry_dir),
-                           json.dumps(aliases, indent=1, sort_keys=True))
+    with _registry_lock(registry_dir):
+        aliases = _load(registry_dir)
+        current = aliases.get(name)
+        if current != expect:
+            raise RuntimeError(
+                f"alias {name!r} points at {current!r}, not the expected "
+                f"{expect!r} — refusing the swap (concurrent cutover?)")
+        aliases[name] = new_path
+        fsio.write_text_atomic(
+            _registry_path(registry_dir),
+            json.dumps(aliases, indent=1, sort_keys=True))
 
 
 def drop_alias(registry_dir: str, name: str) -> None:
-    aliases = _load(registry_dir)
-    if name not in aliases:
-        raise KeyError(f"unknown alias {name!r}")
-    del aliases[name]
-    fsio.write_text_atomic(_registry_path(registry_dir),
-                           json.dumps(aliases, indent=1, sort_keys=True))
+    with _registry_lock(registry_dir):
+        aliases = _load(registry_dir)
+        if name not in aliases:
+            raise KeyError(f"unknown alias {name!r}")
+        del aliases[name]
+        fsio.write_text_atomic(
+            _registry_path(registry_dir),
+            json.dumps(aliases, indent=1, sort_keys=True))

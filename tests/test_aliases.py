@@ -155,3 +155,25 @@ class TestReindex:
         with pytest.raises(ValueError, match="appended documents"):
             reindex(spark, v1, str(tmp_path / "v2"),
                     IndexConfig(text=RAW, num_shards=1))
+
+
+def _race_writer(args):
+    reg, i = args
+    from patapsco_spark.plans import aliases as al
+    for j in range(5):
+        al.set_alias(reg, f"a{i}_{j}", f"/idx/{i}/{j}")
+    return i
+
+
+class TestRegistryConcurrency:
+    def test_different_alias_writers_never_lose_updates(self, tmp_path):
+        # the whole-registry read-modify-write is flocked: 6 processes
+        # x 5 aliases each, every one must survive (the lost-update race
+        # the CAS alone cannot see — it only guards same-alias swaps)
+        import multiprocessing as mp
+        reg = str(tmp_path)
+        with mp.get_context("spawn").Pool(6) as pool:
+            pool.map(_race_writer, [(reg, i) for i in range(6)])
+        got = aliases.list_aliases(reg)
+        assert len(got) == 30
+        assert got["a3_2"] == "/idx/3/2"
