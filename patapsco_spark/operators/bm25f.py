@@ -262,6 +262,158 @@ def search_bm25f(spark: SparkSession, field_indexes: Mapping[str, str],
             .orderBy("query_id", "rank"))
 
 
+def search_cross_fields(spark: SparkSession,
+                        field_indexes: Mapping[str, str],
+                        queries: Iterable[tuple[str, str]], *,
+                        text_cfg=None, lang: str = "eng",
+                        tie_breaker: float = 0.0,
+                        boosts: Mapping[str, float] | None = None,
+                        k1: float = 0.9, b: float = 0.4, k: int = 1000
+                        ) -> DataFrame:
+    """Cross-fields fielded retrieval — Elasticsearch ``multi_match
+    type=cross_fields`` / Lucene ``BlendedTermQuery`` (public docs
+    "multi-match query", "blended term query"), the third classic
+    multi-field mode next to :func:`search_bm25f` (field-combine BEFORE
+    saturation) and :func:`search_dismax` (per-field whole-query BM25,
+    dismax per DOCUMENT). cross_fields is term-centric: every query term
+    is scored independently in each field with a BLENDED document
+    frequency,
+
+        df_blend(t) = max_f df_f(t)                      (BlendedTermQuery)
+        v(t, f, d)  = boost_f · idf(df_blend) · tf/(tf + k1·(1−b+b·dl_f/avgdl_f))
+        s(t, d)     = max_f v + tie_breaker · (Σ_f v − max_f v)
+        score(q, d) = Σ_{t∈q} qw_t · s(t, d)
+
+    so a term that is RARE overall but common in one field (e.g. anchor
+    text) is not over-rewarded there — the idf skew across fields is the
+    failure mode cross_fields exists to fix (best_fields scores "alpha" in
+    a title index with title-local df). The per-term dismax with
+    ``tie_breaker=0`` takes the best field's evidence per term; the sum
+    over terms still rewards covering ALL terms across DIFFERENT fields —
+    the "first name in field A, last name in field B" query shape.
+
+    Exactness + determinism: per-field tfs come from the same full decode
+    as BM25F (``term_postings_frame``: In-pushed terms, tombstone-masked,
+    committed snapshot); folds use fixed orders (Σ_f by field name asc,
+    Σ_t by term asc); max is order-free — scores are bit-stable and the
+    whole pipeline is SQL-replayable (oracle ``cross_fields_bm25``).
+
+    Scale shape (100 TB): the decoded rows are exactly the query terms'
+    postings per field; df counting and the two combines are combinable
+    groupBys (map-side partial agg) keyed by (term) / (term, doc) /
+    (query, doc); idf and query frames are broadcast; the final id
+    resolution joins the k-bounded hits broadcast against partition-pruned
+    norms. No full scans, no driver-side loops."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    fields = sorted(field_indexes)
+    if not fields:
+        raise ValueError("field_indexes must name at least one field")
+    boosts = dict(boosts or {})
+    metas = {f: load_index_meta(field_indexes[f]) for f in fields}
+    n_set = {int(m["num_docs"]) for m in metas.values()}
+    dps_set = {int(m["docs_per_shard"]) for m in metas.values()}
+    if len(n_set) != 1 or len(dps_set) != 1:
+        raise ValueError(
+            "field indexes disagree on corpus shape (num_docs %s, "
+            "docs_per_shard %s) — build every field from the same corpus"
+            % (sorted(n_set), sorted(dps_set)))
+    num_docs = n_set.pop()
+
+    plans = process_queries(list(queries), text_cfg, lang=lang)
+    qrows = [(p.qid, t, float(w))
+             for p in plans for c in iter_term_clauses(p.clauses)
+             for t, w in c.terms]
+    empty = spark.createDataFrame(
+        [], "query_id string, doc_id string, docid long, rank int, "
+            "score double")
+    if not qrows or num_docs == 0:
+        return empty
+    all_terms = sorted({t for _, t, _ in qrows})
+
+    # per-field decoded postings → boosted length-normalized saturation
+    # (idf joins in AFTER blending, so v0 here is boost·tf/denom)
+    per_field = []
+    for f in fields:
+        m = metas[f]
+        avgdl = float(m["avgdl"])
+        if avgdl <= 0.0:
+            continue  # field empty in the whole corpus: no contribution
+        w_f = float(boosts.get(f, 1.0))
+        pf = term_postings_frame(spark, field_indexes[f], all_terms)
+        per_field.append(pf.select(
+            "term", "docid", F.lit(f).alias("field"),
+            ((F.lit(w_f) * F.col("tf"))
+             / (F.col("tf") + F.lit(float(k1))
+                * (F.lit(1.0 - b)
+                   + F.lit(float(b)) * F.col("dlq") / F.lit(avgdl))))
+            .alias("v0")))
+    if not per_field:
+        return empty
+    u = per_field[0]
+    for pf in per_field[1:]:
+        u = u.unionByName(pf)
+
+    # blended document frequency: df per (field, term), max across fields
+    # (Lucene BlendedTermQuery's df adjustment; both aggs are combinable
+    # and the final frame is ≤ |query terms| rows → broadcast)
+    bdf = (u.groupBy("field", "term").agg(F.count("*").alias("df"))
+           .groupBy("term").agg(F.max("df").alias("df")))
+    idf = bdf.select(
+        "term",
+        F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df")
+                            + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        .alias("idf"))
+
+    # per-(term, doc) dismax across fields: fixed fold order = field asc
+    tsc = (u.join(F.broadcast(idf), "term")
+           .select("term", "docid", "field",
+                   (F.col("v0") * F.col("idf")).alias("v")))
+    tcomb = (tsc.groupBy("term", "docid")
+             .agg(F.max("v").alias("mx"),
+                  _fold_sum(F.array_sort(
+                      F.collect_list(F.struct(F.col("field").alias("k"),
+                                              F.col("v").alias("v")))))
+                  .alias("sm")))
+    tv = tcomb.select(
+        "term", "docid",
+        (F.col("mx") + F.lit(float(tie_breaker))
+         * (F.col("sm") - F.col("mx"))).alias("tv"))
+
+    # per-(query, doc) score: fixed fold order = term asc
+    qdf = (spark.createDataFrame(qrows, "query_id string, term string, "
+                                        "qw double")
+           .groupBy("query_id", "term").agg(F.sum("qw").alias("qw")))
+    comp = (tv.join(F.broadcast(qdf), "term")
+            .select("query_id", "docid", "term",
+                    (F.col("qw") * F.col("tv")).alias("v")))
+    scored = (comp.groupBy("query_id", "docid")
+              .agg(_fold_sum(F.array_sort(
+                  F.collect_list(F.struct(F.col("term").alias("k"),
+                                          F.col("v").alias("v")))))
+                   .alias("score")))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("docid"))
+    topk = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "docid", (F.col("rn") - 1).alias("rank"),
+                    "score"))
+
+    from .indexer import live_shard_pred
+    f0 = fields[0]
+    dps = int(metas[f0]["docs_per_shard"])
+    hits = topk.withColumn("shard",
+                           (F.col("docid") / F.lit(dps)).cast("int"))
+    norms = (spark.read.parquet(f"{field_indexes[f0]}/norms")
+             .where(live_shard_pred(metas[f0]))
+             .select("shard", "docid", F.col("id").alias("doc_id")))
+    return (norms.join(F.broadcast(hits), ["shard", "docid"])
+            .select("query_id", "doc_id", "docid",
+                    F.col("rank").cast("int").alias("rank"), "score")
+            .orderBy("query_id", "rank"))
+
+
 def search_dismax(spark: SparkSession, field_indexes: Mapping[str, str],
                   queries: Iterable[tuple[str, str]], *,
                   text_cfg=None, lang: str = "eng",
