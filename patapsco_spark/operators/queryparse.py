@@ -178,6 +178,27 @@ class Clause:
     # span's weight). A doc containing the first word and no second word
     # at all keeps every occurrence.
     near_not: bool = False
+    # ordered minimal intervals (Lucene IntervalQuery,
+    # Intervals.maxgaps(g, Intervals.ordered(a, b)) — round 5): ``terms``
+    # holds exactly TWO words; the clause matches docs containing an
+    # occurrence of the first word followed LATER by the second with at
+    # most ``gaps`` intervening tokens. tf counts MINIMAL intervals —
+    # pairs (p, q) with q = the FIRST second-word position after p and no
+    # other first-word occurrence strictly between them — the textbook
+    # minimal-interval semantics (Clarke, Cormack & Burkowski 1995 "An
+    # algebra for structured text search"; Lucene's IntervalIterator),
+    # i.e. the exact count the Clause.slop docs note Lucene uses where
+    # this engine's sloppy phrases count anchors. BM25 idf = Σ member
+    # idfs (SpanWeight convention, like near); QLD scores the
+    # pseudo-term's own (df, cf). Programmatic only (interval_plan);
+    # None = not an interval clause.
+    gaps: int | None = None
+    # with ``gaps`` set, an optional exclusion term (Lucene
+    # Intervals.notContaining): a minimal interval (p, q) is discarded
+    # when any occurrence x of this term lies INSIDE it (p ≤ x ≤ q,
+    # endpoints included — Lucene's containment test). Shapes tf only;
+    # contributes no weight (the non_containing filter has no SimWeight).
+    intv_not: str | None = None
 
 
 @dataclass
@@ -253,6 +274,44 @@ def span_not_plan(qid: str, pairs: list[tuple[str, str, int]],
         if c.near is not None:
             c.near_not = True
     return QueryPlan(qid, plan.clauses, "span_not")
+
+
+def interval_plan(qid: str, specs: list[tuple],
+                  extra_terms: list[str] | None = None) -> QueryPlan:
+    """IntervalQuery plan builder (programmatic, like the span builders):
+    one SHOULD clause per (first_word, second_word, max_gaps[, not_
+    containing]) spec — ordered minimal intervals with a width cap and an
+    optional exclusion term (see Clause.gaps / Clause.intv_not), plus
+    optional unconstrained SHOULD terms. Requires the positions sidecar
+    (search refuses loudly otherwise)."""
+    clauses = []
+    for spec in specs:
+        if len(spec) == 3:
+            a, b, g = spec
+            x = None
+        elif len(spec) == 4:
+            a, b, g, x = spec
+        else:
+            raise ParseError(
+                f"interval spec must be (a, b, max_gaps[, not_containing])"
+                f", got {spec!r}")
+        for w in (a, b) + ((x,) if x is not None else ()):
+            if not w or " " in w:
+                raise ParseError(f"interval takes single terms, got {w!r}")
+        if a == b:
+            raise ParseError(
+                f"interval needs two distinct terms, got {a!r} twice")
+        if x in (a, b):
+            raise ParseError(
+                f"interval not_containing term {x!r} collides with a "
+                f"member: the interval endpoints always contain it")
+        if g < 0:
+            raise ParseError(f"interval max_gaps must be >= 0, got {g}")
+        clauses.append(Clause(SHOULD, 1.0, [(a, 1.0), (b, 1.0)],
+                              gaps=int(g), intv_not=x))
+    for t in extra_terms or []:
+        clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
+    return QueryPlan(qid, clauses, "interval")
 
 
 def phrase_prefix_plan(qid: str, words: list[str], prefix: str,

@@ -302,6 +302,29 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
             block_size=int(meta.get("block_size", 128)),
             shard_base=shard_base, live_pred=live_pred)
 
+    # ordered minimal intervals (Lucene IntervalQuery) → pseudo-terms over
+    # the positions sidecar
+    intv_posts = None
+    if any(getattr(c, "gaps", None) is not None
+           for p in plans for c in iter_term_clauses(p.clauses)):
+        if not meta.get("positions"):
+            raise ValueError(
+                "interval clauses need the positions sidecar: rebuild "
+                "with IndexConfig(positions=True)")
+        if cfg.name not in ("bm25", "qld"):
+            raise ValueError(
+                f"interval is not implemented for scorer {cfg.name!r} "
+                "(bm25/qld only)")
+        if stats_override is not None and cfg.name == "qld":
+            raise ValueError(
+                "stats_override cannot score qld interval clauses: the "
+                "pseudo-term's collection frequency is per-index")
+        plans, intv_posts = _rewrite_interval_plans(
+            spark, index_path, plans, df_map, idf_over, num_docs=num_docs,
+            num_shards=num_shards, docs_per_shard=docs_per_shard,
+            block_size=int(meta.get("block_size", 128)),
+            shard_base=shard_base, live_pred=live_pred)
+
     # phrase-prefix clauses (ES match_phrase_prefix) → pseudo-terms over
     # the positions sidecar, prefix expanded against the term dictionary
     pp_posts = None
@@ -352,6 +375,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         posts = posts.unionByName(sf_posts)
     if near_posts is not None:
         posts = posts.unionByName(near_posts)
+    if intv_posts is not None:
+        posts = posts.unionByName(intv_posts)
     if pp_posts is not None:
         posts = posts.unionByName(pp_posts)
     if syn_posts is not None:
@@ -1558,6 +1583,171 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
             elif getattr(c, "near", None) is not None:
                 pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.near),
                                 bool(getattr(c, "near_not", False)))]
+                cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
+            else:
+                cl.append(c)
+        return cl
+
+    new_plans = [QueryPlan(p.qid, swap(p.clauses), p.mode) for p in plans]
+    return new_plans, union
+
+
+def _interval_pseudo_term(a: str, b: str, gaps: int, x: str | None) -> str:
+    return f"\x01intv:{gaps}:{a}\x01{b}\x01{x or ''}"
+
+
+def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
+                            num_docs, num_shards, docs_per_shard,
+                            block_size, shard_base=0, live_pred=None):
+    """Rewrite ordered-interval clauses (Lucene IntervalQuery — semantics
+    and the minimal-interval definition at queryparse.Clause.gaps) to
+    pseudo-terms over the positions sidecar, the same single-job shape as
+    the span_near rewrite: ONE positions read for all specs' words joined
+    to a broadcast spec table, one groupBy (sid, shard, docid) whose
+    Catalyst fold counts minimal intervals — for each first-word position
+    p, q = the smallest second-word position > p; the interval (p, q)
+    counts iff no other first-word occurrence lies strictly between
+    (minimality), q − p − 1 ≤ max_gaps (Intervals.maxgaps), and no
+    exclusion-term occurrence lies in [p, q] (Intervals.notContaining) —
+    stats in one collect, pseudo postings through the same blocked
+    varbyte kernel as everything else."""
+    from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
+    from .queryparse import Clause, QueryPlan
+    from ..functions.smallfloat import quantize_length
+
+    specs: dict[tuple[str, str, int, str | None], str] = {}
+    for p in plans:
+        for c in iter_term_clauses(p.clauses):
+            g = getattr(c, "gaps", None)
+            if g is None:
+                continue
+            if len(c.terms) != 2 or c.phrase or c.prefix:
+                raise ValueError(
+                    f"interval clause must carry exactly two plain "
+                    f"terms (got {c!r})")
+            a, b = c.terms[0][0], c.terms[1][0]
+            if a == b:
+                raise ValueError(
+                    f"interval needs two distinct terms, got {a!r} twice")
+            x = getattr(c, "intv_not", None)
+            if x in (a, b):
+                raise ValueError(
+                    f"interval not_containing term {x!r} collides with a "
+                    f"member")
+            specs.setdefault((a, b, int(g), x),
+                             _interval_pseudo_term(a, b, int(g), x))
+    if not specs:
+        return plans, None
+
+    if live_pred is None:
+        live_pred = ((F.col("shard") >= shard_base) &
+                     (F.col("shard") < num_shards))
+    sid_of = {key: i for i, key in enumerate(specs)}
+    pseudo_of_sid = {i: specs[k] for k, i in sid_of.items()}
+    memb_rows = []
+    for (a, b, g, x), sid in sid_of.items():
+        memb_rows.append((sid, a, 0, g))
+        memb_rows.append((sid, b, 1, g))
+        if x is not None:
+            memb_rows.append((sid, x, 2, g))
+    all_words = sorted({w for _s, w, _r, _g in memb_rows})
+
+    pos = (spark.read.parquet(f"{index_path}/positions")
+           .where(F.col("term").isin(all_words) & live_pred))
+    norms = (spark.read.parquet(f"{index_path}/norms")
+             .where(live_pred)
+             .select("shard", "docid", "dl"))
+    memb = spark.createDataFrame(
+        memb_rows, "sid int, word string, role int, gaps int")
+
+    joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
+              .select("sid", "shard", "docid", "role", "gaps", "positions"))
+    grouped = (joined.groupBy("sid", "shard", "docid")
+               .agg(F.max("gaps").alias("gaps"),
+                    F.collect_list(F.struct("role", "positions"))
+                    .alias("items"))
+               # an interval needs BOTH ordered members in the doc; a row
+               # holding only the exclusion term can never match
+               .where(F.size(F.filter(
+                   F.col("items"), lambda s: s["role"] <= 1)) == 2))
+    items = F.col("items")
+
+    def _role(r):
+        return F.coalesce(
+            F.try_element_at(
+                F.transform(F.filter(items, lambda s: s["role"] == r),
+                            lambda s: s["positions"]), F.lit(1)),
+            F.array().cast("array<int>"))
+
+    pa, pb, px = _role(0), _role(1), _role(2)
+
+    # minimal intervals: per first-word position p, q = min second-word
+    # position > p; count p iff the interval exists, is width-capped,
+    # minimal, and exclusion-free. array_min over an empty filter is NULL
+    # → the NULL-poisoned conjunction reads false via the leading
+    # isNotNull guard.
+    def _valid(p):
+        q = F.array_min(F.filter(pb, lambda j: j > p))
+        return (q.isNotNull()
+                & ((q - p - F.lit(1)) <= F.col("gaps"))
+                & ~F.exists(pa, lambda p2: (p2 > p) & (p2 < q))
+                & ~F.exists(px, lambda xx: (xx >= p) & (xx <= q)))
+
+    tf_col = F.size(F.filter(pa, _valid))
+    tf_all = (grouped
+              .select("sid", "shard", "docid", tf_col.alias("tf"))
+              .where(F.col("tf") > 0)
+              .join(norms, ["shard", "docid"])
+              .localCheckpoint(eager=True))
+
+    stats_by_sid = {int(r["sid"]): (int(r["df"]), int(r["cf"]))
+                    for r in tf_all.groupBy("sid")
+                    .agg(F.count("*").alias("df"),
+                         F.sum("tf").alias("cf")).collect()}
+    live_sids = []
+    for (a, b, g, x), sid in sid_of.items():
+        st = stats_by_sid.get(sid)
+        if not st or st[0] == 0:
+            continue
+        pseudo = pseudo_of_sid[sid]
+        df_map[pseudo] = st
+        # Σ both ordered members' idfs (the SpanWeight convention the
+        # phrase/near rewrites follow); the exclusion term never weighs
+        idf_over[pseudo] = sum(
+            math.log(1.0 + (num_docs - df_map[w][0] + 0.5)
+                     / (df_map[w][0] + 0.5))
+            for w in (a, b) if w in df_map and df_map[w][0] > 0)
+        live_sids.append(sid)
+    if not live_sids:
+        union = None
+    else:
+        base_kernel = _make_postings_kernel(block_size, docs_per_shard)
+
+        def encode(batches):
+            def add_dlq(pdf: pd.DataFrame) -> pd.DataFrame:
+                out = pdf.assign(
+                    dlq=quantize_length(pdf["dl"].to_numpy()).astype("int32"))
+                return out[["shard", "term", "docid", "tf", "dlq"]]
+            yield from base_kernel(add_dlq(b) for b in batches if not b.empty)
+
+        name_df = spark.createDataFrame(
+            [(sid, pseudo_of_sid[sid]) for sid in live_sids],
+            "sid int, term string")
+        union = (tf_all.join(F.broadcast(name_df), "sid")
+                 .select("shard", "term", "docid",
+                         F.col("tf").cast("int"), "dl")
+                 .repartition(num_shards, "shard")
+                 .sortWithinPartitions("shard", "term", "docid")
+                 .mapInPandas(encode, schema=_PSCHEMA))
+
+    def swap(clauses):
+        cl = []
+        for c in clauses:
+            if c.group:
+                cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
+            elif getattr(c, "gaps", None) is not None:
+                pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.gaps),
+                                getattr(c, "intv_not", None))]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
             else:
                 cl.append(c)

@@ -1,0 +1,160 @@
+"""Ordered minimal intervals over the positions sidecar (Lucene
+IntervalQuery: Intervals.maxgaps(g, Intervals.ordered(a, b)) with an
+optional Intervals.notContaining exclusion). Semantics source of truth:
+queryparse.Clause.gaps — tf counts MINIMAL intervals, the exact count the
+sloppy-phrase docs note as Lucene's, so this family complements the
+engine's anchored-greedy '"a b"~N'.
+"""
+
+import math
+
+import pytest
+
+from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
+from patapsco_spark.operators.indexer import build_index
+from patapsco_spark.operators.queryparse import ParseError, interval_plan
+from patapsco_spark.operators.retrieve import search
+
+RAW = TextConfig(stem=None, stopwords=None, lowercase=True)
+
+DOCS = [
+    ("d1", "red fox jumps high today", "eng"),   # adjacent, ordered
+    ("d2", "fox red jumps high today", "eng"),   # REVERSED — must not match
+    ("d3", "red red fox jumps today", "eng"),    # minimality: ONE interval
+    ("d4", "red wind fox jumps today", "eng"),   # 1 gap
+    ("d5", "red bad fox jumps today", "eng"),    # 1 gap, 'bad' inside
+    ("d6", "red fox red fox jumps", "eng"),      # two minimal intervals
+    ("d7", "nothing relevant here at all", "eng"),
+]
+N = len(DOCS)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idxintv"))
+    df = spark.createDataFrame(DOCS, "id string, text string, lang string")
+    build_index(spark, df, path,
+                IndexConfig(text=RAW, num_shards=2, positions=True))
+    return path
+
+
+def _run(spark, idx_path, plan, **cfg):
+    res = search(spark, idx_path, [plan], RetrieveConfig(k=10, **cfg))
+    return {r["doc_id"]: r["score"] for r in res.collect()}
+
+
+def _idf(n, df):
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def _count(text, a, b, g, x=None):
+    """Reference minimal-interval counter: plain Python over the tokens."""
+    toks = text.split()
+    pa = [i for i, t in enumerate(toks) if t == a]
+    pb = [i for i, t in enumerate(toks) if t == b]
+    pxs = [i for i, t in enumerate(toks) if x is not None and t == x]
+    n = 0
+    for p in pa:
+        nxt = [q for q in pb if q > p]
+        if not nxt:
+            continue
+        q = min(nxt)
+        if q - p - 1 > g:
+            continue
+        if any(p < p2 < q for p2 in pa):
+            continue  # not minimal: a later first-word starts a tighter one
+        if any(p <= xx <= q for xx in pxs):
+            continue
+        n += 1
+    return n
+
+
+def test_ordered_only_and_gap_cap(spark, idx):
+    rows = _run(spark, idx, interval_plan("q", [("red", "fox", 0)]))
+    # d2 reversed and d4/d5 have a gap — only adjacent ordered pairs match
+    assert set(rows) == {"d1", "d3", "d6"}
+    rows1 = _run(spark, idx, interval_plan("q", [("red", "fox", 1)]))
+    assert set(rows1) == {"d1", "d3", "d4", "d5", "d6"}
+
+
+def test_minimality_and_tf(spark, idx):
+    """d3's 'red red fox' holds ONE minimal interval (the inner red..fox);
+    d6 holds two. Scores follow the hand BM25 with idf(red)+idf(fox)."""
+    rows = _run(spark, idx, interval_plan("q", [("red", "fox", 0)]))
+    df_red = sum(1 for d in DOCS if "red" in d[1].split())
+    df_fox = sum(1 for d in DOCS if "fox" in d[1].split())
+    idf = _idf(N, df_red) + _idf(N, df_fox)
+
+    def bm25(tf):  # every doc dl=5=avgdl → K = k1 = 0.9
+        return idf * tf / (tf + 0.9)
+
+    for did, text in (("d1", DOCS[0][1]), ("d3", DOCS[2][1]),
+                      ("d6", DOCS[5][1])):
+        tf = _count(text, "red", "fox", 0)
+        assert rows[did] == pytest.approx(bm25(tf), rel=1e-9), did
+    assert _count(DOCS[2][1], "red", "fox", 0) == 1  # minimality pinned
+    assert _count(DOCS[5][1], "red", "fox", 0) == 2
+
+
+def test_not_containing(spark, idx):
+    """Excluding 'bad' drops d5 (bad sits inside its only interval) but
+    keeps d4 (wind is not the exclusion term)."""
+    rows = _run(spark, idx,
+                interval_plan("q", [("red", "fox", 1, "bad")]))
+    assert set(rows) == {"d1", "d3", "d4", "d6"}
+    # weight is idf(red)+idf(fox) — the exclusion term contributes none:
+    # scores for surviving docs match the exclusion-free run's
+    base = _run(spark, idx, interval_plan("q", [("red", "fox", 1)]))
+    for did in rows:
+        assert rows[did] == pytest.approx(base[did], rel=1e-12)
+
+
+def test_qld_scores_pseudo_stats(spark, idx):
+    rows = _run(spark, idx, interval_plan("q", [("red", "fox", 1)]),
+                name="qld", mu=1000.0)
+    assert set(rows) == {"d1", "d3", "d4", "d5", "d6"}
+    # qld scores the pseudo-term's own (df, cf) through the engine's
+    # LMDirichlet (+1-smoothed p(t|C), clamped ≥ 0): hand-check d6 (tf=2)
+    cf = sum(_count(d[1], "red", "fox", 1) for d in DOCS)
+    total_tf = sum(len(d[1].split()) for d in DOCS)
+    mu, dl = 1000.0, 5
+    pc = (cf + 1.0) / (total_tf + 1.0)
+    want_d6 = max(0.0, math.log(1.0 + 2 / (mu * pc))
+                  + math.log(mu / (dl + mu)))
+    assert rows["d6"] == pytest.approx(want_d6, rel=1e-9)
+
+
+def test_mixed_with_plain_terms(spark, idx):
+    rows = _run(spark, idx, interval_plan(
+        "q", [("red", "fox", 0)], extra_terms=["today"]))
+    # d4/d5 match only 'today'; d7 matches nothing
+    assert "d4" in rows and "d7" not in rows
+    only_term = _run(spark, idx, interval_plan("q", [], ["today"]))
+    assert rows["d4"] == pytest.approx(only_term["d4"], rel=1e-12)
+
+
+def test_validation(spark, idx):
+    with pytest.raises(ParseError, match="distinct"):
+        interval_plan("q", [("red", "red", 1)])
+    with pytest.raises(ParseError, match="collides"):
+        interval_plan("q", [("red", "fox", 1, "fox")])
+    with pytest.raises(ParseError, match="max_gaps"):
+        interval_plan("q", [("red", "fox", -1)])
+    with pytest.raises(ParseError, match="single terms"):
+        interval_plan("q", [("red fox", "fox", 1)])
+    with pytest.raises(ParseError, match="spec"):
+        interval_plan("q", [("red",)])
+
+
+def test_positionless_index_refuses(spark, tmp_path):
+    path = str(tmp_path / "nopos")
+    df = spark.createDataFrame(DOCS, "id string, text string, lang string")
+    build_index(spark, df, path, IndexConfig(text=RAW, num_shards=1))
+    with pytest.raises(ValueError, match="positions sidecar"):
+        _run(spark, path, interval_plan("q", [("red", "fox", 0)]))
+
+
+def test_unsupported_scorer_refuses(spark, idx):
+    with pytest.raises(ValueError, match="not implemented for scorer"):
+        _run(spark, idx, interval_plan("q", [("red", "fox", 0)]),
+             name="classic")
