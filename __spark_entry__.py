@@ -474,6 +474,27 @@ def q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+CROSS_TIE = 0.2
+
+
+def q_cross_fields_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fields multi-field retrieval (new r5 s5; ES multi_match
+    type=cross_fields / Lucene BlendedTermQuery): term-centric scoring —
+    each term scored in each pseudo-field with a BLENDED df (max across
+    fields), per-term dismax combine (tie 0.2), summed over terms. The
+    third classic multi-field mode next to bm25f_topk (combine before
+    saturation) and dismax_topk (per-field whole-query BM25). The oracle
+    replays the field split, per-field tf/dl/avgdl with SmallFloat
+    quantization, the blended-df idf, and both fixed fold orders."""
+    from patapsco_spark.operators.bm25f import search_cross_fields
+
+    idxs = _ensure_field_indexes(spark, sf_dir)
+    res = search_cross_fields(spark, idxs, [("q1", BM25_QUERY)],
+                              text_cfg=RAW_TEXT, tie_breaker=CROSS_TIE,
+                              boosts=BM25F_W, k1=0.9, b=0.4, k=K)
+    return _as_result(res)
+
+
 def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed facet counts (new r5; Lucene facets module): how many
     docs matching 'data query stream window' (OR) per document source —
@@ -1823,6 +1844,27 @@ def q_span_not_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.queryparse import span_not_plan
     idx = _ensure_pos_index(spark, sf_dir)
     plan = span_not_plan("q1", [(SPANNOT_A, SPANNOT_B, SPANNOT_SLOP)])
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
+INTV_A, INTV_B, INTV_GAPS, INTV_NOT = "data", "stream", 3, "window"
+
+
+def q_intervals_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene IntervalQuery (new r5 s5): ordered minimal intervals —
+    'data' followed by 'stream' with ≤3 intervening tokens
+    (Intervals.maxgaps(3, Intervals.ordered)), discarding intervals that
+    contain 'window' (Intervals.notContaining). tf = MINIMAL interval
+    count (q = first 'stream' after each 'data', no other 'data' between
+    — Clarke/Cormack/Burkowski algebra, the exact count the engine's
+    anchored sloppy phrases depart from), idf = Σ ordered-member idfs;
+    the exclusion shapes tf only. Semantics: queryparse.Clause.gaps. The
+    oracle replays the minimal-interval predicate as correlated
+    subqueries over token positions."""
+    from patapsco_spark.operators.queryparse import interval_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = interval_plan("q1", [(INTV_A, INTV_B, INTV_GAPS, INTV_NOT)])
     res = search(spark, idx, [plan], RetrieveConfig(k=K))
     return _as_result(res)
 
@@ -3751,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25f_topk": q_bm25f_topk,
         "dismax_topk": q_dismax_topk,
+        "cross_fields_bm25": q_cross_fields_bm25,
         "federated_bm25": q_federated_bm25,
         "rrf_hybrid": q_rrf_hybrid,
         "synonym_bm25": q_synonym_bm25,
@@ -3794,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_first_bm25": q_span_first_bm25,
         "phrase_prefix_bm25": q_phrase_prefix_bm25,
         "span_near_bm25": q_span_near_bm25,
+        "intervals_bm25": q_intervals_bm25,
         "span_not_bm25": q_span_not_bm25,
         "alias_bm25": q_alias_bm25,
         "hybrid_linear": q_hybrid_linear,
@@ -4080,6 +4124,85 @@ SELECT doc_id,
        ROUND(score, 5) AS score
 FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _cross_fields_sql(query_terms: list[str], boosts: dict, tie: float,
+                      k1: float, b: float, k: int,
+                      title_toks: int = 4) -> str:
+    """Full SQL replay of q_cross_fields_bm25: the field split, per-field
+    tf/dl/avgdl (SmallFloat dl quantization, float32 avgdl round-trip),
+    the BLENDED df (max across fields) feeding one idf per term, the
+    per-term dismax with the field-ordered fold, and the term-ordered
+    document fold — every float expression parenthesized exactly as the
+    Spark plan in operators/bm25f.py search_cross_fields."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("fdl.dl")
+    b_t, b_b = repr(float(boosts["title"])), repr(float(boosts["body"]))
+    k1r, br, obr = repr(float(k1)), repr(float(b)), repr(1.0 - float(b))
+    tier = repr(float(tie))
+    return f"""
+WITH qterms(term) AS (VALUES {vals}),
+ftok AS (
+  SELECT doc_id, 'title' AS fld,
+         unnest(list_slice(string_split(text, ' '), 1, {title_toks})) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'body' AS fld,
+         unnest(list_slice(string_split(text, ' '), {title_toks + 1},
+                           len(string_split(text, ' ')))) AS term
+  FROM documents
+),
+ftf AS (
+  SELECT doc_id, fld, term, count(*)::DOUBLE AS tf FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld, term
+),
+fdl AS (
+  SELECT doc_id, fld, count(*)::BIGINT AS dl FROM ftok
+  WHERE term <> '' GROUP BY doc_id, fld
+),
+favg AS (
+  SELECT fld, CAST(CAST(sum(dl) AS DOUBLE)
+                   / (SELECT count(*) FROM documents) AS REAL)::DOUBLE AS avgdl
+  FROM fdl GROUP BY fld
+),
+fdf AS (
+  SELECT fld, ftf.term, count(*)::DOUBLE AS df
+  FROM ftf JOIN qterms USING (term) GROUP BY fld, ftf.term
+),
+bdf AS (
+  SELECT term, max(df) AS df FROM fdf GROUP BY term
+),
+tsc AS (
+  SELECT ftf.doc_id, ftf.term, ftf.fld,
+         ((CASE ftf.fld WHEN 'title' THEN {b_t} ELSE {b_b} END) * ftf.tf
+          / (ftf.tf + {k1r} * ({obr} + {br} * {quant} / fa.avgdl)))
+         * ln(1 + ((SELECT count(*) FROM documents)::DOUBLE - bdf.df + 0.5)
+                  / (bdf.df + 0.5)) AS v
+  FROM ftf
+  JOIN qterms USING (term)
+  JOIN bdf ON bdf.term = ftf.term
+  JOIN fdl ON fdl.doc_id = ftf.doc_id AND fdl.fld = ftf.fld
+  JOIN favg fa ON fa.fld = ftf.fld
+),
+tcomb AS (
+  SELECT doc_id, term, max(v) AS mx,
+         list_aggregate(list(v ORDER BY fld), 'sum') AS sm
+  FROM tsc GROUP BY doc_id, term
+),
+dscore AS (
+  SELECT doc_id,
+         list_aggregate(list(mx + {tier} * (sm - mx) ORDER BY term),
+                        'sum') AS score
+  FROM tcomb GROUP BY doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC,
+                           CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM dscore
+ORDER BY 2
 LIMIT {k}
 """
 
@@ -5380,6 +5503,71 @@ LIMIT {k}
 """
 
 
+def _intervals_sql(a: str, b: str, gaps: int, x: str, k1: float, bb: float,
+                   k: int) -> str:
+    """Oracle for q_intervals_bm25: minimal ordered intervals as
+    correlated subqueries — for each occurrence of ``a`` at i, the
+    candidate end is the FIRST ``b`` after i; the anchor counts iff the
+    width fits ``gaps``, no other ``a`` lies strictly inside
+    (minimality), and no ``x`` lies in the closed interval
+    (not_containing); idf = idf(a) + idf(b), the kernel's fold order."""
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w
+),
+anchors AS (
+  SELECT o1.doc_id, count(*)::DOUBLE AS tf
+  FROM occ o1
+  WHERE o1.t = '{a}'
+    AND EXISTS (
+      SELECT 1 FROM occ o2
+      WHERE o2.doc_id = o1.doc_id AND o2.t = '{b}' AND o2.i > o1.i
+        AND o2.i = (SELECT min(o3.i) FROM occ o3
+                    WHERE o3.doc_id = o1.doc_id AND o3.t = '{b}'
+                      AND o3.i > o1.i)
+        AND o2.i - o1.i - 1 <= {gaps}
+        AND NOT EXISTS (SELECT 1 FROM occ o4
+                        WHERE o4.doc_id = o1.doc_id AND o4.t = '{a}'
+                          AND o4.i > o1.i AND o4.i < o2.i)
+        AND NOT EXISTS (SELECT 1 FROM occ o5
+                        WHERE o5.doc_id = o1.doc_id AND o5.t = '{x}'
+                          AND o5.i >= o1.i AND o5.i <= o2.i))
+  GROUP BY o1.doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ('{a}', '{b}') GROUP BY term
+),
+idfsum AS (
+  SELECT (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+          FROM dfs CROSS JOIN stats WHERE term = '{a}')
+       + (SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5))
+          FROM dfs CROSS JOIN stats WHERE term = '{b}') AS idf
+),
+scores AS (
+  SELECT anchors.doc_id,
+         idfsum.idf * anchors.tf
+           / (anchors.tf + {k1} * (1 - {bb} + {bb} * {quant} / stats.avgdl))
+           AS score
+  FROM anchors
+  JOIN dl ON dl.doc_id = anchors.doc_id
+  CROSS JOIN stats CROSS JOIN idfsum
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _span_not_sql(a: str, b: str, slop: int, k1: float, bb: float,
                   k: int) -> str:
     """Oracle for q_span_not_bm25: anchors = occurrences of ``a`` with NO
@@ -6425,6 +6613,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "bm25f_topk": _bm25f_sql(BM25_QUERY.split(), BM25F_W, BM25F_B,
                                  0.9, K, title_toks=TITLE_TOKS),
+        "cross_fields_bm25": _cross_fields_sql(
+            BM25_QUERY.split(), BM25F_W, CROSS_TIE, 0.9, 0.4, K),
         "dismax_topk": _dismax_sql(BM25_QUERY.split(), BM25F_W, DISMAX_TIE,
                                    0.9, 0.4, K, title_toks=TITLE_TOKS),
         "filtered_bm25": _filtered_bm25_sql(BM25_QUERY.split(), FILTER_PRED,
@@ -6557,6 +6747,8 @@ ORDER BY rnk
                                          0.9, 0.4, K),
         "span_not_bm25": _span_not_sql(SPANNOT_A, SPANNOT_B, SPANNOT_SLOP,
                                        0.9, 0.4, K),
+        "intervals_bm25": _intervals_sql(INTV_A, INTV_B, INTV_GAPS,
+                                         INTV_NOT, 0.9, 0.4, K),
         # alias resolution must be scoring-transparent: plain BM25 replay
         "alias_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),
