@@ -1543,6 +1543,28 @@ def _bm25_match_set(spark: SparkSession, sf_dir: str):
     return matches, docs
 
 
+ADJ_FILTERS = ["data", "query", "stream", "window"]
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation (new r5 s5): four named single-term
+    filters; one bucket per filter and per unordered pair with the
+    intersection doc count, keys 'a' / 'a&b' sorted — co-occurrence
+    analytics over match sets with NO self-join of the match set (pair
+    expansion is per-doc over the collected filter names). The oracle
+    replays the pair expansion as a name-ordered self-join of the
+    distinct (filter, doc) sets."""
+    from patapsco_spark.operators.aggs import adjacency_matrix, \
+        match_set_texts
+
+    idx = _ensure_index(spark, sf_dir)
+    matches = match_set_texts(spark, idx, [(t, t) for t in ADJ_FILTERS],
+                              text_cfg=RAW_TEXT)
+    return (adjacency_matrix(matches)
+            .select("key", F.col("doc_count").cast("long")
+                    .alias("doc_count")))
+
+
 def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-by-field (new r5; Lucene Sort / ES sort): top-K of the FULL
     match set for BM25_QUERY ordered by n_chars desc (doc_id-string asc
@@ -3801,6 +3823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "sort_by_field": q_sort_by_field,
         "match_stats": q_match_stats,
+        "adjacency_matrix": q_adjacency_matrix,
         "match_histogram": q_match_histogram,
         "match_percentiles": q_match_percentiles,
         "match_cardinality": q_match_cardinality,
@@ -4697,6 +4720,31 @@ matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
 def _matchset_prefix(query_terms: list[str]) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _adjacency_sql(filters: list[str]) -> str:
+    """Oracle for q_adjacency_matrix: the distinct (filter, doc) match
+    sets self-joined name-ordered — diagonal rows keep the bare name,
+    off-diagonal rows the 'a&b' key — replaying the engine's per-doc pair
+    expansion exactly (empty intersections appear in neither)."""
+    vals = ", ".join(f"('{t}')" for t in filters)
+    return f"""
+WITH {_TOK_CTES},
+flt(name) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT f.name, tf.doc_id
+  FROM tf JOIN flt f ON tf.term = f.name
+),
+pairs AS (
+  SELECT CASE WHEN m1.name = m2.name THEN m1.name
+              ELSE m1.name || '&' || m2.name END AS key,
+         m1.doc_id
+  FROM matched m1
+  JOIN matched m2 ON m1.doc_id = m2.doc_id AND m1.name <= m2.name
+)
+SELECT key, count(*)::BIGINT AS doc_count
+FROM pairs GROUP BY key ORDER BY key
+"""
 
 
 def _dv_histogram_sql(query_terms: list[str], interval: float) -> str:
@@ -6692,6 +6740,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "percolate": _percolate_sql(),
         "sort_by_field": _sort_by_field_sql(BM25_QUERY.split(), K),
         "match_stats": _match_stats_sql(BM25_QUERY.split()),
+        "adjacency_matrix": _adjacency_sql(ADJ_FILTERS),
         "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
                                                 HIST_INTERVAL),
         "match_percentiles": _match_percentiles_sql(BM25_QUERY.split(),

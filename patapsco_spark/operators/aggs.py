@@ -88,6 +88,45 @@ def field_stats(matches: DataFrame, fields: DataFrame, field_col: str,
             .orderBy("query_id"))
 
 
+def adjacency_matrix(matches: DataFrame, *, separator: str = "&",
+                     max_filters: int = 100) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation (public docs "adjacency matrix
+    aggregation"): the match frame's ``query_id`` is the FILTER NAME;
+    returns one bucket per filter (its matching doc count) and one per
+    unordered filter PAIR (the intersection count), keyed ``a`` /
+    ``a&b`` with the pair members in sorted order — co-occurrence
+    analytics over match sets (the ES use case: interaction graphs).
+    Empty intersections produce no row, like ES. ``max_filters`` mirrors
+    ES's ``index.max_adjacency_matrix_filters`` guard: the expansion is
+    quadratic in the number of FILTERS (never in documents), so refuse
+    loudly past the cap instead of silently building a huge row.
+
+    Spark-first shape: one combinable groupBy(docid) collects each doc's
+    distinct filter names (bounded by the filter count), one Catalyst HOF
+    expands the i ≤ j pairs per doc — NO self-join of the match set (the
+    classic O(|matches|²) trap at 100 TB) — and one combinable count per
+    key finishes it. Output: (key string, doc_count long), key asc."""
+    names = F.array_sort(F.collect_set("query_id"))
+    per_doc = matches.groupBy("docid").agg(names.alias("names"))
+    n = F.size(F.col("names"))
+    guarded = per_doc.withColumn(
+        "names",
+        F.when(n <= max_filters, F.col("names")).otherwise(
+            F.raise_error(F.concat(
+                F.lit(f"adjacency_matrix: more than {max_filters} filters "
+                      f"match one document ("), n.cast("string"),
+                F.lit(") — raise max_filters explicitly if intended")))))
+    pairs = F.flatten(F.transform(
+        F.col("names"),
+        lambda a, i: F.transform(
+            F.slice(F.col("names"), i + F.lit(1), F.size(F.col("names")) - i),
+            lambda b: F.when(a == b, a)
+                       .otherwise(F.concat(a, F.lit(separator), b)))))
+    return (guarded.select(F.explode(pairs).alias("key"))
+            .groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key"))
+
+
 def significant_terms(spark: SparkSession, index_path: str,
                       matches: DataFrame, doc_store: DataFrame,
                       text_cfg: TextConfig | None = None, k: int = 10,

@@ -186,3 +186,34 @@ def test_field_cardinality_exact_and_sketch(spark, matches, fields):
     got = {r["query_id"]: (r["est"], r["is_exact"]) for r in rows}
     assert got["q1"][1] is False
     assert abs(got["q1"][0] - want_q1) < 1e-12
+
+
+def test_adjacency_matrix(spark, idx):
+    """ES adjacency_matrix: per-filter and pairwise intersection counts
+    over single-term filters, vs a brute Python reference over DOCS."""
+    from itertools import combinations
+
+    from patapsco_spark.operators.aggs import adjacency_matrix
+
+    filters = ["alpha", "beta", "gamma"]
+    m = match_set_texts(spark, idx, [(t, t) for t in filters], text_cfg=RAW)
+    got = {r["key"]: r["doc_count"]
+           for r in adjacency_matrix(m).collect()}
+    sets = {t: {d[0] for d in DOCS if t in d[1].split()} for t in filters}
+    want = {t: len(s) for t, s in sets.items() if s}
+    for a, b in combinations(sorted(filters), 2):
+        n = len(sets[a] & sets[b])
+        if n:
+            want[f"{a}&{b}"] = n
+    assert got == want
+    # empty intersection omitted: no doc holds both beta and gamma... check
+    assert ("beta&gamma" in got) == bool(sets["beta"] & sets["gamma"])
+
+
+def test_adjacency_matrix_filter_cap(spark, idx):
+    from patapsco_spark.operators.aggs import adjacency_matrix
+
+    m = match_set_texts(spark, idx, [(t, t) for t in ("alpha", "beta")],
+                        text_cfg=RAW)
+    with pytest.raises(Exception, match="adjacency_matrix"):
+        adjacency_matrix(m, max_filters=1).collect()
