@@ -1565,6 +1565,34 @@ def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("doc_count")))
 
 
+SAMPLE_SIZE, SAMPLE_PER_VALUE = 50, 3
+
+
+def q_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler + stats (new r5 s5): the 50 best-scoring
+    BM25_QUERY matches with at most 3 per ``source`` (score-greedy,
+    docid tie-break), then ES stats over n_chars of the sample — the
+    standard de-biased-sample pattern for expensive child aggs. This
+    entry uses a GLOBAL sample (docs_per_shard raised above the corpus)
+    so the SQL oracle can replay both windows without knowing the
+    engine's shard layout; the index-shard-local variant is pytest-pinned
+    (test_aggs.py::test_sampler_per_shard)."""
+    from patapsco_spark.operators.aggs import diversified_sampler, \
+        field_stats
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    sample = diversified_sampler(matches, docs, "source",
+                                 shard_size=SAMPLE_SIZE,
+                                 docs_per_shard=1 << 62,
+                                 max_docs_per_value=SAMPLE_PER_VALUE)
+    out = field_stats(sample, docs, "n_chars")
+    return out.select(F.col("cnt").cast("long").alias("cnt"),
+                      F.col("min_v").cast("long").alias("min_v"),
+                      F.col("max_v").cast("long").alias("max_v"),
+                      F.col("sum_v").cast("long").alias("sum_v"),
+                      F.round("avg_v", 6).alias("avg_v"))
+
+
 def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort-by-field (new r5; Lucene Sort / ES sort): top-K of the FULL
     match set for BM25_QUERY ordered by n_chars desc (doc_id-string asc
@@ -3824,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field": q_sort_by_field,
         "match_stats": q_match_stats,
         "adjacency_matrix": q_adjacency_matrix,
+        "sampled_stats": q_sampled_stats,
         "match_histogram": q_match_histogram,
         "match_percentiles": q_match_percentiles,
         "match_cardinality": q_match_cardinality,
@@ -4720,6 +4749,62 @@ matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
 def _matchset_prefix(query_terms: list[str]) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _sampled_stats_sql(query_terms: list[str], k1: float, b: float,
+                       shard_size: int, max_per_value: int) -> str:
+    """Oracle for q_sampled_stats: full-match-set BM25 scores (the
+    _top_hits_sql scores CTE), the diversity window per source, the
+    global sample window, then the stats row — both windows ordered
+    (score desc, doc_id-string asc), the engine's docid tie-break."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+hit AS (
+  SELECT s.doc_id, s.score, d.source, d.n_chars FROM scores s
+  JOIN documents d USING (doc_id)
+),
+div AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY score DESC,
+                                          CAST(doc_id AS VARCHAR) ASC) AS rv
+    FROM hit
+  ) WHERE source IS NULL OR rv <= {max_per_value}
+),
+samp AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC,
+                                          CAST(doc_id AS VARCHAR) ASC) AS rn
+    FROM div
+  ) WHERE rn <= {shard_size}
+)
+SELECT count(*)::BIGINT AS cnt,
+       min(n_chars)::BIGINT AS min_v,
+       max(n_chars)::BIGINT AS max_v,
+       sum(n_chars)::BIGINT AS sum_v,
+       ROUND(sum(n_chars)::DOUBLE / count(*), 6) AS avg_v
+FROM samp
+"""
 
 
 def _adjacency_sql(filters: list[str]) -> str:
@@ -6741,6 +6826,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "sort_by_field": _sort_by_field_sql(BM25_QUERY.split(), K),
         "match_stats": _match_stats_sql(BM25_QUERY.split()),
         "adjacency_matrix": _adjacency_sql(ADJ_FILTERS),
+        "sampled_stats": _sampled_stats_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                            SAMPLE_SIZE, SAMPLE_PER_VALUE),
         "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
                                                 HIST_INTERVAL),
         "match_percentiles": _match_percentiles_sql(BM25_QUERY.split(),

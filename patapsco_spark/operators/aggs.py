@@ -88,6 +88,63 @@ def field_stats(matches: DataFrame, fields: DataFrame, field_col: str,
             .orderBy("query_id"))
 
 
+def sampler(matches: DataFrame, *, shard_size: int,
+            docs_per_shard: int) -> DataFrame:
+    """ES ``sampler`` aggregation: restrict downstream aggregations to the
+    top ``shard_size`` highest-scoring matches PER SHARD per query — the
+    standard trick for running expensive child aggs (significant_terms,
+    stats) over the best-matching slice instead of the full match set.
+    Deterministic collection order: (score desc, docid asc), the engine's
+    top-k tie-break, so the sample is bit-stable and SQL-replayable
+    (ES's own collector is doc-id-order greedy and shard-internal; this
+    definition is the score-ordered equivalent, stated here as the
+    semantics contract). Returns the filtered match frame — compose with
+    field_stats / significant_terms / field_histogram.
+
+    Scale shape: one row_number window keyed (query_id, shard) — the
+    shard key comes from the engine's docid layout (docid ÷
+    docs_per_shard), so the window partitions align with the index's own
+    parallelism and no single partition sees more than one shard's
+    matches."""
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    shard = (F.col("docid") / F.lit(int(docs_per_shard))).cast("int")
+    w = (Window.partitionBy("query_id", shard)
+         .orderBy(F.desc("score"), F.asc("docid")))
+    return (matches.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= shard_size).drop("_rn"))
+
+
+def diversified_sampler(matches: DataFrame, values: DataFrame,
+                        value_col: str, *, shard_size: int,
+                        docs_per_shard: int, max_docs_per_value: int = 1,
+                        id_col: str = "doc_id") -> DataFrame:
+    """ES ``diversified_sampler`` aggregation: like :func:`sampler` but at
+    most ``max_docs_per_value`` sampled docs may share one value of
+    ``value_col`` (de-bias a sample dominated by one host/author/domain).
+    Deterministic two-stage spec: per (query, shard, value) keep the best
+    ``max_docs_per_value`` by (score desc, docid asc), then per (query,
+    shard) the best ``shard_size`` survivors in the same order — the
+    score-greedy outcome, bit-stable and SQL-replayable. NULL values are
+    exempt from the diversity cap, like ES (docs missing the field are
+    collected normally)."""
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}")
+    hit = _with_field(matches, values, value_col, id_col)
+    shard = (F.col("docid") / F.lit(int(docs_per_shard))).cast("int")
+    wv = (Window.partitionBy("query_id", shard, value_col)
+          .orderBy(F.desc("score"), F.asc("docid")))
+    diverse = (hit.withColumn("_rv", F.row_number().over(wv))
+               .where(F.col(value_col).isNull()
+                      | (F.col("_rv") <= max_docs_per_value)))
+    ws = (Window.partitionBy("query_id", shard)
+          .orderBy(F.desc("score"), F.asc("docid")))
+    return (diverse.withColumn("_rn", F.row_number().over(ws))
+            .where(F.col("_rn") <= shard_size)
+            .drop("_rn", "_rv", value_col))
+
+
 def adjacency_matrix(matches: DataFrame, *, separator: str = "&",
                      max_filters: int = 100) -> DataFrame:
     """ES ``adjacency_matrix`` aggregation (public docs "adjacency matrix

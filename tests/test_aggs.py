@@ -217,3 +217,62 @@ def test_adjacency_matrix_filter_cap(spark, idx):
                         text_cfg=RAW)
     with pytest.raises(Exception, match="adjacency_matrix"):
         adjacency_matrix(m, max_filters=1).collect()
+
+
+def _brute_sample(matches_rows, dps, shard_size, values=None, cap=None):
+    """Reference: the two-stage score-greedy spec over collected rows."""
+    from collections import defaultdict
+
+    by_qs = defaultdict(list)
+    for r in matches_rows:
+        by_qs[(r["query_id"], int(r["docid"]) // dps)].append(r)
+    keep = set()
+    for (q, s), rows in by_qs.items():
+        rows = sorted(rows, key=lambda r: (-r["score"], r["docid"]))
+        if values is not None:
+            seen, survivors = defaultdict(int), []
+            for r in rows:
+                v = values.get(r["doc_id"])
+                if v is None:
+                    survivors.append(r)
+                    continue
+                seen[v] += 1
+                if seen[v] <= cap:
+                    survivors.append(r)
+            rows = survivors
+        keep |= {(q, r["doc_id"]) for r in rows[:shard_size]}
+    return keep
+
+
+def test_sampler_per_shard(spark, idx, matches):
+    from patapsco_spark.operators.aggs import sampler
+    from patapsco_spark.operators.retrieve import load_index_meta
+
+    dps = int(load_index_meta(idx)["docs_per_shard"])
+    rows = matches.collect()
+    got = {(r["query_id"], r["doc_id"])
+           for r in sampler(matches, shard_size=2,
+                            docs_per_shard=dps).collect()}
+    assert got == _brute_sample(rows, dps, 2)
+    with pytest.raises(ValueError, match="shard_size"):
+        sampler(matches, shard_size=0, docs_per_shard=dps)
+
+
+def test_diversified_sampler(spark, idx, matches, fields):
+    """Diversity cap: at most 1 doc per n-value per (query, shard), then
+    the per-shard cut — vs the brute two-stage spec. n=37 is shared by
+    a2/a4 (q1): only the better-scoring one may survive per shard."""
+    from patapsco_spark.operators.aggs import diversified_sampler
+    from patapsco_spark.operators.retrieve import load_index_meta
+
+    dps = int(load_index_meta(idx)["docs_per_shard"])
+    rows = matches.collect()
+    vals = {d[0]: d[3] for d in DOCS}
+    got = {(r["query_id"], r["doc_id"])
+           for r in diversified_sampler(
+               matches, fields, "n", shard_size=3, docs_per_shard=dps,
+               max_docs_per_value=1).collect()}
+    assert got == _brute_sample(rows, dps, 3, values=vals, cap=1)
+    with pytest.raises(ValueError, match="max_docs_per_value"):
+        diversified_sampler(matches, fields, "n", shard_size=3,
+                            docs_per_shard=dps, max_docs_per_value=0)
