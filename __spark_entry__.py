@@ -1565,6 +1565,25 @@ def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("doc_count")))
 
 
+def q_terms_set_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set / Lucene CoveringQuery (new r5 s5): match docs
+    containing at least required_matches DISTINCT members of BM25_QUERY,
+    the threshold read per-doc from a stored field (derived here as
+    2 + n_chars % 3 ∈ {2,3,4} — deterministic and SQL-replayable), scored
+    as the BM25 OR sum over matched members. The oracle replays the
+    per-term scores, the term-asc fold, the GREATEST(…, 1) clamp, and the
+    admission filter."""
+    from patapsco_spark.operators.termsset import terms_set_topk
+
+    idx = _ensure_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vals = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       (F.lit(2) + F.col("n_chars") % 3).alias("req"))
+    res = terms_set_topk(spark, idx, BM25_QUERY.split(), vals, "req",
+                         text_cfg=RAW_TEXT, k=K)
+    return _as_result(res)
+
+
 SAMPLE_SIZE, SAMPLE_PER_VALUE = 50, 3
 
 
@@ -3853,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_stats": q_match_stats,
         "adjacency_matrix": q_adjacency_matrix,
         "sampled_stats": q_sampled_stats,
+        "terms_set_bm25": q_terms_set_bm25,
         "match_histogram": q_match_histogram,
         "match_percentiles": q_match_percentiles,
         "match_cardinality": q_match_cardinality,
@@ -4749,6 +4769,49 @@ matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
 def _matchset_prefix(query_terms: list[str]) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _terms_set_sql(query_terms: list[str], k1: float, b: float,
+                   k: int) -> str:
+    """Oracle for q_terms_set_bm25: per-(doc, term) single-term BM25, the
+    term-asc fold, cnt = distinct matched members, admission
+    cnt ≥ GREATEST(2 + n_chars % 3, 1), then the rank window."""
+    vals = ", ".join(f"('{t}')" for t in sorted(set(query_terms)))
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+tsc AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+          * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+          AS v
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS cnt,
+         list_aggregate(list(v ORDER BY term), 'sum') AS score
+  FROM tsc GROUP BY doc_id
+),
+hit AS (
+  SELECT a.doc_id, a.score FROM agg a JOIN documents d USING (doc_id)
+  WHERE a.cnt >= GREATEST(2 + d.n_chars % 3, 1)
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM hit
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
 
 
 def _sampled_stats_sql(query_terms: list[str], k1: float, b: float,
@@ -6828,6 +6891,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "adjacency_matrix": _adjacency_sql(ADJ_FILTERS),
         "sampled_stats": _sampled_stats_sql(BM25_QUERY.split(), 0.9, 0.4,
                                             SAMPLE_SIZE, SAMPLE_PER_VALUE),
+        "terms_set_bm25": _terms_set_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
                                                 HIST_INTERVAL),
         "match_percentiles": _match_percentiles_sql(BM25_QUERY.split(),
