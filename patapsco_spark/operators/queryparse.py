@@ -199,6 +199,13 @@ class Clause:
     # endpoints included — Lucene's containment test). Shapes tf only;
     # contributes no weight (the non_containing filter has no SimWeight).
     intv_not: str | None = None
+    # with ``gaps`` set, an optional REQUIRED containment term (Lucene
+    # Intervals.containing): a minimal interval (p, q) counts only when
+    # some occurrence x of this term lies inside it (p ≤ x ≤ q). The
+    # positive complement of intv_not; like it, shapes tf only and never
+    # weighs (Lucene's filtered interval sources score from the wrapped
+    # source's terms). Both filters may be set on one clause.
+    intv_has: str | None = None
 
 
 @dataclass
@@ -277,11 +284,13 @@ def span_not_plan(qid: str, pairs: list[tuple[str, str, int]],
 
 
 def interval_plan(qid: str, specs: list[tuple],
-                  extra_terms: list[str] | None = None) -> QueryPlan:
+                  extra_terms: list[str] | None = None,
+                  containing: str | None = None) -> QueryPlan:
     """IntervalQuery plan builder (programmatic, like the span builders):
     one SHOULD clause per (first_word, second_word, max_gaps[, not_
-    containing]) spec — ordered minimal intervals with a width cap and an
-    optional exclusion term (see Clause.gaps / Clause.intv_not), plus
+    containing]) spec — ordered minimal intervals with a width cap, an
+    optional exclusion term, and an optional REQUIRED ``containing`` term
+    applied to every spec (see Clause.gaps / intv_not / intv_has), plus
     optional unconstrained SHOULD terms. Requires the positions sidecar
     (search refuses loudly otherwise)."""
     clauses = []
@@ -295,7 +304,8 @@ def interval_plan(qid: str, specs: list[tuple],
             raise ParseError(
                 f"interval spec must be (a, b, max_gaps[, not_containing])"
                 f", got {spec!r}")
-        for w in (a, b) + ((x,) if x is not None else ()):
+        for w in (a, b) + ((x,) if x is not None else ()) + \
+                ((containing,) if containing is not None else ()):
             if not w or " " in w:
                 raise ParseError(f"interval takes single terms, got {w!r}")
         if a == b:
@@ -305,10 +315,14 @@ def interval_plan(qid: str, specs: list[tuple],
             raise ParseError(
                 f"interval not_containing term {x!r} collides with a "
                 f"member: the interval endpoints always contain it")
+        if containing is not None and containing == x:
+            raise ParseError(
+                f"containing and not_containing both {x!r}: no interval "
+                f"can satisfy both")
         if g < 0:
             raise ParseError(f"interval max_gaps must be >= 0, got {g}")
         clauses.append(Clause(SHOULD, 1.0, [(a, 1.0), (b, 1.0)],
-                              gaps=int(g), intv_not=x))
+                              gaps=int(g), intv_not=x, intv_has=containing))
     for t in extra_terms or []:
         clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))
     return QueryPlan(qid, clauses, "interval")

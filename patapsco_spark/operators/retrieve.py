@@ -1592,8 +1592,9 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
     return new_plans, union
 
 
-def _interval_pseudo_term(a: str, b: str, gaps: int, x: str | None) -> str:
-    return f"\x01intv:{gaps}:{a}\x01{b}\x01{x or ''}"
+def _interval_pseudo_term(a: str, b: str, gaps: int, x: str | None,
+                          h: str | None = None) -> str:
+    return f"\x01intv:{gaps}:{a}\x01{b}\x01{x or ''}\x01{h or ''}"
 
 
 def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
@@ -1634,8 +1635,12 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                 raise ValueError(
                     f"interval not_containing term {x!r} collides with a "
                     f"member")
-            specs.setdefault((a, b, int(g), x),
-                             _interval_pseudo_term(a, b, int(g), x))
+            h = getattr(c, "intv_has", None)
+            if h is not None and h == x:
+                raise ValueError(
+                    f"interval containing and not_containing both {x!r}")
+            specs.setdefault((a, b, int(g), x, h),
+                             _interval_pseudo_term(a, b, int(g), x, h))
     if not specs:
         return plans, None
 
@@ -1645,12 +1650,15 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
     sid_of = {key: i for i, key in enumerate(specs)}
     pseudo_of_sid = {i: specs[k] for k, i in sid_of.items()}
     memb_rows = []
-    for (a, b, g, x), sid in sid_of.items():
-        memb_rows.append((sid, a, 0, g))
-        memb_rows.append((sid, b, 1, g))
+    for (a, b, g, x, h), sid in sid_of.items():
+        need = int(h is not None)  # sid requires a containing hit
+        memb_rows.append((sid, a, 0, g, need))
+        memb_rows.append((sid, b, 1, g, need))
         if x is not None:
-            memb_rows.append((sid, x, 2, g))
-    all_words = sorted({w for _s, w, _r, _g in memb_rows})
+            memb_rows.append((sid, x, 2, g, need))
+        if h is not None:
+            memb_rows.append((sid, h, 3, g, need))
+    all_words = sorted({w for _s, w, _r, _g, _n in memb_rows})
 
     pos = (spark.read.parquet(f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
@@ -1658,12 +1666,14 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
-        memb_rows, "sid int, word string, role int, gaps int")
+        memb_rows, "sid int, word string, role int, gaps int, need int")
 
     joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
-              .select("sid", "shard", "docid", "role", "gaps", "positions"))
+              .select("sid", "shard", "docid", "role", "gaps", "need",
+                      "positions"))
     grouped = (joined.groupBy("sid", "shard", "docid")
                .agg(F.max("gaps").alias("gaps"),
+                    F.max("need").alias("need"),
                     F.collect_list(F.struct("role", "positions"))
                     .alias("items"))
                # an interval needs BOTH ordered members in the doc; a row
@@ -1679,19 +1689,22 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                             lambda s: s["positions"]), F.lit(1)),
             F.array().cast("array<int>"))
 
-    pa, pb, px = _role(0), _role(1), _role(2)
+    pa, pb, px, ph = _role(0), _role(1), _role(2), _role(3)
 
     # minimal intervals: per first-word position p, q = min second-word
     # position > p; count p iff the interval exists, is width-capped,
-    # minimal, and exclusion-free. array_min over an empty filter is NULL
-    # → the NULL-poisoned conjunction reads false via the leading
+    # minimal, exclusion-free, and (when the spec demands containment)
+    # holds a containing-term occurrence. array_min over an empty filter
+    # is NULL → the NULL-poisoned conjunction reads false via the leading
     # isNotNull guard.
     def _valid(p):
         q = F.array_min(F.filter(pb, lambda j: j > p))
         return (q.isNotNull()
                 & ((q - p - F.lit(1)) <= F.col("gaps"))
                 & ~F.exists(pa, lambda p2: (p2 > p) & (p2 < q))
-                & ~F.exists(px, lambda xx: (xx >= p) & (xx <= q)))
+                & ~F.exists(px, lambda xx: (xx >= p) & (xx <= q))
+                & ((F.col("need") == 0)
+                   | F.exists(ph, lambda hh: (hh >= p) & (hh <= q))))
 
     tf_col = F.size(F.filter(pa, _valid))
     tf_all = (grouped
@@ -1705,7 +1718,7 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                     .agg(F.count("*").alias("df"),
                          F.sum("tf").alias("cf")).collect()}
     live_sids = []
-    for (a, b, g, x), sid in sid_of.items():
+    for (a, b, g, x, h), sid in sid_of.items():
         st = stats_by_sid.get(sid)
         if not st or st[0] == 0:
             continue
@@ -1747,7 +1760,8 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                 cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
             elif getattr(c, "gaps", None) is not None:
                 pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.gaps),
-                                getattr(c, "intv_not", None))]
+                                getattr(c, "intv_not", None),
+                                getattr(c, "intv_has", None))]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))
             else:
                 cl.append(c)

@@ -158,3 +158,24 @@ def test_unsupported_scorer_refuses(spark, idx):
     with pytest.raises(ValueError, match="not implemented for scorer"):
         _run(spark, idx, interval_plan("q", [("red", "fox", 0)]),
              name="classic")
+
+
+def test_containing_required(spark, idx):
+    """containing='wind': only intervals holding a 'wind' occurrence
+    survive — d4 alone ('red wind fox'); weight stays idf(red)+idf(fox)."""
+    from patapsco_spark.operators.queryparse import interval_plan as ip
+    rows = _run(spark, idx, ip("q", [("red", "fox", 1)],
+                               containing="wind"))
+    assert set(rows) == {"d4"}
+    base = _run(spark, idx, ip("q", [("red", "fox", 1)]))
+    assert rows["d4"] == pytest.approx(base["d4"], rel=1e-12)
+
+
+def test_containing_and_not_containing_compose(spark, idx):
+    from patapsco_spark.operators.queryparse import interval_plan as ip
+    # containing 'bad' keeps only d5's interval; excluding 'bad' at the
+    # same time is refused at plan build
+    rows = _run(spark, idx, ip("q", [("red", "fox", 1)], containing="bad"))
+    assert set(rows) == {"d5"}
+    with pytest.raises(ParseError, match="both"):
+        ip("q", [("red", "fox", 1, "bad")], containing="bad")
