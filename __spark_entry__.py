@@ -1938,6 +1938,25 @@ def q_intervals_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+INTV_CHAIN, INTV_CHAIN_GAPS = ["data", "query", "window"], 6
+
+
+def q_intervals_chain_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-term ordered interval chain (new r5 s5; Lucene
+    Intervals.maxgaps(6, Intervals.ordered(data, query, window))): the
+    greedy earliest-after chain from each 'data', minimal-interval
+    counting (a later start reaching the same chain end supersedes), a
+    TOTAL gap budget across all links. Exercises the n>2 generalization
+    of intervals_bm25's pair kernel. The oracle replays the chain as
+    nested correlated min() subqueries and the minimality test as a
+    self-anti-join of chain ends."""
+    from patapsco_spark.operators.queryparse import interval_plan
+    idx = _ensure_pos_index(spark, sf_dir)
+    plan = interval_plan("q1", [(INTV_CHAIN, INTV_CHAIN_GAPS)])
+    res = search(spark, idx, [plan], RetrieveConfig(k=K))
+    return _as_result(res)
+
+
 PP_WORDS, PP_PREFIX = ["data"], "str"
 
 
@@ -3910,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_prefix_bm25": q_phrase_prefix_bm25,
         "span_near_bm25": q_span_near_bm25,
         "intervals_bm25": q_intervals_bm25,
+        "intervals_chain_bm25": q_intervals_chain_bm25,
         "span_not_bm25": q_span_not_bm25,
         "alias_bm25": q_alias_bm25,
         "hybrid_linear": q_hybrid_linear,
@@ -5764,6 +5784,77 @@ LIMIT {k}
 """
 
 
+def _intervals_chain_sql(words: list[str], gaps: int, k1: float, bb: float,
+                         k: int) -> str:
+    """Oracle for q_intervals_chain_bm25: the greedy earliest-after chain
+    as NESTED correlated min() subqueries (one level per word after the
+    first), minimality as a chain-ends anti-join (a later start with the
+    same end supersedes), width = end − start − (n−1) ≤ gaps; idf = Σ
+    member idfs in the kernel's fold order."""
+    quant = _quant_sql("dl.dl")
+    n = len(words)
+
+    def chain_expr(prev: str, level: int) -> str:
+        if level == n:
+            return prev
+        al = f"o{level}"
+        inner = (f"(SELECT min({al}.i) FROM occ {al} "
+                 f"WHERE {al}.doc_id = s.doc_id AND {al}.t = "
+                 f"'{words[level]}' AND {al}.i > {prev})")
+        return chain_expr(inner, level + 1)
+
+    q_expr = chain_expr("s.i", 1)
+    idf_terms = " + ".join(
+        f"(SELECT ln(1 + (stats.n - df + 0.5) / (df + 0.5)) "
+        f"FROM dfs CROSS JOIN stats WHERE term = '{w}')" for w in words)
+    in_list = ", ".join(f"'{w}'" for w in sorted(set(words)))
+    return f"""
+WITH {_TOK_CTES},
+w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i FROM w
+),
+chains AS (
+  SELECT s.doc_id, s.i AS p, {q_expr} AS q
+  FROM occ s WHERE s.t = '{words[0]}'
+),
+anchors AS (
+  SELECT c.doc_id, count(*)::DOUBLE AS tf
+  FROM chains c
+  WHERE c.q IS NOT NULL AND c.q - c.p - {n - 1} <= {gaps}
+    AND NOT EXISTS (SELECT 1 FROM chains c2
+                    WHERE c2.doc_id = c.doc_id AND c2.p > c.p
+                      AND c2.q = c.q)
+  GROUP BY c.doc_id
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN ({in_list}) GROUP BY term
+),
+idfsum AS (
+  SELECT {idf_terms} AS idf
+),
+scores AS (
+  SELECT anchors.doc_id,
+         idfsum.idf * anchors.tf
+           / (anchors.tf + {k1} * (1 - {bb} + {bb} * {quant} / stats.avgdl))
+           AS score
+  FROM anchors
+  JOIN dl ON dl.doc_id = anchors.doc_id
+  CROSS JOIN stats CROSS JOIN idfsum
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _span_not_sql(a: str, b: str, slop: int, k1: float, bb: float,
                   k: int) -> str:
     """Oracle for q_span_not_bm25: anchors = occurrences of ``a`` with NO
@@ -6949,6 +7040,8 @@ ORDER BY rnk
                                        0.9, 0.4, K),
         "intervals_bm25": _intervals_sql(INTV_A, INTV_B, INTV_GAPS,
                                          INTV_NOT, 0.9, 0.4, K),
+        "intervals_chain_bm25": _intervals_chain_sql(
+            INTV_CHAIN, INTV_CHAIN_GAPS, 0.9, 0.4, K),
         # alias resolution must be scoring-transparent: plain BM25 replay
         "alias_bm25": _bm25_sql(BM25_QUERY.split(), 0.9, 0.4, K),
         "range_bm25": _range_bm25_sql(RANGE_LO, RANGE_HI, 0.9, 0.4, K),

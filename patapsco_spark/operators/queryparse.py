@@ -179,18 +179,20 @@ class Clause:
     # at all keeps every occurrence.
     near_not: bool = False
     # ordered minimal intervals (Lucene IntervalQuery,
-    # Intervals.maxgaps(g, Intervals.ordered(a, b)) — round 5): ``terms``
-    # holds exactly TWO words; the clause matches docs containing an
-    # occurrence of the first word followed LATER by the second with at
-    # most ``gaps`` intervening tokens. tf counts MINIMAL intervals —
-    # pairs (p, q) with q = the FIRST second-word position after p and no
-    # other first-word occurrence strictly between them — the textbook
-    # minimal-interval semantics (Clarke, Cormack & Burkowski 1995 "An
-    # algebra for structured text search"; Lucene's IntervalIterator),
-    # i.e. the exact count the Clause.slop docs note Lucene uses where
-    # this engine's sloppy phrases count anchors. BM25 idf = Σ member
-    # idfs (SpanWeight convention, like near); QLD scores the
-    # pseudo-term's own (df, cf). Programmatic only (interval_plan);
+    # Intervals.maxgaps(g, Intervals.ordered(w1, …, wn)) — round 5):
+    # ``terms`` holds TWO OR MORE words (repeats allowed); the clause
+    # matches docs containing the words in order with at most ``gaps``
+    # TOTAL intervening non-member tokens (q − p − (n−1) ≤ gaps). tf
+    # counts MINIMAL intervals: the greedy chain from each first-word
+    # position p takes each later word at its earliest position after the
+    # previous link, ending at q; chains are monotone in p, so (p, q) is
+    # minimal iff no later first-word occurrence chains to the same q —
+    # the textbook minimal-interval semantics (Clarke, Cormack &
+    # Burkowski 1995 "An algebra for structured text search"; Lucene's
+    # IntervalIterator), i.e. the exact count the Clause.slop docs note
+    # Lucene uses where this engine's sloppy phrases count anchors. BM25
+    # idf = Σ member idfs (SpanWeight convention, like near); QLD scores
+    # the pseudo-term's own (df, cf). Programmatic only (interval_plan);
     # None = not an interval clause.
     gaps: int | None = None
     # with ``gaps`` set, an optional exclusion term (Lucene
@@ -287,31 +289,51 @@ def interval_plan(qid: str, specs: list[tuple],
                   extra_terms: list[str] | None = None,
                   containing: str | None = None) -> QueryPlan:
     """IntervalQuery plan builder (programmatic, like the span builders):
-    one SHOULD clause per (first_word, second_word, max_gaps[, not_
-    containing]) spec — ordered minimal intervals with a width cap, an
-    optional exclusion term, and an optional REQUIRED ``containing`` term
-    applied to every spec (see Clause.gaps / intv_not / intv_has), plus
-    optional unconstrained SHOULD terms. Requires the positions sidecar
-    (search refuses loudly otherwise)."""
+    one SHOULD clause per spec — ``(w1, w2, max_gaps[, not_containing])``
+    for the pair form, or ``([w1, …, wn], max_gaps[, not_containing])``
+    with a word LIST for n-term ordered chains (n ≥ 2, repeats allowed) —
+    ordered minimal intervals with a total-gap cap, an optional exclusion
+    term, and an optional REQUIRED ``containing`` term applied to every
+    spec (see Clause.gaps / intv_not / intv_has), plus optional
+    unconstrained SHOULD terms. Requires the positions sidecar (search
+    refuses loudly otherwise)."""
     clauses = []
     for spec in specs:
-        if len(spec) == 3:
+        pair_form = False
+        if spec and isinstance(spec[0], (list, tuple)):
+            if len(spec) == 2:
+                words, g = spec
+                x = None
+            elif len(spec) == 3:
+                words, g, x = spec
+            else:
+                raise ParseError(
+                    f"interval list spec must be (words, max_gaps"
+                    f"[, not_containing]), got {spec!r}")
+            words = tuple(words)
+            if len(words) < 2:
+                raise ParseError(
+                    f"interval needs at least two ordered words, "
+                    f"got {words!r}")
+        elif len(spec) == 3:
             a, b, g = spec
-            x = None
+            words, x, pair_form = (a, b), None, True
         elif len(spec) == 4:
             a, b, g, x = spec
+            words, pair_form = (a, b), True
         else:
             raise ParseError(
                 f"interval spec must be (a, b, max_gaps[, not_containing])"
-                f", got {spec!r}")
-        for w in (a, b) + ((x,) if x is not None else ()) + \
+                f" or (words, max_gaps[, not_containing]), got {spec!r}")
+        for w in words + ((x,) if x is not None else ()) + \
                 ((containing,) if containing is not None else ()):
             if not w or " " in w:
                 raise ParseError(f"interval takes single terms, got {w!r}")
-        if a == b:
+        if pair_form and words[0] == words[1]:
             raise ParseError(
-                f"interval needs two distinct terms, got {a!r} twice")
-        if x in (a, b):
+                f"interval needs two distinct terms, got {words[0]!r} "
+                f"twice (use the list form for deliberate repeats)")
+        if x in words:
             raise ParseError(
                 f"interval not_containing term {x!r} collides with a "
                 f"member: the interval endpoints always contain it")
@@ -321,7 +343,7 @@ def interval_plan(qid: str, specs: list[tuple],
                 f"can satisfy both")
         if g < 0:
             raise ParseError(f"interval max_gaps must be >= 0, got {g}")
-        clauses.append(Clause(SHOULD, 1.0, [(a, 1.0), (b, 1.0)],
+        clauses.append(Clause(SHOULD, 1.0, [(w, 1.0) for w in words],
                               gaps=int(g), intv_not=x, intv_has=containing))
     for t in extra_terms or []:
         clauses.append(Clause(SHOULD, 1.0, [(t, 1.0)]))

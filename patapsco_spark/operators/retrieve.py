@@ -1592,9 +1592,10 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
     return new_plans, union
 
 
-def _interval_pseudo_term(a: str, b: str, gaps: int, x: str | None,
+def _interval_pseudo_term(words: tuple[str, ...], gaps: int, x: str | None,
                           h: str | None = None) -> str:
-    return f"\x01intv:{gaps}:{a}\x01{b}\x01{x or ''}\x01{h or ''}"
+    return (f"\x01intv:{gaps}:" + "\x01".join(words)
+            + f"\x01!{x or ''}\x01+{h or ''}")
 
 
 def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
@@ -1605,33 +1606,37 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
     pseudo-terms over the positions sidecar, the same single-job shape as
     the span_near rewrite: ONE positions read for all specs' words joined
     to a broadcast spec table, one groupBy (sid, shard, docid) whose
-    Catalyst fold counts minimal intervals — for each first-word position
-    p, q = the smallest second-word position > p; the interval (p, q)
-    counts iff no other first-word occurrence lies strictly between
-    (minimality), q − p − 1 ≤ max_gaps (Intervals.maxgaps), and no
-    exclusion-term occurrence lies in [p, q] (Intervals.notContaining) —
-    stats in one collect, pseudo postings through the same blocked
-    varbyte kernel as everything else."""
+    Catalyst fold counts minimal intervals over n ORDERED words — the
+    greedy chain from each first-word position p (each later word at its
+    earliest position after the previous link) ends at q; chains are
+    monotone in p, so (p, q) is minimal iff NO later first-word
+    occurrence chains to the same q, and it counts iff additionally
+    q − p − (n−1) ≤ max_gaps (Intervals.maxgaps: total intervening
+    non-member tokens), no exclusion-term occurrence lies in [p, q]
+    (Intervals.notContaining) and, when required, a containing-term
+    occurrence does (Intervals.containing) — stats in one collect, pseudo
+    postings through the same blocked varbyte kernel as everything else.
+    Per-doc cost is O(|first-word positions|² · n · log) from the
+    minimality re-chain inside exists() — the same complexity class as
+    the sloppy-phrase kernel's correlated mins, fine at real-query
+    occurrence counts."""
     from .indexer import POSTINGS_SCHEMA as _PSCHEMA, _make_postings_kernel
     from .queryparse import Clause, QueryPlan
     from ..functions.smallfloat import quantize_length
 
-    specs: dict[tuple[str, str, int, str | None], str] = {}
+    specs: dict[tuple, str] = {}
     for p in plans:
         for c in iter_term_clauses(p.clauses):
             g = getattr(c, "gaps", None)
             if g is None:
                 continue
-            if len(c.terms) != 2 or c.phrase or c.prefix:
+            if len(c.terms) < 2 or c.phrase or c.prefix:
                 raise ValueError(
-                    f"interval clause must carry exactly two plain "
+                    f"interval clause must carry two or more plain "
                     f"terms (got {c!r})")
-            a, b = c.terms[0][0], c.terms[1][0]
-            if a == b:
-                raise ValueError(
-                    f"interval needs two distinct terms, got {a!r} twice")
+            words = tuple(t for t, _ in c.terms)
             x = getattr(c, "intv_not", None)
-            if x in (a, b):
+            if x in words:
                 raise ValueError(
                     f"interval not_containing term {x!r} collides with a "
                     f"member")
@@ -1639,8 +1644,8 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
             if h is not None and h == x:
                 raise ValueError(
                     f"interval containing and not_containing both {x!r}")
-            specs.setdefault((a, b, int(g), x, h),
-                             _interval_pseudo_term(a, b, int(g), x, h))
+            specs.setdefault((words, int(g), x, h),
+                             _interval_pseudo_term(words, int(g), x, h))
     if not specs:
         return plans, None
 
@@ -1649,16 +1654,20 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                      (F.col("shard") < num_shards))
     sid_of = {key: i for i, key in enumerate(specs)}
     pseudo_of_sid = {i: specs[k] for k, i in sid_of.items()}
+    # member word j → role j (a repeated word holds several roles — its
+    # one positions row fans out through the join); exclusion role −2,
+    # containment role −3
     memb_rows = []
-    for (a, b, g, x, h), sid in sid_of.items():
+    for (words, g, x, h), sid in sid_of.items():
         need = int(h is not None)  # sid requires a containing hit
-        memb_rows.append((sid, a, 0, g, need))
-        memb_rows.append((sid, b, 1, g, need))
+        nw = len(words)
+        for j, w in enumerate(words):
+            memb_rows.append((sid, w, j, g, need, nw))
         if x is not None:
-            memb_rows.append((sid, x, 2, g, need))
+            memb_rows.append((sid, x, -2, g, need, nw))
         if h is not None:
-            memb_rows.append((sid, h, 3, g, need))
-    all_words = sorted({w for _s, w, _r, _g, _n in memb_rows})
+            memb_rows.append((sid, h, -3, g, need, nw))
+    all_words = sorted({r[1] for r in memb_rows})
 
     pos = (spark.read.parquet(f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
@@ -1666,20 +1675,23 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
-        memb_rows, "sid int, word string, role int, gaps int, need int")
+        memb_rows,
+        "sid int, word string, role int, gaps int, need int, nw int")
 
     joined = (pos.join(F.broadcast(memb), pos["term"] == memb["word"])
               .select("sid", "shard", "docid", "role", "gaps", "need",
-                      "positions"))
+                      "nw", "positions"))
     grouped = (joined.groupBy("sid", "shard", "docid")
                .agg(F.max("gaps").alias("gaps"),
                     F.max("need").alias("need"),
+                    F.max("nw").alias("nw"),
                     F.collect_list(F.struct("role", "positions"))
                     .alias("items"))
-               # an interval needs BOTH ordered members in the doc; a row
+               # a chain needs EVERY ordered member in the doc; a row
                # holding only the exclusion term can never match
                .where(F.size(F.filter(
-                   F.col("items"), lambda s: s["role"] <= 1)) == 2))
+                   F.col("items"), lambda s: s["role"] >= 0))
+                   == F.col("nw")))
     items = F.col("items")
 
     def _role(r):
@@ -1689,19 +1701,36 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                             lambda s: s["positions"]), F.lit(1)),
             F.array().cast("array<int>"))
 
-    pa, pb, px, ph = _role(0), _role(1), _role(2), _role(3)
+    pa, px, ph = _role(0), _role(-2), _role(-3)
+    # position arrays for roles 1..nw−1, chain order
+    tail = F.transform(
+        F.sequence(F.lit(1), F.col("nw") - 1),
+        lambda r: F.coalesce(
+            F.try_element_at(
+                F.transform(F.filter(items, lambda s: s["role"] == r),
+                            lambda s: s["positions"]), F.lit(1)),
+            F.array().cast("array<int>")))
 
-    # minimal intervals: per first-word position p, q = min second-word
-    # position > p; count p iff the interval exists, is width-capped,
-    # minimal, exclusion-free, and (when the spec demands containment)
-    # holds a containing-term occurrence. array_min over an empty filter
-    # is NULL → the NULL-poisoned conjunction reads false via the leading
-    # isNotNull guard.
+    def _chain(p):
+        # earliest-after greedy chain: each later word at its first
+        # position after the previous link; NULL acc propagates (j > NULL
+        # filters everything, array_min of empty is NULL)
+        return F.aggregate(
+            tail, p, lambda acc, arr: F.array_min(
+                F.filter(arr, lambda j: j > acc)))
+
+    # minimal intervals: chains are monotone in p, so (p, q) is minimal
+    # iff no later first-word occurrence chains to the same q. chain(p2)
+    # of a doomed start is NULL; the equality must read FALSE there, not
+    # NULL — an uncoalesced NULL element makes exists() return NULL
+    # (three-valued logic) and a NULL-poisoned ~exists would silently
+    # drop valid anchors
     def _valid(p):
-        q = F.array_min(F.filter(pb, lambda j: j > p))
+        q = _chain(p)
         return (q.isNotNull()
-                & ((q - p - F.lit(1)) <= F.col("gaps"))
-                & ~F.exists(pa, lambda p2: (p2 > p) & (p2 < q))
+                & ((q - p - (F.col("nw") - F.lit(1))) <= F.col("gaps"))
+                & ~F.exists(pa, lambda p2: F.coalesce(
+                    (p2 > p) & (_chain(p2) == q), F.lit(False)))
                 & ~F.exists(px, lambda xx: (xx >= p) & (xx <= q))
                 & ((F.col("need") == 0)
                    | F.exists(ph, lambda hh: (hh >= p) & (hh <= q))))
@@ -1718,18 +1747,19 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
                     .agg(F.count("*").alias("df"),
                          F.sum("tf").alias("cf")).collect()}
     live_sids = []
-    for (a, b, g, x, h), sid in sid_of.items():
+    for (words, g, x, h), sid in sid_of.items():
         st = stats_by_sid.get(sid)
         if not st or st[0] == 0:
             continue
         pseudo = pseudo_of_sid[sid]
         df_map[pseudo] = st
-        # Σ both ordered members' idfs (the SpanWeight convention the
-        # phrase/near rewrites follow); the exclusion term never weighs
+        # Σ ordered members' idfs, repeats counted per occurrence (the
+        # SpanWeight convention the phrase/near rewrites follow); the
+        # exclusion/containment terms never weigh
         idf_over[pseudo] = sum(
             math.log(1.0 + (num_docs - df_map[w][0] + 0.5)
                      / (df_map[w][0] + 0.5))
-            for w in (a, b) if w in df_map and df_map[w][0] > 0)
+            for w in words if w in df_map and df_map[w][0] > 0)
         live_sids.append(sid)
     if not live_sids:
         union = None
@@ -1759,7 +1789,7 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
             if c.group:
                 cl.append(Clause(c.occur, c.boost, [], group=swap(c.group)))
             elif getattr(c, "gaps", None) is not None:
-                pseudo = specs[(c.terms[0][0], c.terms[1][0], int(c.gaps),
+                pseudo = specs[(tuple(t for t, _ in c.terms), int(c.gaps),
                                 getattr(c, "intv_not", None),
                                 getattr(c, "intv_has", None))]
                 cl.append(Clause(c.occur, c.boost, [(pseudo, 1.0)]))

@@ -179,3 +179,87 @@ def test_containing_and_not_containing_compose(spark, idx):
     assert set(rows) == {"d5"}
     with pytest.raises(ParseError, match="both"):
         ip("q", [("red", "fox", 1, "bad")], containing="bad")
+
+
+def _count_n(text, words, g, x=None):
+    """Reference n-term minimal-interval counter (greedy chains)."""
+    toks = text.split()
+    pos = {w: [i for i, t in enumerate(toks) if t == w]
+           for w in set(words) | ({x} if x else set())}
+
+    def chain(p):
+        acc = p
+        for w in words[1:]:
+            nxt = [j for j in pos[w] if j > acc]
+            if not nxt:
+                return None
+            acc = min(nxt)
+        return acc
+
+    n = 0
+    pa = pos[words[0]]
+    for p in pa:
+        q = chain(p)
+        if q is None or q - p - (len(words) - 1) > g:
+            continue
+        if any(p2 > p and chain(p2) == q for p2 in pa):
+            continue  # a later start reaches the same end: not minimal
+        if x and any(p <= xx <= q for xx in pos[x]):
+            continue
+        n += 1
+    return n
+
+
+NDOCS = [
+    ("n1", "big red fox runs fast away", "eng"),     # exact chain
+    ("n2", "big fox red runs fast away", "eng"),     # order broken
+    ("n3", "big red big red fox runs", "eng"),       # nested starts
+    ("n4", "big pad red pad fox runs", "eng"),       # 2 gaps
+    ("n5", "big red fox big red fox", "eng"),        # two chains
+    ("n6", "red fox runs pad pad pad", "eng"),       # missing first word
+]
+
+
+@pytest.fixture(scope="module")
+def nidx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("idxintvn"))
+    df = spark.createDataFrame(NDOCS, "id string, text string, lang string")
+    build_index(spark, df, path,
+                IndexConfig(text=RAW, num_shards=2, positions=True))
+    return path
+
+
+@pytest.mark.parametrize("g", [0, 2])
+def test_three_term_ordered_chain(spark, nidx, g):
+    words = ["big", "red", "fox"]
+    rows = _run(spark, nidx, interval_plan("q", [(words, g)]))
+    want_tf = {d[0]: _count_n(d[1], words, g) for d in NDOCS}
+    assert set(rows) == {d for d, tf in want_tf.items() if tf > 0}
+    # scores: idf = Σ member idfs, every doc dl=6=avgdl → K = 0.9
+    n = len(NDOCS)
+    idf = sum(_idf(n, sum(1 for d in NDOCS if w in d[1].split()))
+              for w in words)
+    for did, s in rows.items():
+        tf = want_tf[did]
+        assert s == pytest.approx(idf * tf / (tf + 0.9), rel=1e-9), did
+
+
+def test_three_term_minimality_pinned(spark, nidx):
+    """n3 'big red big red fox' — chains from both 'big's end at the one
+    'fox'; only the LATER start is minimal → tf must be 1 (at gap cap 2,
+    admitting the inner chain big@2..fox@4)."""
+    assert _count_n(NDOCS[2][1], ["big", "red", "fox"], 2) == 1
+    rows = _run(spark, nidx,
+                interval_plan("q", [(["big", "red", "fox"], 2)]))
+    assert "n3" in rows
+
+
+def test_repeated_word_list_form(spark, nidx):
+    """'big … big' (repeats legal in the list form): n3 and n5 hold two
+    'big's; minimal chains counted by the brute reference."""
+    words = ["big", "big"]
+    rows = _run(spark, nidx, interval_plan("q", [(words, 3)]))
+    want = {d[0]: _count_n(d[1], words, 3) for d in NDOCS}
+    assert set(rows) == {d for d, tf in want.items() if tf > 0}
+    with pytest.raises(ParseError, match="list form"):
+        interval_plan("q", [("big", "big", 3)])  # pair form still refuses
