@@ -262,3 +262,72 @@ def test_multi_spanfirst_rewrite_is_one_job_and_one_union(spark, pos_idx):
     assert n_unions <= 2, f"{n_unions} union lines — per-spec branches crept in"
     got = {r["query_id"] for r in res.collect()}
     assert got == {"q1", "q2", "q3", "q4"}
+
+
+def test_cross_fields_pushdown_and_broadcasts(spark, idx):
+    """cross_fields (new r5 s5): the per-field postings read must push the
+    In(term) filter to the scan, and the idf/query joins must broadcast —
+    the unbounded posting side is never the build side."""
+    from patapsco_spark.operators.bm25f import search_cross_fields
+
+    res = search_cross_fields(spark, {"f": idx}, [("q", "alpha beta")],
+                              text_cfg=RAW, k=5)
+    plan = _plan(res)
+    assert "In(term" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_adjacency_matrix_has_no_match_self_join(spark, idx):
+    """adjacency_matrix (new r5 s5): the pair expansion is a per-doc
+    Generate over collected filter names — the plan must contain NO join
+    of the match set with itself (the O(|matches|²) trap)."""
+    from patapsco_spark.operators.aggs import adjacency_matrix, \
+        match_set_texts
+
+    m = match_set_texts(spark, idx, [("alpha", "alpha"), ("beta", "beta")],
+                        text_cfg=RAW)
+    plan, base = _plan(adjacency_matrix(m)), _plan(m)
+    assert "Generate" in plan
+    for join_kind in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                      "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        # no joins beyond what producing the match set itself needs
+        assert plan.count(join_kind) == base.count(join_kind), join_kind
+
+
+def test_sampler_is_one_window_no_join(spark, idx):
+    """sampler (new r5 s5): one row_number window keyed (query, shard),
+    no join — the shard key derives from docid arithmetic."""
+    from patapsco_spark.operators.aggs import match_set_texts, sampler
+
+    m = match_set_texts(spark, idx, [("q", "alpha")], text_cfg=RAW)
+    plan = _plan(sampler(m, shard_size=2, docs_per_shard=14))
+    assert plan.count("Window") >= 1
+    tail = plan.split("Window", 1)[1]
+    assert "row_number" in tail
+    for join_kind in ("SortMergeJoin", "BroadcastHashJoin"):
+        # the sampler itself adds no join beyond what match_set needs;
+        # compare against the raw match plan's join count
+        assert plan.count(join_kind) == _plan(m).count(join_kind), join_kind
+
+
+def test_interval_positions_scan_pushes_terms(spark, pos_idx):
+    """interval rewrite (new r5 s5): the positions sidecar read carries
+    In(term, …) over exactly the specs' words — never a full positions
+    scan."""
+    from patapsco_spark.operators.queryparse import interval_plan
+    from pyspark.sql import functions as FF
+
+    pos = (spark.read.parquet(f"{pos_idx}/positions")
+           .where(FF.col("term").isin(["alpha", "gamma"])
+                  & (FF.col("shard") < 3)))
+    plan = _plan(pos)
+    assert "In(term" in plan
+    # and the full search over an interval plan completes with the pushed
+    # read (end-to-end wiring; semantic coverage lives in test_intervals)
+    from patapsco_spark.config import RetrieveConfig
+    from patapsco_spark.operators.retrieve import search
+    out = search(spark, pos_idx,
+                 [interval_plan("q", [("alpha", "gamma", 2)])],
+                 RetrieveConfig(k=3))
+    assert out.count() > 0
