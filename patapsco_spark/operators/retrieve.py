@@ -54,6 +54,70 @@ def load_index_meta(index_path: str) -> dict:
     return man["config"]
 
 
+def open_pit(index_path: str) -> dict:
+    """Open a point-in-time view (Elasticsearch PIT / Lucene IndexReader
+    refcount analogue, file-based): returns the index's CURRENT committed
+    manifest config; pass it to ``search(..., pit=...)`` to pin every read
+    of a multi-request session (search_after paging, sliced scroll) to
+    this snapshot. Appends are additive — a newer manifest only ADDS
+    shards and stats segments above the pinned ranges — so a PIT stays
+    valid and byte-stable across concurrent appends. Compaction DELETES
+    the superseded generation's files; search detects that (the PIT's
+    live shards or stats segments are no longer retained) and refuses
+    loudly instead of silently reading the wrong generation. There is no
+    keep-alive lease: validity is bounded by the index's compaction
+    schedule — the documented tradeoff of a file-based PIT (ES holds
+    segment refcounts in-process; a shared-nothing reader cannot)."""
+    return dict(load_index_meta(index_path))
+
+
+def _live_ranges(meta: dict) -> list[tuple[int, int]]:
+    """The committed live shard set as sorted half-open intervals:
+    [shard_base, num_shards) minus tiered-compaction dead_ranges."""
+    a, b = int(meta.get("shard_base", 0)), int(meta["num_shards"])
+    holes = sorted((int(x), int(y))
+                   for x, y in (meta.get("dead_ranges") or []))
+    out, cur = [], a
+    for x, y in holes:
+        x, y = max(x, a), min(y, b)
+        if x >= y:
+            continue
+        if x > cur:
+            out.append((cur, x))
+        cur = max(cur, y)
+    if cur < b:
+        out.append((cur, b))
+    return out
+
+
+def _check_pit_valid(pit_meta: dict, cur_meta: dict) -> None:
+    """A PIT is valid iff every shard and stats segment live at open time
+    is still retained: appends only add, so staleness means a compaction
+    flipped or collapsed the pinned generation — reading on would scan
+    deleted/re-bucketed directories and silently return the WRONG
+    generation's rows."""
+    cur_live = _live_ranges(cur_meta)
+    for a, b in _live_ranges(pit_meta):
+        pos = a
+        for x, y in cur_live:
+            if x <= pos < y:
+                pos = min(b, y)
+            if pos >= b:
+                break
+        if pos < b:
+            raise ValueError(
+                f"point-in-time is stale: pinned shards [{pos}, {b}) were "
+                f"removed by compaction — reopen the PIT (open_pit)")
+    pit_stats = int(pit_meta.get("stats_base",
+                                 pit_meta.get("shard_base", 0)))
+    cur_stats = int(cur_meta.get("stats_base",
+                                 cur_meta.get("shard_base", 0)))
+    if cur_stats > pit_stats:
+        raise ValueError(
+            f"point-in-time is stale: stats segments below {cur_stats} "
+            f"were collapsed by compaction — reopen the PIT (open_pit)")
+
+
 def process_queries(texts: Iterable[tuple[str, str]], text_cfg: TextConfig,
                     lang: str = "eng", mode: str = "plain") -> list[QueryPlan]:
     """Raw query texts → plans, via the same analysis chain as documents
@@ -75,10 +139,16 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
            stats_override: dict | None = None,
            synonyms: dict | None = None,
            dv_filter: tuple[str, float | None, float | None] | None = None,
-           dv_boost: tuple[str, dict] | None = None) -> DataFrame:
+           dv_boost: tuple[str, dict] | None = None,
+           pit: dict | None = None) -> DataFrame:
     """Run all query plans over the index; returns
     (query_id, doc_id, docid, rank, score) with rank starting at 0
     (reference: enumerate(hits), retrieve.py:146).
+
+    ``pit`` pins every read to a point-in-time manifest snapshot from
+    :func:`open_pit` — stable paging across concurrent appends; staleness
+    (a compaction removed pinned files) refuses loudly. None = read the
+    current committed manifest, the default snapshot-per-call isolation.
 
     ``count_only`` collects total hit counts instead of hits — Lucene's
     TotalHitCountCollector: (query_id, total_hits), queries matching
@@ -140,7 +210,11 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         raise ValueError(
             f"unknown scorer {cfg.name!r}: expected bm25 | qld | qljm | "
             "classic | dfr_inl2 | dfi")
-    meta = load_index_meta(index_path)
+    if pit is not None:
+        _check_pit_valid(pit, load_index_meta(index_path))
+        meta = pit
+    else:
+        meta = load_index_meta(index_path)
     num_docs = int(meta["num_docs"])
     total_tf = int(meta["total_tf"])
     avgdl = float(meta["avgdl"])
@@ -524,10 +598,11 @@ def search_texts(spark: SparkSession, index_path: str,
                  text_cfg: TextConfig | None = None, lang: str = "eng",
                  mode: str = "plain",
                  synonyms: dict | None = None,
-                 dv_filter: tuple | None = None) -> DataFrame:
+                 dv_filter: tuple | None = None,
+                 pit: dict | None = None) -> DataFrame:
     plans = process_queries(queries, text_cfg or TextConfig(), lang=lang, mode=mode)
     return search(spark, index_path, plans, cfg, synonyms=synonyms,
-                  dv_filter=dv_filter)
+                  dv_filter=dv_filter, pit=pit)
 
 
 def more_like_this(spark: SparkSession, index_path: str, like_text: str,
