@@ -1584,6 +1584,31 @@ def q_terms_set_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+def q_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature extraction (new r5 s5; ES Learning-to-Rank feature
+    logging / LETOR-style feature sets): one row per (query, doc) in the
+    BM25_QUERY OR match set with bm25, qld, n_matched, match_ratio,
+    sum/max/min tf, the quantized dl the scorers used, and the term-asc
+    idf fold — the offline-training feature frame produced entirely from
+    index artifacts. The oracle replays every column (both score kernels,
+    the aggregates, the SmallFloat dl quantization)."""
+    from patapsco_spark.operators.ltr import ltr_features
+
+    idx = _ensure_index(spark, sf_dir)
+    out = ltr_features(spark, idx, [("q1", BM25_QUERY)], text_cfg=RAW_TEXT)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("bm25", 5).alias("bm25"),
+        F.round("qld", 5).alias("qld"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round("match_ratio", 6).alias("match_ratio"),
+        F.col("sum_tf").cast("long").alias("sum_tf"),
+        F.col("max_tf").cast("long").alias("max_tf"),
+        F.col("min_tf").cast("long").alias("min_tf"),
+        F.col("dlq").cast("long").alias("dlq"),
+        F.round("sum_idf", 5).alias("sum_idf"))
+
+
 SAMPLE_SIZE, SAMPLE_PER_VALUE = 50, 3
 
 
@@ -3892,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix": q_adjacency_matrix,
         "sampled_stats": q_sampled_stats,
         "terms_set_bm25": q_terms_set_bm25,
+        "ltr_features": q_ltr_features,
         "match_histogram": q_match_histogram,
         "match_percentiles": q_match_percentiles,
         "match_cardinality": q_match_cardinality,
@@ -4789,6 +4815,70 @@ matched AS (SELECT DISTINCT tf.doc_id FROM tf JOIN qterms USING (term))"""
 def _matchset_prefix(query_terms: list[str]) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
     return f"WITH {_TOK_CTES},\nqterms(term) AS (VALUES {vals}),{_MATCHED_CTE}"
+
+
+def _ltr_features_sql(query_terms: list[str], k1: float, b: float,
+                      mu: int) -> str:
+    """Oracle for q_ltr_features: both score kernels (the _bm25/_qld
+    folds), the per-doc term aggregates, the quantized dl, and the
+    term-asc idf fold — one row per matched doc, no rank cut."""
+    qts = sorted(set(query_terms))
+    vals = ", ".join(f"('{t}')" for t in qts)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+cfs AS (
+  SELECT tf.term, sum(tf.tf) AS cf FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+bscore AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf JOIN qterms USING (term) JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+qscore AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(GREATEST(
+             ln(1 + tf.tf / ({mu} * (cfs.cf + 1) / (stats.total_tf + 1)))
+             + ln({mu} / ({quant} + {mu})), 0) ORDER BY tf.term), 'sum') AS score
+  FROM tf JOIN qterms USING (term) JOIN cfs ON cfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+tagg AS (
+  SELECT tf.doc_id, count(*)::BIGINT AS n_matched,
+         sum(tf.tf)::BIGINT AS sum_tf, max(tf.tf)::BIGINT AS max_tf,
+         min(tf.tf)::BIGINT AS min_tf,
+         list_aggregate(list(
+             ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))
+             ORDER BY tf.term), 'sum') AS sum_idf
+  FROM tf JOIN qterms USING (term) JOIN dfs ON dfs.term = tf.term
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT b.doc_id,
+       ROUND(b.score, 5) AS bm25,
+       ROUND(COALESCE(q.score, 0.0), 5) AS qld,
+       t.n_matched,
+       ROUND(t.n_matched::DOUBLE / {len(qts)}, 6) AS match_ratio,
+       t.sum_tf, t.max_tf, t.min_tf,
+       {quant}::BIGINT AS dlq,
+       ROUND(t.sum_idf, 5) AS sum_idf
+FROM bscore b
+LEFT JOIN qscore q ON q.doc_id = b.doc_id
+JOIN tagg t ON t.doc_id = b.doc_id
+JOIN dl ON dl.doc_id = b.doc_id
+"""
 
 
 def _terms_set_sql(query_terms: list[str], k1: float, b: float,
@@ -6983,6 +7073,8 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "sampled_stats": _sampled_stats_sql(BM25_QUERY.split(), 0.9, 0.4,
                                             SAMPLE_SIZE, SAMPLE_PER_VALUE),
         "terms_set_bm25": _terms_set_sql(BM25_QUERY.split(), 0.9, 0.4, K),
+        "ltr_features": _ltr_features_sql(BM25_QUERY.split(), 0.9, 0.4,
+                                          1000),
         "match_histogram": _match_histogram_sql(BM25_QUERY.split(),
                                                 HIST_INTERVAL),
         "match_percentiles": _match_percentiles_sql(BM25_QUERY.split(),
