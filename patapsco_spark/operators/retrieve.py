@@ -67,7 +67,14 @@ def open_pit(index_path: str) -> dict:
     loudly instead of silently reading the wrong generation. There is no
     keep-alive lease: validity is bounded by the index's compaction
     schedule — the documented tradeoff of a file-based PIT (ES holds
-    segment refcounts in-process; a shared-nothing reader cannot)."""
+    segment refcounts in-process; a shared-nothing reader cannot).
+
+    Documented departure from ES: TOMBSTONES are read live — a
+    delete-by-query issued after open_pit IS visible through the PIT
+    (ES pins per-segment live-docs bitsets; here tombstones are a shared
+    additive sidecar, and snapshotting them would mean collecting every
+    tombstone file list into the PIT handle). Appends and stats growth
+    are fully shielded; deletes are not."""
     return dict(load_index_meta(index_path))
 
 
