@@ -744,6 +744,46 @@ def q_dfi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+def q_pl2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFR PL2 top-k (new r5): the Poisson/Laplace/H2 divergence-from-
+    randomness model (Amati & van Rijsbergen, TOIS 2002 — Terrier's
+    default similarity) — per-term (1/(tfn+1)) · (tfn·log2(tfn/λ) +
+    (λ−tfn)·log2 e + 0.5·log2(2π·tfn)) with λ = cf/N and normalization-2
+    tfn = tf·log2(1 + c·avgdl/dl), per-term gain clamped at 0 (score
+    non-negativity, the same convention as dfi's below-chance cutoff),
+    over the same quantized norms as bm25/qld."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="pl2", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+def q_f2exp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axiomatic F2EXP top-k (new r5): Fang & Zhai's axiomatic retrieval
+    function (SIGIR 2005; Lucene AxiomaticF2EXP) — per-term
+    ((N+1)/df)^0.35 · tf/(tf + s + s·dl/avgdl) with s=0.5, the axiomatic
+    TFLN length normalization, over the same quantized norms."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="f2exp", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
+def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-based LL top-k (new r5): Clinchant & Gaussier's
+    log-logistic information model (SIGIR 2010; Lucene
+    IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)) — per-term
+    ln(1 + tfn/λ) with λ = (df+1)/(N+1) and normalization-2 tfn, over
+    the same quantized norms as the rest of the similarity family."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="ib_ll", k=K),
+                       text_cfg=RAW_TEXT)
+    return _as_result(res)
+
+
 SYN_TERM, SYN_EQUIVS = "query", ("scan", "filter")
 
 
@@ -3548,6 +3588,29 @@ def q_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_result(res)
 
 
+ROCCHIO_ALPHA, ROCCHIO_BETA = 1.0, 0.75
+
+
+def q_rocchio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (new r5): the classic 1971
+    vector-space update (Manning, Raghavan & Schütze, IIR ch. 9;
+    Anserini's Rocchio reranker family) — q_new = α·q + β·centroid of
+    the top fb_docs' length-normalized tf vectors, cut to fb_terms,
+    negative weights clamped, rescored as a weighted-OR BM25 pass-2.
+    Sits next to rm3_topk as the second feedback model over the SAME
+    analyzed-table term vectors; the oracle replays both passes and the
+    vector algebra in one SQL query."""
+    from patapsco_spark.operators.rm3 import search_rocchio
+
+    idx = _ensure_index(spark, sf_dir)
+    res = search_rocchio(spark, idx, [("q1", BM25_QUERY)],
+                         RetrieveConfig(k=K, fb_docs=RM3_FB_DOCS,
+                                        fb_terms=RM3_FB_TERMS),
+                         text_cfg=RAW_TEXT,
+                         alpha=ROCCHIO_ALPHA, beta=ROCCHIO_BETA)
+    return _as_result(res)
+
+
 def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """trec_eval-semantics scoring (map/ndcg/ndcg'/recall@100/P@10 +
     recip_rank/judged@10/Rprec/bpref/success@10, the round-4 breadth
@@ -3968,6 +4031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classic_topk": q_classic_topk,
         "dfr_inl2_topk": q_dfr_inl2_topk,
         "dfi_topk": q_dfi_topk,
+        "pl2_topk": q_pl2_topk,
+        "f2exp_topk": q_f2exp_topk,
+        "ib_ll_topk": q_ib_ll_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
@@ -4018,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "rm3_topk": q_rm3_topk,
+        "rocchio_topk": q_rocchio_topk,
         "eval_metrics": q_eval_metrics,
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "webpages_pipeline": q_webpages_pipeline,
@@ -5656,6 +5723,78 @@ LIMIT {k}
 """
 
 
+def _rocchio_sql(query_terms: list[str], k1: float, b: float, k: int,
+                 fb_docs: int, fb_terms: int, alpha: float,
+                 beta: float) -> str:
+    """Full two-pass Rocchio in SQL: BM25 pass-1 → top fb_docs → relevant
+    centroid (mean tf/dl per term) → α·qtf + β·centroid, positive weights
+    only, top fb_terms → weighted BM25 pass-2 (same pass-2 as _rm3_sql)."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    bm25_part = (f"ln(1 + (stats.n - dfs.df + 0.5) / (dfs.df + 0.5))"
+                 f" * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+pass1 AS (
+  SELECT tf.doc_id, list_aggregate(list({bm25_part} ORDER BY tf.term), 'sum') AS score
+  FROM tf JOIN qterms USING (term) JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+fb AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+  FROM pass1 QUALIFY rn <= {fb_docs}
+),
+centroid AS (
+  SELECT tf.term,
+         list_aggregate(list(tf.tf / dl.dl ORDER BY tf.doc_id), 'sum')
+           / (SELECT count(*) FROM fb) AS c
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id JOIN dl ON dl.doc_id = fb.doc_id
+  GROUP BY tf.term
+),
+orig AS (
+  SELECT term, count(*)::DOUBLE AS qtf FROM qterms GROUP BY term
+),
+weights AS (
+  SELECT COALESCE(r.term, o.term) AS term,
+         {alpha} * COALESCE(o.qtf, 0) + {beta} * COALESCE(r.c, 0) AS weight,
+         row_number() OVER (
+             ORDER BY {alpha} * COALESCE(o.qtf, 0) + {beta} * COALESCE(r.c, 0) DESC,
+                      COALESCE(r.term, o.term) ASC) AS rn
+  FROM centroid r FULL OUTER JOIN orig o ON r.term = o.term
+  WHERE {alpha} * COALESCE(o.qtf, 0) + {beta} * COALESCE(r.c, 0) > 0
+  QUALIFY rn <= {fb_terms}
+),
+dfs2 AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN weights USING (term)
+  GROUP BY tf.term
+),
+pass2 AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             weights.weight
+              * ln(1 + (stats.n - dfs2.df + 0.5) / (dfs2.df + 0.5))
+              * tf.tf / (tf.tf + {k1} * (1 - {b} + {b} * {quant} / stats.avgdl))
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf JOIN weights USING (term) JOIN dfs2 ON dfs2.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM pass2
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
 def _qld_sql(query_terms: list[str], mu: int, k: int,
              raw: bool = False) -> str:
     vals = ", ".join(f"('{t}')" for t in query_terms)
@@ -6116,6 +6255,110 @@ FROM scores
 ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
 LIMIT {k}
 """
+
+
+_SIM_TOPK_TAIL = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC) - 1)::BIGINT AS rnk,
+       ROUND(score, 5) AS score
+FROM scores
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _pl2_sql(query_terms: list[str], dfr_c: float, k: int) -> str:
+    """DFR PL2 replay: λ = cf/N, tfn = tf·(ln(1+c·avgdl/dl)·(1/ln 2)),
+    per-term greatest(0, (1/(tfn+1))·(tfn·(ln(tfn/λ)·(1/ln 2)) +
+    (λ−tfn)·(1/ln 2) + 0.5·(ln(2π·tfn)·(1/ln 2)))) — the op tree
+    parenthesized exactly as the numpy kernel folds it."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    tfn = (f"(tf.tf * (ln(1 + ({dfr_c} * stats.avgdl) / {quant})"
+           f" * (1.0/ln(2))))")
+    lam = "(cfs.cf / stats.n)"
+    g = (f"((1.0 / ({tfn} + 1.0)) * ({tfn} * (ln({tfn} / {lam})"
+         f" * (1.0/ln(2))) + ({lam} - {tfn}) * (1.0/ln(2))"
+         f" + 0.5 * (ln(2.0 * pi() * {tfn}) * (1.0/ln(2)))))")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+cfs AS (
+  SELECT tf.term, sum(tf.tf) AS cf FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             greatest({g}, 0.0)
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN cfs ON cfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+{_SIM_TOPK_TAIL.format(k=k)}"""
+
+
+def _f2exp_sql(query_terms: list[str], ax_s: float, ax_k: float,
+               k: int) -> str:
+    """Axiomatic F2EXP replay: ((N+1)/df)^k · tf/(tf + s + (s·dl)/avgdl),
+    the division/addition order mirroring the kernel's numpy expression."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             pow((stats.n + 1.0) / dfs.df, {ax_k}) * tf.tf
+              / (tf.tf + {ax_s} + {ax_s} * {quant} / stats.avgdl)
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+{_SIM_TOPK_TAIL.format(k=k)}"""
+
+
+def _ib_ll_sql(query_terms: list[str], dfr_c: float, k: int) -> str:
+    """IB LL·DF·H2 replay: λ = (df+1)/(N+1), tfn as the shared
+    normalization-2 tree, per-term ln(1 + tfn/λ)."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    quant = _quant_sql("dl.dl")
+    tfn = (f"(tf.tf * (ln(1 + ({dfr_c} * stats.avgdl) / {quant})"
+           f" * (1.0/ln(2))))")
+    lam = "((dfs.df + 1.0) / (stats.n + 1.0))"
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+dfs AS (
+  SELECT tf.term, count(*)::DOUBLE AS df FROM tf JOIN qterms USING (term)
+  GROUP BY tf.term
+),
+scores AS (
+  SELECT tf.doc_id,
+         list_aggregate(list(
+             ln(1.0 + {tfn} / {lam})
+             ORDER BY tf.term), 'sum') AS score
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+{_SIM_TOPK_TAIL.format(k=k)}"""
 
 
 def _psq_sql(clauses: list[tuple[int, str, float]], k1: float, b: float, k: int) -> str:
@@ -7051,6 +7294,9 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "classic_topk": _classic_sql(BM25_QUERY.split(), K),
         "dfr_inl2_topk": _dfr_inl2_sql(BM25_QUERY.split(), 1.0, K),
         "dfi_topk": _dfi_sql(BM25_QUERY.split(), K),
+        "pl2_topk": _pl2_sql(BM25_QUERY.split(), 1.0, K),
+        "f2exp_topk": _f2exp_sql(BM25_QUERY.split(), 0.5, 0.35, K),
+        "ib_ll_topk": _ib_ll_sql(BM25_QUERY.split(), 1.0, K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
         "hybrid_linear": _linear_fuse_sql(BM25_QUERY.split(), 0.9, 0.4,
                                           1000, K, *LINEAR_W),
@@ -7058,6 +7304,9 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
                                           0.9, 0.4, K),
         "rm3_topk": _rm3_sql(BM25_QUERY.split(), 0.9, 0.4, K,
                              RM3_FB_DOCS, RM3_FB_TERMS, RM3_OQW),
+        "rocchio_topk": _rocchio_sql(BM25_QUERY.split(), 0.9, 0.4, K,
+                                     RM3_FB_DOCS, RM3_FB_TERMS,
+                                     ROCCHIO_ALPHA, ROCCHIO_BETA),
         "psq_bm25": _psq_sql(PSQ_CLAUSES, 1.2, 0.75, K),
         "boolean_and_not": _boolean_and_not_sql(["window", "stream"], ["batch"], K),
         "boolean_nested": _boolean_nested_sql(["window", "stream"], "data",

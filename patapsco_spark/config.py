@@ -71,14 +71,16 @@ class RetrieveConfig:
     """Retrieval config (reference: RetrieveConfig, schema.py:155-180)."""
 
     # bm25 | qld (LMDirichlet) | qljm (LMJelinekMercer) | classic (TF-IDF)
-    # | dfr_inl2 (DFR InL2) | dfi (divergence from independence).
-    # qljm/classic/dfr_inl2/dfi are beyond the reference's two
-    # (retrieve.py:98-105) but first-class similarity families in the
-    # Lucene it wraps; formulas follow the published
-    # LMJelinekMercerSimilarity / ClassicSimilarity javadocs, Amati &
-    # van Rijsbergen's InL2 (TOIS 2002), and the DFI paper (Kocabaş,
-    # Dinçer & Karaoğlan, Inf. Retrieval 2014) over the same quantized
-    # norms as bm25/qld.
+    # | dfr_inl2 (DFR InL2) | dfi (divergence from independence)
+    # | pl2 (DFR PL2) | f2exp (Axiomatic F2EXP) | ib_ll (information-
+    # based LL·DF·H2). Beyond the reference's two (retrieve.py:98-105)
+    # but first-class similarity families in the Lucene it wraps;
+    # formulas follow the published LMJelinekMercerSimilarity /
+    # ClassicSimilarity / AxiomaticF2EXP / IBSimilarity javadocs, Amati
+    # & van Rijsbergen's InL2/PL2 (TOIS 2002), Clinchant & Gaussier's
+    # information-based models (SIGIR 2010), and the DFI paper
+    # (Kocabaş, Dinçer & Karaoğlan, Inf. Retrieval 2014) over the same
+    # quantized norms as bm25/qld.
     name: str = "bm25"
     k: int = 1000                         # schema.py:159 "number"
     # block-max pruning for disjunctive BM25: "auto" prunes only when the
@@ -94,10 +96,16 @@ class RetrieveConfig:
     # only); Lucene LMJelinekMercerSimilarity's constructor default used in
     # short-query settings is 0.1
     lam: float = 0.1
-    # DFR normalization-2 length parameter (dfr_inl2 only): tfn =
-    # tf·log2(1 + c·avgdl/dl); c=1.0 is Amati's and Lucene's
+    # DFR normalization-2 length parameter (dfr_inl2 / pl2 / ib_ll): tfn
+    # = tf·log2(1 + c·avgdl/dl); c=1.0 is Amati's and Lucene's
     # NormalizationH2 default
     dfr_c: float = 1.0
+    # Axiomatic F2EXP parameters (f2exp only): per-term
+    # ((N+1)/df)^ax_k · tf/(tf + ax_s + ax_s·dl/avgdl); s=0.5, k=0.35
+    # are the Fang & Zhai (SIGIR 2005) and Lucene AxiomaticF2EXP
+    # defaults
+    ax_s: float = 0.5
+    ax_k: float = 0.35
     rm3: bool = False
     fb_terms: int = 10                    # schema.py:176-180
     fb_docs: int = 10

@@ -213,10 +213,10 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
     if cfg.name not in ("bm25", "qld", "qljm", "classic", "dfr_inl2",
-                        "dfi"):
+                        "dfi", "pl2", "f2exp", "ib_ll"):
         raise ValueError(
             f"unknown scorer {cfg.name!r}: expected bm25 | qld | qljm | "
-            "classic | dfr_inl2 | dfi")
+            "classic | dfr_inl2 | dfi | pl2 | f2exp | ib_ll")
     if pit is not None:
         _check_pit_valid(pit, load_index_meta(index_path))
         meta = pit
@@ -312,7 +312,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     phrase_posts = None
     has_phrases = any(c.phrase and len(c.terms) > 1
                       for p in plans for c in iter_term_clauses(p.clauses))
-    if cfg.name in ("qljm", "classic", "dfr_inl2", "dfi") and \
+    if cfg.name in ("qljm", "classic", "dfr_inl2", "dfi", "pl2", "f2exp",
+                    "ib_ll") and \
             meta.get("positions") and has_phrases:
         # positional phrase scoring is wired for bm25 (idf_over = Σ member
         # idfs) and qld (pseudo-term cf) only; silently degrading qljm /
@@ -549,7 +550,8 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     scorer = _make_shard_scorer(
         plans_payload, df_map, scorer=cfg.name,
         k=None if matches_only else cfg.k, k1=cfg.k1, b=cfg.b,
-        mu=cfg.mu, lam=cfg.lam, dfr_c=cfg.dfr_c,
+        mu=cfg.mu, lam=cfg.lam, dfr_c=cfg.dfr_c, ax_s=cfg.ax_s,
+        ax_k=cfg.ax_k,
         num_docs=num_docs, total_tf=total_tf, avgdl=avgdl,
         docs_per_shard=docs_per_shard, use_pruner=use_pruner,
         idf_over=idf_over, deleted=deleted, after=after,
@@ -2384,7 +2386,7 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
 
 
 def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
-                       lam=0.1, dfr_c=1.0,
+                       lam=0.1, dfr_c=1.0, ax_s=0.5, ax_k=0.35,
                        num_docs, total_tf, avgdl, docs_per_shard,
                        use_pruner=True, idf_over=None, deleted=None,
                        after=None, count_only=False, min_should_match=0,
@@ -2504,11 +2506,12 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # per-term √tf · idf² · 1/√dl over the same quantized norms
             with np.errstate(divide="ignore"):
                 inv_sqrt_dl = np.where(dlq > 0, 1.0 / np.sqrt(dlq), 0.0)
-        elif scorer == "dfr_inl2":
-            # DFR InL2 (Amati & van Rijsbergen, TOIS 2002; Lucene
-            # DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)):
-            # normalization 2 folds doc length into a per-doc tf
-            # multiplier tfn/tf = log2(1 + c·avgdl/dl); log2 is written
+        elif scorer in ("dfr_inl2", "pl2", "ib_ll"):
+            # DFR InL2 / PL2 (Amati & van Rijsbergen, TOIS 2002; Lucene
+            # DFRSimilarity, Terrier PL2) and IB (Clinchant & Gaussier,
+            # SIGIR 2010; Lucene IBSimilarity) all share normalization 2:
+            # doc length folds into a per-doc tf multiplier
+            # tfn/tf = log2(1 + c·avgdl/dl); log2 is written
             # ln(x)·(1/ln 2) so the DuckDB oracle replays the identical
             # double-op tree
             inv_ln2 = 1.0 / math.log(2.0)
@@ -2516,6 +2519,11 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                 tfn_mult = np.where(
                     dlq > 0,
                     np.log(1.0 + (dfr_c * avgdl) / dlq) * inv_ln2, 0.0)
+        elif scorer == "f2exp":
+            # Axiomatic F2EXP (Fang & Zhai, SIGIR 2005; Lucene
+            # AxiomaticF2EXP): the length component is Lucene's
+            # s + s·dl/avgdl added to tf in the denominator
+            dl_ax = dlq
         else:  # dfi: expected tf under independence needs the doc length
             # (e = cf·dl/total_tf; Kocabaş, Dinçer & Karaoğlan 2014)
             inv_ln2 = 1.0 / math.log(2.0)
@@ -2630,6 +2638,44 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     tfn = etf[mask] * tfn_mult[mask]
                     total[mask] += (boost * (1.0 / (tfn + 1.0))
                                     * tfn * idf2)
+                elif scorer == "pl2":
+                    # DFR PL2 (Amati & van Rijsbergen, TOIS 2002 —
+                    # Poisson basic model P, Laplace after-effect L,
+                    # normalization 2; Terrier's default model):
+                    # λ = cf/N, gain = (1/(tfn+1)) · (tfn·log2(tfn/λ)
+                    # + (λ − tfn)·log2(e) + 0.5·log2(2π·tfn)), clamped
+                    # at 0 (Lucene requires non-negative scores; a
+                    # tf at or below chance frequency contributes
+                    # nothing, the same convention as dfi)
+                    lam_p = ecf / num_docs
+                    tfn = etf[mask] * tfn_mult[mask]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        g = ((1.0 / (tfn + 1.0))
+                             * (tfn * (np.log(tfn / lam_p) * inv_ln2)
+                                + (lam_p - tfn) * inv_ln2
+                                + 0.5 * (np.log(2.0 * math.pi * tfn)
+                                         * inv_ln2)))
+                        # tfn = 0 (defensive dlq=0 slot) → log(0) noise;
+                        # a zero normalized tf scores nothing
+                        g = np.where(tfn > 0, g, 0.0)
+                    total[mask] += boost * np.maximum(g, 0.0)
+                elif scorer == "f2exp":
+                    # Axiomatic F2EXP (Fang & Zhai, SIGIR 2005; Lucene
+                    # AxiomaticF2EXP, s=0.5, k=0.35): per-term
+                    # ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl)
+                    idf_ax = ((num_docs + 1.0) / edf) ** ax_k
+                    total[mask] += (boost * idf_ax * etf[mask]
+                                    / (etf[mask] + ax_s
+                                       + ax_s * dl_ax[mask] / avgdl))
+                elif scorer == "ib_ll":
+                    # IB LL·DF·H2 (Clinchant & Gaussier, SIGIR 2010;
+                    # Lucene IBSimilarity(DistributionLL, LambdaDF,
+                    # NormalizationH2)): λ = (df+1)/(N+1),
+                    # gain = ln(1 + tfn/λ) — DistributionLL's
+                    # -log(λ/(λ+tfn)) rewritten for the oracle replay
+                    lam_ib = (edf + 1.0) / (num_docs + 1.0)
+                    tfn = etf[mask] * tfn_mult[mask]
+                    total[mask] += boost * np.log(1.0 + tfn / lam_ib)
                 else:  # dfi (standardized independence): docs whose tf
                     # does not EXCEED the chance expectation e=cf·dl/F
                     # contribute nothing for the term (the paper's

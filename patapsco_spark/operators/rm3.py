@@ -109,3 +109,124 @@ def search_rm3(spark: SparkSession, index_path: str,
     ]
     return search(spark, index_path, fb_plans,
                   RetrieveConfig(name="bm25", k=cfg.k, k1=cfg.k1, b=cfg.b))
+
+
+def estimate_rocchio_terms(spark: SparkSession, index_path: str,
+                           fb_results: DataFrame,
+                           orig_terms: dict[str, list[str]],
+                           fb_terms: int = 10, alpha: float = 1.0,
+                           beta: float = 0.75,
+                           nr_results: DataFrame | None = None,
+                           gamma: float = 0.0) -> DataFrame:
+    """Rocchio (1971) feedback vector per query: (query_id, term, weight).
+
+    The classic vector-space update (Manning, Raghavan & Schütze, IIR
+    ch. 9; the same family Anserini exposes as its Rocchio reranker):
+
+        q_new = α·q + β·(1/|Dr|)·Σ_{d∈Dr} d  −  γ·(1/|Dnr|)·Σ_{d∈Dnr} d
+
+    with q the raw query tf vector and d the length-normalized document
+    tf vector (tf_{t,d}/|d| — the same per-doc normalization RM3 uses,
+    so both feedback models read one ``analyzed`` scan shape). Negative
+    weights are clamped to 0 (IIR's convention), and the final vector is
+    cut to the top ``fb_terms`` entries (weight desc, term asc).
+
+    ``fb_results``/``nr_results``: (query_id, doc_id, score) frames of
+    pseudo-relevant / pseudo-non-relevant docs; ``nr_results`` is only
+    read when γ > 0. Physical plan mirrors estimate_rm3_terms: tiny
+    result frames broadcast against the analyzed table, one explode +
+    groupBy per side, no driver loops.
+    """
+    analyzed = spark.read.parquet(f"{index_path}/analyzed").select(
+        "id", "terms", "dl")
+
+    def centroid(results: DataFrame) -> DataFrame:
+        """(query_id, term, c): mean length-normalized tf over the set."""
+        fb = results.select("query_id", F.col("doc_id").alias("id"))
+        n_by_q = fb.groupBy("query_id").agg(F.count("*").alias("n_fb"))
+        doc_tf = (F.broadcast(fb).join(analyzed, "id")
+                  .select("query_id", "id", "dl",
+                          F.explode("terms").alias("term"))
+                  .groupBy("query_id", "id", "dl", "term")
+                  .agg(F.count("*").alias("tf")))
+        return (doc_tf
+                .withColumn("contrib", F.col("tf") / F.col("dl"))
+                .groupBy("query_id", "term")
+                .agg(F.sum("contrib").alias("s"))
+                .join(F.broadcast(n_by_q), "query_id")
+                .select("query_id", "term",
+                        (F.col("s") / F.col("n_fb")).alias("c")))
+
+    rel = centroid(fb_results)
+
+    spark_rows = []
+    for qid, terms in orig_terms.items():
+        seen: dict[str, int] = {}
+        for t in terms:
+            seen[t] = seen.get(t, 0) + 1
+        spark_rows.extend((qid, t, float(c)) for t, c in seen.items())
+    orig_df = spark.createDataFrame(
+        spark_rows, "query_id string, term string, qtf double")
+
+    a, b_, g = float(alpha), float(beta), float(gamma)
+    vec = (rel.join(orig_df, ["query_id", "term"], "full_outer")
+           .select("query_id", "term",
+                   (a * F.coalesce("qtf", F.lit(0.0)) +
+                    b_ * F.coalesce("c", F.lit(0.0))).alias("weight")))
+    if g > 0.0:
+        if nr_results is None:
+            raise ValueError("gamma > 0 needs nr_results "
+                             "(pseudo-non-relevant docs)")
+        nonrel = centroid(nr_results).select(
+            "query_id", "term", F.col("c").alias("c_nr"))
+        vec = (vec.join(nonrel, ["query_id", "term"], "full_outer")
+               .select("query_id", "term",
+                       (F.coalesce("weight", F.lit(0.0)) -
+                        g * F.coalesce("c_nr", F.lit(0.0))).alias("weight")))
+    top = (vec.where(F.col("weight") > 0)  # IIR: negative weights → 0
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("query_id")
+               .orderBy(F.desc("weight"), F.asc("term"))))
+           .where(F.col("rn") <= fb_terms))
+    return top.select("query_id", "term", "weight")
+
+
+def search_rocchio(spark: SparkSession, index_path: str,
+                   queries: list[tuple[str, str]],
+                   cfg: RetrieveConfig | None = None,
+                   text_cfg: TextConfig | None = None, lang: str = "eng",
+                   alpha: float = 1.0, beta: float = 0.75,
+                   gamma: float = 0.0, nr_docs: int = 10) -> DataFrame:
+    """Two-pass Rocchio retrieval: BM25 pass-1 → Rocchio vector → weighted
+    BM25 pass-2 (boost-per-term, same pass-2 shape as search_rm3).
+
+    γ > 0 takes the pseudo-non-relevant set from the BOTTOM ``nr_docs``
+    of a deeper pass-1 at depth fb_docs + nr_docs — the standard
+    pseudo-feedback stand-in when no judgments exist."""
+    cfg = cfg or RetrieveConfig()
+    text_cfg = text_cfg or TextConfig()
+    plans = process_queries(queries, text_cfg, lang=lang)
+    orig_terms = {p.qid: [t for c in p.clauses for t, _ in c.terms]
+                  for p in plans}
+
+    depth = cfg.fb_docs + (nr_docs if gamma > 0.0 else 0)
+    pass1 = search(spark, index_path, plans,
+                   RetrieveConfig(name="bm25", k=depth, k1=cfg.k1, b=cfg.b))
+    fb = pass1.where(F.col("rank") < cfg.fb_docs)
+    nr = (pass1.where(F.col("rank") >= cfg.fb_docs)
+          if gamma > 0.0 else None)
+    weights = estimate_rocchio_terms(
+        spark, index_path, fb, orig_terms, fb_terms=cfg.fb_terms,
+        alpha=alpha, beta=beta, nr_results=nr, gamma=gamma)
+    rows = weights.collect()  # q × fb_terms rows — tiny by construction
+    by_q: dict[str, list[tuple[str, float]]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["term"], float(r["weight"])))
+    fb_plans = [
+        QueryPlan(qid, [Clause(SHOULD, wt, [(term, 1.0)])
+                        for term, wt in sorted(terms)])
+        for qid, terms in by_q.items()
+    ]
+    return search(spark, index_path, fb_plans,
+                  RetrieveConfig(name="bm25", k=cfg.k, k1=cfg.k1, b=cfg.b))

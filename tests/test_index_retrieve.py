@@ -174,6 +174,55 @@ class TestAltSimilarities:
         assert rows["2"] == 0.0
         assert "3" not in rows
 
+    def test_pl2_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="pl2"), text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        lam = 4 / 4  # λ = cf/N
+        def pl2(tf, dl):  # avgdl = 2.5, c = 1
+            tfn = tf * math.log2(1 + 2.5 / dl)
+            g = (1 / (tfn + 1)) * (tfn * math.log2(tfn / lam)
+                                   + (lam - tfn) * math.log2(math.e)
+                                   + 0.5 * math.log2(2 * math.pi * tfn))
+            return max(g, 0.0)
+        for d, tf, dl in (("4", 1, 1), ("1", 1, 2), ("2", 2, 6)):
+            want = pl2(tf, dl)
+            if want == 0.0:
+                assert rows.get(d, 0.0) == pytest.approx(0.0, abs=1e-12)
+            else:
+                assert rows[d] == pytest.approx(want, rel=1e-9)
+        assert "3" not in rows
+
+    def test_f2exp_hand_computed(self, spark, four_doc_index):
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="f2exp"), text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        idf = ((4 + 1) / 3) ** 0.35
+        def f2(tf, dl):  # s = 0.5, avgdl = 2.5
+            return idf * tf / (tf + 0.5 + 0.5 * dl / 2.5)
+        assert rows["4"] == pytest.approx(f2(1, 1), rel=1e-9)
+        assert rows["1"] == pytest.approx(f2(1, 2), rel=1e-9)
+        assert rows["2"] == pytest.approx(f2(2, 6), rel=1e-9)
+        assert "3" not in rows
+        # axiomatic TFLN: shorter doc wins at equal tf
+        assert rows["4"] > rows["1"]
+
+    def test_ib_ll_hand_computed(self, spark, four_doc_index):
+        import math
+        res = search_texts(spark, four_doc_index, [("q1", "gato")],
+                           RetrieveConfig(name="ib_ll"), text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        lam = (3 + 1) / (4 + 1)  # LambdaDF = (df+1)/(N+1)
+        def ib(tf, dl):
+            tfn = tf * math.log2(1 + 2.5 / dl)
+            return math.log(1 + tfn / lam)
+        assert rows["4"] == pytest.approx(ib(1, 1), rel=1e-9)
+        assert rows["1"] == pytest.approx(ib(1, 2), rel=1e-9)
+        assert rows["2"] == pytest.approx(ib(2, 6), rel=1e-9)
+        assert "3" not in rows
+        assert rows["4"] > rows["1"]
+
     def test_unknown_scorer_rejected(self, spark, four_doc_index):
         with pytest.raises(ValueError, match="unknown scorer"):
             search_texts(spark, four_doc_index, [("q1", "gato")],
