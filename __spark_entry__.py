@@ -1747,6 +1747,151 @@ def q_match_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("est", 6).alias("est"), "is_exact")
 
 
+XSTATS_SIGMA = 2.0
+# derived integer token count: spaces + 1 — the same fixed expression in
+# Spark and the oracle, so every moment sum below stays integer-exact
+# (built lazily: Column construction needs an active session)
+def _ntok_spark():
+    return (F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)).cast("long")
+_NTOK_SQL = "(length(d.text) - length(replace(d.text, ' ', '')) + 1)"
+MTERMS_SIZE = 10
+FILTERS_AGG = {"short": "n_chars < 300", "es_lang": "lang = 'es'",
+               "bulky": "n_chars >= 1200"}
+
+
+def q_match_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation (new r5 s5) over the BM25_QUERY match
+    set: stats + sum_of_squares, population variance/std-dev, and the
+    ±2σ bounds, all derived from two exact integer moments so the doubles
+    are fixed expression trees the oracle replays bit-for-bit."""
+    from patapsco_spark.operators.aggs import extended_stats
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = extended_stats(matches, docs, "n_chars", sigma=XSTATS_SIGMA)
+    return out.select(
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("min_v").cast("long").alias("min_v"),
+        F.col("max_v").cast("long").alias("max_v"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_dev", 6).alias("std_dev"),
+        F.round("std_upper", 6).alias("std_upper"),
+        F.round("std_lower", 6).alias("std_lower"))
+
+
+def q_match_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation (new r5 s5) for the (n_chars, n_tokens)
+    field pair over the BM25_QUERY match set: means, population variances,
+    covariance, Pearson correlation — five integer moment sums in one
+    map-side-combinable pass, then fixed double trees (unlike ES's
+    order-dependent Welford streaming)."""
+    from patapsco_spark.operators.aggs import matrix_stats
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    docs = docs.withColumn("n_tokens", _ntok_spark())
+    out = matrix_stats(matches, docs, "n_chars", "n_tokens")
+    return out.select(
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("var_a", 6).alias("var_a"),
+        F.round("var_b", 6).alias("var_b"),
+        F.round("covariance", 6).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"))
+
+
+def q_match_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation (new r5 s5): n_chars weighted by
+    n_tokens over the BM25_QUERY match set — Σvw/Σw with integer-exact
+    sums, the one double being the final division."""
+    from patapsco_spark.operators.aggs import weighted_avg
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    docs = docs.withColumn("n_tokens", _ntok_spark())
+    out = weighted_avg(matches, docs, "n_chars", "n_tokens")
+    return out.select(
+        F.col("sum_vw").cast("long").alias("sum_vw"),
+        F.col("sum_w").cast("long").alias("sum_w"),
+        F.round("wavg", 6).alias("wavg"))
+
+
+def q_match_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (new r5 s5): (lang, source) tuple
+    buckets over the BM25_QUERY match set, top-10 by (count desc, keys
+    asc) — one composite-key groupBy planned as TakeOrderedAndProject."""
+    from patapsco_spark.operators.aggs import multi_terms
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = multi_terms(matches, docs, ["lang", "source"], size=MTERMS_SIZE)
+    return out.select("lang", "source", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_match_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation (new r5 s5): three named predicate buckets
+    (overlapping, like ES) + the other_bucket catch-all, all counted in a
+    single sum(CASE WHEN) pass over the joined match set."""
+    from patapsco_spark.operators.aggs import filters_agg
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = filters_agg(matches, docs, dict(FILTERS_AGG),
+                      other_bucket="other")
+    return out.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+GEO_ORIGIN = (20.0, 10.0)
+GEO_RADIUS_KM = 9000.0
+GEO_ZOOM = 3
+
+
+def _geo_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc coordinates: two independent md5 16-bit
+    draws mapped to lat ∈ [-85, 85] (inside Web-Mercator's pole bound)
+    and lon ∈ [-180, 180) — the repo's portable hash trick (same salt ':'
+    key md5 the oracle replays via '0x'||substr(md5(...))), standing in
+    for page geotags the synthetic corpus lacks."""
+    def h16(salt: str):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1, 4), 16, 10).cast("double") / F.lit(65535.0))
+
+    return (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    (h16("lat-") * 170.0 - 85.0).alias("lat"),
+                    (h16("lon-") * 360.0 - 180.0).alias("lon")))
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance sort + filter (new r5 s5): the 20 BM25_QUERY
+    matches nearest to a fixed origin within 9000 km, by haversine
+    great-circle distance over md5-derived per-doc coordinates — one
+    join + closed-form math, TakeOrderedAndProject cut."""
+    from patapsco_spark.operators.geo import geo_distance
+
+    matches, _docs = _bm25_match_set(spark, sf_dir)
+    out = geo_distance(matches, _geo_frame(spark, sf_dir), *GEO_ORIGIN,
+                       k=K, radius_km=GEO_RADIUS_KM)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("dist_km", 5).alias("dist_km"))
+
+
+def q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (new r5 s5): BM25_QUERY match density
+    per zoom-3 Web-Mercator slippy-map tile, top 10 buckets by (count
+    desc, x asc, y asc) — integer tile keys from fixed ln/tan trees, so
+    the bucket counts are engine-exact."""
+    from patapsco_spark.operators.geo import geotile_grid
+
+    matches, _docs = _bm25_match_set(spark, sf_dir)
+    out = geotile_grid(matches, _geo_frame(spark, sf_dir), zoom=GEO_ZOOM,
+                       size=10)
+    return out.select(F.col("tile_x").cast("long").alias("tile_x"),
+                      F.col("tile_y").cast("long").alias("tile_y"),
+                      F.col("cnt").cast("long").alias("cnt"))
+
+
 SIGTERMS_MIN_DOC = 3
 
 
@@ -3977,6 +4122,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "sort_by_field": q_sort_by_field,
         "match_stats": q_match_stats,
+        "match_extended_stats": q_match_extended_stats,
+        "match_matrix_stats": q_match_matrix_stats,
+        "match_weighted_avg": q_match_weighted_avg,
+        "match_multi_terms": q_match_multi_terms,
+        "match_filters": q_match_filters,
+        "geo_distance": q_geo_distance,
+        "geotile_grid": q_geotile_grid,
         "adjacency_matrix": q_adjacency_matrix,
         "sampled_stats": q_sampled_stats,
         "terms_set_bm25": q_terms_set_bm25,
@@ -5213,6 +5365,177 @@ SELECT count(*)::BIGINT AS cnt,
        sum(d.n_chars)::BIGINT AS sum_v,
        ROUND(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_v
 FROM matched m JOIN documents d USING (doc_id)
+"""
+
+
+def _match_extended_stats_sql(query_terms: list[str], sigma: float) -> str:
+    """Oracle for extended_stats: the identical two integer moments, then
+    the same double tree (sum_sq/n − (sum/n)², sqrt, ±σ bounds)."""
+    return f"""
+{_matchset_prefix(query_terms)},
+mo AS (
+  SELECT count(*)::BIGINT AS cnt,
+         min(d.n_chars)::BIGINT AS min_v,
+         max(d.n_chars)::BIGINT AS max_v,
+         sum(d.n_chars)::BIGINT AS sum_v,
+         sum(d.n_chars * d.n_chars)::BIGINT AS sum_sq
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT cnt, min_v, max_v, sum_v, sum_sq,
+       ROUND(sum_v / cnt, 6) AS avg_v,
+       ROUND(sum_sq / cnt - (sum_v / cnt) * (sum_v / cnt), 6) AS variance,
+       ROUND(sqrt(sum_sq / cnt - (sum_v / cnt) * (sum_v / cnt)), 6)
+         AS std_dev,
+       ROUND(sum_v / cnt + {sigma} *
+             sqrt(sum_sq / cnt - (sum_v / cnt) * (sum_v / cnt)), 6)
+         AS std_upper,
+       ROUND(sum_v / cnt - {sigma} *
+             sqrt(sum_sq / cnt - (sum_v / cnt) * (sum_v / cnt)), 6)
+         AS std_lower
+FROM mo
+"""
+
+
+def _match_matrix_stats_sql(query_terms: list[str]) -> str:
+    """Oracle for matrix_stats over (n_chars, n_tokens): five integer
+    moment sums, then the same mean/variance/covariance/correlation
+    double trees."""
+    ntok = _NTOK_SQL
+    return f"""
+{_matchset_prefix(query_terms)},
+mo AS (
+  SELECT count(*)::BIGINT AS cnt,
+         sum(d.n_chars)::BIGINT AS s_a,
+         sum({ntok})::BIGINT AS s_b,
+         sum(d.n_chars * d.n_chars)::BIGINT AS s_aa,
+         sum({ntok} * {ntok})::BIGINT AS s_bb,
+         sum(d.n_chars * {ntok})::BIGINT AS s_ab
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT cnt,
+       ROUND(s_a / cnt, 6) AS mean_a,
+       ROUND(s_b / cnt, 6) AS mean_b,
+       ROUND(s_aa / cnt - (s_a / cnt) * (s_a / cnt), 6) AS var_a,
+       ROUND(s_bb / cnt - (s_b / cnt) * (s_b / cnt), 6) AS var_b,
+       ROUND(s_ab / cnt - (s_a / cnt) * (s_b / cnt), 6) AS covariance,
+       ROUND((s_ab / cnt - (s_a / cnt) * (s_b / cnt))
+             / sqrt((s_aa / cnt - (s_a / cnt) * (s_a / cnt))
+                    * (s_bb / cnt - (s_b / cnt) * (s_b / cnt))), 6)
+         AS correlation
+FROM mo
+"""
+
+
+def _match_weighted_avg_sql(query_terms: list[str]) -> str:
+    """Oracle for weighted_avg: integer Σvw and Σw, one final division."""
+    ntok = _NTOK_SQL
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT sum(d.n_chars * {ntok})::BIGINT AS sum_vw,
+       sum({ntok})::BIGINT AS sum_w,
+       ROUND(sum(d.n_chars * {ntok})::BIGINT
+             / sum({ntok})::BIGINT, 6) AS wavg
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.n_chars IS NOT NULL AND d.text IS NOT NULL
+"""
+
+
+def _match_multi_terms_sql(query_terms: list[str], size: int) -> str:
+    """Oracle for multi_terms: composite-key counts, (cnt desc, keys asc)
+    cut to size."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT d.lang, d.source, count(*)::BIGINT AS cnt
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source
+ORDER BY cnt DESC, d.lang ASC, d.source ASC
+LIMIT {size}
+"""
+
+
+def _match_filters_sql(query_terms: list[str],
+                       filters: dict[str, str], other: str) -> str:
+    """Oracle for the filters aggregation: each named predicate replayed
+    as a count(CASE WHEN) over the joined match set + the none-of-them
+    other bucket, unpivoted to (bucket, cnt) rows."""
+    names = sorted(filters)
+    sel = ",\n         ".join(
+        f"sum(CASE WHEN d.{filters[n]} THEN 1 ELSE 0 END)::BIGINT AS c_{i}"
+        for i, n in enumerate(names))
+    none_of = " AND ".join(f"NOT (d.{filters[n]})" for n in names)
+    rows = ", ".join(f"('{n}', c_{i})" for i, n in enumerate(names))
+    return f"""
+{_matchset_prefix(query_terms)},
+wide AS (
+  SELECT {sel},
+         sum(CASE WHEN {none_of} THEN 1 ELSE 0 END)::BIGINT AS c_other
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT u.bucket, u.cnt
+FROM wide, LATERAL (VALUES {rows}, ('{other}', c_other)) AS u(bucket, cnt)
+ORDER BY u.bucket
+"""
+
+
+_GEO_COORDS_SQL = """
+geo AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         (('0x' || substr(md5('lat-' || doc_id), 1, 4))::BIGINT::DOUBLE
+          / 65535.0 * 170.0 - 85.0) AS lat,
+         (('0x' || substr(md5('lon-' || doc_id), 1, 4))::BIGINT::DOUBLE
+          / 65535.0 * 360.0 - 180.0) AS lon
+  FROM documents
+)"""
+
+
+def _geo_distance_sql(query_terms: list[str], origin_lat: float,
+                      origin_lon: float, radius_km: float, k: int) -> str:
+    """Oracle for geo_distance: identical md5 coordinate derivation +
+    the same haversine tree (2R·asin(√(...)), radians via *π/180)."""
+    r = "(pi() / 180.0)"
+    return f"""
+{_matchset_prefix(query_terms)},
+{_GEO_COORDS_SQL.lstrip()},
+d AS (
+  SELECT m.doc_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin(((g.lat - {origin_lat}) * {r}) / 2)
+               * sin(((g.lat - {origin_lat}) * {r}) / 2)
+             + cos({origin_lat} * {r}) * cos(g.lat * {r})
+               * sin(((g.lon - {origin_lon}) * {r}) / 2)
+               * sin(((g.lon - {origin_lon}) * {r}) / 2))) AS dist_km
+  FROM matched m JOIN geo g USING (doc_id)
+)
+SELECT doc_id, ROUND(dist_km, 5) AS dist_km
+FROM d WHERE dist_km <= {radius_km}
+ORDER BY dist_km ASC, CAST(doc_id AS VARCHAR) ASC
+LIMIT {k}
+"""
+
+
+def _geotile_grid_sql(query_terms: list[str], zoom: int, size: int) -> str:
+    """Oracle for geotile_grid: same Mercator trees
+    (x = ⌊(lon+180)/360·2^z⌋, y = ⌊(1 − ln(tan φ + 1/cos φ)/π)/2·2^z⌋),
+    clamped to [0, 2^z)."""
+    n = float(1 << zoom)
+    hi = (1 << zoom) - 1
+    r = "(pi() / 180.0)"
+    return f"""
+{_matchset_prefix(query_terms)},
+{_GEO_COORDS_SQL.lstrip()},
+t AS (
+  SELECT greatest(0, least({hi},
+             floor((g.lon + 180.0) / 360.0 * {n!r})::BIGINT))::BIGINT
+           AS tile_x,
+         greatest(0, least({hi},
+             floor((1.0 - ln(tan(g.lat * {r}) + 1.0 / cos(g.lat * {r}))
+                    / pi()) / 2.0 * {n!r})::BIGINT))::BIGINT AS tile_y
+  FROM matched m JOIN geo g USING (doc_id)
+)
+SELECT tile_x, tile_y, count(*)::BIGINT AS cnt
+FROM t GROUP BY tile_x, tile_y
+ORDER BY cnt DESC, tile_x ASC, tile_y ASC
+LIMIT {size}
 """
 
 
@@ -7330,6 +7653,17 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
                                                     PCTL_PS),
         "match_cardinality": _match_cardinality_sql(BM25_QUERY.split(),
                                                     KMV_K),
+        "match_extended_stats": _match_extended_stats_sql(
+            BM25_QUERY.split(), XSTATS_SIGMA),
+        "match_matrix_stats": _match_matrix_stats_sql(BM25_QUERY.split()),
+        "match_weighted_avg": _match_weighted_avg_sql(BM25_QUERY.split()),
+        "match_multi_terms": _match_multi_terms_sql(BM25_QUERY.split(),
+                                                    MTERMS_SIZE),
+        "match_filters": _match_filters_sql(BM25_QUERY.split(),
+                                            dict(FILTERS_AGG), "other"),
+        "geo_distance": _geo_distance_sql(BM25_QUERY.split(), *GEO_ORIGIN,
+                                          GEO_RADIUS_KM, K),
+        "geotile_grid": _geotile_grid_sql(BM25_QUERY.split(), GEO_ZOOM, 10),
         "significant_terms": _significant_terms_sql(
             BM25_QUERY.split(), K, SIGTERMS_MIN_DOC),
         "facet_by_source": _facet_by_source_sql(BM25_QUERY.split()),

@@ -576,3 +576,153 @@ def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
         F.md5(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
         1, 4), 16, 10).cast("long")
     return matches.where(h % num_slices == slice_id)
+
+
+def extended_stats(matches: DataFrame, fields: DataFrame, field_col: str,
+                   sigma: float = 2.0, id_col: str = "doc_id") -> DataFrame:
+    """ES ``extended_stats`` aggregation over the match set: ``stats``
+    plus sum_of_squares, population variance, population std deviation,
+    and the ±``sigma`` std-deviation bounds ES draws on its histograms.
+
+    Variance is derived from the two raw integer moments
+    (sum_sq/n − (sum/n)²) rather than a streaming estimator: over an
+    integer field both sums are EXACT (order-independent), so every
+    downstream double is a fixed expression tree an external engine
+    replays bit-for-bit — the same moment trick matrix_stats uses. ES
+    computes the identical formula (its docs call out the same
+    floating-point caveats). One map-side-combinable groupBy."""
+    hit = _with_field(matches, fields, field_col, id_col)
+    base = (hit.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(field_col).alias("min_v"),
+                 F.max(field_col).alias("max_v"),
+                 F.sum(field_col).alias("sum_v"),
+                 F.sum(F.col(field_col) * F.col(field_col))
+                 .alias("sum_sq")))
+    avg = F.col("sum_v") / F.col("cnt")
+    var = F.col("sum_sq") / F.col("cnt") - avg * avg
+    std = F.sqrt(var)
+    return (base.select(
+        "query_id", "cnt", "min_v", "max_v", "sum_v", "sum_sq",
+        avg.alias("avg_v"), var.alias("variance"),
+        std.alias("std_dev"),
+        (avg + F.lit(float(sigma)) * std).alias("std_upper"),
+        (avg - F.lit(float(sigma)) * std).alias("std_lower"))
+        .orderBy("query_id"))
+
+
+def matrix_stats(matches: DataFrame, fields: DataFrame, col_a: str,
+                 col_b: str, id_col: str = "doc_id") -> DataFrame:
+    """ES ``matrix_stats`` aggregation for a field pair over the match
+    set: count, per-field means and population variances, covariance, and
+    Pearson correlation.
+
+    Same raw-moment design as extended_stats: five integer sums (a, b,
+    a², b², a·b) in ONE map-side-combinable groupBy, then fixed double
+    expression trees — cov = E[ab] − E[a]E[b], corr = cov/√(var_a·var_b).
+    ES streams these with Welford updates (order-dependent doubles);
+    integer moments make the result placement-independent, which is what
+    lets the oracle replay it exactly."""
+    fa, fb = F.col(col_a), F.col(col_b)
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      fa.alias("_a"), fb.alias("_b"))
+    hit = matches.join(f, "doc_id")
+    base = (hit.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("_a").alias("s_a"), F.sum("_b").alias("s_b"),
+                 F.sum(F.col("_a") * F.col("_a")).alias("s_aa"),
+                 F.sum(F.col("_b") * F.col("_b")).alias("s_bb"),
+                 F.sum(F.col("_a") * F.col("_b")).alias("s_ab")))
+    m_a = F.col("s_a") / F.col("cnt")
+    m_b = F.col("s_b") / F.col("cnt")
+    var_a = F.col("s_aa") / F.col("cnt") - m_a * m_a
+    var_b = F.col("s_bb") / F.col("cnt") - m_b * m_b
+    cov = F.col("s_ab") / F.col("cnt") - m_a * m_b
+    return (base.select(
+        "query_id", "cnt", m_a.alias("mean_a"), m_b.alias("mean_b"),
+        var_a.alias("var_a"), var_b.alias("var_b"),
+        cov.alias("covariance"),
+        (cov / F.sqrt(var_a * var_b)).alias("correlation"))
+        .orderBy("query_id"))
+
+
+def weighted_avg(matches: DataFrame, fields: DataFrame, value_col: str,
+                 weight_col: str, id_col: str = "doc_id") -> DataFrame:
+    """ES ``weighted_avg`` aggregation: Σ(value·weight)/Σ(weight) over the
+    match set. Integer fields keep both sums exact, so the one double
+    (the final division) is engine-replayable. Rows where either side is
+    NULL are skipped (ES's value_count semantics for missing values)."""
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.col(value_col).alias("_v"),
+                      F.col(weight_col).alias("_w"))
+    hit = (matches.join(f, "doc_id")
+           .where(F.col("_v").isNotNull() & F.col("_w").isNotNull()))
+    return (hit.groupBy("query_id")
+            .agg(F.sum(F.col("_v") * F.col("_w")).alias("sum_vw"),
+                 F.sum("_w").alias("sum_w"))
+            .select("query_id", "sum_vw", "sum_w",
+                    (F.col("sum_vw") / F.col("sum_w")).alias("wavg"))
+            .orderBy("query_id"))
+
+
+def multi_terms(matches: DataFrame, fields: DataFrame, key_cols: list[str],
+                size: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of fields
+    (the cross-field terms agg ES added in 7.12), count per bucket, top
+    ``size`` by (count desc, keys asc) — the deterministic tie-break ES
+    itself uses (it orders key tuples lexicographically). Buckets are
+    per query (one search context each), like every agg in this module.
+
+    One groupBy on (query, composite key) + one row_number window cut
+    per query — the window input is already one row per bucket, tiny."""
+    if not key_cols:
+        raise ValueError("multi_terms needs at least one key column")
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      *[F.col(c) for c in key_cols])
+    hit = matches.join(f, "doc_id")
+    counts = (hit.groupBy("query_id", *key_cols)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cnt"), *[F.asc(c) for c in key_cols]))
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= size).drop("_rn")
+            .orderBy("query_id", F.desc("cnt"),
+                     *[F.asc(c) for c in key_cols]))
+
+
+def filters_agg(matches: DataFrame, fields: DataFrame,
+                filters: dict[str, str], *, other_bucket: str | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """ES ``filters`` aggregation: one named bucket per predicate (SQL
+    expression strings over the field frame's columns), each counting the
+    matching docs that also satisfy the predicate; buckets overlap freely
+    (a doc can land in several), exactly like ES. ``other_bucket`` adds
+    ES's catch-all bucket counting docs matching NO named filter.
+
+    Pure Catalyst: the predicates compile to sum(CASE WHEN) columns in a
+    single map-side-combinable pass over the joined frame — one scan, no
+    per-filter jobs, no shuffle beyond the final 1-row-per-query agg."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    hit = matches.join(
+        fields.withColumn("doc_id", F.col(id_col).cast("string")), "doc_id")
+    names = sorted(filters)
+    preds = {n: F.expr(filters[n]) for n in names}
+    aggs = [F.sum(F.when(preds[n], 1).otherwise(0)).alias(f"_c_{i}")
+            for i, n in enumerate(names)]
+    if other_bucket:
+        none_of = ~preds[names[0]]
+        for n in names[1:]:
+            none_of = none_of & ~preds[n]
+        aggs.append(F.sum(F.when(none_of, 1).otherwise(0)).alias("_c_other"))
+    wide = hit.groupBy("query_id").agg(*aggs)
+    pairs = [F.struct(F.lit(n).alias("bucket"),
+                      F.col(f"_c_{i}").alias("cnt"))
+             for i, n in enumerate(names)]
+    if other_bucket:
+        pairs.append(F.struct(F.lit(other_bucket).alias("bucket"),
+                              F.col("_c_other").alias("cnt")))
+    return (wide.select("query_id", F.explode(F.array(*pairs)).alias("b"))
+            .select("query_id", F.col("b.bucket").alias("bucket"),
+                    F.col("b.cnt").alias("cnt"))
+            .orderBy("query_id", "bucket"))

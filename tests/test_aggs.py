@@ -276,3 +276,121 @@ def test_diversified_sampler(spark, idx, matches, fields):
     with pytest.raises(ValueError, match="max_docs_per_value"):
         diversified_sampler(matches, fields, "n", shard_size=3,
                             docs_per_shard=dps, max_docs_per_value=0)
+
+
+def test_extended_stats(spark, matches, fields):
+    from patapsco_spark.operators.aggs import extended_stats
+    rows = {r["query_id"]: r
+            for r in extended_stats(matches, fields, "n",
+                                    id_col="doc_id").collect()}
+    for q, ids in WANT.items():
+        vals = [n for d, _, _, n in DOCS if d in ids]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mean * mean
+        r = rows[q]
+        assert r["cnt"] == n
+        assert r["min_v"] == min(vals) and r["max_v"] == max(vals)
+        assert r["sum_v"] == sum(vals)
+        assert r["sum_sq"] == sum(v * v for v in vals)
+        assert r["avg_v"] == pytest.approx(mean, abs=1e-12)
+        assert r["variance"] == pytest.approx(var, abs=1e-9)
+        assert r["std_dev"] == pytest.approx(math.sqrt(var), abs=1e-9)
+        assert r["std_upper"] == pytest.approx(mean + 2 * math.sqrt(var),
+                                               abs=1e-9)
+        assert r["std_lower"] == pytest.approx(mean - 2 * math.sqrt(var),
+                                               abs=1e-9)
+
+
+def test_matrix_stats(spark, matches, fields):
+    from patapsco_spark.operators.aggs import matrix_stats
+    # second field: doc length in tokens (5 for every doc here would make
+    # var_b 0 and corr NaN — use per-doc distinct values instead)
+    two = spark.createDataFrame(
+        [(d, n, (i + 1) * 3) for i, (d, _, _, n) in enumerate(DOCS)],
+        "doc_id string, a long, b long")
+    rows = {r["query_id"]: r
+            for r in matrix_stats(matches, two, "a", "b").collect()}
+    bmap = {d: (i + 1) * 3 for i, (d, _, _, _) in enumerate(DOCS)}
+    amap = {d: n for d, _, _, n in DOCS}
+    for q, ids in WANT.items():
+        a = [amap[d] for d in sorted(ids)]
+        b = [bmap[d] for d in sorted(ids)]
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        va = sum(x * x for x in a) / n - ma * ma
+        vb = sum(x * x for x in b) / n - mb * mb
+        cov = sum(x * y for x, y in zip(a, b)) / n - ma * mb
+        r = rows[q]
+        assert r["cnt"] == n
+        assert r["mean_a"] == pytest.approx(ma, abs=1e-12)
+        assert r["mean_b"] == pytest.approx(mb, abs=1e-12)
+        assert r["var_a"] == pytest.approx(va, abs=1e-9)
+        assert r["var_b"] == pytest.approx(vb, abs=1e-9)
+        assert r["covariance"] == pytest.approx(cov, abs=1e-9)
+        assert r["correlation"] == pytest.approx(
+            cov / math.sqrt(va * vb), abs=1e-9)
+
+
+def test_weighted_avg(spark, matches, fields):
+    from patapsco_spark.operators.aggs import weighted_avg
+    w = spark.createDataFrame(
+        [(d, n, len(t.split())) for d, t, _, n in DOCS],
+        "doc_id string, v long, w long")
+    rows = {r["query_id"]: r
+            for r in weighted_avg(matches, w, "v", "w").collect()}
+    vmap = {d: (n, len(t.split())) for d, t, _, n in DOCS}
+    for q, ids in WANT.items():
+        svw = sum(vmap[d][0] * vmap[d][1] for d in ids)
+        sw = sum(vmap[d][1] for d in ids)
+        assert rows[q]["sum_vw"] == svw
+        assert rows[q]["sum_w"] == sw
+        assert rows[q]["wavg"] == pytest.approx(svw / sw, abs=1e-12)
+
+
+def test_weighted_avg_skips_null_sides(spark, matches):
+    from patapsco_spark.operators.aggs import weighted_avg
+    w = spark.createDataFrame(
+        [("a1", 10, 2), ("a2", None, 3), ("a3", 7, None), ("a4", 4, 1)],
+        "doc_id string, v long, w long")
+    rows = {r["query_id"]: r
+            for r in weighted_avg(matches, w, "v", "w").collect()}
+    # q1 matches a1..a4 but a2 (null v) and a3 (null w) drop out
+    assert rows["q1"]["sum_vw"] == 10 * 2 + 4 * 1
+    assert rows["q1"]["sum_w"] == 3
+
+
+def test_multi_terms(spark, matches):
+    from patapsco_spark.operators.aggs import multi_terms
+    kv = spark.createDataFrame(
+        [("a1", "x", "p"), ("a2", "x", "p"), ("a3", "x", "q"),
+         ("a4", "y", "p"), ("a5", "y", "q"), ("a6", "y", "q")],
+        "doc_id string, k1 string, k2 string")
+    got = [(r["query_id"], r["k1"], r["k2"], r["cnt"])
+           for r in multi_terms(matches, kv, ["k1", "k2"],
+                                size=2).collect()]
+    # per-query buckets (one search context each):
+    # q1 {a1,a2,a3,a4}: (x,p)=2, (x,q)=1, (y,p)=1 — size=2 keeps the
+    # first two by (cnt desc, k1 asc, k2 asc)
+    # q2 {a3,a5}: (x,q)=1, (y,q)=1
+    assert got == [("q1", "x", "p", 2), ("q1", "x", "q", 1),
+                   ("q2", "x", "q", 1), ("q2", "y", "q", 1)]
+    with pytest.raises(ValueError, match="at least one key"):
+        multi_terms(matches, kv, [], size=3)
+
+
+def test_filters_agg(spark, matches, fields):
+    from patapsco_spark.operators.aggs import filters_agg
+    got = {(r["query_id"], r["bucket"]): r["cnt"]
+           for r in filters_agg(matches, fields,
+                                {"big": "n >= 30", "tiny": "n <= 11"},
+                                other_bucket="other").collect()}
+    # q1 = {a1:11, a2:37, a3:23, a4:37}, q2 = {a3:23, a5:5}
+    assert got[("q1", "big")] == 2
+    assert got[("q1", "tiny")] == 1
+    assert got[("q1", "other")] == 1        # a3 (23) matches neither
+    assert got[("q2", "big")] == 0
+    assert got[("q2", "tiny")] == 1
+    assert got[("q2", "other")] == 1
+    with pytest.raises(ValueError, match="at least one named filter"):
+        filters_agg(matches, fields, {})
