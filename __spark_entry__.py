@@ -16,7 +16,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from patapsco_spark.config import IndexConfig, RetrieveConfig, TextConfig
@@ -782,6 +782,25 @@ def q_ib_ll_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        RetrieveConfig(name="ib_ll", k=K),
                        text_cfg=RAW_TEXT)
     return _as_result(res)
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanSimilarity top-k (new r5 s5): Lucene's tenth similarity —
+    every matching clause contributes exactly its boost, no tf/idf/norm
+    (the filter-as-query scoring used for boost-composable boolean
+    ranking). Bool scores are tiny integers, so ties dominate every k
+    boundary; the ENGINE breaks them by internal docid (Lucene parity,
+    pinned in pytest), which no external engine can replay — so this
+    entry retrieves the full match set (k ≥ corpus) and presents the
+    portable (score desc, doc_id asc) slice the oracle can reproduce."""
+    idx = _ensure_index(spark, sf_dir)
+    res = search_texts(spark, idx, [("q1", BM25_QUERY)],
+                       RetrieveConfig(name="bool", k=1_000_000),
+                       text_cfg=RAW_TEXT)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (res.withColumn("rank", F.row_number().over(w) - 1)
+           .where(F.col("rank") < K))
+    return _as_result(out)
 
 
 SYN_TERM, SYN_EQUIVS = "query", ("scan", "filter")
@@ -4186,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": q_pl2_topk,
         "f2exp_topk": q_f2exp_topk,
         "ib_ll_topk": q_ib_ll_topk,
+        "bool_topk": q_bool_topk,
         "psq_bm25": q_psq_bm25,
         "boolean_and_not": q_boolean_and_not,
         "boolean_nested": q_boolean_nested,
@@ -6684,6 +6704,22 @@ scores AS (
 {_SIM_TOPK_TAIL.format(k=k)}"""
 
 
+def _bool_sql(query_terms: list[str], k: int) -> str:
+    """BooleanSimilarity replay: one boost (1.0) per matching query-term
+    clause — count of matching qterm rows per doc (duplicate query terms
+    are separate clauses, exactly like the Spark plan)."""
+    vals = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+WITH {_TOK_CTES},
+qterms(term) AS (VALUES {vals}),
+scores AS (
+  SELECT tf.doc_id, count(*)::DOUBLE AS score
+  FROM tf JOIN qterms USING (term)
+  GROUP BY tf.doc_id
+)
+{_SIM_TOPK_TAIL.format(k=k)}"""
+
+
 def _psq_sql(clauses: list[tuple[int, str, float]], k1: float, b: float, k: int) -> str:
     vals = ", ".join(f"({cid}, '{t}', {p})" for cid, t, p in clauses)
     quant = _quant_sql("dl.dl")
@@ -7620,6 +7656,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
         "pl2_topk": _pl2_sql(BM25_QUERY.split(), 1.0, K),
         "f2exp_topk": _f2exp_sql(BM25_QUERY.split(), 0.5, 0.35, K),
         "ib_ll_topk": _ib_ll_sql(BM25_QUERY.split(), 1.0, K),
+        "bool_topk": _bool_sql(BM25_QUERY.split(), K),
         "rrf_hybrid": _rrf_sql(BM25_QUERY.split(), 0.9, 0.4, 1000, K, RRF_C),
         "hybrid_linear": _linear_fuse_sql(BM25_QUERY.split(), 0.9, 0.4,
                                           1000, K, *LINEAR_W),

@@ -73,7 +73,8 @@ class RetrieveConfig:
     # bm25 | qld (LMDirichlet) | qljm (LMJelinekMercer) | classic (TF-IDF)
     # | dfr_inl2 (DFR InL2) | dfi (divergence from independence)
     # | pl2 (DFR PL2) | f2exp (Axiomatic F2EXP) | ib_ll (information-
-    # based LL·DF·H2). Beyond the reference's two (retrieve.py:98-105)
+    # based LL·DF·H2) | bool (BooleanSimilarity: clause boost only, no
+    # tf/idf/norm). Beyond the reference's two (retrieve.py:98-105)
     # but first-class similarity families in the Lucene it wraps;
     # formulas follow the published LMJelinekMercerSimilarity /
     # ClassicSimilarity / AxiomaticF2EXP / IBSimilarity javadocs, Amati

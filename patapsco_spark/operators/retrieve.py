@@ -213,10 +213,10 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         raise ValueError("count_only and matches_only are exclusive")
     cfg = cfg or RetrieveConfig()
     if cfg.name not in ("bm25", "qld", "qljm", "classic", "dfr_inl2",
-                        "dfi", "pl2", "f2exp", "ib_ll"):
+                        "dfi", "pl2", "f2exp", "ib_ll", "bool"):
         raise ValueError(
             f"unknown scorer {cfg.name!r}: expected bm25 | qld | qljm | "
-            "classic | dfr_inl2 | dfi | pl2 | f2exp | ib_ll")
+            "classic | dfr_inl2 | dfi | pl2 | f2exp | ib_ll | bool")
     if pit is not None:
         _check_pit_valid(pit, load_index_meta(index_path))
         meta = pit
@@ -313,7 +313,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     has_phrases = any(c.phrase and len(c.terms) > 1
                       for p in plans for c in iter_term_clauses(p.clauses))
     if cfg.name in ("qljm", "classic", "dfr_inl2", "dfi", "pl2", "f2exp",
-                    "ib_ll") and \
+                    "ib_ll", "bool") and \
             meta.get("positions") and has_phrases:
         # positional phrase scoring is wired for bm25 (idf_over = Σ member
         # idfs) and qld (pseudo-term cf) only; silently degrading qljm /
@@ -2524,6 +2524,10 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
             # AxiomaticF2EXP): the length component is Lucene's
             # s + s·dl/avgdl added to tf in the denominator
             dl_ax = dlq
+        elif scorer == "bool":
+            # BooleanSimilarity needs no per-doc length state: score is
+            # the clause boost alone (no tf, idf, or norm)
+            pass
         else:  # dfi: expected tf under independence needs the doc length
             # (e = cf·dl/total_tf; Kocabaş, Dinçer & Karaoğlan 2014)
             inv_ln2 = 1.0 / math.log(2.0)
@@ -2667,6 +2671,12 @@ def _make_shard_scorer(plans_payload, df_map, *, scorer, k, k1, b, mu,
                     total[mask] += (boost * idf_ax * etf[mask]
                                     / (etf[mask] + ax_s
                                        + ax_s * dl_ax[mask] / avgdl))
+                elif scorer == "bool":
+                    # Lucene BooleanSimilarity: every matching clause
+                    # contributes exactly its boost — the classic filter-
+                    # as-query scoring (constant_score's whole-query
+                    # sibling, but per clause and boost-composable)
+                    total[mask] += boost
                 elif scorer == "ib_ll":
                     # IB LL·DF·H2 (Clinchant & Gaussier, SIGIR 2010;
                     # Lucene IBSimilarity(DistributionLL, LambdaDF,

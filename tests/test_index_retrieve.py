@@ -223,6 +223,21 @@ class TestAltSimilarities:
         assert "3" not in rows
         assert rows["4"] > rows["1"]
 
+    def test_bool_hand_computed(self, spark, four_doc_index):
+        """BooleanSimilarity: each matching clause contributes exactly its
+        boost — score = number of matching query terms (per occurrence),
+        no tf saturation (doc 2's double 'gato' counts once per clause)."""
+        res = search_texts(spark, four_doc_index,
+                           [("q1", "gato felino felino")],
+                           RetrieveConfig(name="bool"), text_cfg=RAW_TEXT)
+        rows = {r["doc_id"]: r["score"] for r in res.collect()}
+        # doc1 matches gato + felino×2 clauses = 3; doc2/4 gato only = 1;
+        # doc3 felino×2 = 2
+        assert rows == {"1": 3.0, "3": 2.0, "2": 1.0, "4": 1.0}
+        order = [r["doc_id"] for r in sorted(
+            res.collect(), key=lambda r: r["rank"])]
+        assert order == ["1", "3", "2", "4"]  # score desc, doc_id asc
+
     def test_unknown_scorer_rejected(self, spark, four_doc_index):
         with pytest.raises(ValueError, match="unknown scorer"):
             search_texts(spark, four_doc_index, [("q1", "gato")],
