@@ -1860,6 +1860,65 @@ def q_match_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bucket", F.col("cnt").cast("long").alias("cnt"))
 
 
+PCTL_RANK_VALUES = (200.0, 500.0, 1200.0)
+RANGE_BUCKETS = ((None, 300.0), (300.0, 1200.0), (1200.0, None))
+TOP_METRICS_SIZE = 3
+
+
+def q_match_pctl_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation (new r5 s5): the empirical CDF
+    ×100 at three requested n_chars values — EXACT (integer count per
+    value + one division) where ES t-digests."""
+    from patapsco_spark.operators.aggs import percentile_ranks
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = percentile_ranks(matches, docs, "n_chars",
+                           list(PCTL_RANK_VALUES))
+    return out.select("value", F.round("pct", 6).alias("pct"))
+
+
+def q_match_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (new r5 s5): explicit [from, to) n_chars
+    buckets (from inclusive, to exclusive — ES's convention), every
+    requested bucket present even when empty, '*' open ends."""
+    from patapsco_spark.operators.aggs import range_agg
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = range_agg(matches, docs, "n_chars",
+                    [tuple(r) for r in RANGE_BUCKETS])
+    return out.select("bucket", F.col("cnt").cast("long").alias("cnt"))
+
+
+def q_match_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation (new r5 s5): source + token count read
+    off the 3 largest matching docs by n_chars (sort desc, doc_id asc
+    tie-break — deterministic, engine-replayable row selection)."""
+    from patapsco_spark.operators.aggs import top_metrics
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    docs = docs.withColumn("n_tokens", _ntok_spark())
+    out = top_metrics(matches, docs, "n_chars", ["source", "n_tokens"],
+                      size=TOP_METRICS_SIZE)
+    return out.select(F.col("pos").cast("long").alias("pos"),
+                      F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "source",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def q_match_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES value_count + missing aggregations (new r5 s5): non-NULL field
+    values and the missing bucket over the match set, one left-join
+    pass."""
+    from patapsco_spark.operators.aggs import value_count
+
+    matches, docs = _bm25_match_set(spark, sf_dir)
+    out = value_count(matches, docs, "n_chars")
+    return out.select(F.col("value_cnt").cast("long").alias("value_cnt"),
+                      F.col("missing_cnt").cast("long")
+                      .alias("missing_cnt"))
+
+
 GEO_ORIGIN = (20.0, 10.0)
 GEO_RADIUS_KM = 9000.0
 GEO_ZOOM = 3
@@ -4146,6 +4205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_weighted_avg": q_match_weighted_avg,
         "match_multi_terms": q_match_multi_terms,
         "match_filters": q_match_filters,
+        "match_pctl_ranks": q_match_pctl_ranks,
+        "match_range_agg": q_match_range_agg,
+        "match_top_metrics": q_match_top_metrics,
+        "match_value_count": q_match_value_count,
         "geo_distance": q_geo_distance,
         "geotile_grid": q_geotile_grid,
         "adjacency_matrix": q_adjacency_matrix,
@@ -5494,6 +5557,95 @@ wide AS (
 SELECT u.bucket, u.cnt
 FROM wide, LATERAL (VALUES {rows}, ('{other}', c_other)) AS u(bucket, cnt)
 ORDER BY u.bucket
+"""
+
+
+def _match_pctl_ranks_sql(query_terms: list[str],
+                          values: tuple[float, ...]) -> str:
+    """Oracle for percentile_ranks: one count(v <= x) per requested
+    value, same ×100/n double tree."""
+    les = ",\n         ".join(
+        f"sum(CASE WHEN d.n_chars <= {float(v)} THEN 1 ELSE 0 END)"
+        f"::BIGINT AS le_{i}" for i, v in enumerate(values))
+    rows = ", ".join(
+        f"({float(v)}, ROUND(le_{i} * 100.0 / n, 6))"
+        for i, v in enumerate(values))
+    return f"""
+{_matchset_prefix(query_terms)},
+wide AS (
+  SELECT count(*)::BIGINT AS n,
+         {les}
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT u.value, u.pct
+FROM wide, LATERAL (VALUES {rows}) AS u(value, pct)
+ORDER BY u.value
+"""
+
+
+def _match_range_agg_sql(query_terms: list[str],
+                         ranges: tuple[tuple, ...]) -> str:
+    """Oracle for the range agg: [from, to) predicates replayed as
+    sum(CASE WHEN), every bucket emitted (zeros included)."""
+    def key(lo, hi):
+        return (f"{'*' if lo is None else float(lo)}-"
+                f"{'*' if hi is None else float(hi)}")
+
+    def pred(lo, hi):
+        parts = []
+        if lo is not None:
+            parts.append(f"d.n_chars >= {float(lo)}")
+        if hi is not None:
+            parts.append(f"d.n_chars < {float(hi)}")
+        return " AND ".join(parts) or "TRUE"
+
+    sel = ",\n         ".join(
+        f"sum(CASE WHEN {pred(lo, hi)} THEN 1 ELSE 0 END)::BIGINT AS b_{i}"
+        for i, (lo, hi) in enumerate(ranges))
+    rows = ", ".join(f"('{key(lo, hi)}', b_{i})"
+                     for i, (lo, hi) in enumerate(ranges))
+    return f"""
+{_matchset_prefix(query_terms)},
+wide AS (
+  SELECT {sel}
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT u.bucket, u.cnt
+FROM wide, LATERAL (VALUES {rows}) AS u(bucket, cnt)
+ORDER BY u.bucket
+"""
+
+
+def _match_top_metrics_sql(query_terms: list[str], size: int) -> str:
+    """Oracle for top_metrics: the same (n_chars desc, doc_id asc)
+    row_number selection, metrics read off the selected rows."""
+    ntok = _NTOK_SQL
+    return f"""
+{_matchset_prefix(query_terms)},
+ranked AS (
+  SELECT d.doc_id, d.n_chars, d.source, {ntok} AS n_tokens,
+         row_number() OVER (ORDER BY d.n_chars DESC,
+                            CAST(d.doc_id AS VARCHAR) ASC) AS pos
+  FROM matched m JOIN documents d USING (doc_id)
+)
+SELECT pos::BIGINT AS pos, doc_id, n_chars, source, n_tokens::BIGINT
+  AS n_tokens
+FROM ranked WHERE pos <= {size}
+ORDER BY pos
+"""
+
+
+def _match_value_count_sql(query_terms: list[str]) -> str:
+    """Oracle for value_count/missing: NULL-aware counts over the left
+    join (no NULLs in the synthetic table, so missing pins at 0 — the
+    NULL path is pytest-covered)."""
+    return f"""
+{_matchset_prefix(query_terms)}
+SELECT sum(CASE WHEN d.n_chars IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS value_cnt,
+       sum(CASE WHEN d.n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS missing_cnt
+FROM matched m LEFT JOIN documents d USING (doc_id)
 """
 
 
@@ -7698,6 +7850,13 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
                                                     MTERMS_SIZE),
         "match_filters": _match_filters_sql(BM25_QUERY.split(),
                                             dict(FILTERS_AGG), "other"),
+        "match_pctl_ranks": _match_pctl_ranks_sql(BM25_QUERY.split(),
+                                                  PCTL_RANK_VALUES),
+        "match_range_agg": _match_range_agg_sql(BM25_QUERY.split(),
+                                                RANGE_BUCKETS),
+        "match_top_metrics": _match_top_metrics_sql(BM25_QUERY.split(),
+                                                    TOP_METRICS_SIZE),
+        "match_value_count": _match_value_count_sql(BM25_QUERY.split()),
         "geo_distance": _geo_distance_sql(BM25_QUERY.split(), *GEO_ORIGIN,
                                           GEO_RADIUS_KM, K),
         "geotile_grid": _geotile_grid_sql(BM25_QUERY.split(), GEO_ZOOM, 10),

@@ -726,3 +726,110 @@ def filters_agg(matches: DataFrame, fields: DataFrame,
             .select("query_id", F.col("b.bucket").alias("bucket"),
                     F.col("b.cnt").alias("cnt"))
             .orderBy("query_id", "bucket"))
+
+
+def percentile_ranks(matches: DataFrame, fields: DataFrame, field_col: str,
+                     values: list[float],
+                     id_col: str = "doc_id") -> DataFrame:
+    """ES ``percentile_ranks`` aggregation — the inverse of
+    ``percentiles``: for each requested value v, the percentage of field
+    values ≤ v over the match set (the empirical CDF × 100). Exact (ES
+    t-digests this): one integer count per v + one division, all from a
+    single map-side-combinable pass (sum of CASE WHEN per v)."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    hit = _with_field(matches, fields, field_col, id_col)
+    aggs = [F.sum(F.when(F.col(field_col) <= F.lit(float(v)), 1)
+                  .otherwise(0)).alias(f"_le{i}")
+            for i, v in enumerate(values)]
+    wide = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(float(v)).alias("value"),
+                 (F.col(f"_le{i}") * F.lit(100.0) / F.col("_n"))
+                 .alias("pct"))
+        for i, v in enumerate(values)])
+    return (wide.select("query_id", F.explode(pairs).alias("p"))
+            .select("query_id", F.col("p.value").alias("value"),
+                    F.col("p.pct").alias("pct"))
+            .orderBy("query_id", "value"))
+
+
+def range_agg(matches: DataFrame, fields: DataFrame, field_col: str,
+              ranges: list[tuple[float | None, float | None]],
+              id_col: str = "doc_id") -> DataFrame:
+    """ES ``range`` aggregation: explicit [from, to) buckets (from
+    inclusive, to exclusive — ES's documented convention), counts per
+    (query, bucket), EVERY requested bucket present even when empty
+    (count 0), keyed "from-to" with "*" for open ends like ES.
+
+    One sum(CASE WHEN) per bucket in a single pass — buckets may overlap
+    freely (ES allows it); no per-bucket jobs, no explode of the match
+    set."""
+    if not ranges:
+        raise ValueError("range_agg needs at least one range")
+    hit = _with_field(matches, fields, field_col, id_col)
+
+    def key(lo, hi):
+        return (f"{'*' if lo is None else float(lo)}-"
+                f"{'*' if hi is None else float(hi)}")
+
+    def pred(lo, hi):
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (F.col(field_col) >= F.lit(float(lo)))
+        if hi is not None:
+            p = p & (F.col(field_col) < F.lit(float(hi)))
+        return p
+
+    aggs = [F.sum(F.when(pred(lo, hi), 1).otherwise(0)).alias(f"_b{i}")
+            for i, (lo, hi) in enumerate(ranges)]
+    wide = hit.groupBy("query_id").agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(key(lo, hi)).alias("bucket"),
+                 F.col(f"_b{i}").alias("cnt"))
+        for i, (lo, hi) in enumerate(ranges)])
+    return (wide.select("query_id", F.explode(pairs).alias("b"))
+            .select("query_id", F.col("b.bucket").alias("bucket"),
+                    F.col("b.cnt").alias("cnt"))
+            .orderBy("query_id", "bucket"))
+
+
+def top_metrics(matches: DataFrame, fields: DataFrame, sort_col: str,
+                metric_cols: list[str], *, size: int = 1,
+                descending: bool = True,
+                id_col: str = "doc_id") -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric column values read off
+    the top ``size`` rows by ``sort_col`` per query (the "what was the
+    url of the largest page" agg). Deterministic tie-break: doc_id asc
+    after the sort key, so the selected rows are engine-replayable. One
+    row_number window per query."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    cols = [sort_col] + [c for c in metric_cols if c != sort_col]
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      *[F.col(c) for c in cols])
+    hit = matches.join(f, "doc_id")
+    order = (F.desc(sort_col) if descending else F.asc(sort_col))
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("doc_id"))
+    return (hit.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= size)
+            .select("query_id", F.col("_rn").alias("pos"), "doc_id",
+                    *[F.col(c) for c in cols])
+            .orderBy("query_id", "pos"))
+
+
+def value_count(matches: DataFrame, fields: DataFrame, field_col: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """ES ``value_count`` + ``missing`` aggregations in one row per
+    query: matched docs with a non-NULL field value, and the ``missing``
+    bucket (docs whose field is NULL or absent from the field frame —
+    ES's missing semantics under a left join)."""
+    f = fields.select(F.col(id_col).cast("string").alias("doc_id"),
+                      F.col(field_col).alias("_v"))
+    hit = matches.join(f, "doc_id", "left")
+    return (hit.groupBy("query_id")
+            .agg(F.sum(F.when(F.col("_v").isNotNull(), 1).otherwise(0))
+                 .alias("value_cnt"),
+                 F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+                 .alias("missing_cnt"))
+            .orderBy("query_id"))

@@ -394,3 +394,61 @@ def test_filters_agg(spark, matches, fields):
     assert got[("q2", "other")] == 1
     with pytest.raises(ValueError, match="at least one named filter"):
         filters_agg(matches, fields, {})
+
+
+def test_percentile_ranks(spark, matches, fields):
+    from patapsco_spark.operators.aggs import percentile_ranks
+    got = {(r["query_id"], r["value"]): r["pct"]
+           for r in percentile_ranks(matches, fields, "n",
+                                     [11.0, 30.0, 99.0]).collect()}
+    # q1 values {11, 37, 23, 37}; q2 values {23, 5}
+    assert got[("q1", 11.0)] == pytest.approx(25.0)
+    assert got[("q1", 30.0)] == pytest.approx(50.0)
+    assert got[("q1", 99.0)] == pytest.approx(100.0)
+    assert got[("q2", 11.0)] == pytest.approx(50.0)
+    assert got[("q2", 99.0)] == pytest.approx(100.0)
+    with pytest.raises(ValueError, match="at least one value"):
+        percentile_ranks(matches, fields, "n", [])
+
+
+def test_range_agg(spark, matches, fields):
+    from patapsco_spark.operators.aggs import range_agg
+    got = {(r["query_id"], r["bucket"]): r["cnt"]
+           for r in range_agg(matches, fields, "n",
+                              [(None, 12.0), (12.0, 37.0),
+                               (37.0, None)]).collect()}
+    # from inclusive, to exclusive; q1 {11,37,23,37}: <12 → 1 (11),
+    # [12,37) → 1 (23), >=37 → 2; q2 {23,5}: <12 → 1 (5), [12,37) → 1,
+    # >=37 → 0 (bucket still present)
+    assert got[("q1", "*-12.0")] == 1
+    assert got[("q1", "12.0-37.0")] == 1
+    assert got[("q1", "37.0-*")] == 2
+    assert got[("q2", "37.0-*")] == 0
+    assert len(got) == 6  # every bucket for every query, zeros included
+
+
+def test_top_metrics(spark, matches, fields):
+    from patapsco_spark.operators.aggs import top_metrics
+    rows = [r for r in top_metrics(matches, fields, "n", ["n"], size=2)
+            .collect() if r["query_id"] == "q1"]
+    # q1 by n desc, doc_id asc: a2(37) before a4(37), then a3(23)
+    assert [(r["pos"], r["doc_id"], r["n"]) for r in rows] == \
+        [(1, "a2", 37), (2, "a4", 37)]
+    asc = [r for r in top_metrics(matches, fields, "n", ["n"], size=1,
+                                  descending=False).collect()
+           if r["query_id"] == "q2"]
+    assert [(r["doc_id"], r["n"]) for r in asc] == [("a5", 5)]
+
+
+def test_value_count_missing(spark, matches):
+    from patapsco_spark.operators.aggs import value_count
+    partial = matches.sparkSession.createDataFrame(
+        [("a1", 10), ("a2", None), ("a3", 7)], "doc_id string, v int")
+    got = {r["query_id"]: r for r in
+           value_count(matches, partial, "v").collect()}
+    # q1 matches a1..a4: a1,a3 valued; a2 NULL; a4 absent (left join NULL)
+    assert got["q1"]["value_cnt"] == 2
+    assert got["q1"]["missing_cnt"] == 2
+    # q2 matches a3,a5: a3 valued, a5 absent
+    assert got["q2"]["value_cnt"] == 1
+    assert got["q2"]["missing_cnt"] == 1
