@@ -331,3 +331,54 @@ def test_interval_positions_scan_pushes_terms(spark, pos_idx):
                  [interval_plan("q", [("alpha", "gamma", 2)])],
                  RetrieveConfig(k=3))
     assert out.count() > 0
+
+
+def test_new_metric_aggs_are_single_pass_catalyst(spark):
+    """The fifth-session metric aggs (extended_stats, matrix_stats,
+    percentile_ranks, range, filters) must plan as ONE partial+final
+    HashAggregate pair over the joined frame — no Python UDFs, no
+    nested-loop joins, no per-bucket jobs."""
+    from patapsco_spark.operators.aggs import (extended_stats, filters_agg,
+                                               matrix_stats,
+                                               percentile_ranks, range_agg)
+
+    matches = spark.createDataFrame(
+        [("q1", f"d{i}", i, 1.0) for i in range(20)],
+        "query_id string, doc_id string, docid long, score double")
+    fields = spark.createDataFrame(
+        [(f"d{i}", i * 10, i * 3) for i in range(20)],
+        "doc_id string, a long, b long")
+    outs = [
+        extended_stats(matches, fields, "a"),
+        matrix_stats(matches, fields, "a", "b"),
+        percentile_ranks(matches, fields, "a", [10.0, 50.0]),
+        range_agg(matches, fields, "a", [(None, 50.0), (50.0, None)]),
+        filters_agg(matches, fields, {"lo": "a < 100", "hi": "a >= 100"},
+                    other_bucket="other"),
+    ]
+    for out in outs:
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # map-side combine: a partial aggregate below the exchange
+        assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+
+def test_geo_ops_are_pure_catalyst(spark):
+    from patapsco_spark.operators.geo import geo_distance, geotile_grid
+
+    matches = spark.createDataFrame(
+        [("q1", f"d{i}", i, 1.0) for i in range(10)],
+        "query_id string, doc_id string, docid long, score double")
+    geo = spark.createDataFrame(
+        [(f"d{i}", float(i), float(i * 2 - 90)) for i in range(10)],
+        "doc_id string, lat double, lon double")
+    for out in (geo_distance(matches, geo, 10.0, 20.0, k=5),
+                geotile_grid(matches, geo, zoom=3, size=5)):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+        assert "CartesianProduct" not in plan
+    # the nearest-k cut must be a TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in _plan(
+        geo_distance(matches, geo, 10.0, 20.0, k=5))
