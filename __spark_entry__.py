@@ -4142,6 +4142,31 @@ def q_pipeline_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("mov", 6).alias("mov3"))
 
 
+def q_pipeline_weekly2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the ES pipeline-agg family (new r5 s5): serial_diff
+    (lag-2 seasonal delta, NULL for the first two buckets), normalize
+    percent_of_sum across the whole series, bucket_selector (the agg
+    family's HAVING), and bucket_sort with a size cut — composed over the
+    same weekly date_histogram buckets as pipeline_weekly. Selector runs
+    AFTER normalize, so percentages are of the full series."""
+    from patapsco_spark.operators.aggs import (bucket_selector, bucket_sort,
+                                               date_histogram,
+                                               normalize_buckets,
+                                               serial_diff)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    b = date_histogram(ev, "ts", interval="week",
+                       offset_minutes=DH_OFFSET_MIN)
+    b = b.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+                 F.col("doc_count").cast("long"))
+    s = serial_diff(b, "week", "doc_count", lag=2, out_col="sdiff")
+    n = normalize_buckets(s, "doc_count", "percent_of_sum", out_col="pct")
+    f = bucket_selector(n, "doc_count >= 5")
+    o = bucket_sort(f, [("doc_count", False), ("week", True)], size=8)
+    return o.select("week", "doc_count",
+                    F.col("sdiff").cast("long").alias("sdiff"),
+                    F.round("pct", 6).alias("pct"))
+
+
 def q_bucket_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats_bucket (new r5, aggs.bucket_stats): min/max/avg/sum/count
     of the per-source doc_count metric across all buckets of a terms
@@ -4300,6 +4325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_terms": q_rare_terms,
         "events_weekly": q_events_weekly,
         "pipeline_weekly": q_pipeline_weekly,
+        "pipeline_weekly2": q_pipeline_weekly2,
         "bucket_stats_by_source": q_bucket_stats_by_source,
         "contamination_overlap": q_contamination_overlap,
         "url_domain_stats": q_url_domain_stats,
@@ -9062,6 +9088,25 @@ SELECT week, doc_count,
        ROUND(avg(doc_count) OVER (ORDER BY week
           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov3
 FROM b ORDER BY week
+""",
+        "pipeline_weekly2": f"""
+WITH b AS (
+  SELECT strftime(date_trunc('week', ts + INTERVAL {DH_OFFSET_MIN} MINUTE),
+                  '%Y-%m-%d') AS week,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT week, doc_count,
+         (doc_count - lag(doc_count, 2) OVER (ORDER BY week))::BIGINT
+           AS sdiff,
+         doc_count * 100.0 / sum(doc_count) OVER () AS pct
+  FROM b
+)
+SELECT week, doc_count, sdiff, ROUND(pct, 6) AS pct
+FROM s WHERE doc_count >= 5
+ORDER BY doc_count DESC, week ASC
+LIMIT 8
 """,
         "bucket_stats_by_source": """
 WITH b AS (

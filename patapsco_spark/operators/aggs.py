@@ -559,6 +559,75 @@ def bucket_stats(buckets: DataFrame, value_col: str) -> DataFrame:
         F.sum(value_col).alias("sum"))
 
 
+def serial_diff(buckets: DataFrame, sort_col: str, value_col: str,
+                lag: int = 1, out_col: str = "diff") -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: the value minus the value ``lag``
+    buckets earlier (lag=1 ≡ derivative; seasonal lags remove periodic
+    components before trend analysis). The first ``lag`` buckets have no
+    predecessor — NULL, like derivative."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.orderBy(F.asc(sort_col))
+    return buckets.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col, lag).over(w)) \
+        .orderBy(sort_col)
+
+
+def normalize_buckets(buckets: DataFrame, value_col: str,
+                      method: str = "percent_of_sum",
+                      out_col: str = "norm") -> DataFrame:
+    """ES ``normalize`` pipeline agg: rescale a bucket metric across the
+    whole series — percent_of_sum (v/Σv·100), mean (0-1 min-max), or
+    z-score ((v−μ)/σ, population σ from exact moments). One global agg
+    broadcast back over the (already tiny) buckets frame."""
+    if method not in ("percent_of_sum", "mean", "z-score"):
+        raise ValueError(f"unknown normalize method {method!r}")
+    w = Window.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    v = F.col(value_col)
+    if method == "percent_of_sum":
+        out = v * F.lit(100.0) / F.sum(value_col).over(w)
+    elif method == "mean":
+        mn, mx = F.min(value_col).over(w), F.max(value_col).over(w)
+        out = (v - mn) / (mx - mn)
+    else:
+        n = F.count(F.lit(1)).over(w)
+        mu = F.sum(value_col).over(w) / n
+        var = (F.sum(v * v).over(w) / n - mu * mu)
+        out = (v - mu) / F.sqrt(var)
+    return buckets.withColumn(out_col, out)
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy a predicate (SQL expression over the buckets frame's
+    columns) — the HAVING clause of the agg family. Pure filter."""
+    return buckets.where(F.expr(predicate))
+
+
+def bucket_sort(buckets: DataFrame, sort_cols: list[tuple[str, bool]],
+                *, size: int | None = None, frm: int = 0) -> DataFrame:
+    """ES ``bucket_sort`` pipeline agg: re-order buckets by metric
+    columns ((col, ascending) pairs) and optionally truncate with
+    from/size paging. Runs on the parent's bucket frame — tiny by
+    construction, so the global sort is fine (and the size cut plans as
+    TakeOrderedAndProject when present)."""
+    if not sort_cols:
+        raise ValueError("bucket_sort needs at least one sort column")
+    if frm < 0:
+        raise ValueError(f"from must be >= 0, got {frm}")
+    order = [F.asc(c) if asc else F.desc(c) for c, asc in sort_cols]
+    out = buckets.orderBy(*order)
+    if size is not None or frm:
+        w = Window.orderBy(*order)
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .where((F.col("_rn") > frm) &
+                      ((F.col("_rn") <= frm + size) if size is not None
+                       else F.lit(True)))
+               .drop("_rn"))
+    return out
+
+
 def slice_matches(matches: DataFrame, slice_id: int, num_slices: int, *,
                   id_col: str = "doc_id") -> DataFrame:
     """ES sliced scroll: deterministically partition a match set into

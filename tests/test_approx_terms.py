@@ -130,3 +130,58 @@ class TestApproxTopTerms:
                                size=10).collect()
         assert len(out) == 10
         assert all(r["err_bound"] >= 0 for r in out)
+
+
+class TestPipelineAggsRound5s5:
+    def test_serial_diff(self, spark):
+        from patapsco_spark.operators.aggs import serial_diff
+        b = spark.createDataFrame(
+            [("w1", 10), ("w2", 15), ("w3", 12), ("w4", 20)],
+            "week string, n long")
+        got = {r["week"]: r["diff"] for r in
+               serial_diff(b, "week", "n", lag=2).collect()}
+        # first `lag` buckets NULL (ES omission); then v - v[-2]
+        assert got == {"w1": None, "w2": None, "w3": 2, "w4": 5}
+        with pytest.raises(ValueError, match="lag"):
+            serial_diff(b, "week", "n", lag=0)
+
+    def test_normalize_methods(self, spark):
+        import math as m
+        from patapsco_spark.operators.aggs import normalize_buckets
+        b = spark.createDataFrame(
+            [("w1", 10), ("w2", 15), ("w3", 25)], "week string, n long")
+        pct = {r["week"]: r["norm"] for r in
+               normalize_buckets(b, "n", "percent_of_sum").collect()}
+        assert pct == {"w1": 20.0, "w2": 30.0, "w3": 50.0}
+        mm = {r["week"]: r["norm"] for r in
+              normalize_buckets(b, "n", "mean").collect()}
+        assert mm == {"w1": 0.0, "w2": pytest.approx(1 / 3), "w3": 1.0}
+        z = {r["week"]: r["norm"] for r in
+             normalize_buckets(b, "n", "z-score").collect()}
+        mu = 50 / 3
+        var = (100 + 225 + 625) / 3 - mu * mu
+        assert z["w1"] == pytest.approx((10 - mu) / m.sqrt(var))
+        assert z["w3"] == pytest.approx((25 - mu) / m.sqrt(var))
+        with pytest.raises(ValueError, match="unknown normalize"):
+            normalize_buckets(b, "n", "softmax")
+
+    def test_bucket_selector_and_sort(self, spark):
+        from patapsco_spark.operators.aggs import (bucket_selector,
+                                                   bucket_sort)
+        b = spark.createDataFrame(
+            [("w1", 10), ("w2", 15), ("w3", 12), ("w4", 15)],
+            "week string, n long")
+        kept = {r["week"] for r in
+                bucket_selector(b, "n >= 12").collect()}
+        assert kept == {"w2", "w3", "w4"}
+        rows = bucket_sort(b, [("n", False), ("week", True)],
+                           size=2).collect()
+        # n desc, week asc tie-break: w2(15), w4(15)
+        assert [(r["week"], r["n"]) for r in rows] == [("w2", 15),
+                                                       ("w4", 15)]
+        page2 = bucket_sort(b, [("n", False), ("week", True)],
+                            size=2, frm=2).collect()
+        assert [(r["week"], r["n"]) for r in page2] == [("w3", 12),
+                                                        ("w1", 10)]
+        with pytest.raises(ValueError, match="at least one sort"):
+            bucket_sort(b, [])
