@@ -95,17 +95,30 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
                                      extra_cols=transform_cols,
                                      with_positions=bool(cfg.positions),
                                      store_raw=cfg.store_raw)
-        # materialize BEFORE range partitioning: repartitionByRange runs a
-        # sampling job over its child, which would re-execute the whole
-        # Python analysis chain a second time. Staged through parquet, the
-        # sample pass is a column-pruned scan of `id` only.
-        stage_path = f"{index_path}/_analyzed_stage"
-        analyzed.write.mode("overwrite").parquet(stage_path)
-        (spark.read.parquet(stage_path)
-              .repartitionByRange(n_parts, "id")
-              .sortWithinPartitions("id")
-              .write.mode("overwrite").parquet(analyzed_path))
-        _delete_path(spark, stage_path)
+        from ..functions.analyze import catalyst_fast_eligible
+        if catalyst_fast_eligible(cfg.text) and batch_transform is None:
+            # Catalyst-fast chains: the range sampler's `id` projection
+            # prunes the analysis expressions away (the slow Arrow branch
+            # only touches the non-ASCII minority), so sampling the
+            # analyzed plan directly is one cheap scan — skip the
+            # _analyzed_stage write + readback double-pass entirely and
+            # write the range-partitioned layout in a single job.
+            (analyzed.repartitionByRange(n_parts, "id")
+                     .sortWithinPartitions("id")
+                     .write.mode("overwrite").parquet(analyzed_path))
+        else:
+            # materialize BEFORE range partitioning: repartitionByRange
+            # runs a sampling job over its child, which would re-execute
+            # the whole Python analysis chain a second time. Staged
+            # through parquet, the sample pass is a column-pruned scan of
+            # `id` only.
+            stage_path = f"{index_path}/_analyzed_stage"
+            analyzed.write.mode("overwrite").parquet(stage_path)
+            (spark.read.parquet(stage_path)
+                  .repartitionByRange(n_parts, "id")
+                  .sortWithinPartitions("id")
+                  .write.mode("overwrite").parquet(analyzed_path))
+            _delete_path(spark, stage_path)
         lineage = _per_file_stats(spark, analyzed_path, "id")
         mf.write_manifest(analyzed_path, "analyzed", cfg_doc,
                           metrics={"files": len(lineage),
@@ -187,8 +200,21 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # the salt), and reducer memory = one shard's tf rows — the SPIMI
         # memory budget, tuned via target_docs_per_shard. Each reducer writes
         # exactly one shard directory (no small-file explosion).
+        # reducer count: when the cluster is wider than the shard count
+        # (small builds, local mode), sub-split each shard by a term-hash
+        # bucket — every (shard, term)'s rows still land complete in one
+        # partition (all the kernel needs), but the sort + encode runs at
+        # cluster width instead of num_shards-way. At scale num_shards
+        # >= parallelism and this degenerates to the plain shard split.
+        n_red = max(num_shards, spark.sparkContext.defaultParallelism)
+        if n_red > num_shards:
+            buckets = max(1, (32 * n_red) // num_shards)
+            red_keys = [F.col("shard"),
+                        F.pmod(F.xxhash64("term"), F.lit(buckets))]
+        else:
+            red_keys = [F.col("shard")]
         postings = (tf_rows
-                    .repartition(num_shards, "shard")
+                    .repartition(n_red, *red_keys)
                     .sortWithinPartitions("shard", "term", "docid")
                     .mapInPandas(_make_postings_kernel(cfg.block_size, docs_per_shard),
                                  schema=POSTINGS_SCHEMA))
