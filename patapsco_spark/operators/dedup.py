@@ -385,6 +385,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+CC_DRIVER_EDGE_CAP = 1_000_000  # bounded-collect ceiling for the
+# small-graph fast path below: 1M edges ≈ tens of MB on the driver, the
+# same bounded-collect class as term stats / expansion dictionaries.
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; component =
@@ -416,6 +421,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                       F.col("src").alias("dst")))
              .distinct()
              .localCheckpoint(eager=False))
+    # Small-graph fast path: near-dup pair frames are usually a vanishing
+    # fraction of the corpus, but each propagation round below is a full
+    # Spark job (3 joins + an action) — a handful of rounds costs seconds
+    # of pure scheduling on a graph that fits trivially in driver memory.
+    # Under the documented cap, collect the (checkpointed — computed
+    # exactly once) edge list and run union-find with path compression:
+    # same min-label components, bit-identical output, one job replaced
+    # by O(E α(E)) driver work. Above the cap, the distributed rounds
+    # below remain the scale path.
+    n_edges = edges.count()
+    if n_edges <= CC_DRIVER_EDGE_CAP:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] is not r and parent[r] != r:
+                r = parent[r]
+            while parent[x] is not r and parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        # collect, not toLocalIterator: the latter schedules one sequential
+        # job per partition; the cap already bounds the collected bytes
+        for row in edges.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp: dict = {}
+        for node in parent:
+            r = find(node)
+            comp[r] = min(comp.get(r, node), node)
+        out = [(node, comp[find(node)]) for node in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        typ = edges.schema["src"].dataType
+        schema = StructType([StructField("node", typ),
+                             StructField("comp", typ)])
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("comp", F.col("node")))
     for _ in range(max_iter):

@@ -18,6 +18,16 @@ _TOKENS = lambda c: F.filter(
     F.split(F.trim(F.coalesce(F.col(c), F.lit(""))), r"\s+"),
     lambda t: t != "")
 
+
+def _widen(docs: DataFrame) -> DataFrame:
+    """Small/packed corpora scan as 1-2 partitions; the per-row
+    HOF/regex/hash work in these operators then runs nearly
+    single-threaded on a wide cluster. Widen to session parallelism
+    first (same discipline as dedup._widen; no-op when the scan is
+    already wide — partitioning.scan_width arithmetic)."""
+    from ..partitioning import widen_for_kernel
+    return widen_for_kernel(docs)
+
 # stopword membership as In(lower(t), literals): Catalyst rewrites In over
 # >10 literals to InSet — an O(1) hash lookup per token. The previous
 # array_contains(stop_arr, ...) form linearly scanned the 33-element array
@@ -30,6 +40,7 @@ _IS_STOP = lambda t: F.lower(t).isin(*sorted(LUCENE_ENGLISH_STOPWORDS))
 def token_counts(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """(id, n_tokens, n_distinct, n_chars) per document."""
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     return docs.select(
         F.col(id_col),
@@ -48,6 +59,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     - alpha ratio (fraction of alphabetic chars)
     - repetition: distinct/total token ratio
     """
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, _IS_STOP))
@@ -82,6 +94,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     keeps the operator dependency-free and deterministic: eng if ≥ 12% of
     tokens are English stopwords, zho if CJK chars dominate, else und.
     """
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_ratio = F.size(F.filter(toks, _IS_STOP)) / n_tok
@@ -109,42 +122,59 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     - ``dup_trigram_frac`` fraction of 3-gram occurrences that are repeats
                            (1 − distinct/total)
 
-    Plan shape: the trigram signal is a pure per-row higher-order-function
-    projection (no shuffle); the bigram mode is one explode + two hash
-    aggregations keyed by doc — at 100 TB both run map-side-heavy with the
-    doc id as the only shuffle key."""
+    Plan shape: a pure per-row higher-order-function projection — NO
+    shuffle at all. The bigram mode is found by sorting the row's bigram
+    array and folding run lengths (strictly-greater updates keep the
+    lexicographically-smallest bigram on count ties, identical to the
+    old two-aggregation min(struct(-cnt, bigram)) plan, which shuffled
+    the whole exploded bigram stream twice); the trigram signal was
+    always per-row. At 100 TB this is a single map-side pass."""
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     d = docs.select(F.col(id_col), toks.alias("toks"),
                     F.size(toks).alias("n_tokens"))
     # NB: sequence(1, 0) DESCENDS in Spark, so short docs need the if()
-    # guard, not a greatest() clamp
-    tri = F.expr("if(size(toks) >= 3, transform(sequence(1, size(toks) - 2), "
-                 "i -> concat_ws(' ', slice(toks, i, 3))), "
-                 "cast(array() as array<string>))")
+    # guard, not a greatest() clamp; n-grams via zip_with over shifted
+    # slices (one pass, no per-position slice() allocations)
+    tri = F.expr(
+        "if(size(toks) >= 3, "
+        "zip_with(zip_with(slice(toks, 1, size(toks) - 2), "
+        "                  slice(toks, 2, size(toks) - 2), "
+        "                  (a, b) -> concat(a, ' ', b)), "
+        "         slice(toks, 3, size(toks) - 2), "
+        "         (ab, c) -> concat(ab, ' ', c)), "
+        "cast(array() as array<string>))")
     base = d.select(
         id_col, "toks", "n_tokens",
         F.when(F.size("toks") >= 3,
                F.round(F.lit(1.0) - F.size(F.array_distinct(tri)) /
                        F.greatest(F.size(tri), F.lit(1)), 6))
          .otherwise(0.0).alias("dup_trigram_frac"))
-    bigrams = base.select(
-        id_col,
-        F.explode(F.expr(
-            "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
-            "i -> concat_ws(' ', slice(toks, i, 2))), "
-            "cast(array() as array<string>))")).alias("bigram"))
-    counts = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("cnt"))
-    # argmax with smallest-bigram tie-break: min over (-cnt, bigram) structs
-    top = (counts.groupBy(id_col)
-           .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
-                               F.col("bigram"))).alias("m"))
-           .select(id_col, F.col("m.bigram").alias("top_bigram"),
-                   (-F.col("m.neg")).alias("top_cnt")))
-    return (base.drop("toks").join(top, id_col, "left")
+    bigram_arr = (
+        "if(size(toks) >= 2, "
+        "array_sort(zip_with(slice(toks, 1, size(toks) - 1), "
+        "                    slice(toks, 2, size(toks) - 1), "
+        "                    (a, b) -> concat(a, ' ', b))), "
+        "cast(array() as array<string>))")
+    # run-length fold over the sorted bigrams: (prev, run, best, bestc);
+    # '>' (not '>=') keeps the FIRST = smallest bigram on ties
+    top = F.expr(
+        f"aggregate({bigram_arr}, "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "             'best', cast(null as string), 'bestc', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', if(acc.prev <=> x, acc.run + 1L, 1L), "
+        "  'best', if(if(acc.prev <=> x, acc.run + 1L, 1L) > acc.bestc, "
+        "             x, acc.best), "
+        "  'bestc', if(if(acc.prev <=> x, acc.run + 1L, 1L) > acc.bestc, "
+        "              if(acc.prev <=> x, acc.run + 1L, 1L), acc.bestc)), "
+        "acc -> named_struct('bigram', acc.best, 'cnt', acc.bestc))")
+    return (base.withColumn("m", top).drop("toks")
             .select(id_col, "n_tokens",
-                    "top_bigram",
-                    F.round(F.when(F.col("top_cnt").isNotNull(),
-                                   F.col("top_cnt") * 2 /
+                    F.col("m.bigram").alias("top_bigram"),
+                    F.round(F.when(F.col("m.cnt") > 0,
+                                   F.col("m.cnt") * 2 /
                                    F.greatest(F.col("n_tokens"), F.lit(1)))
                              .otherwise(0.0), 6).alias("top_bigram_frac"),
                     "dup_trigram_frac"))
@@ -157,6 +187,7 @@ def top_ngrams(docs: DataFrame, n: int = 2, k: int = 100,
     aggregation on the n-gram (partial map-side combine collapses the head
     before the shuffle) + TakeOrderedAndProject for the top-k; ties break on
     the n-gram string for determinism."""
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     grams = (docs.select(toks.alias("toks"))
              .select(F.explode(F.expr(
@@ -186,6 +217,7 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, n: int = 13,
     one groupBy on the id (a doc's grams stay partition-local after the
     explode, so the final agg is map-side combinable). Nothing quadratic,
     no shuffle wider than (id, two longs)."""
+    docs = _widen(docs)
     def gram_expr() -> str:
         return (f"if(size(toks) >= {n}, "
                 f"transform(sequence(1, size(toks) - {n - 1}), "
@@ -216,6 +248,7 @@ def fingerprints(docs: DataFrame, shingle: int = 5, id_col: str = "doc_id",
     (a 1-hash MinHash — robust to reordering beyond the shingle window).
     Documents shorter than the shingle fall back to hashing the whole text.
     """
+    docs = _widen(docs)
     toks = _TOKENS(text_col)
     d = docs.select(F.col(id_col), toks.alias("toks"), F.col(text_col))
     exploded = (d.select(id_col, F.posexplode("toks").alias("pos", "tok"), "toks")
@@ -266,6 +299,7 @@ def language_id_multi(docs: DataFrame, id_col: str = "doc_id",
     A real pipeline plugs fasttext/CLD3 via mapInPandas; this stays
     dependency-free and deterministic (same CASE order in the SQL oracle).
     """
+    docs = _widen(docs)
     from ..functions.stopwords import load_stopwords
     toks = _TOKENS(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
@@ -322,6 +356,7 @@ def ulm_perplexity(docs: DataFrame, id_col: str = "doc_id",
     smaller than the token stream; AQE broadcast-converts it when it fits),
     one groupBy(doc) agg. All Catalyst; no collected vocab, no Python.
     Empty docs get NULL entropy/perplexity rather than a sentinel."""
+    docs = _widen(docs)
     toks = (docs.select(F.col(id_col), F.explode(_TOKENS(text_col))
                         .alias("term")))
     lm = toks.groupBy("term").agg(F.count("*").alias("cnt"))
@@ -449,6 +484,7 @@ def sb_perplexity(docs: DataFrame, lm_docs: DataFrame | None = None,
     paper (at 100 TB the tables are built once, stored, and reused across
     scoring runs; AQE broadcast-converts the small tails). All Catalyst,
     no Python."""
+    docs = _widen(docs)
     if lm_path is not None and lm_docs is not None:
         raise ValueError("pass lm_docs or lm_path, not both")
     t = _ngram_stream(docs, id_col, text_col)
@@ -517,6 +553,7 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     replacements apply in a fixed email → ip → phone order, so the oracle
     replays the identical sequence. Pure Catalyst regex — fuses into the
     scan; at 100 TB this runs at I/O speed like the other textstats ops."""
+    docs = _widen(docs)
     # NULL text → size(NULL)=-1 / clean_text NULL; treat NULL as empty
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
@@ -541,6 +578,7 @@ def bpe_token_counts(docs: DataFrame, id_col: str = "doc_id",
     (the pre-merge upper bound on BPE tokens — the number every training
     budget is quoted in) next to the whitespace word count, plus their
     ratio (pieces per word ≈ subword fertility). Pure Catalyst regex."""
+    docs = _widen(docs)
     pieces = F.size(F.regexp_extract_all(
         F.coalesce(F.col(text_col), F.lit("")),
         F.lit(BPE_PIECE_PATTERN), F.lit(0)))
@@ -584,6 +622,7 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id",
     subset. Pure per-row Catalyst — fuses into the scan, no shuffle; at
     100 TB this runs at I/O speed. Non-overlapping regexp_extract_all
     semantics agree between Spark (Java regex) and the DuckDB oracle."""
+    docs = _widen(docs)
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = _TOKENS(text_col)
     n_tok = F.size(toks)
@@ -664,6 +703,9 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
     join of the B-row log-ratio table back onto the raw bigram stream, one
     groupBy(doc) sum. All Catalyst; docs with < 2 tokens get weight 0.0
     (empty product)."""
+    docs = _widen(docs)
+    target = _widen(target)
+
     def buckets(frame: DataFrame) -> DataFrame:
         return (frame
                 .select(F.col(id_col),
@@ -672,10 +714,21 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
                         (F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10)
                          .cast("long") % n_buckets).alias("h")))
 
-    raw_h = buckets(docs)
+    # (doc, bucket) pre-aggregation, materialized ONCE: the corpus bucket
+    # histogram, its total, and the per-doc scoring join all consume
+    # raw_grp (and tgt_cnt twice for the target side) — unpersisted, each
+    # consumer re-ran the full bigram explode + md5 bucketing over the
+    # corpus (6 scans in the old plan; exchange reuse does not fire
+    # across the differently-keyed branches). Same persist + eager
+    # checkpoint + unpersist discipline as dedup.token_jaccard_pairs;
+    # raw_grp is ≤ one (id, bucket, count) row per doc-bucket — far
+    # smaller than the bigram stream it replaces. The per-doc sum weights
+    # each bucket's log-ratio by its count (c·lr ≡ lr summed c times).
+    raw_grp = (buckets(docs).groupBy(id_col, "h")
+               .agg(F.count("*").alias("c"))).persist()
     tgt_cnt = (buckets(target).groupBy("h")
-               .agg(F.count("*").alias("ct")))
-    raw_cnt = raw_h.groupBy("h").agg(F.count("*").alias("cr"))
+               .agg(F.count("*").alias("ct"))).persist()
+    raw_cnt = raw_grp.groupBy("h").agg(F.sum("c").alias("cr"))
     tot = (raw_cnt.agg(F.sum("cr").alias("nr"))
            .crossJoin(tgt_cnt.agg(F.sum("ct").alias("nt"))))
     a, b = float(smoothing), float(n_buckets)
@@ -686,16 +739,20 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
                             / (F.coalesce("nt", F.lit(0)) + a * b))
                       - F.log((F.col("cr") + a) / (F.col("nr") + a * b)))
                      .alias("lr")))
-    per = (raw_h.join(F.broadcast(ratio), "h")
+    per = (raw_grp.join(F.broadcast(ratio), "h")
            .groupBy(id_col)
-           .agg(F.count("*").alias("n_bigrams"),
-                F.sum("lr").alias("lw")))
-    return (docs.select(id_col).join(per, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
-                    .alias("n_bigrams"),
-                    F.round(F.coalesce("lw", F.lit(0.0)), 6)
-                    .alias("log_weight")))
+           .agg(F.sum("c").alias("n_bigrams"),
+                F.sum(F.col("lr") * F.col("c")).alias("lw")))
+    out = (docs.select(id_col).join(per, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                   .alias("n_bigrams"),
+                   F.round(F.coalesce("lw", F.lit(0.0)), 6)
+                   .alias("log_weight")))
+    out = out.localCheckpoint(eager=True)
+    raw_grp.unpersist()
+    tgt_cnt.unpersist()
+    return out
 
 
 def nb_classifier_scores(docs: DataFrame, label, train, *,
@@ -728,6 +785,7 @@ def nb_classifier_scores(docs: DataFrame, label, train, *,
     doc-term frame; scalars (D, T, V — five numbers) are the only driver
     collect. Scoring folds per doc in term order (array_sort fold), so
     log-odds are bit-stable and SQL-replayable."""
+    docs = _widen(docs)
     import math
 
     base = docs.select(F.col(id_col).alias("__id"),
@@ -818,6 +876,7 @@ def pmi_collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
     — map-side partial aggs, one shuffle each), two broadcast joins of
     the k-bounded pair side against the unigram counts, one global top-k
     sort of the floored pairs. No Python, no driver loops."""
+    docs = _widen(docs)
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),

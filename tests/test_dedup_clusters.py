@@ -49,11 +49,28 @@ class TestConnectedComponents:
     def test_empty_pairs(self, spark):
         assert connected_components(_pairs(spark, [])).count() == 0
 
-    def test_nonconvergence_raises(self, spark):
-        # diameter-3 chain cannot settle in one round
+    def test_nonconvergence_raises(self, spark, monkeypatch):
+        # diameter-3 chain cannot settle in one round; force the
+        # distributed rounds (the driver fast path always converges)
+        from patapsco_spark.operators import dedup as dd
+        monkeypatch.setattr(dd, "CC_DRIVER_EDGE_CAP", 0)
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(
                 _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), max_iter=1)
+
+    def test_driver_and_distributed_paths_agree(self, spark, monkeypatch):
+        import random
+
+        from patapsco_spark.operators import dedup as dd
+        rng = random.Random(9)
+        pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        fast = {(r["node"], r["comp"])
+                for r in connected_components(_pairs(spark, pairs)).collect()}
+        monkeypatch.setattr(dd, "CC_DRIVER_EDGE_CAP", 0)
+        slow = {(r["node"], r["comp"])
+                for r in connected_components(_pairs(spark, pairs)).collect()}
+        assert fast == slow
 
 
 class TestDedupClusters:
