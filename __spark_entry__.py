@@ -2006,9 +2006,14 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     percolation is ONE codegen projection per batch: no index, no shuffle,
     no join (plan-guarded in tests/test_percolate.py)."""
     from patapsco_spark.operators.percolate import percolate_texts
+    from patapsco_spark.partitioning import widen_for_kernel
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
-        F.col("doc_id").cast("string").alias("id"), "text")
+    # widen the narrow small-corpus scan HERE, not in the operator:
+    # percolate itself is contractually shuffle-free (one fused
+    # projection — plan-guarded), so the caller owns input parallelism
+    docs = widen_for_kernel(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            F.col("doc_id").cast("string").alias("id"), "text"))
     out = percolate_texts(docs, PERC_QUERIES, text_cfg=RAW_TEXT,
                           lang_col=None)
     return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -4089,7 +4094,9 @@ def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable groupBy and EXACT (documented at the
     operator)."""
     from patapsco_spark.operators.aggs import rare_terms
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from patapsco_spark.partitioning import widen_for_kernel
+    docs = widen_for_kernel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     items = (docs
              .select("doc_id", F.expr(
                  "filter(split(trim(text), ' '), x -> x != '')")

@@ -67,8 +67,21 @@ def sort_by_field(matches: DataFrame, fields: DataFrame, field_col: str,
     docid order is an internal artifact, the external id is not."""
     hit = _with_field(matches, fields, field_col, id_col)
     key = F.asc(field_col) if ascending else F.desc(field_col)
+    # per-bucket pre-cut before the per-query rank (round-5 verdict #3):
+    # the per-query window alone would single-partition an unbounded
+    # match set; cutting to k rows per (query, doc-hash bucket) first
+    # bounds the final window at buckets × k rows — the same two-phase
+    # shape as retrieve's per-shard cut + bounded merge. The global
+    # top-k is invariant: it is a subset of the union of per-bucket
+    # top-ks under the identical (key, doc_id) order.
+    nb = matches.sparkSession.sparkContext.defaultParallelism
+    wb = (Window.partitionBy("query_id",
+                             F.pmod(F.xxhash64("doc_id"), F.lit(nb)))
+          .orderBy(key, F.asc("doc_id")))
+    pre = (hit.withColumn("_rn", F.row_number().over(wb))
+           .where(F.col("_rn") <= k).drop("_rn"))
     w = Window.partitionBy("query_id").orderBy(key, F.asc("doc_id"))
-    return (hit.withColumn("rank", F.row_number().over(w) - 1)
+    return (pre.withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select("query_id", "doc_id", "rank", field_col, "score")
             .orderBy("query_id", "rank"))

@@ -13,6 +13,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Embedding stores often scan as 1-2 partitions; the per-row HOF
+    arithmetic (quantize/dequantize folds, LSH plane dots, batched
+    scoring) then runs nearly single-threaded. Widen to session
+    parallelism (no-op when the scan is already wide)."""
+    from ..partitioning import widen_for_kernel
+    return widen_for_kernel(df)
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -55,7 +64,7 @@ def cosine_topk_many(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """Exact top-k for a batch of query vectors: broadcast the (small) query
     side, score per pair, per-query window top-k."""
-    pairs = embeddings.crossJoin(F.broadcast(queries))
+    pairs = _widen(embeddings).crossJoin(F.broadcast(queries))
     vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     qvec = F.transform(F.col(qvec_col), lambda v: v.cast("double"))
     scored = pairs.select(
@@ -94,7 +103,7 @@ def lsh_cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bucketed = lsh_bucket(embeddings, planes, id_col, vec_col)
+    bucketed = lsh_bucket(_widen(embeddings), planes, id_col, vec_col)
     qsig = 0
     qv = np.asarray(query_vec, dtype=np.float64)
     for i, p in enumerate(planes):
@@ -545,7 +554,7 @@ def sq8_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     measure the quantization recall directly."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
-    enc = sq8_encode(embeddings, id_col, vec_col)
+    enc = sq8_encode(_widen(embeddings), id_col, vec_col)
     deq = F.transform(F.col("codes"),
                       lambda c: c.cast("double") * F.col("scale"))
     scored = enc.select(

@@ -13,8 +13,9 @@ frame — one join, closed-form math per row, no UDF:
 
 - ``geo_distance``: haversine great-circle distance from a fixed origin
   (the exact formula ES documents for its arc distance), optional radius
-  filter, top-k nearest with (distance asc, doc_id asc) tie-break. The
-  orderBy-limit plans as TakeOrderedAndProject — no global sort.
+  filter, top-k nearest PER QUERY with (distance asc, doc_id asc)
+  tie-break — a bucketed pre-cut then a per-query rank over ≤ buckets×k
+  rows, never a global window over the raw match set.
 - ``geotile_grid``: Web-Mercator "slippy map" tiles at a fixed zoom
   (ES's geotile_grid keys, z/x/y), count per tile, top ``size`` buckets
   by (count desc, key asc). One composite groupBy.
@@ -33,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius, ES's arc default
@@ -75,7 +76,23 @@ def geo_distance(matches: DataFrame, geo: DataFrame, origin_lat: float,
     out = hit.select("query_id", "doc_id", d.alias("dist_km"))
     if radius_km is not None:
         out = out.where(F.col("dist_km") <= F.lit(float(radius_km)))
-    return (out.orderBy(F.asc("dist_km"), F.asc("doc_id")).limit(k))
+    # per-QUERY top-k (round-5 advice): the old global orderBy().limit(k)
+    # silently merged and cut ACROSS queries on a multi-query match
+    # frame. Two-phase: per-(query, doc-hash bucket) pre-cut bounds the
+    # final per-query rank window at buckets × k rows (no unpartitioned
+    # window over an unbounded match set); single-query output is
+    # unchanged — the per-query top-k IS the global top-k there.
+    nb = matches.sparkSession.sparkContext.defaultParallelism
+    order = (F.asc("dist_km"), F.asc("doc_id"))
+    wb = (Window.partitionBy("query_id",
+                             F.pmod(F.xxhash64("doc_id"), F.lit(nb)))
+          .orderBy(*order))
+    pre = (out.withColumn("_rn", F.row_number().over(wb))
+           .where(F.col("_rn") <= k).drop("_rn"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (pre.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn")
+            .orderBy("query_id", *order))
 
 
 def geotile_grid(matches: DataFrame, geo: DataFrame, *, zoom: int,
@@ -85,7 +102,12 @@ def geotile_grid(matches: DataFrame, geo: DataFrame, *, zoom: int,
     Web-Mercator map tiles at ``zoom`` (the OSM slippy-map scheme ES
     keys as "z/x/y"), count per tile, top ``size`` by (count desc,
     tile_x asc, tile_y asc). Returns (tile_x, tile_y, cnt); the zoom is
-    the caller's constant. Tiles clamp to [0, 2^z) at the poles."""
+    the caller's constant. Tiles clamp to [0, 2^z) at the poles.
+
+    SINGLE-QUERY CONTRACT (round-5 advice, documented): the output drops
+    query_id, so a multi-query match frame would merge tile counts
+    across queries — pass one query's matches (or pre-filter) per call;
+    the frozen entry/oracle surface is single-query."""
     if not 0 <= zoom <= 29:
         raise ValueError(f"zoom must be in [0, 29], got {zoom}")
     if size < 1:

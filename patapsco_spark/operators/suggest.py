@@ -95,7 +95,11 @@ def _collect_bigram_lm(lm_docs: DataFrame, vocab: list[str],
     the vocab filter pushed in), collected bounded (≤ |vocab| + |vocab|²
     rows). Shared by the phrase suggester and context completions."""
     from ..operators.textstats import _adjacent_pairs
+    from ..partitioning import widen_for_kernel
 
+    # three corpus passes below (token total, unigram agg, bigram agg) —
+    # widen the usually-narrow small-corpus scan once (no-op at scale)
+    lm_docs = widen_for_kernel(lm_docs)
     toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                         lambda t: t != "")
     words = lm_docs.select(F.explode(toks_arr).alias("w"))

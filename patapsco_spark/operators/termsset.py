@@ -71,8 +71,20 @@ def terms_set_topk(spark: SparkSession, index_path: str, terms: list[str],
     hit = (agg.join(vals, "doc_id")
            .where(F.col("_msm").isNotNull()
                   & (F.col("cnt") >= F.greatest(F.col("_msm"), F.lit(1)))))
+    # per-bucket pre-cut before the global rank (round-5 verdict #2): the
+    # unpartitioned window alone would single-partition an unbounded
+    # match set (a match-all terms_set over the corpus); cutting to k
+    # rows per docid-hash bucket first bounds the final window at
+    # buckets × k rows — retrieve's per-shard cut + bounded merge shape.
+    # The global top-k is invariant under the identical (score, docid)
+    # order.
+    nb = spark.sparkContext.defaultParallelism
+    wb = (Window.partitionBy(F.pmod(F.xxhash64("docid"), F.lit(nb)))
+          .orderBy(F.desc("score"), F.asc("docid")))
+    pre = (hit.withColumn("_rn", F.row_number().over(wb))
+           .where(F.col("_rn") <= k).drop("_rn"))
     w = Window.orderBy(F.desc("score"), F.asc("docid"))
-    return (hit.withColumn("rank", F.row_number().over(w) - 1)
+    return (pre.withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select(F.lit(qid).alias("query_id"), "doc_id", "docid",
                     F.col("rank").cast("int"), "score")

@@ -379,6 +379,33 @@ def test_geo_ops_are_pure_catalyst(spark):
         plan = _plan(out)
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
         assert "CartesianProduct" not in plan
-    # the nearest-k cut must be a TakeOrderedAndProject, not a full sort
-    assert "TakeOrderedAndProject" in _plan(
-        geo_distance(matches, geo, 10.0, 20.0, k=5))
+    # the nearest-k cut is two-phase: a bucketed per-query pre-cut below
+    # the (bounded) per-query rank — never one window over the raw set
+    plan = _plan(geo_distance(matches, geo, 10.0, 20.0, k=5))
+    assert "pmod(xxhash64(doc_id" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_unbounded_topk_paths_have_bucketed_precut(spark, idx):
+    """Round-5 verdict #2/#3: terms_set_topk and sort_by_field rank with a
+    docid/doc_id-hash-bucketed pre-cut (k rows per bucket) BELOW the final
+    bounded merge window, so no window ever sees an unbounded match set in
+    a single partition. The pre-cut must be visible in the plan."""
+    from patapsco_spark.operators.aggs import sort_by_field
+    from patapsco_spark.operators.termsset import terms_set_topk
+
+    vals = spark.createDataFrame(
+        [(f"d{i}", 1) for i in range(40)], "doc_id string, req int")
+    plan = _plan(terms_set_topk(spark, idx, ["alpha", "beta"], vals,
+                                "req", k=5, text_cfg=RAW))
+    assert "pmod(xxhash64(docid" in plan
+    assert plan.count("Window") >= 2
+
+    matches = spark.createDataFrame(
+        [("q1", f"d{i}", i, 1.0) for i in range(20)],
+        "query_id string, doc_id string, docid long, score double")
+    fields = spark.createDataFrame(
+        [(f"d{i}", i * 10) for i in range(20)], "doc_id string, a long")
+    plan = _plan(sort_by_field(matches, fields, "a", k=5))
+    assert "pmod(xxhash64(doc_id" in plan
+    assert plan.count("Window") >= 2
