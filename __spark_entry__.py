@@ -1063,13 +1063,22 @@ def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("avgdl", 5).alias("avgdl"), "live_shards")
 
 
-RESHARD_DPS = 37  # 500 docs: build makes 4×125-doc shards → reshard to 14×37
+RESHARD_SHARDS = 14  # the split under test: 4 build shards → 14. The
+# docs-per-shard is DERIVED from the corpus (ceil(num_docs/14)) so the
+# same 4→14 split runs at every scale factor — the previous fixed
+# dps=37 was tuned to the 500-doc gate (where it also meant 14 shards)
+# and produced 1352 tiny shards at sf1.0: the timed cost became pure
+# per-file/listing overhead, not resharding. Results are layout-
+# independent (docid ORDER is preserved by the order-preserving
+# renumber and the declared output carries no docid), so the oracle is
+# unchanged at every sf.
 
 
 def _ensure_resharded_index(spark: SparkSession, sf_dir: str) -> str:
     """A separate index artifact that has been resharded in place
     (streaming/incremental.reshard_index): built at 4 shards, then one
-    full-merge generation flip to RESHARD_DPS docs per shard. Gated on
+    full-merge generation flip to ceil(num_docs/RESHARD_SHARDS) docs per
+    shard. Gated on
     the root manifest's docs_per_shard, so a warm call runs zero jobs."""
     from patapsco_spark.plans import manifest as _mf
     from patapsco_spark.streaming.incremental import reshard_index
@@ -1082,8 +1091,9 @@ def _ensure_resharded_index(spark: SparkSession, sf_dir: str) -> str:
     build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
                 resume=True)
     meta = _mf.read_manifest(path)["config"]
-    if int(meta["docs_per_shard"]) != RESHARD_DPS:
-        reshard_index(spark, path, docs_per_shard=RESHARD_DPS)
+    want = max(1, -(-int(meta["num_docs"]) // RESHARD_SHARDS))
+    if int(meta["docs_per_shard"]) != want:
+        reshard_index(spark, path, docs_per_shard=want)
     return path
 
 
