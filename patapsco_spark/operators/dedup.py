@@ -117,13 +117,119 @@ def _hashed_shingles_arr(text_col: str, shingle: int):
 
 def _token_sets_hashed(docs: DataFrame, id_col: str, text_col: str,
                        shingle: int = 1) -> DataFrame:
-    """(_id, toks sorted-distinct array<long>, sz) per doc, JVM-side."""
+    """(_id, toks distinct array<long> of shingle fingerprints, sz) per
+    doc — the hashed-set frame feeding token_jaccard_pairs.
+
+    Vectorized Arrow kernel (round 6): the Catalyst form
+    (xxhash64-per-token HOF + per-position combine + array_distinct +
+    array_sort) was the single most expensive stage of the jaccard plan
+    (~7.7 s for 2.6M shingles at sf1.0, interpreted per element). The
+    hash values never surface in any output — they feed only set
+    equality (distinct / join keys / array_intersect), the same
+    justification the previous xxhash64 switch documented — so the
+    kernel is free to use its own 64-bit scheme: per-token polynomial
+    char hashes extracted from prefix sums in O(chars) vectorized uint64
+    ops (B odd ⇒ invertible mod 2^64), splitmix-mixed, then a k-token
+    windowed combine, then a global lexsort-dedupe per doc. Tokenization
+    reproduces the Catalyst chain exactly for the engine's semantics:
+    Java trim() strips code points ≤ U+0020 from the ends; Java \\s is
+    ASCII [ \\t\\n\\x0b\\f\\r]."""
+    import re
+
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
     docs = _widen(docs)
-    return (docs
-            .select(F.col(id_col).alias("_id"),
-                    F.array_sort(F.array_distinct(
-                        _hashed_shingles_arr(text_col, shingle))).alias("toks"))
-            .withColumn("sz", F.size("toks")))
+    src = docs.select(F.col(id_col).alias("_id"),
+                      F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+    out_schema = StructType([
+        StructField("_id", src.schema["_id"].dataType),
+        StructField("toks", ArrayType(LongType(), False), False),
+        StructField("sz", IntegerType(), False)])
+    kk = int(shingle)
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        B = np.uint64(0x100000001B3)       # odd ⇒ invertible mod 2^64
+        BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+        C = np.uint64(0x9E3779B97F4A7C15)
+        M1 = np.uint64(0xFF51AFD7ED558CCD)
+        M2 = np.uint64(0xC4CEB9FE1A85EC53)
+        token_re = re.compile("[^ \t\n\x0b\f\r]+")
+        edge = "".join(map(chr, range(0x21)))  # Java trim: cp <= U+0020
+
+        def _mix(x):
+            x = (x ^ (x >> np.uint64(33))) * M1
+            x = (x ^ (x >> np.uint64(33))) * M2
+            return x ^ (x >> np.uint64(33))
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            toks = [token_re.findall(t.strip(edge)) for t in texts]
+            ntok = np.fromiter((len(ts) for ts in toks), dtype=np.int64,
+                               count=len(toks))
+            tlens = np.fromiter(
+                (len(t) for ts in toks for t in ts), dtype=np.int64,
+                count=int(ntok.sum()))
+            if tlens.size:
+                blob = "".join(t for ts in toks for t in ts)
+                chars = np.frombuffer(blob.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.uint64)
+                n = chars.size
+                # prefix trick: Q[j] = sum_{i<j} c[i]·B^{-i}; token hash
+                # over [s,e) = (Q[e]-Q[s])·B^{e-1}, all exact mod 2^64
+                binv_pow = np.multiply.accumulate(
+                    np.full(n, BINV, dtype=np.uint64)) * B  # B^{-0..-(n-1)}
+                b_pow = np.multiply.accumulate(
+                    np.full(n, B, dtype=np.uint64)) * BINV  # B^{0..n-1}
+                q = np.concatenate(
+                    ([np.uint64(0)], np.cumsum(chars * binv_pow)))
+                ends = np.cumsum(tlens)
+                starts = ends - tlens
+                th = _mix((q[ends] - q[starts]) * b_pow[ends - 1])
+            else:
+                th = np.empty(0, dtype=np.uint64)
+            # windowed k-token combine, windows confined to one doc
+            counts = np.maximum(ntok - kk + 1, 0)
+            total = int(counts.sum())
+            if total == 0:
+                empty_offs = np.zeros(len(texts) + 1, dtype=np.int32)
+                yield pa.record_batch(
+                    [ids,
+                     pa.ListArray.from_arrays(
+                         pa.array(empty_offs),
+                         pa.array(np.empty(0, dtype=np.int64))),
+                     pa.array(np.zeros(len(texts), dtype=np.int32))],
+                    names=["_id", "toks", "sz"])
+                continue
+            doc_idx = np.repeat(np.arange(len(toks)), counts)
+            firsts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            local0 = np.arange(total) - np.repeat(firsts, counts)
+            tok_offs = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+            start = tok_offs[doc_idx] + local0
+            h = np.zeros(total, dtype=np.uint64)
+            for j in range(kk):
+                h = h * C + th[start + j]
+            h = _mix(h)
+            order = np.lexsort((h, doc_idx))
+            ds, hs = doc_idx[order], h[order]
+            keep = np.empty(len(hs), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])
+            du, hu = ds[keep], hs[keep]
+            sz = np.bincount(du, minlength=len(toks)).astype(np.int32)
+            offs = np.concatenate(
+                ([0], np.cumsum(sz))).astype(np.int32)
+            yield pa.record_batch(
+                [ids,
+                 pa.ListArray.from_arrays(pa.array(offs),
+                                          pa.array(hu.view(np.int64))),
+                 pa.array(sz)],
+                names=["_id", "toks", "sz"])
+
+    return src.mapInArrow(kernel, out_schema)
 
 
 def _release_after(out: DataFrame, cached: DataFrame,
@@ -233,13 +339,21 @@ def token_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
 
 def _minhash_from_terms(terms: DataFrame, num_hashes: int,
                         id_col: str) -> DataFrame:
-    """MinHash signatures from a prepared (_id, term) distinct frame."""
-    spark = terms.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (terms.crossJoin(F.broadcast(seeds))
-            .groupBy(F.col("_id").alias(id_col), "seed")
-            .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
-                                      F.lit(":"), F.col("term")))).alias("minhash")))
+    """MinHash signatures from a prepared (_id, term) distinct frame.
+
+    One wide aggregation instead of a seeds crossJoin: each term row
+    computes its ``num_hashes`` md5s as separate min-aggregated columns
+    (identical hashes — md5('<seed>:'||term) — in identical min order),
+    then unpivots to the (id, seed, minhash) contract via stack(). The
+    old crossJoin shape multiplied the term stream num_hashes× before
+    the aggregation (42M rows at sf1.0); this touches each term row
+    once with full map-side partial aggregation."""
+    cols = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("term"))))
+            .alias(f"_h{s}") for s in range(num_hashes)]
+    wide = terms.groupBy(F.col("_id").alias(id_col)).agg(*cols)
+    stack = ", ".join(f"{s}, _h{s}" for s in range(num_hashes))
+    return wide.select(F.col(id_col), F.expr(
+        f"stack({num_hashes}, {stack}) as (seed, minhash)"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
