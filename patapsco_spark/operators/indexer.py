@@ -206,7 +206,11 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # partition (all the kernel needs), but the sort + encode runs at
         # cluster width instead of num_shards-way. At scale num_shards
         # >= parallelism and this degenerates to the plain shard split.
+        # Tiny builds (< ~20k docs) keep the plain split: the extra task
+        # and output-file count costs more than the parallelism buys.
         n_red = max(num_shards, spark.sparkContext.defaultParallelism)
+        if n_red > num_shards and num_docs < 20000:
+            n_red = num_shards
         if n_red > num_shards:
             buckets = max(1, (32 * n_red) // num_shards)
             red_keys = [F.col("shard"),
