@@ -255,15 +255,33 @@ def _release_after(out: DataFrame, cached: DataFrame,
     return out
 
 
+VERIFY_BCAST_DOC_CAP = 200_000  # hashed (8-byte) token sets only: 200k
+# docs × ~50 longs ≈ 100 MB built — bounded, far under the broadcast cap.
+
+
 def _verify_jaccard(cand: DataFrame, tok_sets: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect.
 
     The two joins touch only candidate pairs (tiny vs all-pairs), and the
-    intersection runs JVM-side on the sorted token arrays."""
+    intersection runs JVM-side on the sorted token arrays. When the token
+    sets are the HASHED (long) representation and the doc count is under
+    ``VERIFY_BCAST_DOC_CAP``, both sides broadcast: the candidate stream
+    then never shuffles at all (at low thresholds PPJoin candidates run
+    to tens of millions of rows, and the second shuffle-join would carry
+    one full token array per candidate). String token sets (the
+    md5/minhash paths, far fewer candidates) and over-cap corpora keep
+    the shuffle joins."""
+    from pyspark.sql.types import ArrayType, LongType
+
     ta = tok_sets.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"),
                          F.col("sz").alias("sz_a"))
     tb = tok_sets.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"),
                          F.col("sz").alias("sz_b"))
+    toks_t = tok_sets.schema["toks"].dataType
+    if (isinstance(toks_t, ArrayType)
+            and isinstance(toks_t.elementType, LongType)
+            and tok_sets.count() <= VERIFY_BCAST_DOC_CAP):
+        ta, tb = F.broadcast(ta), F.broadcast(tb)
     return (cand.join(ta, "id_a").join(tb, "id_b")
             .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
             .withColumn("jaccard",
