@@ -24,6 +24,7 @@ from patapsco_spark.operators import ann, dedup, textstats
 from patapsco_spark.operators.indexer import build_index
 from patapsco_spark.operators.queryparse import parse_query
 from patapsco_spark.operators.retrieve import search, search_texts
+from patapsco_spark.plans.pqread import read_parquet
 
 # raw text config: lowercase only — keeps the DuckDB oracle expressible
 # (stemming is not SQL); the stem/stopword chain is pinned by pytest goldens
@@ -42,7 +43,7 @@ def _index_path(sf_dir: str) -> str:
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     path = _index_path(sf_dir)
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
                 resume=True)
@@ -53,7 +54,7 @@ def _ensure_pos_index(spark: SparkSession, sf_dir: str) -> str:
     """Positions-enabled index (separate cache: different layout config)."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_idxp_{tag}")
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     build_index(spark, docs, path,
                 IndexConfig(text=RAW_TEXT, num_shards=4, positions=True),
@@ -72,7 +73,7 @@ def _ensure_del_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_idxdel_{tag}")
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
                 resume=True)
@@ -149,7 +150,7 @@ def q_mlt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.retrieve import more_like_this
 
     idx = _ensure_index(spark, sf_dir)
-    like = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    like = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .orderBy("doc_id").select("text").first()[0])
     return _as_result(more_like_this(
         spark, idx, like, RAW_TEXT, min_tf=MLT_MIN_TF, min_df=MLT_MIN_DF,
@@ -265,7 +266,7 @@ def _ensure_upd_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_idxupd_{tag}")
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
                 resume=True)
@@ -379,7 +380,7 @@ def _ensure_fed_indexes(spark: SparkSession, sf_dir: str) -> list:
     the corpus — the multi-index federation fixture (crawl/tenant/time
     slices in production), cached/manifest-gated like _ensure_index."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     in_a = (F.substring(F.md5(F.concat(F.lit("fed-"), F.col("id"))), 1, 1)
             .isin(*FED_HEX))
@@ -421,7 +422,7 @@ def _ensure_field_indexes(spark: SparkSession, sf_dir: str) -> dict:
     indexes are how BM25F composes here: the core indexer is unchanged and
     the field docid spaces align via the shared external-id total order."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text", "lang"))
     toks = F.split(F.col("text"), " ")
     fields = {
@@ -508,7 +509,7 @@ def q_facet_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_index(spark, sf_dir)
     if _mf.read_manifest(f"{idx}/facets/source") is None:
-        docs = spark.read.parquet(
+        docs = read_parquet(spark, 
             os.path.join(sf_dir, "documents.parquet")).select(
             F.col("doc_id").cast("string").alias("id"), "source")
         build_facet_sidecar(spark, idx, docs, "source",
@@ -527,7 +528,7 @@ def _ensure_dv_sidecar(spark: SparkSession, sf_dir: str, idx: str) -> None:
     from patapsco_spark.plans import manifest as _mf
 
     if _mf.read_manifest(f"{idx}/doc_values/n_chars") is None:
-        docs = spark.read.parquet(
+        docs = read_parquet(spark, 
             os.path.join(sf_dir, "documents.parquet")).select(
             F.col("doc_id").cast("string").alias("id"), "n_chars")
         build_value_sidecar(spark, idx, docs, "n_chars",
@@ -607,7 +608,7 @@ def q_dv_filtered_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     _ensure_dv_sidecar(spark, sf_dir, idx)
     if _mf.read_manifest(f"{idx}/facets/source") is None:
-        docs = spark.read.parquet(
+        docs = read_parquet(spark, 
             os.path.join(sf_dir, "documents.parquet")).select(
             F.col("doc_id").cast("string").alias("id"), "source")
         build_facet_sidecar(spark, idx, docs, "source",
@@ -672,7 +673,7 @@ def q_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     res = search_texts(spark, idx, [("q1", BM25_QUERY)],
                        RetrieveConfig(k=COLLAPSE_DEPTH), text_cfg=RAW_TEXT)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).select(
         F.col("doc_id").cast("string").alias("doc_id"), "source")
     out = collapse_results(res, docs, "source", per_key=1, k=K)
     return out.select(
@@ -1006,7 +1007,7 @@ def q_bm25_prior_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    search_with_prior)
 
     idx = _ensure_index(spark, sf_dir)
-    priors = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    priors = (read_parquet(spark, f"{sf_dir}/documents.parquet")
               .select(F.col("doc_id").cast("string").alias("doc_id"),
                       (F.conv(F.substring(
                           F.md5(F.concat(F.lit("prior-"), F.col("doc_id")
@@ -1085,7 +1086,7 @@ def _ensure_resharded_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_idxr_{tag}")
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text",
                     "lang"))
     build_index(spark, docs, path, IndexConfig(text=RAW_TEXT, num_shards=4),
@@ -1124,7 +1125,7 @@ def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     matches = match_set_texts(spark, idx, [("q1", BM25_QUERY)],
                               RetrieveConfig(k=K), text_cfg=RAW_TEXT)
-    fields = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fields = (read_parquet(spark, f"{sf_dir}/documents.parquet")
               .select(F.col("doc_id").cast("string").alias("doc_id"),
                       "source"))
     out = top_hits(matches, fields, "source", n=TOP_HITS_N)
@@ -1163,7 +1164,7 @@ def q_filtered_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    search_filtered)
 
     idx = _ensure_index(spark, sf_dir)
-    fields = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fields = (read_parquet(spark, f"{sf_dir}/documents.parquet")
               .select(F.col("doc_id").cast("string").alias("doc_id"),
                       "source", "n_chars"))
     plans = process_queries([("q1", BM25_QUERY)], RAW_TEXT, lang="eng",
@@ -1187,7 +1188,7 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.suggest import suggest_phrase
 
     idx = _ensure_index(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = suggest_phrase(spark, idx, PHRASE_SUGGEST_INPUT, docs,
                          k=PHRASE_SUGGEST_K,
                          max_candidates=PHRASE_SUGGEST_MC)
@@ -1206,7 +1207,7 @@ def q_context_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.suggest import suggest_completions_context
 
     idx = _ensure_index(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = suggest_completions_context(spark, idx, CTX_PREFIX, CTX_PREV,
                                       docs, k=10, max_candidates=CTX_MC)
     return out.select("suggestion", F.round("prob", 6).alias("prob"), "cf")
@@ -1293,7 +1294,7 @@ def q_rank_feature_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    search_with_rank_feature)
 
     idx = _ensure_index(spark, sf_dir)
-    feats = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = (read_parquet(spark, f"{sf_dir}/documents.parquet")
              .select(F.col("doc_id").cast("string").alias("doc_id"),
                      (F.conv(F.substring(
                          F.md5(F.concat(F.lit("feat-"), F.col("doc_id")
@@ -1352,7 +1353,7 @@ def q_recency_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    search_with_decay)
 
     idx = _ensure_index(spark, sf_dir)
-    ages = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ages = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("doc_id"),
                     (F.conv(F.substring(
                         F.md5(F.concat(F.lit("age-"), F.col("doc_id")
@@ -1445,7 +1446,7 @@ def _ensure_passage_index(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_idxbj_{tag}")
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (read_parquet(spark, f"{sf_dir}/documents.parquet")
             .select(F.col("doc_id").cast("string").alias("id"), "text",
                     "lang"))
     children = passage_children(docs, window=PASS_W, stride=PASS_S)
@@ -1608,7 +1609,7 @@ def _bm25_match_set(spark: SparkSession, sf_dir: str):
     idx = _ensure_index(spark, sf_dir)
     matches = match_set_texts(spark, idx, [("q1", BM25_QUERY)],
                               text_cfg=RAW_TEXT)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
     return matches, docs
 
 
@@ -1645,7 +1646,7 @@ def q_terms_set_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.termsset import terms_set_topk
 
     idx = _ensure_index(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
     vals = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                        (F.lit(2) + F.col("n_chars") % 3).alias("req"))
     res = terms_set_topk(spark, idx, BM25_QUERY.split(), vals, "req",
@@ -1945,7 +1946,7 @@ def _geo_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
             1, 4), 16, 10).cast("double") / F.lit(65535.0))
 
-    return (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return (read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
             .select(F.col("doc_id").cast("string").alias("doc_id"),
                     (h16("lat-") * 170.0 - 85.0).alias("lat"),
                     (h16("lon-") * 360.0 - 180.0).alias("lon")))
@@ -2022,7 +2023,7 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percolate itself is contractually shuffle-free (one fused
     # projection — plan-guarded), so the caller owns input parallelism
     docs = widen_for_kernel(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).select(
             F.col("doc_id").cast("string").alias("id"), "text"))
     out = percolate_texts(docs, PERC_QUERIES, text_cfg=RAW_TEXT,
                           lang_col=None)
@@ -2293,7 +2294,7 @@ def q_phrase_qld(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = textstats.token_counts(docs)
     return out.select("doc_id",
                       F.col("n_tokens").cast("long"),
@@ -2302,7 +2303,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = textstats.quality_scores(docs)
     return out.select("doc_id", F.col("n_tokens").cast("long"),
                       "mean_word_len", "stopword_ratio", "alpha_ratio",
@@ -2310,7 +2311,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.language_id(docs)
 
 
@@ -2319,7 +2320,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate next to whitespace words, RE2-compatible pattern so the
     DuckDB oracle replays the identical regex (cross-engine agreement
     probed on apostrophes, CJK, runs of spaces)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.bpe_token_counts(docs)
 
 
@@ -2330,7 +2331,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     3rd doc, footer on every 2nd) — the oracle replays the same injection
     literally; the operator must strip exactly those lines (each appears in
     ~n/3 and ~n/2 docs ≫ min_docs=50) and keep every original text line."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     injected = docs.select(
         "doc_id",
         F.concat_ws(
@@ -2351,7 +2352,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural repeats in the synthetic text are removed identically by the
     Spark plan and the DuckDB oracle, so the injection only ensures the
     operator is exercised, not what it may match."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     injected = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 7 == 0,
@@ -2376,7 +2377,7 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     that only become byte-identical after boilerplate removal, the classic
     real-web ordering dependence this recipe exists to handle."""
     from patapsco_spark.operators import recipes
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     injected = docs.select(
         "doc_id",
         F.concat_ws(
@@ -2396,7 +2397,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced in a fixed order. PII is injected deterministically by doc_id
     arithmetic (the flat corpus has none) and the oracle replays injection
     + the identical RE2-compatible patterns + the same replace order."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     injected = docs.select(
         "doc_id",
         F.concat_ws(
@@ -2419,7 +2420,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (bullet header on every 5th doc, trailing-... teaser on
     every 7th, # spam on every 11th); the oracle replays the injection
     and the identical rule expressions."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     injected = docs.select(
         "doc_id",
         F.concat_ws(
@@ -2440,7 +2441,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable md5-prefix hash as the indexer, so the DuckDB oracle
     replays bucket counts exactly; the per-doc sum of per-bucket doubles
     is rounded to 6 places on both sides."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     target = docs.where(F.col("doc_id") % 7 == 0)
     return textstats.dsir_logweights(docs, target)
 
@@ -2450,7 +2451,7 @@ def q_ulm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM quality filter shape with a dependency-free LM. Exact SQL replay —
     the LM is the corpus's own term counts, so DuckDB recomputes it
     identically."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.ulm_perplexity(docs)
 
 
@@ -2467,7 +2468,7 @@ def q_sb_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, so a wrong backoff weight, a missed doc-head case, OOV
     mishandling, or context/continuation count confusion all
     hash-mismatch."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     lm = docs.where(
         F.substring(F.md5(F.concat(F.lit("lm-"),
                                    F.col("doc_id").cast("string"))), 1, 1)
@@ -2480,12 +2481,12 @@ def q_language_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language stopword occurrence rates over the shipped Lucene lists
     (textstats.language_id_multi). The oracle embeds the same lists as IN
     literals and replays the same CASE order."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.language_id_multi(docs)
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.fingerprints(docs, shingle=5)
 
 
@@ -2493,7 +2494,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (top-bigram coverage,
     duplicate-trigram fraction) — the boilerplate/spam filters of
     web-scale training-data pipelines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.repetition_stats(docs).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         "top_bigram", "top_bigram_frac", "dup_trigram_frac")
@@ -2501,7 +2502,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-100 bigrams (contamination/boilerplate lists)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return textstats.top_ngrams(docs, n=2, k=100)
 
 
@@ -2519,7 +2520,7 @@ def q_approx_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from patapsco_spark.operators.aggs import approx_top_terms
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     items = (docs.select("doc_id",
                          F.explode(F.split("text", " ")).alias("term"))
              .where(F.col("term") != "").distinct())
@@ -2541,7 +2542,7 @@ def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets' data at the scan when the table is laid out by the leading
     key. doc_count + avg chars per bucket."""
     from patapsco_spark.operators.aggs import composite_buckets
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = composite_buckets(
         docs, ["lang", "source"], size=COMPOSITE_SIZE,
         after=COMPOSITE_AFTER,
@@ -2557,7 +2558,7 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-grams, how many appear in the eval set, and the contamination
     ratio. Eval grams broadcast; corpus side is one narrow explode +
     map-side-combinable agg."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     ev = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     out = textstats.ngram_contamination(corpus, ev, n=3)
@@ -2573,7 +2574,7 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays every canonicalization rule in DuckDB SQL."""
     from patapsco_spark.operators.weburl import domain_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     m3 = F.col("doc_id") % 3
     url = F.concat(
         F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 7).cast("string"),
@@ -2586,7 +2587,7 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     # report every hash group (the >1 filter may legitimately be empty on
     # synthetic data; group counts give a stronger correctness signal)
     return (docs.select(F.md5("text").alias("text_hash"), "doc_id")
@@ -2596,7 +2597,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.minhash_signatures(docs, num_hashes=4).select(
         "doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
@@ -2605,7 +2606,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-word shingles: unigram sets don't discriminate on a small-vocab
     # corpus (every pair would match), and shingling is what web-scale
     # near-dup pipelines hash anyway
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
 
 
@@ -2617,7 +2618,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals + broadcast bases, operators/packing.py); the oracle is the
     single-window SQL SUM OVER ORDER BY it must equal exactly."""
     from patapsco_spark.operators.packing import pack_sequences
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return pack_sequences(docs, seq_len=512)
 
 
@@ -2627,7 +2628,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across runs, engines, and partitionings, unlike
     DataFrame.sample. Oracle replays the same CASE'd hex comparison."""
     from patapsco_spark.operators.sampling import stratified_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = stratified_sample(docs, "lang",
                             {"en": 0.5, "zh": 0.2, "es": 0.2},
                             key_col="doc_id", salt="s0",
@@ -2647,7 +2648,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same hex-threshold comparison, entirely in SQL."""
     from patapsco_spark.operators.sampling import temperature_sample
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     budget = int(TEMP_BUDGET_SHARE * docs.count())
     out = temperature_sample(docs, "lang", "doc_id", alpha=TEMP_ALPHA,
                              budget_rows=budget, salt="t0")
@@ -2668,7 +2669,7 @@ def q_cross_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, the side-asymmetric bucket join, and the verification."""
     from patapsco_spark.operators.dedup import cross_decontamination
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
                     lambda t: t != "")
     eval_docs = (docs.where(F.col("doc_id") % XDECON_MOD == 0)
@@ -2699,7 +2700,7 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-ordered fold entirely in SQL."""
     from patapsco_spark.operators.textstats import nb_classifier_scores
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     label = F.col("n_chars") >= NB_LABEL_CHARS
     train = F.substring(
         F.md5(F.concat(F.lit("nb:"), F.col("doc_id").cast("string"))),
@@ -2716,7 +2717,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     that turns pairwise output into a keep-one dedup decision (A~B and B~C
     collapse into one cluster even when A~C was never emitted). Oracle
     replays the pair SQL and closes it transitively with a recursive CTE."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup.token_jaccard_pairs(docs, threshold=0.5, shingle=3)
     return dedup.dedup_clusters(pairs)
 
@@ -2725,17 +2726,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH near-dup pairs, exact-Jaccard-verified. Fully oracled:
     every hash in the chain is md5 (engine-portable), so DuckDB reproduces
     the minhashes, band buckets, candidate join, and verification exactly."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.near_duplicates_minhash(docs, threshold=0.5, shingle=3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return dedup.simhash64(docs)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = ann.cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
     return out.select(F.col("vec_id").cast("long"), "cosine")
@@ -2747,7 +2748,7 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IVFADC's asymmetric-distance shape). The oracle replays quantize →
     dequantize → cosine exactly — round() ties break away from zero in
     both engines."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = ann.sq8_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
     return out.select(F.col("vec_id").cast("long"), "cosine")
@@ -2757,7 +2758,7 @@ def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact ANN: top-5 per query for a broadcast batch of query
     vectors (vec_id 0-2) against the rest — the many-queries shape of
     embedding retrieval (one scan, per-query window top-k)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     queries = (emb.where(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
@@ -2770,7 +2771,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate w.r.t. brute force (recall pinned in pytest), but fully
     # deterministic w.r.t. the algorithm — the oracle replays the seeded
     # hyperplanes, bucket signatures and Hamming<=1 probe in SQL
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     out = ann.lsh_cosine_topk(emb.where(F.col("vec_id") != 0), list(qvec), k=10)
     return out.select(F.col("vec_id").cast("long"), "cosine")
@@ -2783,7 +2784,7 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text`` — any extraction byte-drift breaks the md5 match."""
     from patapsco_spark.sources.webpages import extract_text_series, render_html_series
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
     def roundtrip(batches):
         import pandas as pd
@@ -2975,7 +2976,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays token/pair counts and the exact PMI expression."""
     from patapsco_spark.operators.textstats import pmi_collocations
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     out = pmi_collocations(docs, k=PMI_K, min_count=PMI_MIN)
     return out.select("w1", "w2", "pair_count",
                       F.round("pmi", 6).alias("pmi"))
@@ -3859,7 +3860,7 @@ def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from patapsco_spark.operators.evaluate import evaluate_run
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     scored = docs.select(
         F.col("lang").alias("query_id"),
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -3882,7 +3883,7 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents table; per-item kind, size, body digest."""
     from patapsco_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     media = mm.attach_media(docs)
     return mm.media_stats(media)
 
@@ -3891,19 +3892,19 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling (UDTF-style explode in an Arrow kernel)."""
     from patapsco_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return mm.sample_frames(mm.attach_media(docs), every_n=10)
 
 
 def q_image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return mm.resize_images(mm.attach_media(docs), target_width=64)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     return ann.cosine_pairs(emb, threshold=0.4)
 
 
@@ -3912,7 +3913,7 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine near-dup pair graph — the embedding-space sibling of
     dedup_clusters (same min-label propagation; text near-dups and
     embedding near-dups both need pairs collapsed into keep-one sets)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     pairs = ann.cosine_pairs(emb, threshold=0.4)
     return dedup.dedup_clusters(pairs)
 
@@ -3926,7 +3927,7 @@ def _ensure_ivf(spark: SparkSession, sf_dir: str) -> str:
     mirroring _ensure_index's resume discipline."""
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_ivf_{tag}")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     ann.ivf_write(spark, emb.where(F.col("vec_id") != 0), path,
                   n_cells=IVF_CELLS, iters=IVF_ITERS, seed=IVF_SEED,
                   resume=True)
@@ -3945,7 +3946,7 @@ def _ensure_ivf_append(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pspark_ivfa_{tag}")
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (read_parquet(spark, f"{sf_dir}/embeddings.parquet")
            .where(F.col("vec_id") != 0))
     split = F.substring(
         F.md5(F.concat(F.lit("ivfsplit:"), F.col("vec_id").cast("string"))),
@@ -3964,7 +3965,7 @@ def q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     second committed generation — then the same nprobe query spans both
     generations. The oracle replays Lloyd on the train half only and the
     final all-vector assignment (= build + frozen-centroid append) in SQL."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding") \
         .first()["embedding"]
     cents, assigned = ann.ivf_read(spark, _ensure_ivf_append(spark, sf_dir))
@@ -3992,7 +3993,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pair join quadratic — 595 s)."""
     from patapsco_spark.operators.dedup import semdedup
 
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = (read_parquet(spark, f"{sf_dir}/embeddings.parquet")
            .where(F.col("vec_id") != 0))
     n_cells = max(IVF_CELLS, emb.count() // 250)
     _kept, removed = semdedup(emb, n_cells=n_cells, iters=IVF_ITERS,
@@ -4011,7 +4012,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d2, cell) tie-breaks, per-dim means, empty-cell carry-over), the
     nprobe cell probe, and the exact re-rank in SQL. The index itself is a
     persisted artifact (ann.ivf_write) — a warm call runs ZERO Lloyd jobs."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
     out = ann.ivf_topk(assigned, cents, list(qvec), k=10, nprobe=IVF_NPROBE)
@@ -4028,7 +4029,7 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selectivity escape to an exact filtered scan when the probe holds
     fewer than k matches. Oracle = the full k-means replay with the
     predicate and the escape CASE spliced into the candidate CTE."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
     out = ann.ivf_filtered_topk(
@@ -4044,7 +4045,7 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-precision query — the composition trillion-vector stores run
     (prune which vectors, shrink bytes per vector). Oracle = the full IVF
     k-means replay with the SQ8 dequantize spliced into the scoring CTE."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet(spark, f"{sf_dir}/embeddings.parquet")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     cents, assigned = ann.ivf_read(spark, _ensure_ivf(spark, sf_dir))
     out = ann.ivf_sq8_topk(assigned, cents, list(qvec), k=10,
@@ -4054,7 +4055,7 @@ def q_ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     w = Window.partitionBy("l_orderkey").orderBy(
         F.desc("l_extendedprice"), F.asc("l_linenumber"))
     return (li.withColumn("rn", F.row_number().over(w))
@@ -4065,7 +4066,7 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     return (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum("l_quantity").cast("double").alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
@@ -4074,9 +4075,9 @@ def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    c = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    n = read_parquet(spark, f"{sf_dir}/nation.parquet")
     return (o.join(c, o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy("n_name")
@@ -4085,7 +4086,7 @@ def q_join_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return (ev.groupBy(F.col("user_id").cast("long").alias("user_id"),
                        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
             .agg(F.count("*").alias("n"),
@@ -4106,7 +4107,7 @@ def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.aggs import rare_terms
     from patapsco_spark.partitioning import widen_for_kernel
     docs = widen_for_kernel(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        read_parquet(spark, f"{sf_dir}/documents.parquet"))
     items = (docs
              .select("doc_id", F.expr(
                  "filter(split(trim(text), ' '), x -> x != '')")
@@ -4128,7 +4129,7 @@ def q_events_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES offset-shift-then-truncate semantics a fixed-interval histogram
     (events_hourly) can't express."""
     from patapsco_spark.operators.aggs import date_histogram
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     out = date_histogram(ev, "ts", interval="week",
                          offset_minutes=DH_OFFSET_MIN,
                          metrics={"sum_value": F.round(F.sum("value"), 5)})
@@ -4145,7 +4146,7 @@ def q_pipeline_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from patapsco_spark.operators.aggs import (cumulative_sum,
                                                date_histogram, derivative,
                                                moving_avg)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     b = date_histogram(ev, "ts", interval="week",
                        offset_minutes=DH_OFFSET_MIN)
     b = b.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
@@ -4170,7 +4171,7 @@ def q_pipeline_weekly2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                date_histogram,
                                                normalize_buckets,
                                                serial_diff)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     b = date_histogram(ev, "ts", interval="week",
                        offset_minutes=DH_OFFSET_MIN)
     b = b.select(F.date_format("bucket", "yyyy-MM-dd").alias("week"),
@@ -4189,7 +4190,7 @@ def q_bucket_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the per-source doc_count metric across all buckets of a terms
     aggregation — the *_bucket sibling family in one row."""
     from patapsco_spark.operators.aggs import bucket_stats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     b = docs.groupBy("source").agg(F.count("*").alias("doc_count"))
     out = bucket_stats(b, "doc_count")
     return out.select(F.col("count").cast("long"),
@@ -4212,7 +4213,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the islands with a lag/cumsum break at diff > gap."""
     from patapsco_spark.streaming.windows import sessionize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     s = sessionize(ev, gap=SESSION_GAP)
     # timestamps compare as full-precision wall-clock strings (tz-free —
     # the parquet ts is TIMESTAMP_NTZ, same convention as events_hourly)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.pqread import read_parquet
 
 
 def _widen(df: DataFrame) -> DataFrame:
@@ -513,7 +514,7 @@ def ivf_read(spark, path: str, id_col: str = "vec_id",
     if man is None or man.get("stage") != "ivf":
         raise FileNotFoundError(f"no IVF index at {path}")
     cents = np.asarray(man["metrics"]["centroids"], dtype=np.float64)
-    raw = spark.read.parquet(f"{path}/assigned")
+    raw = read_parquet(spark, f"{path}/assigned")
     if "gen" in raw.columns:  # layout 2: only manifest-committed gens
         gens = [int(g) for g in man["metrics"].get("gens", [0])]
         raw = raw.where(F.col("gen").isin(gens))

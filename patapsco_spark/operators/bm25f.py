@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from .queryparse import iter_term_clauses
 from .retrieve import _TermHandle, load_index_meta, process_queries
+from ..plans.pqread import read_parquet
 
 _TF_SCHEMA = "term string, docid long, tf int, dlq int"
 
@@ -128,9 +129,9 @@ def term_postings_frame(spark: SparkSession, index_path: str,
     terms = sorted(set(terms))
     if not terms or int(meta["num_docs"]) == 0:
         return spark.createDataFrame([], _TF_SCHEMA)
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("term").isin(terms) & live_pred))
-    packed = (spark.read.parquet(f"{index_path}/norms_packed")
+    packed = (read_parquet(spark, f"{index_path}/norms_packed")
               .where(live_pred))
     deleted = tombstone_arrays(spark, index_path, meta)
     kernel = _make_tf_kernel(docs_per_shard, deleted)
@@ -253,7 +254,7 @@ def search_bm25f(spark: SparkSession, field_indexes: Mapping[str, str],
     dps = int(metas[f0]["docs_per_shard"])
     hits = topk.withColumn("shard",
                            (F.col("docid") / F.lit(dps)).cast("int"))
-    norms = (spark.read.parquet(f"{field_indexes[f0]}/norms")
+    norms = (read_parquet(spark, f"{field_indexes[f0]}/norms")
              .where(live_shard_pred(metas[f0]))
              .select("shard", "docid", F.col("id").alias("doc_id")))
     return (norms.join(F.broadcast(hits), ["shard", "docid"])
@@ -405,7 +406,7 @@ def search_cross_fields(spark: SparkSession,
     dps = int(metas[f0]["docs_per_shard"])
     hits = topk.withColumn("shard",
                            (F.col("docid") / F.lit(dps)).cast("int"))
-    norms = (spark.read.parquet(f"{field_indexes[f0]}/norms")
+    norms = (read_parquet(spark, f"{field_indexes[f0]}/norms")
              .where(live_shard_pred(metas[f0]))
              .select("shard", "docid", F.col("id").alias("doc_id")))
     return (norms.join(F.broadcast(hits), ["shard", "docid"])

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans import manifest as mf
+from ..plans.pqread import read_parquet
 
 SAMPLE = 5  # offenders listed per failed check
 
@@ -96,7 +97,7 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
     dps = int(meta["docs_per_shard"])
     live = live_shard_pred(meta)
 
-    norms = spark.read.parquet(f"{index_path}/norms").where(live)
+    norms = read_parquet(spark, f"{index_path}/norms").where(live)
 
     # ---- norms_dense + global_stats in ONE pass over norms --------------
     # (cached: one row per shard feeds three downstream actions — without
@@ -127,7 +128,7 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
                      "avgdl": float(meta["avgdl"])}}
 
     # ---- norms_packed ----------------------------------------------------
-    packed = (spark.read.parquet(f"{index_path}/norms_packed").where(live)
+    packed = (read_parquet(spark, f"{index_path}/norms_packed").where(live)
               .groupBy("shard")
               .agg(F.count("*").alias("rows"), F.first("base").alias("base"),
                    F.first("n").alias("pn"),
@@ -146,7 +147,7 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
     per.unpersist()
 
     # ---- term_stats vs postings ------------------------------------------
-    posts = spark.read.parquet(f"{index_path}/postings").where(live)
+    posts = read_parquet(spark, f"{index_path}/postings").where(live)
     from_posts = posts.groupBy("term").agg(F.sum("df").alias("pdf"),
                                            F.sum("cf").alias("pcf"))
     stats = read_term_stats(spark, index_path)
@@ -176,7 +177,7 @@ def check_index(spark: SparkSession, index_path: str, deep: bool = False,
 
     # ---- positions sidecar ------------------------------------------------
     if meta.get("positions"):
-        pos = spark.read.parquet(f"{index_path}/positions").where(live)
+        pos = read_parquet(spark, f"{index_path}/positions").where(live)
         orphans = (pos.select("shard", "docid").distinct()
                    .join(norms.select("shard", "docid"),
                          ["shard", "docid"], "left_anti"))

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from ..plans import fsio
 from ..plans import manifest as mf
+from ..plans.pqread import read_parquet
 
 DELETES_SCHEMA = "shard int, docid long, id string"
 
@@ -131,7 +132,7 @@ def delete_docs(spark: SparkSession, index_path: str,
         ids = spark.createDataFrame([(str(i),) for i in ids], f"{id_col} string")
     ids_df = ids.select(F.col(id_col).cast("string").alias("id")).distinct()
 
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_shard_pred(meta))
              .select("shard", "docid", "id"))
     if before_shard is not None:

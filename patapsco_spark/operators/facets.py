@@ -42,6 +42,7 @@ from ..config import RetrieveConfig, TextConfig
 from ..plans import manifest as mf
 from .queryparse import MUST, MUST_NOT, QueryPlan, iter_term_clauses
 from .retrieve import _TermHandle, load_index_meta, process_queries
+from ..plans.pqread import read_parquet
 
 _MISSING = -1  # code for docs without an attribute row — never counted
 
@@ -92,7 +93,7 @@ def build_facet_sidecar(spark: SparkSession, index_path: str,
 
     # one shuffle of the id↔key join (build-time, doc-values cost class);
     # the dictionary side broadcasts
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .select("shard", "docid", "id"))
     coded = (norms.join(kdf, "id", "left")
              .join(F.broadcast(dict_df), "key", "left")
@@ -185,7 +186,7 @@ def _join_dv(spark: SparkSession, index_path: str, packed: DataFrame,
     """LEFT-join a value sidecar's blobs as a ``dv`` column onto a packed
     per-shard frame — left so a shard missing its blob reaches the
     kernel's loud refusal instead of silently dropping out."""
-    dvp = (spark.read.parquet(f"{index_path}/doc_values/{dv_name}/packed")
+    dvp = (read_parquet(spark, f"{index_path}/doc_values/{dv_name}/packed")
            .where(live_pred)
            .select("shard", F.col("values").alias("dv")))
     return packed.join(dvp, "shard", "left")
@@ -325,11 +326,11 @@ def facet_counts(spark: SparkSession, index_path: str,
     if not all_terms:
         return spark.createDataFrame([], "query_id string, key string, count long")
 
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("term").isin(all_terms) & live_pred))
-    packed = (spark.read.parquet(f"{index_path}/facets/{name}/packed")
+    packed = (read_parquet(spark, f"{index_path}/facets/{name}/packed")
               .where(live_pred))
-    dict_df = spark.read.parquet(f"{index_path}/facets/{name}/dict")
+    dict_df = read_parquet(spark, f"{index_path}/facets/{name}/dict")
     dv_range = None
     if dv_filter is not None:
         dv_name, dv_range = _dv_bounds(dv_filter)
@@ -401,7 +402,7 @@ def build_value_sidecar(spark: SparkSession, index_path: str,
     docs_per_shard = int(meta["docs_per_shard"])
     vdf = values.select(F.col(id_col).cast("string").alias("id"),
                         F.col(value_col).cast("double").alias("value"))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .select("shard", "docid", "id"))
     packed = (norms.join(vdf, "id", "left")
               .select("shard", "docid", "value")
@@ -569,9 +570,9 @@ def value_histogram(spark: SparkSession, index_path: str,
         return spark.createDataFrame(
             [], "query_id string, bucket double, count long")
 
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("term").isin(all_terms) & live_pred))
-    packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
+    packed = (read_parquet(spark, f"{index_path}/doc_values/{name}/packed")
               .where(live_pred))
     dv_range = None
     if dv_filter is not None:
@@ -646,9 +647,9 @@ def sort_values_topk(spark: SparkSession, index_path: str,
     if not all_terms:
         return spark.createDataFrame([], out_schema)
 
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("term").isin(all_terms) & live_pred))
-    packed = (spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
+    packed = (read_parquet(spark, f"{index_path}/doc_values/{name}/packed")
               .where(live_pred))
     dv_range = None
     if dv_filter is not None:
@@ -679,7 +680,7 @@ def sort_values_topk(spark: SparkSession, index_path: str,
     hits = topk.withColumn("shard",
                            (F.col("docid") / F.lit(docs_per_shard))
                            .cast("int"))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", F.col("id").alias("doc_id")))
     return (norms.join(F.broadcast(hits), ["shard", "docid"])

@@ -46,6 +46,7 @@ from ..functions.analyze import analyze_documents
 from ..functions.codec import block_meta, encode_postings_blocked
 from ..functions.smallfloat import quantize_length
 from ..plans import manifest as mf
+from ..plans.pqread import read_parquet
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df long, cf long, max_tf long, "
@@ -114,7 +115,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
             # `id` only.
             stage_path = f"{index_path}/_analyzed_stage"
             analyzed.write.mode("overwrite").parquet(stage_path)
-            (spark.read.parquet(stage_path)
+            (read_parquet(spark, stage_path)
                   .repartitionByRange(n_parts, "id")
                   .sortWithinPartitions("id")
                   .write.mode("overwrite").parquet(analyzed_path))
@@ -148,7 +149,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
 
     if not (resume and mf.is_complete(postings_path, "postings", build_cfg)):
         built_any = True
-        analyzed_df = spark.read.parquet(analyzed_path)
+        analyzed_df = read_parquet(spark, analyzed_path)
         docided = _assign_docids(analyzed_df, offsets, docs_per_shard)
 
         # norms: one row per doc; the scorer derives the Lucene norm byte by
@@ -172,7 +173,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # partitioned by shard (one tiny blob row per shard directory) so a
         # streaming append can dynamic-partition-overwrite exactly its own
         # new shards — the idempotent-replay unit (see streaming/incremental)
-        packed = (spark.read.parquet(norms_path)
+        packed = (read_parquet(spark, norms_path)
                   .groupBy("shard")
                   .applyInPandas(_pack_norms(docs_per_shard),
                                  schema="shard int, base long, n long, codes binary"))
@@ -256,7 +257,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
         # each streaming append adds a seg=<first new shard> delta computed
         # from its new shards only (no full-postings rescan per micro-batch).
         # Readers aggregate df/cf across segments (read_term_stats).
-        post_df = spark.read.parquet(postings_path)
+        post_df = read_parquet(spark, postings_path)
         stats = (post_df.groupBy("term")
                  .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
                  .withColumn("seg", F.lit(-1)))
@@ -277,7 +278,7 @@ def build_index(spark: SparkSession, pages: DataFrame, index_path: str,
             return existing["config"] | {"index_path": index_path}
 
     # global stats from norms (cheap columnar agg)
-    norms_df = spark.read.parquet(norms_path)
+    norms_df = read_parquet(spark, norms_path)
     g = norms_df.agg(F.count("*").alias("n"), F.sum("dl").alias("total_tf")).first()
     total_tf = int(g["total_tf"] or 0)
     doc = dict(build_cfg)
@@ -513,7 +514,7 @@ def read_term_stats(spark: SparkSession, index_path: str,
     present — after a TIERED compaction the shard floor stays put (full
     base shards are kept in place) while the stats baseline moves to the
     new collapsed segment, so the two are no longer the same number."""
-    df = spark.read.parquet(f"{index_path}/term_stats")
+    df = read_parquet(spark, f"{index_path}/term_stats")
     if num_shards is None or shard_base is None:
         man = mf.read_manifest(index_path)
         if man is not None:
@@ -526,12 +527,27 @@ def read_term_stats(spark: SparkSession, index_path: str,
         df = df.where(F.col("seg") < num_shards)
     if shard_base:
         df = df.where(F.col("seg") >= shard_base)
+    # single-committed-segment fast path: every writer (base build, append
+    # delta, compaction collapse) emits its segment FROM a groupBy("term"),
+    # so term is unique within a segment and the cross-segment aggregation
+    # is an identity when exactly one committed segment remains. Skipping
+    # it removes an Exchange from every term-stats lookup — a filtered
+    # lookup then collects in ONE job instead of two (the common case:
+    # an index with no appends). Listing is one driver-side dir glob.
+    from ..plans import fsio
+    segs = [s for s, _ in fsio.list_partition_dirs(
+        f"{index_path}/term_stats", "seg")]
+    live = [s for s in segs
+            if (num_shards is None or s < num_shards)
+            and (not shard_base or s >= shard_base)]
+    if segs and len(live) == 1:
+        return df.select("term", "df", "cf")
     return (df.groupBy("term")
             .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf")))
 
 
 def _per_file_stats(spark: SparkSession, path: str, key: str) -> list[dict]:
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     rows = (df.groupBy(F.input_file_name().alias("file"))
               .agg(F.count("*").alias("rows"),
                    F.min(key).alias("min_key"),
@@ -563,7 +579,7 @@ def reindex(spark: SparkSession, src_index: str, dst_path: str,
     from .deletes import read_tombstones
     from .retrieve import load_index_meta
 
-    store = spark.read.parquet(f"{src_index}/analyzed")
+    store = read_parquet(spark, f"{src_index}/analyzed")
     if "original_text" not in store.columns:
         raise ValueError(
             f"source index {src_index!r} stores no raw text "

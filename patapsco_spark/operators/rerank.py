@@ -26,11 +26,12 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..plans.pqread import read_parquet
 
 
 def doc_store(spark: SparkSession, index_path: str) -> DataFrame:
     """(id, lang, original_text) — the reranker-facing document view."""
-    return (spark.read.parquet(f"{index_path}/analyzed")
+    return (read_parquet(spark, f"{index_path}/analyzed")
             .select("id", "lang", "original_text"))
 
 

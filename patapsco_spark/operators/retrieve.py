@@ -41,6 +41,7 @@ from ..functions.codec import decode_blocks
 from ..functions.smallfloat import quantize_length
 from ..plans import fsio
 from ..plans import manifest as mf
+from ..plans.pqread import read_parquet
 from .queryparse import (MUST, MUST_NOT, SHOULD, QueryPlan,
                          iter_term_clauses, parse_query)
 
@@ -449,7 +450,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     live_terms = sorted({t for p in plans
                          for c in iter_term_clauses(p.clauses)
                          for t, _ in c.terms if not t.startswith("\x01")})
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("term").isin(live_terms) & live_pred))
     if phrase_posts is not None:
         posts = posts.unionByName(phrase_posts)
@@ -465,7 +466,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         posts = posts.unionByName(syn_posts)
     # packed norms: ONE blob row per shard (the full norms table is only
     # touched at the end, partition-pruned, to resolve top-k external ids)
-    norms_packed = (spark.read.parquet(f"{index_path}/norms_packed")
+    norms_packed = (read_parquet(spark, f"{index_path}/norms_packed")
                     .where(live_pred))
     dv_range = None
     if dv_filter is not None:
@@ -474,7 +475,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
             raise ValueError("dv_filter needs at least one bound")
         dv_range = (None if dv_lo is None else float(dv_lo),
                     None if dv_hi is None else float(dv_hi))
-        dvp = (spark.read.parquet(
+        dvp = (read_parquet(spark, 
                    f"{index_path}/doc_values/{dv_name}/packed")
                .where(live_pred)
                .select("shard", F.col("values").alias("dv")))
@@ -500,7 +501,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         bp.setdefault("decay", 0.5)
         bp.setdefault("weight", 1.0)
         boost_params = bp
-        dvb = (spark.read.parquet(
+        dvb = (read_parquet(spark, 
                    f"{index_path}/doc_values/{boost_name}/packed")
                .where(live_pred)
                .select("shard", F.col("values").alias("dvb")))
@@ -573,7 +574,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
         # shards that produced matches (AQE handles the rest)
         m = local.withColumn(
             "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
-        norms = (spark.read.parquet(f"{index_path}/norms")
+        norms = (read_parquet(spark, f"{index_path}/norms")
                  .where(live_pred)
                  .select("shard", "docid", F.col("id").alias("doc_id")))
         # MERGE hint: at plan time Catalyst only sees the (possibly tiny)
@@ -595,7 +596,7 @@ def search(spark: SparkSession, index_path: str, plans: list[QueryPlan],
     # hold winners; no extra driver job, no second scoring pass.
     topk = topk.withColumn(
         "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .select("shard", "docid", F.col("id").alias("doc_id")))
     return (norms.join(F.broadcast(topk), ["shard", "docid"])
             .select("query_id", "doc_id", "docid", "rank", "score")
@@ -1011,7 +1012,7 @@ def search_pinned(spark: SparkSession, index_path: str,
     # the output contract and the stable tie-break)
     meta = load_index_meta(index_path)
     from .indexer import live_shard_pred
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_shard_pred(meta))
              .select(F.col("id").alias("doc_id"), "docid"))
     resolved = (norms.join(F.broadcast(pins), "doc_id")
@@ -1161,7 +1162,7 @@ def search_query_frame(spark: SparkSession, index_path: str,
             F.col("query_id").cast("string").alias("query_id"), "text")
          .write.mode("overwrite").parquet(staged))
 
-    snapshot = spark.read.parquet(staged)
+    snapshot = read_parquet(spark, staged)
     n = snapshot.count()
     if n == 0:
         return spark.createDataFrame(
@@ -1209,7 +1210,7 @@ def search_query_frame(spark: SparkSession, index_path: str,
         with ThreadPoolExecutor(max_workers=min(parallel, n_chunks)) as pool:
             # list() drains the iterator so the first failure propagates
             list(pool.map(run_chunk, range(n_chunks)))
-    return (spark.read.parquet(f"{out_path}/chunk=*")
+    return (read_parquet(spark, f"{out_path}/chunk=*")
             .drop("chunk"))
 
 
@@ -1569,9 +1570,9 @@ def _rewrite_spannear_plans(spark, index_path, plans, df_map, idf_over, *,
         memb_rows.append((sid, b, 1, slop, int(inv)))
     all_words = sorted({w for _s, w, _r, _sl, _i in memb_rows})
 
-    pos = (spark.read.parquet(f"{index_path}/positions")
+    pos = (read_parquet(spark, f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
@@ -1753,9 +1754,9 @@ def _rewrite_interval_plans(spark, index_path, plans, df_map, idf_over, *,
             memb_rows.append((sid, h, -3, g, need, nw))
     all_words = sorted({r[1] for r in memb_rows})
 
-    pos = (spark.read.parquet(f"{index_path}/positions")
+    pos = (read_parquet(spark, f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
@@ -1962,9 +1963,9 @@ def _rewrite_phrase_prefix_plans(spark, index_path, plans, df_map, idf_over,
             memb_rows.append((pid, t, len(words), 1))
     all_words = sorted({w for _pid, w, _off, _x in memb_rows})
 
-    pos = (spark.read.parquet(f"{index_path}/positions")
+    pos = (read_parquet(spark, f"{index_path}/positions")
            .where(F.col("term").isin(all_words) & live_pred))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", "dl"))
     memb = spark.createDataFrame(
@@ -2113,9 +2114,9 @@ def _rewrite_spanfirst_plans(spark, index_path, plans, df_map, idf_over, *,
         live_pred = ((F.col("shard") >= shard_base) &
                      (F.col("shard") < num_shards))
     words = sorted({t for t, _e in specs})
-    pos = (spark.read.parquet(f"{index_path}/positions")
+    pos = (read_parquet(spark, f"{index_path}/positions")
            .where(F.col("term").isin(words) & live_pred))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", "dl"))
     sid_of = {key: i for i, key in enumerate(sorted(specs))}
@@ -2240,9 +2241,9 @@ def _rewrite_phrase_plans(spark, index_path, plans, df_map, idf_over, *,
     if live_pred is None:
         live_pred = ((F.col("shard") >= shard_base) &
                      (F.col("shard") < num_shards))
-    pos = (spark.read.parquet(pos_path)
+    pos = (read_parquet(spark, pos_path)
            .where(F.col("term").isin(all_words) & live_pred))
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live_pred)
              .select("shard", "docid", "dl"))
 
@@ -2996,7 +2997,7 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
     # id to TWO docids and explain() doubles every component row
     from .indexer import live_shard_pred
     live = live_shard_pred(meta)
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(live & F.col("id").isin(list(doc_ids)))
              .select("docid", "id", "dl"))
     want = {int(r["docid"]): (r["id"], int(r["dl"]))
@@ -3009,7 +3010,7 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
              read_term_stats(spark, index_path,
                              num_shards=int(meta["num_shards"]))
              .where(F.col("term").isin(terms)).collect()}
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(live & F.col("term").isin(terms)).collect())
 
     docs_per_shard = int(meta["docs_per_shard"])
@@ -3045,7 +3046,7 @@ def explain(spark: SparkSession, index_path: str, plan: QueryPlan,
                      if c.phrase and len(c.terms) > 1]
     if phrase_leaves and meta.get("positions"):
         words_all = sorted({t for _, c in phrase_leaves for t, _ in c.terms})
-        prows = (spark.read.parquet(f"{index_path}/positions")
+        prows = (read_parquet(spark, f"{index_path}/positions")
                  .where(live & F.col("term").isin(words_all) &
                         F.col("docid").isin(list(want))).collect())
         pos_by = {(r["term"], int(r["docid"])): list(r["positions"])

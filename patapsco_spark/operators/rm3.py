@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..config import RetrieveConfig, TextConfig
 from .queryparse import SHOULD, Clause, QueryPlan
 from .retrieve import process_queries, search
+from ..plans.pqread import read_parquet
 
 
 def estimate_rm3_terms(spark: SparkSession, index_path: str,
@@ -45,7 +46,7 @@ def estimate_rm3_terms(spark: SparkSession, index_path: str,
     ``fb_results``: (query_id, doc_id, score) — the pass-1 feedback docs.
     ``orig_terms``: query_id → analyzed original query terms (with repeats).
     """
-    analyzed = spark.read.parquet(f"{index_path}/analyzed").select("id", "terms", "dl")
+    analyzed = read_parquet(spark, f"{index_path}/analyzed").select("id", "terms", "dl")
     fb = fb_results.select("query_id", F.col("doc_id").alias("id"), "score")
 
     # tf per (query, fb-doc, term): count repeats within the doc's term
@@ -137,7 +138,7 @@ def estimate_rocchio_terms(spark: SparkSession, index_path: str,
     result frames broadcast against the analyzed table, one explode +
     groupBy per side, no driver loops.
     """
-    analyzed = spark.read.parquet(f"{index_path}/analyzed").select(
+    analyzed = read_parquet(spark, f"{index_path}/analyzed").select(
         "id", "terms", "dl")
 
     def centroid(results: DataFrame) -> DataFrame:

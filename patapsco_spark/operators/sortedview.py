@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ..plans import manifest as mf
 from .retrieve import load_index_meta
+from ..plans.pqread import read_parquet
 
 
 def _view_root(index_path: str, name: str, ascending: bool) -> str:
@@ -65,7 +66,7 @@ def build_sorted_view(spark: SparkSession, index_path: str, name: str,
         raise ValueError(f"block_size must be >= 1, got {block_size}")
     meta = load_index_meta(index_path)
     docs_per_shard = int(meta["docs_per_shard"])
-    packed = spark.read.parquet(f"{index_path}/doc_values/{name}/packed")
+    packed = read_parquet(spark, f"{index_path}/doc_values/{name}/packed")
     asc = bool(ascending)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -96,7 +97,7 @@ def build_sorted_view(spark: SparkSession, index_path: str, name: str,
         .parquet(f"{root}/blocks"))
     # per-shard block counts let the reader decide "exhausted" without an
     # extra job; the shard census pins the index state the view reflects
-    counts = (spark.read.parquet(f"{root}/blocks")
+    counts = (read_parquet(spark, f"{root}/blocks")
               .groupBy("shard").agg(F.count("*").alias("nb")).collect())
     mf.write_manifest(
         root, f"sorted_view:{name}",
@@ -149,7 +150,7 @@ def sorted_topk(spark: SparkSession, index_path: str, name: str,
     def _read(nb: int) -> DataFrame:
         # `block < nb` pushes to the parquet scan: early termination as
         # row-group pruning (plan-guarded in tests/test_sorted_view.py)
-        b = (spark.read.parquet(blocks_path)
+        b = (read_parquet(spark, blocks_path)
              .where(F.col("block") < nb)
              .select("shard", "block",
                      F.arrays_zip("docids", "values").alias("z"))
@@ -204,7 +205,7 @@ def sorted_topk(spark: SparkSession, index_path: str, name: str,
                 .where(F.col("rn") <= k))
     # k-bounded hits broadcast against the shard-pruned norms read (the
     # sort_values_topk id-join shape)
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .select("shard", "docid", F.col("id").alias("doc_id")))
     return (norms.join(F.broadcast(topk), ["shard", "docid"])
             .select("doc_id",

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from .indexer import live_shard_pred, read_term_stats
 from .retrieve import _TermHandle, load_index_meta
+from ..plans.pqread import read_parquet
 
 _VEC_SCHEMA = "term string, docid long, tf int"
 _OUT_SCHEMA = ("doc_id string, term string, tf int, dl int, "
@@ -57,7 +58,7 @@ def doc_term_vectors(spark: SparkSession, index_path: str,
     if not ids or int(meta["num_docs"]) == 0:
         return empty
 
-    norms = (spark.read.parquet(f"{index_path}/norms")
+    norms = (read_parquet(spark, f"{index_path}/norms")
              .where(F.col("id").isin(ids) & live_pred)
              .select("shard", "docid", "id", "dl").collect())
     if not norms:
@@ -113,7 +114,7 @@ def doc_term_vectors(spark: SparkSession, index_path: str,
                              "docid": np.concatenate(docids),
                              "tf": np.concatenate(tfs)})
 
-    posts = (spark.read.parquet(f"{index_path}/postings")
+    posts = (read_parquet(spark, f"{index_path}/postings")
              .where(F.col("shard").isin(list(tgt_by_shard)) & live_pred))
     vecs = (posts.groupBy("shard").applyInPandas(kernel, schema=_VEC_SCHEMA)
             .toPandas())

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.stopwords import LUCENE_ENGLISH_STOPWORDS
+from ..plans.pqread import read_parquet
 
 # NULL text must count as zero tokens, not propagate to size()=-1 rows
 _TOKENS = lambda c: F.filter(
@@ -430,7 +431,7 @@ def sb_lm_write(spark, lm_docs: DataFrame, path: str,
     c2.repartition(max(1, parts // 2)).write.mode("overwrite") \
       .parquet(f"{path}/c2")
     c3.repartition(parts).write.mode("overwrite").parquet(f"{path}/c3")
-    tot = spark.read.parquet(f"{path}/c1").agg(F.sum("c1")).first()[0]
+    tot = read_parquet(spark, f"{path}/c1").agg(F.sum("c1")).first()[0]
     mf.write_manifest(path, "sb_lm", cfg,
                       metrics={"total_tokens": float(tot or 0.0)})
 
@@ -444,9 +445,9 @@ def sb_lm_read(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame,
     man = mf.read_manifest(path)
     if man is None or man.get("stage") != "sb_lm":
         raise FileNotFoundError(f"no stupid-backoff LM at {path}")
-    return (spark.read.parquet(f"{path}/c1"),
-            spark.read.parquet(f"{path}/c2"),
-            spark.read.parquet(f"{path}/c3"),
+    return (read_parquet(spark, f"{path}/c1"),
+            read_parquet(spark, f"{path}/c2"),
+            read_parquet(spark, f"{path}/c3"),
             float(man["metrics"]["total_tokens"]))
 
 

@@ -25,14 +25,15 @@ from ..operators.rm3 import search_rm3
 from ..sources import trec, webpages
 from . import manifest as mf
 from .runconfig import RunConfig
+from .pqread import read_parquet
 
 
 def _read_documents(spark: SparkSession, cfg: RunConfig) -> DataFrame:
     d = cfg.documents
     if d.input_format == "parquet":
-        return spark.read.parquet(d.input_path)
+        return read_parquet(spark, d.input_path)
     if d.input_format == "webpages":
-        return webpages.extract_pages(spark.read.parquet(d.input_path))
+        return webpages.extract_pages(read_parquet(spark, d.input_path))
     if d.input_format == "hc4":
         return trec.read_hc4_docs(spark, d.input_path, lang=d.lang)
     if d.input_format == "tsv":

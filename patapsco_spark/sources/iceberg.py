@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.pqread import read_parquet
 
 PARTITION_COLS = ("lang", "warc_day")
 
@@ -124,4 +125,4 @@ def read_pages(spark: SparkSession, target: str,
         raise RuntimeError(
             f"'{target}' is a catalog identifier but the Iceberg runtime "
             "is not on the classpath (see sources/iceberg.py docstring)")
-    return spark.read.parquet(target)
+    return read_parquet(spark, target)

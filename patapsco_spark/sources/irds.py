@@ -23,6 +23,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.analyze import _lang_key
+from ..plans.pqread import read_parquet
 
 
 def _load(name: str) -> Any:
@@ -93,7 +94,7 @@ def stage_irds_docs(spark: SparkSession, name: str, out_path: str,
             _write_chunk(out_path, part, ids, texts, out_lang)
         with open(marker, "w"):
             pass
-    return spark.read.parquet(out_path)
+    return read_parquet(spark, out_path)
 
 
 def _write_chunk(out_path: str, part: int, ids: list, texts: list, lang: str) -> None:

@@ -59,6 +59,7 @@ from ..operators.indexer import (
 )
 from ..plans import fsio
 from ..plans import manifest as mf
+from ..plans.pqread import read_parquet
 
 
 def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
@@ -110,7 +111,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
                                  with_positions=bool(meta.get("positions")))
     analyzed.write.mode("overwrite").parquet(f"{stage}/analyzed")
     n_parts = max(1, spark.sparkContext.defaultParallelism)
-    (spark.read.parquet(f"{stage}/analyzed")
+    (read_parquet(spark, f"{stage}/analyzed")
           .repartitionByRange(n_parts, "id")
           .sortWithinPartitions("id")
           .write.mode("overwrite").parquet(f"{stage}/sorted"))
@@ -126,7 +127,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
         return meta
     new_shard_count = math.ceil(batch_rows / docs_per_shard)
 
-    docided = _assign_docids(spark.read.parquet(f"{stage}/sorted"),
+    docided = _assign_docids(read_parquet(spark, f"{stage}/sorted"),
                              offsets, docs_per_shard)
 
     # ---- epoch-owned partition writes (dynamic overwrite = replay-safe) --
@@ -142,7 +143,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     # LARGER append/compaction that crashed before its manifest commit
     this_epoch = ((F.col("shard") >= first_shard)
                   & (F.col("shard") < first_shard + new_shard_count))
-    new_norms = (spark.read.parquet(f"{index_path}/norms")
+    new_norms = (read_parquet(spark, f"{index_path}/norms")
                  .where(this_epoch))
     (new_norms.groupBy("shard")
      .applyInPandas(_pack_norms(docs_per_shard),
@@ -181,7 +182,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
     # epoch's range (crashed larger run, no manifest) must not inflate the
     # COMMITTED delta's df/cf — postings reads are shard-gated at query
     # time, but a poisoned stats segment would skew idf for every query
-    delta = (spark.read.parquet(f"{index_path}/postings")
+    delta = (read_parquet(spark, f"{index_path}/postings")
              .where(this_epoch)
              .groupBy("term").agg(F.sum("df").alias("df"),
                                   F.sum("cf").alias("cf"))
@@ -192,7 +193,7 @@ def append_batch(spark: SparkSession, docs: DataFrame, index_path: str,
           .parquet(f"{index_path}/term_stats"))
 
     # ---- incremental global stats (manifest + this batch, no table scans)
-    batch_tf = int(spark.read.parquet(f"{stage}/sorted")
+    batch_tf = int(read_parquet(spark, f"{stage}/sorted")
                    .agg(F.sum("dl")).first()[0] or 0)
     num_docs = int(meta["num_docs"]) + batch_rows
     total_tf = int(meta["total_tf"]) + batch_tf
@@ -320,7 +321,7 @@ def compact_index(spark: SparkSession, index_path: str,
     base0 = new_base_shard * new_dps
 
     live = lambda df: df.where(live_shard_pred(meta))
-    norms_all = live(spark.read.parquet(f"{index_path}/norms"))
+    norms_all = live(read_parquet(spark, f"{index_path}/norms"))
     per_shard = (norms_all.groupBy("shard")
                  .agg(F.min("docid").alias("mn"), F.max("docid").alias("mx"),
                       F.count("*").alias("n"))
@@ -382,7 +383,7 @@ def compact_index(spark: SparkSession, index_path: str,
     new_shard_count = max(1, new_num_shards - new_base_shard)
     merge = lambda df: df.where(live_shard_pred(meta) &
                                 (F.col("shard") >= cutoff))
-    norms = merge(spark.read.parquet(f"{index_path}/norms"))
+    norms = merge(read_parquet(spark, f"{index_path}/norms"))
 
     mdf = spark.createDataFrame([(s, mn, nb) for s, (mn, nb) in remap.items()],
                                 "shard int, mn long, nb long")
@@ -422,18 +423,18 @@ def compact_index(spark: SparkSession, index_path: str,
                              F.col("nb") + F.row_number().over(wn) - 1))
         renum.select("shard", "docid", "new_docid", "id", "dl") \
             .write.mode("overwrite").parquet(f"{stage}/remap_rows")
-        renum = spark.read.parquet(f"{stage}/remap_rows")
+        renum = read_parquet(spark, f"{stage}/remap_rows")
         (renum.select(F.col("new_docid").alias("docid"), "id", "dl")
          .withColumn("shard", (F.col("docid") / F.lit(new_dps)).cast("int"))
          .write.mode("overwrite").parquet(f"{stage}/norms"))
     else:
         (remapped(norms.select("shard", "docid", "id", "dl"))
          .write.mode("overwrite").parquet(f"{stage}/norms"))
-    (spark.read.parquet(f"{stage}/norms")
+    (read_parquet(spark, f"{stage}/norms")
      .repartition(new_shard_count, "shard").sortWithinPartitions("docid")
      .write.mode("overwrite").options(**dyn).partitionBy("shard")
      .parquet(f"{index_path}/norms"))
-    (spark.read.parquet(f"{index_path}/norms")
+    (read_parquet(spark, f"{index_path}/norms")
      .where(F.col("shard") >= new_base_shard)
      .groupBy("shard")
      .applyInPandas(_pack_norms(new_dps),
@@ -442,8 +443,8 @@ def compact_index(spark: SparkSession, index_path: str,
      .parquet(f"{index_path}/norms_packed"))
 
     # ---- postings: decode per old shard, remap, re-encode ---------------
-    old_posts = merge(spark.read.parquet(f"{index_path}/postings"))
-    old_packed = merge(spark.read.parquet(f"{index_path}/norms_packed"))
+    old_posts = merge(read_parquet(spark, f"{index_path}/postings"))
+    old_packed = merge(read_parquet(spark, f"{index_path}/norms_packed"))
     tf_rows = (old_posts.groupBy("shard").cogroup(old_packed.groupBy("shard"))
                .applyInPandas(
                    _make_decode_remap_kernel(dps, remap, dels_by_shard,
@@ -454,19 +455,19 @@ def compact_index(spark: SparkSession, index_path: str,
      .mapInPandas(_make_postings_kernel(block_size, new_dps),
                   schema=POSTINGS_SCHEMA)
      .write.mode("overwrite").parquet(f"{stage}/postings"))
-    (spark.read.parquet(f"{stage}/postings")
+    (read_parquet(spark, f"{stage}/postings")
      .write.mode("overwrite").options(**dyn).partitionBy("shard")
      .parquet(f"{index_path}/postings"))
 
     # ---- positions sidecar (plain rows: remap only) ----------------------
     if positions:
-        pos = merge(spark.read.parquet(f"{index_path}/positions"))
+        pos = merge(read_parquet(spark, f"{index_path}/positions"))
         if dels_by_shard:
             # inner join against the persisted survivor map: deleted docs'
             # position rows drop out, survivors take their new docid. A
             # doc-keyed shuffle of the MERGED range only — the delete path
             # costs nothing when no tombstones are pending (branch above)
-            rmap = (spark.read.parquet(f"{stage}/remap_rows")
+            rmap = (read_parquet(spark, f"{stage}/remap_rows")
                     .select("shard", "docid", "new_docid"))
             pos = (pos.join(rmap, ["shard", "docid"])
                    .drop("docid", "shard")
@@ -479,7 +480,7 @@ def compact_index(spark: SparkSession, index_path: str,
          .repartition(new_shard_count, "shard")
          .sortWithinPartitions("shard", "term", "docid")
          .write.mode("overwrite").parquet(f"{stage}/positions"))
-        (spark.read.parquet(f"{stage}/positions")
+        (read_parquet(spark, f"{stage}/positions")
          .write.mode("overwrite").options(**dyn).partitionBy("shard")
          .parquet(f"{index_path}/positions"))
 
@@ -511,7 +512,7 @@ def compact_index(spark: SparkSession, index_path: str,
         })
 
     # ---- term stats: ONE collapsed segment over the new live set ---------
-    (spark.read.parquet(f"{index_path}/postings")
+    (read_parquet(spark, f"{index_path}/postings")
      .where(live_shard_pred(new_meta))
      .groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
      .withColumn("seg", F.lit(new_base_shard))
@@ -526,7 +527,7 @@ def compact_index(spark: SparkSession, index_path: str,
         # — vocab-sized scan), and avgdl follows with the indexer's own
         # float32 quantization. In tiered mode kept shards' tombstoned
         # docs remain counted everywhere — the carried-.liv contract.
-        row = (spark.read.parquet(f"{index_path}/term_stats")
+        row = (read_parquet(spark, f"{index_path}/term_stats")
                .where(F.col("seg") == new_base_shard)
                .agg(F.sum("cf").alias("cf")).first())
         new_total_tf = int(row["cf"] or 0)
