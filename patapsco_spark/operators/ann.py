@@ -296,18 +296,98 @@ def ivf_build(embeddings: DataFrame, n_cells: int = 16, iters: int = 3,
     def assign(df, cents_arr):
         return _assign_to_cells(df, cents_arr, id_col, vec_col)
 
+    # Lloyd means: the r6-final shape folded the per-cell per-dim mean into
+    # the ASSIGNMENT kernel — each task emits one sparse (cell, cnt, sums)
+    # partial per cell it saw, collected and folded on the driver in
+    # (partition, cell) order. That turns each iteration's posexplode
+    # (rows x dim) + two shuffles + collect into ONE narrow collect job of
+    # <= partitions x live-cells tiny rows. Driver-bounded by construction
+    # only while n_cells x parallelism x dim stays small; above the cap
+    # (and the paper's 50k-cell LAION config with thousands of tasks is
+    # above it) the distributed groupBy-avg pipeline below remains the
+    # scale route — same means up to float summation order, which the
+    # 6-decimal-rounded consumers and the SQL oracles already tolerate
+    # (DuckDB replays these sums in its own order today).
+    part_rows = (embeddings.rdd.getNumPartitions()
+                 * int(cents.shape[0]) * (int(cents.shape[1]) + 2))
+    driver_fold = part_rows * 8 <= 64 * 1024 * 1024  # <= 64 MB collected
     for _ in range(iters):
-        assigned = assign(embeddings, cents)
-        means = (assigned
-                 .select("cell", F.posexplode(vec_col).alias("i", "x"))
-                 .groupBy("cell", "i").agg(F.avg("x").alias("m"))
-                 .groupBy("cell")
-                 .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("ms"))
-                 .select("cell", F.transform("ms", lambda s: s["m"]).alias("c"))
-                 .collect())
-        for r in means:  # cells that lost all members keep their centroid
-            cents[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
+        if driver_fold:
+            parts = _assign_partial_means(embeddings, cents, vec_col)
+            sums: dict[int, np.ndarray] = {}
+            cnts: dict[int, int] = {}
+            for _pid, cell, cnt, s in sorted(parts, key=lambda r: r[:2]):
+                if cell in sums:
+                    sums[cell] = sums[cell] + np.asarray(s)
+                    cnts[cell] += cnt
+                else:
+                    sums[cell] = np.asarray(s, dtype=np.float64)
+                    cnts[cell] = cnt
+            for cell, s in sums.items():  # empty cells keep their centroid
+                cents[cell] = s / cnts[cell]
+        else:
+            assigned = assign(embeddings, cents)
+            means = (assigned
+                     .select("cell", F.posexplode(vec_col).alias("i", "x"))
+                     .groupBy("cell", "i").agg(F.avg("x").alias("m"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(
+                         F.collect_list(F.struct("i", "m"))).alias("ms"))
+                     .select("cell",
+                             F.transform("ms", lambda s: s["m"]).alias("c"))
+                     .collect())
+            for r in means:  # cells that lost all members keep their centroid
+                cents[r["cell"]] = np.asarray(r["c"], dtype=np.float64)
     return cents, assign(embeddings, cents)
+
+
+def _assign_partial_means(df: DataFrame, cents_arr, vec_col: str):
+    """One fused pass: nearest-centroid assignment (same arithmetic as
+    ``_assign_to_cells``) + per-(task, cell) partial sums. Returns the
+    collected [(partition_id, cell, cnt, sums[dim])] rows — the assigned
+    frame itself never materializes."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    cents = np.asarray(cents_arr, dtype=np.float64)
+    dim = cents.shape[1]
+    out_schema = ("pid int, cell int, cnt long, sums array<double>")
+
+    def kernel(batches):
+        pid = TaskContext.get().partitionId()
+        acc_s: dict[int, np.ndarray] = {}
+        acc_n: dict[int, int] = {}
+        for batch in batches:
+            X = _vecs_to_ndarray(batch.column(0), dim)
+            if not len(X):
+                continue
+            d2 = np.empty((X.shape[0], len(cents)))
+            for c in range(len(cents)):
+                diff = X - cents[c]
+                np.multiply(diff, diff, out=diff)
+                d2[:, c] = np.cumsum(diff, axis=1)[:, -1] if dim else 0.0
+            cell = d2.argmin(axis=1).astype(np.int32)
+            for c in np.unique(cell):
+                rows = X[cell == c]
+                c = int(c)
+                if c in acc_s:
+                    acc_s[c] = acc_s[c] + rows.sum(axis=0)
+                    acc_n[c] += len(rows)
+                else:
+                    acc_s[c] = rows.sum(axis=0)
+                    acc_n[c] = len(rows)
+        cells = sorted(acc_s)
+        yield pa.record_batch(
+            [pa.array([pid] * len(cells), type=pa.int32()),
+             pa.array(cells, type=pa.int32()),
+             pa.array([acc_n[c] for c in cells], type=pa.int64()),
+             pa.array([acc_s[c].tolist() for c in cells],
+                      type=pa.list_(pa.float64()))],
+            names=["pid", "cell", "cnt", "sums"])
+
+    return [(r["pid"], r["cell"], r["cnt"], r["sums"])
+            for r in df.select(vec_col).mapInArrow(kernel, out_schema)
+            .collect()]
 
 
 def _vecs_to_ndarray(arr, dim: int) -> np.ndarray:
