@@ -97,18 +97,22 @@ def _collect_bigram_lm(lm_docs: DataFrame, vocab: list[str],
     from ..operators.textstats import _adjacent_pairs
     from ..partitioning import widen_for_kernel
 
-    # three corpus passes below (token total, unigram agg, bigram agg) —
+    # two corpus passes below (unigram agg incl. total, bigram agg) —
     # widen the usually-narrow small-corpus scan once (no-op at scale)
     lm_docs = widen_for_kernel(lm_docs)
     toks_arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                         lambda t: t != "")
     words = lm_docs.select(F.explode(toks_arr).alias("w"))
-    total = words.count()
+    # the token total and the vocab-filtered unigram counts fold into ONE
+    # aggregation: out-of-vocab tokens group under NULL, total = Σ all
+    # groups (was a separate count() job — same rows read twice)
+    uni = (words.groupBy(F.when(F.col("w").isin(vocab), F.col("w"))
+                         .alias("w"))
+           .agg(F.count("*").alias("n")).collect())
+    total = sum(int(r["n"]) for r in uni)
     if total == 0:
         raise ValueError("lm_docs produced no tokens")
-    c1 = {r["w"]: int(r["n"]) for r in
-          (words.where(F.col("w").isin(vocab))
-           .groupBy("w").agg(F.count("*").alias("n")).collect())}
+    c1 = {r["w"]: int(r["n"]) for r in uni if r["w"] is not None}
     bi = (lm_docs.select(F.explode(_adjacent_pairs(toks_arr)).alias("p"))
           .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
           .where(F.col("a").isin(vocab) & F.col("b").isin(vocab))
@@ -156,22 +160,36 @@ def suggest_phrase(spark: SparkSession, index_path: str, text: str,
         raise ValueError("max_candidates must be >= 1")
     d = _dictionary(spark, index_path).select("term", "cf")
 
-    # one candidate pass per DISTINCT token (tiny driver-sized collects)
-    cands: dict[str, list[str]] = {}
-    for tok in sorted(set(toks)):
-        n = len(tok)
-        c = d.where((F.length("term") >= n - max_edits)
-                    & (F.length("term") <= n + max_edits)
-                    & (F.col("cf") >= min_cf))
-        if prefix_lock > 0:
-            c = c.where(F.col("term").startswith(tok[:prefix_lock]))
-        rows = (c.withColumn("distance",
-                             F.levenshtein(F.col("term"), F.lit(tok)))
-                .where(F.col("distance") <= max_edits)
-                .orderBy(F.col("distance").asc(), F.col("cf").desc(),
-                         F.col("term").asc())
-                .limit(max_candidates).collect())
-        cands[tok] = [r["term"] for r in rows] or [tok]
+    # ONE candidate job for ALL distinct tokens (was a collect per token:
+    # N driver round-trips of 2 jobs each for an N-token query): broadcast
+    # the tiny token table against the dictionary with the same pushed
+    # length-band / prefix-lock / min_cf prefilters, rank per token with a
+    # window (identical (distance asc, cf desc, term asc) order), cut at
+    # max_candidates, collect once
+    from pyspark.sql import Window
+
+    uniq = sorted(set(toks))
+    toks_df = spark.createDataFrame([(t,) for t in uniq], "tok string")
+    cond = ((F.length("term") >= F.length("tok") - max_edits)
+            & (F.length("term") <= F.length("tok") + max_edits)
+            & (F.col("cf") >= min_cf))
+    if prefix_lock > 0:
+        cond = cond & F.col("term").startswith(
+            F.substring(F.col("tok"), 1, prefix_lock))
+    w = Window.partitionBy("tok").orderBy(
+        F.col("distance").asc(), F.col("cf").desc(), F.col("term").asc())
+    rows = (d.join(F.broadcast(toks_df), cond)
+            .withColumn("distance", F.levenshtein(F.col("term"),
+                                                  F.col("tok")))
+            .where(F.col("distance") <= max_edits)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= max_candidates)
+            .select("tok", "term", "rn").collect())
+    cands: dict[str, list[str]] = {t: [] for t in uniq}
+    for r in sorted(rows, key=lambda r: (r["tok"], r["rn"])):
+        cands[r["tok"]].append(r["term"])
+    for t in uniq:  # a token with no dictionary neighbour keeps itself
+        cands[t] = cands[t] or [t]
 
     n_combos = 1
     for tok in toks:
