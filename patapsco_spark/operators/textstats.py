@@ -803,17 +803,25 @@ def nb_classifier_scores(docs: DataFrame, label, train, *,
             .where(F.col("term") != ""))
     tr = toks.where(F.col("__tr"))
 
-    cls = {bool(r["__y"]): (int(r["docs"]), int(r["toks"]))
-           for r in (tr.groupBy("__y")
-                     .agg(F.countDistinct("__id").alias("docs"),
-                          F.count("*").alias("toks")).collect())}
-    if True not in cls or False not in cls:
+    # ONE aggregation job for all five training scalars (was two actions
+    # — a per-class groupBy collect plus a separate distinct-vocab count —
+    # each re-scanning and re-exploding the train split): class-gated
+    # countDistinct ignores the NULLs the when() produces, so per-class
+    # doc counts, per-class token totals, and the vocabulary size all
+    # come out of a single pass
+    srow = tr.agg(
+        F.countDistinct(F.when(F.col("__y"), F.col("__id"))).alias("d1"),
+        F.countDistinct(F.when(~F.col("__y"), F.col("__id"))).alias("d0"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0)).alias("t0"),
+        F.countDistinct("term").alias("v")).collect()[0]
+    d1, d0 = int(srow["d1"]), int(srow["d0"])
+    t1, t0 = int(srow["t1"] or 0), int(srow["t0"] or 0)
+    v = int(srow["v"])
+    if d1 == 0 or d0 == 0:
         raise ValueError(
             "nb_classifier_scores needs both classes in the train split; "
-            f"got classes {sorted(cls)}")
-    v = tr.select("term").distinct().count()
-    d1, t1 = cls[True]
-    d0, t0 = cls[False]
+            f"got classes {[c for c, d in ((False, d0), (True, d1)) if d]}")
     prior = math.log(d1 / d0)
     kappa = math.log(1.0 / (t1 + v)) - math.log(1.0 / (t0 + v))
 
@@ -884,10 +892,19 @@ def pmi_collocations(docs: DataFrame, k: int = 100, min_count: int = 5,
                         lambda t: t != "")
     words = docs.select(F.explode(toks_arr).alias("w"))
     uni = words.groupBy("w").agg(F.count("*").alias("c"))
-    n_tokens = words.count()
+    # the two scalar totals are pure size arithmetic — ONE explode-free
+    # scan instead of two full explode-and-count passes (the token and
+    # pair COUNTS per doc are size(toks) and max(size-1, 0) by
+    # construction of _adjacent_pairs; null texts contribute nothing on
+    # either path: explode of NULL yields no rows, sum skips NULLs)
+    totals = docs.agg(
+        F.sum(F.size(toks_arr)).alias("nt"),
+        F.sum(F.greatest(F.size(toks_arr) - 1, F.lit(0))).alias("np")
+    ).collect()[0]
+    n_tokens = int(totals["nt"] or 0)
+    n_pairs = int(totals["np"] or 0)
     pairs = docs.select(F.explode(_adjacent_pairs(toks_arr)).alias("p")) \
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    n_pairs = pairs.count()
     if n_pairs == 0:
         return docs.sparkSession.createDataFrame(
             [], "w1 string, w2 string, pair_count long, pmi double")
